@@ -1,0 +1,44 @@
+"""Operator registry.
+
+Every query/operator registers itself into ``QUERIES`` (name -> callable
+``(spark, sf_dir) -> DataFrame``) and, when SQL-expressible, ``ORACLES``
+(name -> ANSI SQL string DuckDB runs on the same parquet views).  This is
+the single source of truth consumed by ``__spark_entry__.py``, the tests,
+and ``bench.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, "Callable[[SparkSession, str], DataFrame]"] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: register a query under ``name`` with an optional DuckDB
+    oracle.  Queries without an oracle get the driver's weaker rows-only
+    check (reserved for genuinely non-SQL-expressible operators)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so registration side-effects run."""
+    from iceberg_data_gen_spark.operators import (  # noqa: F401
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text,
+    )

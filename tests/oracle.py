@@ -1,0 +1,115 @@
+"""Local twin of the driver's DuckDB-oracle comparison.
+
+For a query name registered in the operator registry: run the Spark
+DataFrame and the oracle SQL on the same parquet tables, then compare
+row count, column-name set, and an order-insensitive canonical form of
+every value.  Exact equality is required for non-floats; floats must
+match to 1e-9 relative (queries are written so both engines produce
+identically-rounded values — the tolerance exists to surface any drift
+as a loud diagnostic rather than a silent hash mismatch at verify time).
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon_value(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float):
+        return v
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_value(x) for x in v)
+    return v
+
+
+def _canon_rows(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon_value(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def _values_close(a, b, rel=1e-9):
+    if isinstance(a, float) or isinstance(b, float):
+        if a is None or b is None:
+            return a is b
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return math.isclose(fa, fb, rel_tol=rel, abs_tol=1e-9)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_values_close(x, y, rel) for x, y in zip(a, b))
+    return a == b
+
+
+def compare(spark, name: str, query_fn, oracle: str, sf_dir: str) -> list[str]:
+    """Return a list of human-readable mismatch descriptions (empty = pass)."""
+    sdf = query_fn(spark, sf_dir)
+    s_cols = list(sdf.columns)
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb_conn(sf_dir)
+    try:
+        res = con.execute(oracle)
+        d_cols = [d[0] for d in res.description]
+        d_rows = res.fetchall()
+    finally:
+        con.close()
+
+    errors: list[str] = []
+    if sorted(s_cols) != sorted(d_cols):
+        errors.append(f"{name}: column mismatch spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        return errors
+    if len(s_rows) != len(d_rows):
+        errors.append(f"{name}: rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+
+    cs = _canon_rows(s_rows, s_cols)
+    cd = _canon_rows(d_rows, d_cols)
+    n_bad = 0
+    for i, (rs, rd) in enumerate(zip(cs, cd)):
+        if not _values_close(rs, rd):
+            n_bad += 1
+            if n_bad <= 3:
+                errors.append(f"{name}: row {i} spark={rs!r} duckdb={rd!r}")
+    if n_bad > 3:
+        errors.append(f"{name}: ... {n_bad} mismatched rows total")
+    # strictness probe: exact (non-tolerance) equality, the driver may hash raw values
+    if not errors and cs != cd:
+        diff = next((i, a, b) for i, (a, b) in enumerate(zip(cs, cd)) if a != b)
+        errors.append(f"{name}: EXACT-match drift (tolerance-close but not identical): {diff!r}")
+    return errors
