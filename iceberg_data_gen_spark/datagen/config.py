@@ -1,0 +1,101 @@
+"""TOML configuration, mirroring the reference's structs (main.rs:54-84)
+and example file (/root/reference/config.toml).
+
+The ``[catalog]`` section keeps the reference's REST+S3 fields for prod
+parity but adds ``type = "local"`` with a ``warehouse`` path so tests and
+this container (no Iceberg runtime jar, no REST server) run against the
+filesystem catalog (SURVEY.md §7 M0).
+"""
+
+from __future__ import annotations
+
+import tomllib
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CatalogConfig:
+    catalog_type: str = "local"
+    uri: str = ""
+    warehouse: str = "/tmp/iceberg-data-gen-warehouse"
+    s3_endpoint: str = ""
+    s3_access_key_id: str = ""
+    s3_secret_access_key: str = ""
+    s3_region: str = ""
+
+
+@dataclass
+class TableConfig:
+    namespace: str = "name1"
+    table_name: str = "test_table"
+
+
+@dataclass
+class FileConfig:
+    rows_per_file: int = 1000
+    file_count: int = 5
+
+
+@dataclass
+class Config:
+    catalog: CatalogConfig = field(default_factory=CatalogConfig)
+    table: TableConfig = field(default_factory=TableConfig)
+    data_files: FileConfig = field(default_factory=FileConfig)
+    pos_delete_files: FileConfig = field(default_factory=FileConfig)
+    equality_delete_files: FileConfig = field(default_factory=FileConfig)
+
+
+def load_config(path: str) -> Config:
+    with open(path, "rb") as f:
+        raw = tomllib.load(f)
+
+    cat = raw.get("catalog", {})
+    catalog = CatalogConfig(
+        catalog_type=cat.get("type", "local"),
+        uri=cat.get("uri", ""),
+        warehouse=cat.get("warehouse", "/tmp/iceberg-data-gen-warehouse"),
+        s3_endpoint=cat.get("s3_endpoint", ""),
+        s3_access_key_id=cat.get("s3_access_key_id", ""),
+        s3_secret_access_key=cat.get("s3_secret_access_key", ""),
+        s3_region=cat.get("s3_region", ""),
+    )
+    tab = raw.get("table", {})
+    table = TableConfig(
+        namespace=tab.get("namespace", "name1"),
+        table_name=tab.get("table_name", "test_table"),
+    )
+
+    def fc(key: str, default_count: int) -> FileConfig:
+        d = raw.get(key, {})
+        return FileConfig(
+            rows_per_file=int(d.get("rows_per_file", 1000)),
+            file_count=int(d.get("file_count", default_count)),
+        )
+
+    return Config(
+        catalog=catalog,
+        table=table,
+        data_files=fc("data_files", 5),
+        pos_delete_files=fc("pos_delete_files", 2),
+        equality_delete_files=fc("equality_delete_files", 2),
+    )
+
+
+def redacted(cfg: Config) -> dict:
+    """Config echo with secrets redacted — the reference prints them
+    verbatim (main.rs:308-315); we deliberately don't (SURVEY.md §7 H4)."""
+    return {
+        "catalog": {
+            "type": cfg.catalog.catalog_type,
+            "uri": cfg.catalog.uri,
+            "warehouse": cfg.catalog.warehouse,
+            "s3_endpoint": cfg.catalog.s3_endpoint,
+            "s3_access_key_id": "***" if cfg.catalog.s3_access_key_id else "",
+            "s3_secret_access_key": "***" if cfg.catalog.s3_secret_access_key else "",
+            "s3_region": cfg.catalog.s3_region,
+        },
+        "table": {"namespace": cfg.table.namespace, "table_name": cfg.table.table_name},
+        "data_files": vars(cfg.data_files),
+        "pos_delete_files": vars(cfg.pos_delete_files),
+        "equality_delete_files": vars(cfg.equality_delete_files),
+    }

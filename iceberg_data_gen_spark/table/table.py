@@ -1,0 +1,375 @@
+"""Merge-on-read table: snapshots of data / position-delete / equality-delete
+Parquet files, with delete application as anti-joins at scan time.
+
+Reference parity (citations into /root/reference):
+- data-file append committed as one snapshot: ``src/main.rs:125-158`` (O7/O8)
+- position-delete files ``(file_path, pos)``: ``src/main.rs:186-210`` (O11)
+- equality-delete files = schema projected to equality field ids:
+  ``src/main.rs:242-270``, ``src/fix_schema_generator.rs:134-172`` (O12/O13)
+- ``.files``-style metadata read-back: ``src/main.rs:159`` (O9)
+- row-count summary: ``src/main.rs:334-345`` (O14)
+
+Scale design
+------------
+* Data and delete files are written by Spark executors; the driver only
+  touches file-level metadata (paths + footer row counts), like an
+  Iceberg catalog commit.
+* The MoR scan is declarative: data ⟕ anti-join(position deletes on
+  ``(_metadata.file_path, _metadata.row_index)``) ⟕ anti-join(equality
+  deletes on key columns, restricted by sequence number).  Delete sides
+  are usually ≪ data and get broadcast by Catalyst/AQE automatically, so
+  the read path adds no extra shuffle of the data side.
+* Iceberg sequence-number semantics are honored: an equality delete
+  applies only to rows from data files committed strictly before it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+POS_DELETE_COLS = ("file_path", "pos")  # fixed by the Iceberg spec (main.rs:188)
+
+
+@dataclass
+class Field:
+    field_id: int
+    name: str
+    type: str  # Spark DDL type string, e.g. "string", "int", "boolean"
+    required: bool = True
+
+
+@dataclass
+class TableSchema:
+    """Iceberg-style schema: field ids + identifier-field ids.
+
+    The reference's fixed schema (fix_schema_generator.rs:34-43) is
+    ``[(1, foo, string), (2, bar, int), (3, baz, boolean)]`` with
+    identifier field id 2.
+    """
+
+    fields: list[Field]
+    identifier_field_ids: list[int] = field(default_factory=list)
+    schema_id: int = 1
+
+    def to_spark(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(f.name, T._parse_datatype_string(f.type), not f.required)
+                for f in self.fields
+            ]
+        )
+
+    def names_for_ids(self, ids: list[int]) -> list[str]:
+        by_id = {f.field_id: f.name for f in self.fields}
+        return [by_id[i] for i in ids]
+
+    def to_json(self) -> dict:
+        return {
+            "schema_id": self.schema_id,
+            "identifier_field_ids": self.identifier_field_ids,
+            "fields": [
+                {"id": f.field_id, "name": f.name, "type": f.type, "required": f.required}
+                for f in self.fields
+            ],
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "TableSchema":
+        return TableSchema(
+            fields=[
+                Field(f["id"], f["name"], f["type"], f["required"]) for f in d["fields"]
+            ],
+            identifier_field_ids=list(d["identifier_field_ids"]),
+            schema_id=d.get("schema_id", 1),
+        )
+
+
+def _canon_path(p: str) -> str:
+    """Canonical file identity shared by metadata and ``_metadata.file_path``
+    (Spark reports ``file:///abs/path``; we store plain ``/abs/path``)."""
+    if p.startswith("file://"):
+        p = p[len("file://") :]
+    return p
+
+
+def _footer_row_count(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+class MoRTable:
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = Path(path)
+        self._meta = json.loads((self.path / "metadata.json").read_text())
+
+    # -- creation / metadata ------------------------------------------------
+
+    @staticmethod
+    def create(spark: SparkSession, path: str, schema: TableSchema) -> "MoRTable":
+        p = Path(path)
+        (p / "data").mkdir(parents=True, exist_ok=True)
+        (p / "deletes").mkdir(parents=True, exist_ok=True)
+        meta = {"schema": schema.to_json(), "snapshots": []}
+        (p / "metadata.json").write_text(json.dumps(meta, indent=1))
+        return MoRTable(spark, path)
+
+    @property
+    def schema(self) -> TableSchema:
+        return TableSchema.from_json(self._meta["schema"])
+
+    def snapshots(self) -> list[dict]:
+        return list(self._meta["snapshots"])
+
+    def current_snapshot_id(self) -> int | None:
+        snaps = self._meta["snapshots"]
+        return snaps[-1]["id"] if snaps else None
+
+    def _commit(self, operation: str, files: list[dict], **extra) -> dict:
+        snaps = self._meta["snapshots"]
+        snap = {
+            "id": (snaps[-1]["id"] + 1) if snaps else 1,
+            "parent": snaps[-1]["id"] if snaps else None,
+            "sequence_number": len(snaps) + 1,
+            "operation": operation,
+            "files": files,
+            **extra,
+        }
+        snaps.append(snap)
+        (self.path / "metadata.json").write_text(json.dumps(self._meta, indent=1))
+        return snap
+
+    # -- writes -------------------------------------------------------------
+
+    def _write_files(self, df: DataFrame, dest: Path, stem: str, single_file: bool) -> list[str]:
+        """Write ``df`` as parquet into ``dest``; return final file paths.
+
+        ``single_file=True`` coalesces to one output file (the reference's
+        exact-rows-per-file layout, SURVEY.md §7 H2 — test-scale fidelity);
+        ``single_file=False`` keeps Spark's natural partitioned layout (the
+        100 TB path: executors write in parallel, byte-based sizing).
+        """
+        tmp = self.path / f"_tmp-{uuid.uuid4().hex}"
+        out = df.coalesce(1) if single_file else df
+        out.write.mode("overwrite").parquet(str(tmp))
+        finals: list[str] = []
+        parts = sorted(tmp.glob("part-*.parquet"))
+        for i, part in enumerate(parts):
+            final = dest / f"{stem}-{uuid.uuid4().hex[:8]}-{i}.parquet"
+            shutil.move(str(part), str(final))
+            finals.append(str(final))
+        shutil.rmtree(tmp)
+        return finals
+
+    def append(self, df: DataFrame, single_file: bool = False) -> dict:
+        """Append data files; ONE snapshot per call (main.rs:125-158)."""
+        files = []
+        for path in self._write_files(df, self.path / "data", "data", single_file):
+            files.append(
+                {"path": path, "kind": "data", "record_count": _footer_row_count(path)}
+            )
+        return self._commit("append", files)
+
+    def append_batches(self, dfs: list[DataFrame]) -> dict:
+        """Reference-shaped append: each DataFrame becomes exactly one data
+        file, all committed in ONE snapshot (the per-file loop of
+        main.rs:128-151 + single fast_append commit at main.rs:157-158)."""
+        files = []
+        for df in dfs:
+            for path in self._write_files(df, self.path / "data", "data", True):
+                files.append(
+                    {"path": path, "kind": "data", "record_count": _footer_row_count(path)}
+                )
+        return self._commit("append", files)
+
+    def _normalize_pos_deletes(self, df: DataFrame) -> DataFrame:
+        """Canonical, sorted (file_path, pos) rows.
+
+        The reference sorts delete rows via a buffering writer
+        (main.rs:194-199); we sort within partitions — cheap at any scale
+        and preserves the sorted-file property readers expect.
+        """
+        assert set(df.columns) == set(POS_DELETE_COLS), df.columns
+        return df.select(
+            F.regexp_replace("file_path", "^file:(//)?", "").alias("file_path"),
+            F.col("pos").cast("long").alias("pos"),
+        ).sortWithinPartitions("file_path", "pos")
+
+    def add_position_deletes(
+        self, df: DataFrame | list[DataFrame], single_file: bool = True
+    ) -> dict:
+        """Commit position-delete file(s) as ONE snapshot (main.rs:174-213).
+
+        A list writes each DataFrame as exactly one file (the reference's
+        per-file loop); a single DataFrame uses ``single_file``.
+        """
+        batches = df if isinstance(df, list) else [df]
+        one_file_each = True if isinstance(df, list) else single_file
+        files = []
+        for b in batches:
+            out = self._normalize_pos_deletes(b)
+            for path in self._write_files(out, self.path / "deletes", "pos-delete", one_file_each):
+                files.append(
+                    {"path": path, "kind": "pos-delete", "record_count": _footer_row_count(path)}
+                )
+        return self._commit("delete-position", files)
+
+    def add_equality_deletes(
+        self,
+        df: DataFrame | list[DataFrame],
+        equality_ids: list[int] | None = None,
+        single_file: bool = True,
+    ) -> dict:
+        """Commit equality-delete file(s) as ONE snapshot: rows of the table
+        schema projected to the equality columns (main.rs:242-270,
+        projection main.rs:251)."""
+        ids = equality_ids or self.schema.identifier_field_ids
+        cols = self.schema.names_for_ids(ids)
+        batches = df if isinstance(df, list) else [df]
+        one_file_each = True if isinstance(df, list) else single_file
+        files = []
+        for b in batches:
+            assert set(b.columns) == set(cols), (b.columns, cols)
+            for path in self._write_files(
+                b.select(*cols), self.path / "deletes", "eq-delete", one_file_each
+            ):
+                files.append(
+                    {"path": path, "kind": "eq-delete", "record_count": _footer_row_count(path)}
+                )
+        return self._commit("delete-equality", files, equality_ids=ids)
+
+    # -- metadata tables (Iceberg .files / .snapshots equivalents) ----------
+
+    def files(self, snapshot_id: int | None = None) -> DataFrame:
+        rows = []
+        for snap in self._upto(snapshot_id):
+            for f in snap["files"]:
+                rows.append(
+                    (f["path"], f["kind"], int(f["record_count"]), snap["id"], snap["sequence_number"])
+                )
+        schema = "file_path string, kind string, record_count long, snapshot_id int, sequence_number int"
+        return self.spark.createDataFrame(rows, schema)
+
+    def snapshots_df(self) -> DataFrame:
+        rows = [
+            (s["id"], s["parent"], s["sequence_number"], s["operation"], len(s["files"]))
+            for s in self._meta["snapshots"]
+        ]
+        return self.spark.createDataFrame(
+            rows, "snapshot_id int, parent_id int, sequence_number int, operation string, n_files int"
+        )
+
+    def _upto(self, snapshot_id: int | None) -> list[dict]:
+        snaps = self._meta["snapshots"]
+        if snapshot_id is None:
+            return snaps
+        return [s for s in snaps if s["id"] <= snapshot_id]
+
+    def _files_of_kind(self, kind: str, snapshot_id: int | None) -> list[dict]:
+        out = []
+        for snap in self._upto(snapshot_id):
+            for f in snap["files"]:
+                if f["kind"] == kind:
+                    out.append({**f, "sequence_number": snap["sequence_number"]})
+        return out
+
+    # -- merge-on-read scan -------------------------------------------------
+
+    def scan(self, snapshot_id: int | None = None) -> DataFrame:
+        """Read the table state as of ``snapshot_id`` (default: current).
+
+        Plan shape: parquet scan of the data files (+hidden ``_metadata``)
+        → anti-join position deletes on (file, pos) → anti-join equality
+        deletes on key columns with ``data.seq < delete.seq``.  Both delete
+        sides are tiny relative to data and broadcast, so the data side is
+        never shuffled by the read itself.
+        """
+        data_files = self._files_of_kind("data", snapshot_id)
+        cols = [f.name for f in self.schema.fields]
+        if not data_files:
+            return self.spark.createDataFrame([], self.schema.to_spark())
+
+        df = (
+            self.spark.read.schema(self.schema.to_spark())
+            .parquet(*[f["path"] for f in data_files])
+            .select(
+                *cols,
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "").alias("__file"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+        )
+
+        pos_files = self._files_of_kind("pos-delete", snapshot_id)
+        if pos_files:
+            pos = self.spark.read.schema("file_path string, pos long").parquet(
+                *[f["path"] for f in pos_files]
+            )
+            df = df.join(
+                F.broadcast(pos),
+                (df["__file"] == pos["file_path"]) & (df["__pos"] == pos["pos"]),
+                "left_anti",
+            )
+
+        eq_files = self._files_of_kind("eq-delete", snapshot_id)
+        if eq_files:
+            # file -> sequence number map is file-level metadata (tiny)
+            seq_rows = [(_canon_path(f["path"]), f["sequence_number"]) for f in data_files]
+            file_seq = self.spark.createDataFrame(seq_rows, "__file2 string, __data_seq int")
+            df = df.join(F.broadcast(file_seq), df["__file"] == file_seq["__file2"], "left").drop(
+                "__file2"
+            )
+            # group eq-delete files by their equality-id set (usually one)
+            by_ids: dict[tuple[int, ...], list[dict]] = {}
+            for snap in self._upto(snapshot_id):
+                if snap["operation"] != "delete-equality":
+                    continue
+                key = tuple(snap["equality_ids"])
+                for f in snap["files"]:
+                    by_ids.setdefault(key, []).append(
+                        {**f, "sequence_number": snap["sequence_number"]}
+                    )
+            for ids, dfiles in by_ids.items():
+                key_cols = self.schema.names_for_ids(list(ids))
+                parts = []
+                for f in dfiles:
+                    part = self.spark.read.parquet(f["path"]).select(*key_cols)
+                    parts.append(part.withColumn("__del_seq", F.lit(f["sequence_number"])))
+                dels = parts[0]
+                for p in parts[1:]:
+                    dels = dels.unionAll(p)
+                cond = F.col("__data_seq") < F.col("__del_seq")
+                for c in key_cols:
+                    cond = cond & (df[c] == dels[c])
+                df = df.join(F.broadcast(dels), cond, "left_anti")
+            df = df.drop("__data_seq")
+
+        return df.drop("__file", "__pos")
+
+    # -- summary (O14) ------------------------------------------------------
+
+    def summary(self) -> dict:
+        """Measured + derived row counts (main.rs:334-345 derives only; we
+        measure too, and clamp at zero instead of going negative — H4)."""
+        by_kind = {"data": 0, "pos-delete": 0, "eq-delete": 0}
+        for snap in self._meta["snapshots"]:
+            for f in snap["files"]:
+                by_kind[f["kind"]] += f["record_count"]
+        derived = max(0, by_kind["data"] - by_kind["pos-delete"] - by_kind["eq-delete"])
+        return {
+            "data_rows": by_kind["data"],
+            "pos_delete_rows": by_kind["pos-delete"],
+            "eq_delete_rows": by_kind["eq-delete"],
+            "derived_total": derived,
+            "measured_total": self.scan().count(),
+            "snapshots": len(self._meta["snapshots"]),
+        }

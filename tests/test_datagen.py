@@ -1,0 +1,165 @@
+"""Invariant tests for the generation layer (SURVEY.md §5 strategy —
+the reference ships no tests; these encode its observable semantics).
+
+With config (D_f, D_r, P_f, P_r, E_f, E_r):
+- table count == D_f*D_r − min(P_f*P_r + E_f*E_r, D_f*D_r)
+- surviving rows are exactly bar ∈ [P+E, D_f*D_r)
+- foo == str(bar) and baz is all-true everywhere
+- .files metadata shows D_f data files with D_r records each
+- snapshot history: append, delete-position, delete-equality (3 total)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_data_gen_spark.datagen.app import IcebergDataGeneratorApp
+from iceberg_data_gen_spark.datagen.config import (
+    CatalogConfig,
+    Config,
+    FileConfig,
+    TableConfig,
+)
+
+
+def make_config(tmp_path, d=(5, 100), p=(2, 100), e=(2, 100)):
+    return Config(
+        catalog=CatalogConfig(catalog_type="local", warehouse=str(tmp_path / "wh")),
+        table=TableConfig(namespace="ns1", table_name="t1"),
+        data_files=FileConfig(rows_per_file=d[1], file_count=d[0]),
+        pos_delete_files=FileConfig(rows_per_file=p[1], file_count=p[0]),
+        equality_delete_files=FileConfig(rows_per_file=e[1], file_count=e[0]),
+    )
+
+
+def run_prepare(spark, tmp_path, d, p, e):
+    cfg = make_config(tmp_path, d, p, e)
+    app = IcebergDataGeneratorApp(spark, cfg)
+    summary = app.prepare()
+    table = app.catalog.load_table("ns1", "t1")
+    return app, table, summary
+
+
+def check_invariants(spark, table, d, p, e):
+    from pyspark.sql import functions as F
+
+    total = d[0] * d[1]
+    deleted = min(p[0] * p[1] + e[0] * e[1], total)
+    df = table.scan()
+    rows = df.count()
+    assert rows == total - deleted
+
+    if rows:
+        agg = df.agg(
+            F.min("bar").alias("mn"),
+            F.max("bar").alias("mx"),
+            F.sum(F.when(F.col("foo") == F.col("bar").cast("string"), 0).otherwise(1)).alias("bad_foo"),
+            F.sum(F.when(F.col("baz"), 0).otherwise(1)).alias("bad_baz"),
+        ).collect()[0]
+        assert agg.mn == deleted, (agg.mn, deleted)
+        assert agg.mx == total - 1
+        assert agg.bad_foo == 0 and agg.bad_baz == 0
+
+
+def test_example_config_semantics(spark, tmp_path):
+    """The reference's example config at 1/10 volume: 5×100 data,
+    2×100 pos-delete, 2×100 eq-delete → survivors bar ∈ [400, 500)."""
+    d, p, e = (5, 100), (2, 100), (2, 100)
+    app, table, summary = run_prepare(spark, tmp_path, d, p, e)
+    check_invariants(spark, table, d, p, e)
+    assert summary["derived_total"] == summary["measured_total"] == 100
+
+    # snapshot history: exactly 3 snapshots in content-kind order
+    snaps = table.snapshots()
+    assert [s["operation"] for s in snaps] == [
+        "append",
+        "delete-position",
+        "delete-equality",
+    ]
+
+    # .files parity: 5 data files × 100 records, 2 pos-delete, 2 eq-delete
+    files = {(r.kind, r.record_count) for r in table.files().collect()}
+    data_files = [r for r in table.files().collect() if r.kind == "data"]
+    assert len(data_files) == 5
+    assert all(r.record_count == 100 for r in data_files)
+    pos_files = [r for r in table.files().collect() if r.kind == "pos-delete"]
+    eq_files = [r for r in table.files().collect() if r.kind == "eq-delete"]
+    assert len(pos_files) == 2 and len(eq_files) == 2
+
+
+def test_time_travel_per_snapshot(spark, tmp_path):
+    d, p, e = (3, 50), (1, 40), (1, 30)
+    app, table, _ = run_prepare(spark, tmp_path, d, p, e)
+    assert table.scan(snapshot_id=1).count() == 150       # after append
+    assert table.scan(snapshot_id=2).count() == 110       # after pos deletes
+    assert table.scan(snapshot_id=3).count() == 80        # after eq deletes
+    surv = sorted(r.bar for r in table.scan(snapshot_id=2).select("bar").collect())
+    assert surv[0] == 40 and surv[-1] == 149
+
+
+def test_deletes_exceed_data_clamps(spark, tmp_path):
+    """Reference would print a negative total (main.rs:337-344 — H4);
+    we clamp and simply delete everything that exists."""
+    d, p, e = (2, 10), (3, 10), (3, 10)
+    app, table, summary = run_prepare(spark, tmp_path, d, p, e)
+    assert summary["measured_total"] == 0
+    assert summary["derived_total"] == 0
+
+
+def test_eq_delete_with_zero_data_files(spark, tmp_path):
+    """Reference panics indexing data_files[0] (fix_schema_generator.rs:146
+    — H4); we early-stop cleanly."""
+    d, p, e = (0, 10), (1, 10), (1, 10)
+    app, table, summary = run_prepare(spark, tmp_path, d, p, e)
+    assert summary["measured_total"] == 0
+    assert [s["operation"] for s in table.snapshots()] == []
+
+
+def test_prepare_idempotent_and_cleanup(spark, tmp_path):
+    d, p, e = (2, 20), (1, 10), (1, 10)
+    app, table, _ = run_prepare(spark, tmp_path, d, p, e)
+    # second prepare on same warehouse: guards hold (no crash on existing
+    # namespace/table), cursor state is fresh per app
+    app2 = IcebergDataGeneratorApp(spark, make_config(tmp_path, d, p, e))
+    app2.prepare()
+    app2.cleanup()
+    assert not app2.catalog.table_exists("ns1", "t1")
+    # cleanup of absent table is a no-op, not an error (unlike main.rs:393)
+    app2.cleanup()
+
+
+def test_eq_deletes_only_apply_to_older_files(spark, tmp_path):
+    """Iceberg sequence-number semantics: an equality delete must not
+    remove rows appended AFTER it."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.table.catalog import LocalCatalog
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+
+    gen = FixSchemaGenerator(FileConfig(10, 1), FileConfig(10, 1), FileConfig(10, 1))
+    cat = LocalCatalog(spark, str(tmp_path / "wh2"))
+    cat.create_namespace("ns")
+    t = cat.create_table("ns", "seq_t", gen.schema())
+    t.append(gen._row_df(spark, 0, 10), single_file=True)
+    # delete keys 0..20 by equality — only 0..10 exist now
+    t.add_equality_deletes(
+        spark.range(0, 20).select(
+            F.col("id").cast("string").alias("foo"), F.col("id").cast("int").alias("bar")
+        ),
+        [1, 2],
+    )
+    # append 10..20 AFTER the delete: these must survive
+    t.append(gen._row_df(spark, 10, 20), single_file=True)
+    surv = sorted(r.bar for r in t.scan().select("bar").collect())
+    assert surv == list(range(10, 20)), surv
+
+
+@pytest.mark.parametrize(
+    "d,p,e",
+    [((1, 1), (1, 1), (1, 1)), ((4, 25), (3, 10), (2, 35)), ((2, 500), (1, 999), (1, 2))],
+)
+def test_property_style_configs(spark, tmp_path, d, p, e):
+    app, table, summary = run_prepare(spark, tmp_path, d, p, e)
+    check_invariants(spark, table, d, p, e)
+    assert summary["derived_total"] == summary["measured_total"]
