@@ -1,1 +1,340 @@
-"""Filled in by later milestone."""
+"""Deduplication operators over ``documents`` / ``embeddings`` — the
+core large-corpus pipeline: exact hash dedup, normalized dedup, n-gram
+Jaccard similarity, MinHash+LSH candidate generation, SimHash, and
+embedding-cosine near-duplicate detection.
+
+Scale design
+------------
+* Exact / normalized dedup: one hash-groupBy — a single shuffle on the
+  content hash, map-side partial aggregation.  This is THE pattern at
+  100 TB (hash is 16 bytes regardless of document size).
+* MinHash+LSH: shingle → k min-hashes (one groupBy) → band buckets →
+  self-join on (band, hash).  The self-join shuffles only (doc_id,
+  signature) pairs — bounded by bands×docs, not docs² — which is why
+  LSH is the scale path while all-pairs Jaccard is quadratic.
+* All-pairs Jaccard here is deliberately restricted to within-language
+  blocks (a blocking key), the standard trick to tame the quadratic;
+  at 100 TB you'd block on LSH buckets instead (q_minhash_lsh).
+* SimHash: per-word 32-bit hashes aggregated into per-bit vote sums —
+  one groupBy, 32 integer aggregates, no UDFs.  The hash is derived
+  from md5 hex (identical in Spark and DuckDB) so even this is
+  oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_data_gen_spark.operators import register
+from iceberg_data_gen_spark.session import load_tables
+
+SIMHASH_BITS = 32
+MINHASH_PERMS = 32
+LSH_BANDS = 8  # 8 bands × 4 rows
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content hash, keep lowest doc_id."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "q_dedup_normalized",
+    oracle="""
+    SELECT md5(lower(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'),
+                                    ' +', ' ', 'g'))) AS norm_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on normalized text (lowercase, strip punctuation,
+    collapse whitespace) — catches trivial reformatting duplicates."""
+    docs = _docs(spark, sf_dir)
+    norm = F.lower(
+        F.regexp_replace(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""), " +", " ")
+    )
+    return (
+        docs.select("doc_id", F.md5(norm).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard similarity (blocked all-pairs, exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_jaccard_pairs",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS s
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+    FROM w a JOIN w b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+    """,
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard ≥ 0.9 within language blocks.
+
+    The join is equi-keyed on the blocking column (lang) with the
+    quadratic comparison confined to each block; intersection/union
+    sizes are integers, so the ratio is bit-identical across engines.
+    """
+    docs = _docs(spark, sf_dir)
+    w = docs.select("doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("s"))
+    a = w.alias("a")
+    b = w.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s"))).cast("double")
+    union = F.size(F.array_union(F.col("a.s"), F.col("b.s")))
+    j = inter / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(j >= 0.9)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(j, 4).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path for near-dedup)
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → exploded distinct word n-gram shingles (built-ins only)."""
+    with_words = df.select("doc_id", F.split("text", " ").alias("w"))
+    expr = (
+        f"transform(sequence(0, size(w) - {n}), "
+        f"i -> concat_ws(' ', {', '.join(f'w[i + {k}]' for k in range(n))}))"
+    )
+    return (
+        with_words.where(F.size("w") >= n)
+        .select("doc_id", F.explode(F.array_distinct(F.expr(expr))).alias("shingle"))
+    )
+
+
+def minhash_signatures(df: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
+    """doc_id → minhash signature columns h0..h{perms-1}.
+
+    One hash-groupBy over exploded shingles; each permutation is
+    ``min(xxhash64(shingle, seed))`` — all JVM-side.
+    """
+    sh = shingles(df)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"h{s}") for s in range(perms)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@register("q_minhash_lsh")  # hash-permutation minhash: not SQL-oracle-expressible
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidates with estimated Jaccard.
+
+    Pipeline: 3-gram shingles → 32 min-hashes → 8 bands of 4 → self-join
+    on (band_index, band_hash) → distinct candidate pairs → signature
+    agreement as the Jaccard estimate.  The self-join input is one row
+    per (doc, band): 8×|docs| rows, never |docs|² — the property that
+    makes this the 100 TB near-dedup path.
+    """
+    sigs = minhash_signatures(_docs(spark, sf_dir)).cache()
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    band_cols = []
+    for b in range(LSH_BANDS):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
+        )
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(MINHASH_PERMS)
+    )
+    return (
+        cand.join(sa, cand["doc_a"] == F.col("sa.doc_id"))
+        .join(sb, cand["doc_b"] == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(MINHASH_PERMS), 4).alias("est_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (md5-derived bits → oracle-checkable)
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _simhash_oracle_sql() -> str:
+    # per-word 32-bit hash from the first 8 md5 hex digits (engine-portable)
+    word_hash = (
+        "CAST(list_sum(list_transform(range(8), i -> "
+        f"(strpos('{_HEX}', substr(md5(w), CAST(i+1 AS INT), 1)) - 1)::BIGINT"
+        " << (4*(7-i)))) AS BIGINT)"
+    )
+    bit_votes = ", ".join(
+        f"CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN 1::BIGINT << {b} ELSE 0 END AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    total = " + ".join(f"v{b}" for b in range(SIMHASH_BITS))
+    return f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), hashed AS (
+        SELECT doc_id, {word_hash} AS h FROM words
+    ), votes AS (
+        SELECT doc_id, {bit_votes} FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@register("q_simhash", oracle=_simhash_oracle_sql())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document.
+
+    Word hash = first 8 hex digits of md5 (portable across engines);
+    per-bit majority vote via 32 integer aggregates in ONE groupBy —
+    the whole operator is a single shuffle regardless of corpus size.
+    """
+    docs = _docs(spark, sf_dir)
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    hashed = words.select("doc_id", h.alias("h"))
+    votes = [
+        F.when(
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            )
+            > 0,
+            F.lit(1).cast("long") * (1 << b),
+        )
+        .otherwise(0)
+        .alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    total = sum(F.col(f"v{b}") for b in range(SIMHASH_BITS))
+    return agg.select("doc_id", total.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicates
+# ---------------------------------------------------------------------------
+
+# both engines evaluate the same formula left-to-right over double-cast
+# vectors, so values are bit-identical and the threshold is stable
+_COS_SQL = """
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+"""
+
+
+def _dot(u, v):
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+@register("q_embedding_neardup", oracle=_COS_SQL)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4), blocked by label.
+
+    Dot products run as JVM higher-order functions (zip_with + aggregate)
+    over double-cast vectors — no UDF, no Python.  Label blocking bounds
+    the pair count; the LSH-bucketed variant in similarity.py is the
+    unblocked scale path.
+    """
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(_dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(_dot(F.col("b.v"), F.col("b.v")))
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(cos >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )

@@ -1,1 +1,179 @@
-"""Filled in by later milestone."""
+"""Similarity search over the ``embeddings`` table: brute-force cosine
+top-k (the exactness baseline) and an LSH-bucketed approximate variant
+(the scale path), plus embedding statistics.
+
+Scale design
+------------
+* Brute-force: the query set is tiny and broadcast; the corpus streams
+  past it (one pass, no corpus shuffle).  Per-query top-k is a window
+  rank-filter, which Spark executes as a partial top-k per partition
+  (WindowGroupLimit) before the final shuffle of k×|queries| rows.
+* LSH: random-hyperplane sign buckets computed with deterministic
+  arithmetic hyperplanes (no RNG, reproducible on any cluster); the
+  candidate join is equi-keyed on the bucket id, so cost is
+  sum(bucket²) not corpus².  Recall/bucket-size trades off via
+  ``LSH_PLANES``.
+* All vector math is JVM higher-order functions (zip_with/aggregate)
+  over double-cast arrays — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from iceberg_data_gen_spark.operators import register
+from iceberg_data_gen_spark.session import load_tables
+
+DIM = 64
+N_QUERIES = 5  # vec_id 0..4 serve as the query set
+TOP_K = 10
+LSH_PLANES = 8
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+
+
+def _dot(u: Column, v: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+@register(
+    "q_embedding_stats",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(sqrt(list_dot_product(v, v))), 6) AS avg_norm,
+           round(min(sqrt(list_dot_product(v, v))), 6) AS min_norm,
+           round(max(sqrt(list_dot_product(v, v))), 6) AS max_norm
+    FROM e
+    GROUP BY label
+    """,
+)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm statistics (sanity layer for the ANN ops)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(norm), 6).alias("avg_norm"),
+        F.round(F.min(norm), 6).alias("min_norm"),
+        F.round(F.max(norm), 6).alias("max_norm"),
+    )
+
+
+@register(
+    "q_ann_bruteforce",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.v, c.v)
+                     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
+                     6) AS cos_sim
+        FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+        ) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{K}: broadcast queries × streamed corpus.
+
+    Ranking happens on the 6-dp-rounded score with neighbor_id as the
+    tie-break, making the top-k deterministic and engine-portable.
+    """
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+    )
+
+
+def _hyperplane(j: int) -> list[int]:
+    """Deterministic ±1 hyperplane (no RNG → same plan on any cluster)."""
+    return [1 if ((d * 31 + j * 17 + (d * d * j) % 13) % 7) % 2 == 0 else -1 for d in range(DIM)]
+
+
+def lsh_bucket_col(v: Column) -> Column:
+    """Random-hyperplane LSH bucket id: one sign bit per hyperplane."""
+    bucket = F.lit(0)
+    for j in range(LSH_PLANES):
+        plane = F.array(*[F.lit(float(x)) for x in _hyperplane(j)])
+        s = _dot(v, plane)
+        bucket = bucket + F.when(s > 0, F.lit(1 << j)).otherwise(0)
+    return bucket
+
+
+@register("q_ann_lsh")  # bucketed approximate variant: rows-only check
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-{K} via random-hyperplane LSH buckets.
+
+    Candidates are corpus vectors sharing the query's bucket; exact
+    cosine then ranks within candidates.  The candidate join is an
+    equi-join on bucket id — the quadratic never materializes.  Bucket
+    assignment is deterministic arithmetic, so results are reproducible
+    (rows-only driver check; the exactness baseline is
+    q_ann_bruteforce).
+    """
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucketed = e.withColumn("bucket", lsh_bucket_col(F.col("v"))).cache()
+    q = bucketed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    cand = bucketed.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+    )

@@ -1,1 +1,246 @@
-"""Filled in by later milestone."""
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline surface (language ID, quality scoring, token
+counting, fingerprinting, word frequency).
+
+All hot-path expressions are JVM built-ins (split / regexp / md5 /
+higher-order array functions) — no Python UDFs — so they stay inside
+WholeStageCodegen and scale linearly with a single shuffle per
+aggregation.  Every query here is oracle-checked against DuckDB running
+the same ANSI expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_data_gen_spark.operators import register
+from iceberg_data_gen_spark.session import load_tables
+
+# language-marker stopword lists for the n-gram/stopword language-ID
+# heuristic; priority order breaks score ties deterministically
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "de"],
+    "es": ["el", "la", "los", "y", "es", "un", "de"],
+    "zh": ["de", "shi", "le", "zai", "you", "he", "wo"],
+}
+_LANG_ORDER = ["en", "de", "fr", "es", "zh"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def _sql_marker_count(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_filter(string_split(text, ' '), x -> x IN ({words})))"
+
+
+def _spark_marker_count(lang: str):
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(F.split("text", " "), lambda x: F.array_contains(markers, x)))
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text)                                        AS text_len,
+           len(string_split(text, ' '))                        AS n_words,
+           len(list_distinct(string_split(text, ' ')))         AS n_distinct_words,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4)            AS avg_word_len,
+           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4)            AS ttr
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document length / word-count / type-token-ratio statistics."""
+    docs = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words, 4
+        ).alias("avg_word_len"),
+        F.round(n_distinct.cast("double") / n_words, 4).alias("ttr"),
+    )
+
+
+@register(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                                  AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_ish_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT)                      AS byte_len_est_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex (letter runs /
+    digit runs / punctuation singletons), and the bytes/4 heuristic."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("byte_len_est_tokens"),
+    )
+
+
+def _lang_scores_spark(df: DataFrame) -> DataFrame:
+    for lang in _LANG_ORDER:
+        df = df.withColumn(f"s_{lang}", _spark_marker_count(lang))
+    return df
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_sql_marker_count('en')} AS s_en,
+               {_sql_marker_count('de')} AS s_de,
+               {_sql_marker_count('fr')} AS s_fr,
+               {_sql_marker_count('es')} AS s_es,
+               {_sql_marker_count('zh')} AS s_zh
+        FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang, s_en, s_de, s_fr, s_es, s_zh,
+           CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+                WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+                WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+                WHEN s_es >= s_zh THEN 'es'
+                ELSE 'zh' END AS pred_lang
+    FROM scored
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language identification (deterministic argmax with
+    fixed priority order en>de>fr>es>zh on ties)."""
+    docs = _lang_scores_spark(_docs(spark, sf_dir))
+    s = {lang: F.col(f"s_{lang}") for lang in _LANG_ORDER}
+    pred = (
+        F.when(s["en"] >= F.greatest(s["de"], s["fr"], s["es"], s["zh"]), "en")
+        .when(s["de"] >= F.greatest(s["fr"], s["es"], s["zh"]), "de")
+        .when(s["fr"] >= F.greatest(s["es"], s["zh"]), "fr")
+        .when(s["es"] >= s["zh"], "es")
+        .otherwise("zh")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        "s_en",
+        "s_de",
+        "s_fr",
+        "s_es",
+        "s_zh",
+        pred.alias("pred_lang"),
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               length(text) AS n,
+               len(string_split(text, ' ')) AS n_words,
+               length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                   AS n_punct,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the','a','of','and','is','to','in'))) AS n_stop
+    FROM documents
+    )
+    SELECT doc_id,
+           round(CAST(n_punct AS DOUBLE) / n, 6)          AS punct_ratio,
+           round(CAST(n_stop AS DOUBLE) / n_words, 6)     AS stopword_ratio,
+           round(least(1.0, n / 500.0), 6)                AS length_score,
+           round(0.4 * least(1.0, n / 500.0)
+               + 0.4 * (CAST(n_stop AS DOUBLE) / n_words)
+               + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / n), 4) AS quality,
+           CASE WHEN round(0.4 * least(1.0, n / 500.0)
+                    + 0.4 * (CAST(n_stop AS DOUBLE) / n_words)
+                    + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / n), 4) >= 0.5
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM m
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality score: length, stopword ratio, and
+    punctuation ratio — the standard pretraining-corpus filter features."""
+    docs = _docs(spark, sf_dir)
+    n = F.length("text")
+    n_words = F.size(F.split("text", " "))
+    n_punct = n - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    n_stop = _spark_marker_count("en")
+    punct_ratio = n_punct.cast("double") / n
+    stop_ratio = n_stop.cast("double") / n_words
+    length_score = F.least(F.lit(1.0), n / 500.0)
+    quality = F.round(0.4 * length_score + 0.4 * stop_ratio + 0.2 * (1.0 - punct_ratio), 4)
+    return docs.select(
+        "doc_id",
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(length_score, 6).alias("length_score"),
+        quality.alias("quality"),
+        F.when(quality >= 0.5, "keep").otherwise("drop").alias("verdict"),
+    )
+
+
+@register(
+    "q_word_freq",
+    oracle="""
+    SELECT w AS word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+    ORDER BY n DESC, w
+    LIMIT 50
+    """,
+)
+def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word-frequency top-50 (explode → count → top-k).
+
+    At scale: partial aggregation makes the shuffle carry one row per
+    distinct word per partition, and the top-50 is TakeOrderedAndProject.
+    """
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(50)
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS fp,
+           md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp_normalized,
+           substr(md5(text), 1, 8) AS fp_short
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: content hash + normalization-invariant hash."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.md5(F.lower(F.regexp_replace("text", " +", " "))).alias("fp_normalized"),
+        F.substring(F.md5("text"), 1, 8).alias("fp_short"),
+    )

