@@ -36,9 +36,11 @@ def register(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every operator module so registration side-effects run."""
     from iceberg_data_gen_spark.operators import (  # noqa: F401
+        asof,
         dedup,
         multimodal,
         relational,
         similarity,
         text,
     )
+    from iceberg_data_gen_spark.streaming import events  # noqa: F401

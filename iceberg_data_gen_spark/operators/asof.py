@@ -1,0 +1,107 @@
+"""As-of join: for each left row, the most recent right row with
+``right_ts <= left_ts`` on an equality key — the temporal-join primitive
+Spark lacks natively (the reference lacks it too; it enters via the
+north-star query layer).
+
+Implementation is the union-sort trick, NOT a range join:
+tag both sides, union, and run one window over (key, time) taking the
+last right value seen at-or-before each left row.  Cost: a single
+shuffle on the key + an in-partition sort — O(n log n) per key group,
+no quadratic candidate explosion, no interval bucketing to tune.  This
+is the shape that survives 100 TB; a per-group ``pd.merge_asof`` would
+put Python in the hot path and a theta-join would explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from iceberg_data_gen_spark.operators import register
+from iceberg_data_gen_spark.session import load_tables
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Left as-of join; right ``value_cols`` arrive null when no right row
+    precedes the left row.  Ties on timestamp resolve to the largest
+    value tuple (deterministic)."""
+    lcols = left.columns
+    r = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(1).alias("__is_right"),
+        *[F.col(c) for c in value_cols],
+        *[F.lit(None).alias(f"__l_{c}") for c in lcols],
+    )
+    l = left.select(
+        F.col(left_key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(0).alias("__is_right"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in value_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+    )
+    # right rows sort before left rows at equal timestamps (<= semantics);
+    # among equal-ts right rows the last one wins deterministically
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", F.desc("__is_right"), *[F.asc_nulls_first(c) for c in value_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    unioned = r.unionByName(l)
+    for c in value_cols:
+        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return unioned.where(F.col("__is_right") == 0).select(
+        *[F.col(f"__l_{c}").alias(c) for c in lcols], *value_cols
+    )
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    WITH o AS (  -- dedupe equal (custkey, orderdate) so the as-of match is unique
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS last_orderkey, o.o_orderdate AS last_orderdate
+    FROM events e
+    ASOF LEFT JOIN o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event: the customer's most recent order at or before the
+    event time (oracle: DuckDB's native ASOF JOIN).  The right side is
+    deduplicated per (key, ts) first so the match is well-defined in
+    both engines."""
+    t = load_tables(spark, sf_dir, ("orders", "events"))
+    orders = (
+        t["orders"]
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join(
+        t["events"].select("event_id", "user_id", "ts"),
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_orderdate"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+    )

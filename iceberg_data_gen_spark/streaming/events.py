@@ -1,0 +1,242 @@
+"""Structured Streaming operators over the ``events`` table: watermarked
+tumbling / sliding / session windows and a custom stateful operator.
+
+The reference is batch-only (SURVEY.md §2.2: streaming ✘); these enter
+via the driver's north-star extension.  Each registered query drives a
+real ``readStream`` → windowed aggregation → memory sink to completion
+(``processAllAvailable``) and returns the final result as a batch
+DataFrame — so even the streaming surface is DuckDB-oracle-checkable.
+
+Scale notes: file-source streaming here stands in for Kafka; the
+operator graph (watermark → window agg → sink) is identical.  Watermarks
+bound state: with a 10-minute watermark, only windows overlapping the
+last 10 minutes of event time stay in the state store, so state size is
+O(active windows × groups), independent of stream length.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_data_gen_spark.operators import register
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream with microsecond timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_completion(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming DataFrame until the source is exhausted; return
+    the final results as a batch DataFrame (memory sink)."""
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = sdf.sparkSession
+    return spark.table(name)
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 5-minute tumbling-window aggregation, run as a real
+    streaming query to completion."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    out = run_to_completion(agg)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+    WITH b AS (
+        SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS bucket, value FROM events
+    ),
+    expanded AS (
+        SELECT bucket AS window_start, value FROM b
+        UNION ALL
+        SELECT bucket - INTERVAL 5 MINUTE AS window_start, value FROM b
+    )
+    SELECT window_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM expanded
+    GROUP BY 1
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (each event lands in two
+    windows); oracle expands the two bucket assignments explicitly."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    out = run_to_completion(agg)
+    return out.select(
+        F.col("window.start").alias("window_start"), "n_events", "sum_value"
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS last_event_ts,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user via
+    ``session_window`` — state merges adjacent events into variable-width
+    sessions; the oracle reproduces the semantics with a lag+cumsum
+    sessionization (the classic batch formulation)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    out = run_to_completion(agg)
+    return out.select(
+        "user_id", "session_start", "last_event_ts", "n_events", "sum_value"
+    )
+
+
+STATEFUL_SCHEMA = "user_id long, n_events long, total_value double, n_batches int"
+
+
+def make_stateful_count(gap_batches: int):
+    """Per-user running totals via applyInPandasWithState.
+
+    Built as a closure so cloudpickle ships it by value (Python workers
+    don't import this repo).  State = (event count, value sum, batches
+    seen) per user — the minimal custom stateful-operator shape; a real
+    pipeline would keep e.g. per-user token budgets here.
+    """
+
+    def fn(key, pdf_iter, state):
+        import pandas as _pd
+
+        if state.exists:
+            n, total, batches = state.get
+        else:
+            n, total, batches = 0, 0.0, 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batches += 1
+        state.update((n, total, batches))
+        yield _pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "n_batches": [batches],
+            }
+        )
+
+    return fn
+
+
+@register("q_stream_stateful")  # custom stateful operator: rows-only check
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user running aggregates via
+    ``applyInPandasWithState`` (update mode, processing-time timeout off)."""
+    ev = read_events_stream(spark, sf_dir)
+    stateful = ev.groupBy("user_id").applyInPandasWithState(
+        make_stateful_count(1),
+        outputStructType=STATEFUL_SCHEMA,
+        stateStructType="n long, total double, batches int",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    out = run_to_completion(stateful, output_mode="update")
+    # one row per user per update; keep the final state per user
+    w_latest = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("total_value"), 4).alias("total_value"),
+        F.max("n_batches").alias("n_batches"),
+    )
+    return w_latest

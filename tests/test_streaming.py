@@ -1,0 +1,101 @@
+"""Streaming behavior tests: stateful operator, multi-batch incremental
+processing, and watermark-based late-data dropping (the semantics a
+single-batch run can't show)."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from iceberg_data_gen_spark import operators
+
+operators.load_all()
+
+from tests.conftest import SF_DIR, SF_SMALL
+
+
+def test_stateful_totals_match_batch(spark):
+    """applyInPandasWithState end-state equals the batch groupBy."""
+    from iceberg_data_gen_spark.session import load_table
+
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in operators.QUERIES["q_stream_stateful"](spark, SF_SMALL).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.tv)
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Two micro-batches: batch 2 contains an event older than
+    (max event time − watermark) → the late row must NOT appear in
+    append-mode output, while an in-watermark row must."""
+    from iceberg_data_gen_spark.session import load_table
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_id", "ts", "event_type", "value")
+    # batch 1: everything except the final hour of event time
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = F.lit(mx) - F.expr("INTERVAL 1 HOUR")
+    ev.where(F.col("ts") < cutoff).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "b1")
+    )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src) + "/*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_test")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: the final-hour rows (advance watermark) + one VERY late row
+        late = ev.limit(0).sparkSession.createDataFrame(
+            [(999999, mx.replace(year=2023), "late", 1.0)], schema=ev.schema
+        )
+        recent = ev.where(F.col("ts") >= cutoff)
+        recent.unionByName(late).coalesce(1).write.mode("overwrite").parquet(
+            str(src / "b2")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.table("wm_test")
+    # the 2023 late row's window must be absent from append output
+    n_2023 = out.where(F.year(F.col("window.start")) == 2023).count()
+    assert n_2023 == 0
+    # windows from batch 1 (now past the watermark) must have been emitted
+    assert out.count() > 0
+
+
+def test_asof_join_nulls_for_unmatched(spark):
+    """Events of users with no prior orders get null as-of matches."""
+    df = operators.QUERIES["q_asof_join"](spark, SF_SMALL)
+    rows = df.collect()
+    assert len(rows) > 0
+    matched = [r for r in rows if r.last_orderkey is not None]
+    assert matched, "expected at least some as-of matches"
+    for r in matched[:50]:
+        assert r.last_orderdate <= r.ts
