@@ -40,6 +40,7 @@ def load_all() -> None:
         dedup,
         multimodal,
         relational,
+        relational2,
         similarity,
         text,
     )

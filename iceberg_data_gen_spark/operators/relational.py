@@ -43,6 +43,24 @@ def R2(c: Column) -> Column:
     return F.round(c, 2)
 
 
+def dsum(c: Column, scale: int = 4) -> Column:
+    """Order-independent money sum: accumulate in DECIMAL (exact for
+    fixed-point inputs like prices/discounts), emit DOUBLE.
+
+    Plain double sums are order-dependent (Spark's partial-aggregate merge
+    order varies run to run), and rounding such a sum at a .005 boundary
+    flips between engines (HALF_UP vs half-even).  Exact accumulation
+    removes both failure modes — also how a production engine should sum
+    money at 100 TB.
+    """
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def dsum_sql(expr: str, scale: int = 4) -> str:
+    """The oracle-side twin of :func:`dsum` (identical semantics)."""
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
 # ---------------------------------------------------------------------------
 # Aggregations
 # ---------------------------------------------------------------------------
@@ -50,16 +68,16 @@ def R2(c: Column) -> Column:
 
 @register(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                         AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           {dsum_sql('l_extendedprice', 2)}                       AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)}    AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}
                                                                   AS sum_charge,
            round(avg(l_quantity), 4)                              AS avg_qty,
-           round(avg(l_extendedprice), 2)                         AS avg_price,
-           round(avg(l_discount), 4)                              AS avg_disc,
+           round({dsum_sql('l_extendedprice', 2)} / count(*), 6)  AS avg_price,
+           round({dsum_sql('l_discount', 2)} / count(*), 6)       AS avg_disc,
            count(*)                                               AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -81,12 +99,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            R2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            R2(F.sum(disc_price)).alias("sum_disc_price"),
-            R2(F.sum(charge)).alias("sum_charge"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            R2(F.avg("l_extendedprice")).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(dsum(F.col("l_extendedprice"), 2) / F.count(F.lit(1)), 6).alias(
+                "avg_price"
+            ),
+            F.round(dsum(F.col("l_discount"), 2) / F.count(F.lit(1)), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -95,7 +115,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -119,7 +139,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            R2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -131,7 +151,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            count(DISTINCT o_custkey) AS n_customers,
            count(*)                  AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -142,7 +162,7 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderstatus").agg(
         F.countDistinct("o_custkey").alias("n_customers"),
         F.count(F.lit(1)).alias("n_orders"),
-        R2(F.sum("o_totalprice")).alias("total"),
+        dsum(F.col("o_totalprice"), 2).alias("total"),
     )
 
 
@@ -170,7 +190,8 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
-           round(avg(o_totalprice), 2) AS avg_price
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+               AS avg_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -180,14 +201,15 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        R2(F.avg("o_totalprice")).alias("avg_price"),
+        F.round(dsum(F.col("o_totalprice"), 2) / F.count(F.lit(1)), 6).alias("avg_price"),
     )
 
 
 @register(
     "q_having",
     oracle="""
-    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
     FROM orders
     GROUP BY o_custkey
     HAVING count(*) >= 3
@@ -200,7 +222,7 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            R2(F.sum("o_totalprice")).alias("spend"),
+            dsum(F.col("o_totalprice"), 2).alias("spend"),
         )
         .where(F.col("n_orders") >= 3)
     )
@@ -215,7 +237,7 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -248,7 +270,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(R2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -259,7 +281,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -306,7 +328,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(R2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
     )
 
 
@@ -314,7 +336,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            round(c_acctbal, 2) AS c_acctbal, n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey
@@ -345,7 +367,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(R2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", R2(F.col("c_acctbal")).alias("c_acctbal"), "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -405,7 +427,7 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_outer_join",
     oracle="""
     SELECT n_name, count(c_custkey) AS n_customers,
-           round(coalesce(sum(c_acctbal), 0), 2) AS total_bal
+           CAST(coalesce(sum(CAST(c_acctbal AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_bal
     FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,
@@ -418,7 +440,7 @@ def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("c_custkey").alias("n_customers"),
-            R2(F.coalesce(F.sum("c_acctbal"), F.lit(0.0))).alias("total_bal"),
+            F.coalesce(dsum(F.col("c_acctbal"), 2), F.lit(0.0)).alias("total_bal"),
         )
     )
 
@@ -581,7 +603,7 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH big_spenders AS (
         SELECT o_custkey AS custkey FROM orders GROUP BY o_custkey
-        HAVING sum(o_totalprice) > 300000
+        HAVING sum(CAST(o_totalprice AS DECIMAL(18,2))) > 300000
     ),
     building AS (
         SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -598,7 +620,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders = _t(spark, sf_dir, "customer", "orders")
     big = (
         orders.groupBy("o_custkey")
-        .agg(F.sum("o_totalprice").alias("spend"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
         .where(F.col("spend") > 300000)
         .select(F.col("o_custkey").alias("custkey"))
     )
