@@ -100,28 +100,54 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-{K}: broadcast queries × streamed corpus.
+    """Exact cosine top-{K}: broadcast query matrix × one corpus pass.
+
+    The query set is tiny and fixed, so it is collected once to the
+    driver and closed over by a mapInPandas kernel; each Arrow batch of
+    corpus vectors is scored against ALL queries with one numpy einsum
+    (batch×queries dot grid) — a single linear scan, no join, no
+    per-pair expression evaluation.  einsum's sequential per-dot sum
+    keeps values identical to the oracle's list_dot_product.
 
     Ranking happens on the 6-dp-rounded score with neighbor_id as the
-    tie-break, making the top-k deterministic and engine-portable.
-    Vectors are unit-normalized once (linear) so the scoring join pays a
-    single dot product per (query, candidate).
+    tie-break, making the top-k deterministic and engine-portable; the
+    window is a partial top-k per partition (WindowGroupLimit) before
+    the final k×|queries|-row shuffle.
     """
-    from iceberg_data_gen_spark.operators.dedup import normalized_vectors
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
 
-    e = normalized_vectors(_emb(spark, sf_dir)).select("vec_id", "nv")
-    q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cos = _dot(F.col("qv"), F.col("nv"))
-    scored = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cos, 6).alias("cos_sim"),
-        )
+    qrows = sorted(
+        e.where(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
     )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([r.v for r in qrows], dtype=np.float64)
+    Q = Q / np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            M = np.array(pdf["v"].tolist(), dtype=np.float64)
+            M = M / np.sqrt(np.einsum("ij,ij->i", M, M))[:, None]
+            ids = pdf["vec_id"].to_numpy()
+            # queries on the row axis so each (query, candidate) dot is a
+            # sequential sum over the vector — same order as the oracle
+            cos = np.einsum("qj,cj->qc", Q, M)
+            qq = np.repeat(q_ids, len(ids))
+            cc = np.tile(ids, len(q_ids))
+            keep = qq != cc
+            yield pd.DataFrame(
+                {
+                    "query_id": qq[keep],
+                    "neighbor_id": cc[keep],
+                    "cos_sim": np.round(cos.ravel()[keep], 6),
+                }
+            )
+
+    scored = e.mapInPandas(score, "query_id long, neighbor_id long, cos_sim double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w))
