@@ -41,6 +41,7 @@ def load_all() -> None:
         multimodal,
         relational,
         relational2,
+        relational3,
         similarity,
         text,
     )

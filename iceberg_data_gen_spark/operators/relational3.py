@@ -1,0 +1,585 @@
+"""Third wave of relational coverage: the remaining TPC-H shapes the
+driver schema can express (Q8/Q9/Q13/Q15/Q16/Q17/Q21/Q22 adapted —
+the testdata has no partsupp/comment/phone columns, so each query keeps
+the reference shape on the columns that exist), plus lateral explode,
+map functions, array higher-order functions, extended window frames
+(ntile/percent_rank/cume_dist/nth_value/RANGE frames), INTERSECT ALL /
+EXCEPT ALL, deterministic hash sampling, regexp functions, and cross
+join.
+
+Same design rules as relational.py: declarative DataFrame/SQL only,
+broadcast hints for dimensions, aliases matched 1:1 with the oracle,
+money sums accumulated in DECIMAL (dsum) so values are order-independent
+and engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from iceberg_data_gen_spark.operators import register
+from iceberg_data_gen_spark.operators.relational import R2, dsum, dsum_sql
+from iceberg_data_gen_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    dfs = load_tables(spark, sf_dir, names)
+    return [dfs[n] for n in names]
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H shapes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+           round({dsum_sql("CASE WHEN sn.n_name = 'NATION_3' "
+                           "THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)}
+                 / {dsum_sql('l_extendedprice * (1 - l_discount)', 4)}, 6) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = cn.n_regionkey AND r_name = 'AMERICA'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    GROUP BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional revenue per year.
+
+    Both the numerator (conditional) and denominator accumulate in
+    DECIMAL, so the final double ratio is identical across engines and
+    partition orders.  All dimensions broadcast; lineitem streams.
+    """
+    lineitem, orders, customer, supplier, nation, region = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0))
+    return (
+        lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "AMERICA")),
+            F.col("r_regionkey") == F.col("cn_region"),
+        )
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(dsum(nat_rev, 4) / dsum(rev, 4), 6).alias("mkt_share"))
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle=f"""
+    SELECT sn.n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp/supplycost in the testdata, so profit
+    reduces to discounted revenue): per supplier-nation × year for one
+    product type."""
+    lineitem, part, supplier, nation, orders = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders"
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(
+            F.broadcast(part.where(F.col("p_type") == "ECONOMY")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(rev, 4).alias("sum_profit"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: order-count histogram over a filtered left outer join
+    (customers with zero matching orders land in the c_count=0 bucket)."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        customer.join(
+            orders.where(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with max revenue in a window.
+
+    The max is an aggregate broadcast back as a 1-row join (not an
+    unpartitioned window), so the two-pass plan scales: pass 1 computes
+    per-supplier revenue, pass 2 joins the broadcast global max.
+    Equality on the DECIMAL-accumulated revenue is exact.
+    """
+    lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    revenue = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_supplier_part_count",
+    oracle="""
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts with a NOT IN exclusion
+    list (anti join against the excluded suppliers)."""
+    part, lineitem, supplier = _t(spark, sf_dir, "part", "lineitem", "supplier")
+    excluded = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.join(
+            F.broadcast(
+                part.where(
+                    (F.col("p_brand") != "Brand#3")
+                    & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(CAST(coalesce(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#2'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated average-quantity subquery, de-correlated into
+    a per-part aggregate joined back to the fact (the plan Catalyst would
+    build for the subquery form — written explicitly here so the
+    broadcast of the small per-part aggregate is guaranteed).
+
+    l_quantity values are small integers in doubles, so their sum/avg is
+    exact and the 0.2× threshold is engine-identical.
+    """
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    per_part_avg = lineitem.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.where(F.col("p_brand") == "Brand#2")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(per_part_avg), F.col("ap_key") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), F.lit(0)
+                ).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders o
+    WHERE s_suppkey = l1.l_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape ("suppliers who kept orders waiting", with
+    shipdate−orderdate as the lateness signal since the testdata has no
+    receipt/commit dates): late lineitems in multi-supplier orders where
+    the line's supplier is the ONLY late one.
+
+    The EXISTS / NOT EXISTS pair de-correlates into two per-order
+    aggregates (distinct-supplier count; distinct-late-supplier count)
+    joined back to the late rows — two shuffles on l_orderkey instead of
+    two correlated subplans, and the form Spark can't express directly
+    (non-equality correlation in NOT EXISTS is unsupported).
+    """
+    supplier, lineitem, orders = _t(spark, sf_dir, "supplier", "lineitem", "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    late_rows = (
+        lineitem.join(
+            orders.where(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .where(late)
+        .select("l_orderkey", "l_suppkey")
+    )
+    supp_per_order = lineitem.groupBy(F.col("l_orderkey").alias("so_key")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    late_supp_per_order = late_rows.groupBy(F.col("l_orderkey").alias("lo_key")).agg(
+        F.countDistinct("l_suppkey").alias("n_late_supp")
+    )
+    return (
+        late_rows.join(F.broadcast(supp_per_order), F.col("so_key") == F.col("l_orderkey"))
+        .join(F.broadcast(late_supp_per_order), F.col("lo_key") == F.col("l_orderkey"))
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    oracle="""
+    WITH stats AS (
+        SELECT count(*) AS cnt, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n_name, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey, stats
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > total
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY n_name
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no orders,
+    per nation.
+
+    The "above average" comparison is done as ``balance × count > sum``
+    in DECIMAL — exact integer-style arithmetic on both engines — instead
+    of comparing against a double average whose last-ulp value depends on
+    summation order.  NOT EXISTS is a left anti join; the 1-row stats
+    aggregate broadcasts.
+    """
+    customer, nation, orders = _t(spark, sf_dir, "customer", "nation", "orders")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    stats = customer.where(F.col("c_acctbal") > 0.0).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(bal).alias("total")
+    )
+    return (
+        customer.crossJoin(F.broadcast(stats))
+        .where(bal * F.col("cnt") > F.col("total"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lateral explode / map / array higher-order functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_explode_lateral",
+    oracle="""
+    SELECT word, count(*) AS n_parts, count(DISTINCT p_brand) AS n_brands
+    FROM (SELECT p_brand, unnest(string_split(p_name, ' ')) AS word FROM part)
+    GROUP BY word
+    """,
+)
+def q_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral view / explode: one row per word of p_name, re-aggregated.
+    Explode is generate-side (no shuffle); only the groupBy shuffles."""
+    (part,) = _t(spark, sf_dir, "part")
+    return (
+        part.select("p_brand", F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("p_brand").alias("n_brands"),
+        )
+    )
+
+
+@register(
+    "q_map_functions",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus   AS status_val,
+           o_orderpriority AS prio_val,
+           2               AS m_size,
+           'prio,status'   AS keys_sorted
+    FROM orders WHERE o_orderkey <= 200
+    """,
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + element_at + map_keys (emitted as scalars so the
+    oracle stays engine-portable — map literals don't hash-compare
+    identically across engines)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("prio"), F.col("o_orderpriority")
+    )
+    return orders.where(F.col("o_orderkey") <= 200).select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_val"),
+        F.element_at(m, "prio").alias("prio_val"),
+        F.size(m).alias("m_size"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+    )
+
+
+@register(
+    "q_array_hof",
+    oracle="""
+    SELECT o_orderkey,
+           range(1, (o_orderkey % 5) + 4)                                   AS seq,
+           list_filter(range(1, (o_orderkey % 5) + 4), x -> x % 2 = 0)      AS evens,
+           list_transform(range(1, (o_orderkey % 5) + 4), x -> x * x)       AS squares,
+           list_sum(range(1, (o_orderkey % 5) + 4))                         AS total,
+           list_slice(list_sort(range(1, (o_orderkey % 5) + 4), 'DESC'), 1, 2) AS top2
+    FROM orders WHERE o_orderkey <= 300
+    """,
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions: sequence / filter / transform /
+    aggregate / sort / slice — all JVM-side lambda expressions."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    seq = F.sequence(F.lit(1).cast("long"), F.pmod("o_orderkey", F.lit(5)) + 3)
+    return orders.where(F.col("o_orderkey") <= 300).select(
+        "o_orderkey",
+        seq.alias("seq"),
+        F.filter(seq, lambda x: x % 2 == 0).alias("evens"),
+        F.transform(seq, lambda x: x * x).alias("squares"),
+        F.aggregate(seq, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("total"),
+        F.slice(F.sort_array(seq, asc=False), 1, 2).alias("top2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window frames beyond rank/row_number
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_frames",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cum_dist,
+           first_value(o_orderkey) OVER w AS first_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist / nth_value and a RANGE frame sum."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops (ALL variants), cross join, sampling, regexp
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_intersect_except_all",
+    oracle="""
+    WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+         b AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'intersect_all' AS op, k, count(*) AS n FROM (
+        SELECT k FROM a INTERSECT ALL SELECT k FROM b
+    ) GROUP BY k
+    UNION ALL
+    SELECT 'except_all' AS op, k, count(*) AS n FROM (
+        SELECT k FROM a EXCEPT ALL SELECT k FROM b
+    ) GROUP BY k
+    """,
+)
+def q_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-ops: INTERSECT ALL / EXCEPT ALL preserve duplicate
+    counts (min / difference of multiplicities) — checked via the
+    per-key multiplicities after the op."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    b = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "k", "n")
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "k", "n")
+    )
+    return ia.unionAll(ea)
+
+
+@register(
+    "q_cross_join",
+    oracle="""
+    SELECT r_name, o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+    """,
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two tiny relations (the only safe
+    cross-join shape at scale: both sides bounded)."""
+    region, orders = _t(spark, sf_dir, "region", "orders")
+    return region.select("r_name").crossJoin(
+        orders.select("o_orderstatus").distinct()
+    )
+
+
+@register(
+    "q_sample_hash",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '0c'
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% hash sample: md5 of the key is engine-portable
+    and stable across runs/partitionings — unlike TABLESAMPLE, which is
+    seed- and partition-layout-dependent.  This is the reproducible
+    sampling primitive for pipeline debugging at scale."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string").cast("binary"))
+    return orders.where(F.substring(h, 1, 2) <= "0c").select("o_orderkey", "o_custkey")
+
+
+@register(
+    "q_regexp_functions",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '#(\\d+)', 1)                    AS digits,
+           CAST(regexp_extract(c_name, '#(\\d+)', 1) AS BIGINT)    AS digits_num,
+           len(regexp_extract_all(c_name, '\\d'))                  AS n_digit_chars,
+           regexp_matches(c_name, '00$')                           AS ends_00,
+           regexp_replace(c_name, '^Customer#0+', 'C')             AS short_name
+    FROM customer
+    """,
+)
+def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface: extract / extract-group cast / per-char count /
+    boolean match / replace."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"#(\d+)", 1).alias("digits"),
+        F.regexp_extract("c_name", r"#(\d+)", 1).cast("bigint").alias("digits_num"),
+        F.size(F.expr(r"regexp_extract_all(c_name, '\\d', 0)")).alias("n_digit_chars"),
+        F.col("c_name").rlike("00$").alias("ends_00"),
+        F.regexp_replace("c_name", r"^Customer#0+", "C").alias("short_name"),
+    )
