@@ -155,6 +155,85 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+@register("q_ann_ivf")  # partition-pruned approximate variant: rows-only check
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-{K}: assign every corpus vector
+    to its nearest centroid, then probe only the {IVF_NPROBE} closest
+    cells per query — the candidate set shrinks from |corpus| to
+    ~|corpus|×nprobe/C, which is the classic billion-vector ANN layout
+    (at 100 TB the cells become the table's partition keys, so a probe
+    is partition pruning at the parquet scan).
+
+    Centroid "training" is a deterministic stand-in (the first
+    {IVF_CENTROIDS} vectors by vec_id, unit-normalized) — a real
+    pipeline would run k-means; everything downstream (assignment scan,
+    cell-keyed candidate join, exact re-rank) is the real IVF plan.
+    Assignment + scoring are numpy batch kernels via mapInPandas, one
+    Arrow pass over the corpus each.
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    crows = sorted(
+        e.where(F.col("vec_id") < IVF_CENTROIDS).collect(), key=lambda r: r.vec_id
+    )
+    C = np.array([r.v for r in crows], dtype=np.float64)
+    C = C / np.sqrt(np.einsum("ij,ij->i", C, C))[:, None]
+    qrows = sorted(
+        e.where(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
+    )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([r.v for r in qrows], dtype=np.float64)
+    Q = Q / np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
+    # per-query probe list: the nprobe closest centroid cells
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :IVF_NPROBE]
+    probe_pairs = [
+        (int(q_ids[qi]), int(cell)) for qi in range(len(q_ids)) for cell in probe[qi]
+    ]
+    probe_df = spark.createDataFrame(probe_pairs, "query_id long, cell int")
+    q_by_id = {int(i): Q[k] for k, i in enumerate(q_ids)}
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            M = np.array(pdf["v"].tolist(), dtype=np.float64)
+            M = M / np.sqrt(np.einsum("ij,ij->i", M, M))[:, None]
+            cells = np.argmax(M @ C.T, axis=1).astype("int32")
+            out = pdf[["vec_id", "v"]].copy()
+            out["cell"] = cells
+            yield out
+
+    assigned = e.mapInPandas(assign, "vec_id long, v array<double>, cell int")
+    cand = assigned.join(F.broadcast(probe_df), "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            M = np.array(pdf["v"].tolist(), dtype=np.float64)
+            M = M / np.sqrt(np.einsum("ij,ij->i", M, M))[:, None]
+            Qm = np.array([q_by_id[int(q)] for q in pdf["query_id"]], dtype=np.float64)
+            cos = np.einsum("ij,ij->i", Qm, M)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["vec_id"],
+                    "cos_sim": np.round(cos, 6),
+                }
+            )
+
+    scored = cand.mapInPandas(score, "query_id long, neighbor_id long, cos_sim double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= TOP_K)
+
+
 def _hyperplane(j: int) -> list[int]:
     """Deterministic ±1 hyperplane (no RNG → same plan on any cluster)."""
     return [1 if ((d * 31 + j * 17 + (d * d * j) % 13) % 7) % 2 == 0 else -1 for d in range(DIM)]

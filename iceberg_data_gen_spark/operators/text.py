@@ -226,6 +226,97 @@ def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_tfidf_top_terms",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df, round(score, 6) AS tfidf, rn
+    FROM (
+        SELECT doc_id, term, tf, df,
+               tf * (n_docs + 1.0) / (df + 1.0) AS score,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY tf * (n_docs + 1.0) / (df + 1.0) DESC, term
+               ) AS rn
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    Uses the rational idf variant ``(N+1)/(df+1)`` (no logarithm): a
+    single IEEE multiply+divide is bit-identical across engines, whereas
+    ``ln`` differs in the last ulp between libm implementations and
+    would make the ranking engine-dependent near ties.
+
+    Plan shape: two hash aggregations (term frequency per doc; document
+    frequency per term), a shuffle join on term, and a per-doc top-k
+    window (WindowGroupLimit partial top-k at scale).
+    """
+    docs = _docs(spark, sf_dir)
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc(score), "term")
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", F.round(score, 6).alias("tfidf"), "rn")
+    )
+
+
+@register(
+    "q_ngram_freq",
+    oracle="""
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents)
+    SELECT bigram, count(*) AS n
+    FROM (
+        SELECT unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        FROM w
+    )
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 30
+    """,
+)
+def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency top-30 — the n-gram LM / contamination-
+    check primitive.  Bigrams are built positionally with one array
+    transform (no self-join), exploded, then hash-counted; the top-30 is
+    TakeOrderedAndProject."""
+    docs = _docs(spark, sf_dir)
+    bigrams = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 2), "
+        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i + 1]))"
+    )
+    return (
+        docs.where(F.size(F.split("text", " ")) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(30)
+    )
+
+
+@register(
     "q_fingerprint",
     oracle="""
     SELECT doc_id,

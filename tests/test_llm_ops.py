@@ -120,3 +120,22 @@ def test_media_table_partition_shape(spark):
     dtypes = dict(m.dtypes)
     assert dtypes["payload"] == "binary"
     assert dtypes["meta"].startswith("struct<format:string,width:int,height:int,n_bytes:")
+
+
+def test_ann_ivf_recall_and_shape(spark):
+    """IVF probes 4 of 16 cells; recall@10 vs the exact baseline must be
+    well above the ~25% candidate-coverage floor, and per-query results
+    must be contiguously ranked."""
+    exact = operators.QUERIES["q_ann_bruteforce"](spark, SF_DIR).collect()
+    approx = operators.QUERIES["q_ann_ivf"](spark, SF_DIR).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(1 for r in approx if r.neighbor_id in exact_sets.get(r.query_id, set()))
+    assert len(approx) > 0
+    assert hits / len(exact) >= 0.5, hits / len(exact)
+    per_q = {}
+    for r in approx:
+        per_q.setdefault(r.query_id, []).append(r.rnk)
+    for q, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), q
