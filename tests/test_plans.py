@@ -1,0 +1,120 @@
+"""Physical-plan assertions — the 100 TB posture, regression-tested.
+
+Correctness tests prove the operators compute the right answer at test
+scale; these prove the *plans* are the ones that survive a 1000-executor
+cluster: filters reach the parquet scan, projections prune the read
+schema, dimension joins broadcast, top-k never materializes a full sort,
+aggregations combine map-side, and rank-filter windows use the partial
+top-k rewrite.  A regression here means a future edit silently bought a
+plan that works at sf0.1 and dies at 100 TB.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from iceberg_data_gen_spark import operators
+
+operators.load_all()
+
+from tests.conftest import SF_DIR
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def q(name: str, spark):
+    return operators.QUERIES[name](spark, SF_DIR)
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    plan = plan_of(q("q1_pricing_summary", spark))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1].split("\n", 1)[0], plan
+    # ReadSchema must NOT include columns the query never touches
+    read_schema = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema, read_schema
+
+
+def test_q6_tight_scan(spark):
+    plan = plan_of(q("q6_forecast_revenue", spark))
+    pushed = plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed, pushed
+    read_schema = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "l_returnflag" not in read_schema, read_schema
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items",
+     "q7_volume_shipping", "q8_market_share", "q9_product_type_profit"],
+)
+def test_star_joins_broadcast_dimensions(spark, name):
+    plan = plan_of(q(name, spark))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_semi_anti_joins_are_semi_anti(spark):
+    assert "LeftSemi" in plan_of(q("q_semi_join", spark))
+    assert "LeftAnti" in plan_of(q("q_anti_join", spark))
+
+
+def test_global_topk_is_take_ordered(spark):
+    # global ORDER BY + LIMIT must compile to TakeOrderedAndProject
+    # (per-partition top-k + driver merge), never a full Exchange+Sort
+    plan = plan_of(q("q_topk", spark), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_grouped_topk_uses_window_group_limit(spark):
+    plan = plan_of(q("q_window_topk_per_group", spark))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_aggregations_partial_then_final(spark):
+    # two HashAggregate nodes (partial before the exchange, final after):
+    # the shuffle carries one row per group per task, not raw rows
+    plan = plan_of(q("q_distinct_agg", spark), mode="simple")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_dedup_exact_single_shuffle(spark):
+    plan = plan_of(q("q_dedup_exact", spark), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_scalar_functions_stay_in_codegen(spark):
+    # the whole scalar surface must compile into WholeStageCodegen —
+    # no BatchEvalPython (row-at-a-time UDF) anywhere
+    plan = plan_of(q("q_scalar_string_date_math", spark), mode="simple")
+    # "*(n)" node prefix == inside a WholeStageCodegen stage
+    assert "*(1)" in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_correlated_subqueries_decorrelate(spark):
+    # Catalyst must rewrite both correlated scalar subqueries into ONE
+    # aggregate join (no per-row subplan nodes survive)
+    plan = plan_of(q("q_correlated_scalar_subquery", spark), mode="simple")
+    assert "InSubquery" not in plan and "ScalarSubquery" not in plan, plan
+
+
+def test_streaming_uses_stateful_window_agg(spark):
+    from iceberg_data_gen_spark.streaming.events import read_events_stream
+    from pyspark.sql import functions as F
+
+    ev = read_events_stream(spark, SF_DIR)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .count()
+    )
+    # unexecuted streaming plan: watermark node must be present so state
+    # eviction is bounded (no watermark = unbounded state at scale)
+    plan = plan_of(agg, mode="simple")
+    assert "EventTimeWatermark" in plan, plan
