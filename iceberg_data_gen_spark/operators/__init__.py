@@ -38,6 +38,7 @@ def load_all() -> None:
     from iceberg_data_gen_spark.operators import (  # noqa: F401
         asof,
         dedup,
+        extensibility,
         multimodal,
         relational,
         relational2,
