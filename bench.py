@@ -37,9 +37,38 @@ HEADLINE = [
     "q_minhash_lsh",
     "q_simhash",
     "q_ann_bruteforce",
+    "q_ann_ivf",
     "q_embedding_neardup",
+    "q_tfidf_top_terms",
     "q_stream_tumbling",
 ]
+
+
+def bench_datagen(spark) -> float:
+    """Generation throughput at 2M rows (the reference's own workload,
+    scaled): 4×500k data rows + 2×100k position deletes + 2×100k equality
+    deletes through the full prepare pipeline incl. MoR verification."""
+    import tempfile
+    import time
+
+    from iceberg_data_gen_spark.datagen.app import IcebergDataGeneratorApp
+    from iceberg_data_gen_spark.datagen.config import (
+        CatalogConfig,
+        Config,
+        FileConfig,
+    )
+
+    cfg = Config(
+        catalog=CatalogConfig(warehouse=tempfile.mkdtemp(prefix="bench-datagen-")),
+        data_files=FileConfig(rows_per_file=500_000, file_count=4),
+        pos_delete_files=FileConfig(rows_per_file=100_000, file_count=2),
+        equality_delete_files=FileConfig(rows_per_file=100_000, file_count=2),
+    )
+    t0 = time.perf_counter()
+    summary = IcebergDataGeneratorApp(spark, cfg).prepare()
+    elapsed = round(time.perf_counter() - t0, 3)
+    assert summary["measured_total"] == summary["derived_total"] == 1_600_000, summary
+    return elapsed
 
 
 def main() -> None:
@@ -64,6 +93,7 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+    timings["datagen_2m_rows_mor"] = bench_datagen(spark)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -180,16 +180,43 @@ class MoRTable:
             )
         return self._commit("append", files)
 
+    def _write_batches_one_job(
+        self, dfs: list[DataFrame], dest: Path, stem: str
+    ) -> list[str]:
+        """Write a list of batches so batch *i* becomes exactly one parquet
+        file, submitting all write jobs CONCURRENTLY from driver threads.
+
+        The reference writes its files strictly sequentially from one
+        thread (main.rs:128-151); each of our batch writes is an
+        independent Spark job, so overlapping them hides the per-job
+        scheduling latency and lets executors work on several files at
+        once while keeping the exact file-per-batch layout and row order.
+        (A single union-of-single-partition-batches job would be cheaper
+        still, but Spark 4 executes a union of SinglePartition children
+        as one task/one output file, so it cannot preserve the layout.)
+        """
+        if not dfs:
+            return []
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(i_df):
+            i, df = i_df
+            paths = self._write_files(df, dest, f"{stem}", True)
+            assert len(paths) == 1, paths
+            return i, paths[0]
+
+        with ThreadPoolExecutor(max_workers=min(8, len(dfs))) as ex:
+            results = list(ex.map(one, enumerate(dfs)))
+        return [p for _, p in sorted(results)]
+
     def append_batches(self, dfs: list[DataFrame]) -> dict:
         """Reference-shaped append: each DataFrame becomes exactly one data
         file, all committed in ONE snapshot (the per-file loop of
         main.rs:128-151 + single fast_append commit at main.rs:157-158)."""
-        files = []
-        for df in dfs:
-            for path in self._write_files(df, self.path / "data", "data", True):
-                files.append(
-                    {"path": path, "kind": "data", "record_count": _footer_row_count(path)}
-                )
+        files = [
+            {"path": path, "kind": "data", "record_count": _footer_row_count(path)}
+            for path in self._write_batches_one_job(dfs, self.path / "data", "data")
+        ]
         return self._commit("append", files)
 
     def _normalize_pos_deletes(self, df: DataFrame) -> DataFrame:
@@ -213,15 +240,19 @@ class MoRTable:
         A list writes each DataFrame as exactly one file (the reference's
         per-file loop); a single DataFrame uses ``single_file``.
         """
-        batches = df if isinstance(df, list) else [df]
-        one_file_each = True if isinstance(df, list) else single_file
-        files = []
-        for b in batches:
-            out = self._normalize_pos_deletes(b)
-            for path in self._write_files(out, self.path / "deletes", "pos-delete", one_file_each):
-                files.append(
-                    {"path": path, "kind": "pos-delete", "record_count": _footer_row_count(path)}
-                )
+        dest = self.path / "deletes"
+        if isinstance(df, list):
+            paths = self._write_batches_one_job(
+                [self._normalize_pos_deletes(b) for b in df], dest, "pos-delete"
+            )
+        else:
+            paths = self._write_files(
+                self._normalize_pos_deletes(df), dest, "pos-delete", single_file
+            )
+        files = [
+            {"path": p, "kind": "pos-delete", "record_count": _footer_row_count(p)}
+            for p in paths
+        ]
         return self._commit("delete-position", files)
 
     def add_equality_deletes(
@@ -235,17 +266,20 @@ class MoRTable:
         projection main.rs:251)."""
         ids = equality_ids or self.schema.identifier_field_ids
         cols = self.schema.names_for_ids(ids)
-        batches = df if isinstance(df, list) else [df]
-        one_file_each = True if isinstance(df, list) else single_file
-        files = []
-        for b in batches:
-            assert set(b.columns) == set(cols), (b.columns, cols)
-            for path in self._write_files(
-                b.select(*cols), self.path / "deletes", "eq-delete", one_file_each
-            ):
-                files.append(
-                    {"path": path, "kind": "eq-delete", "record_count": _footer_row_count(path)}
-                )
+        dest = self.path / "deletes"
+        if isinstance(df, list):
+            for b in df:
+                assert set(b.columns) == set(cols), (b.columns, cols)
+            paths = self._write_batches_one_job(
+                [b.select(*cols) for b in df], dest, "eq-delete"
+            )
+        else:
+            assert set(df.columns) == set(cols), (df.columns, cols)
+            paths = self._write_files(df.select(*cols), dest, "eq-delete", single_file)
+        files = [
+            {"path": p, "kind": "eq-delete", "record_count": _footer_row_count(p)}
+            for p in paths
+        ]
         return self._commit("delete-equality", files, equality_ids=ids)
 
     # -- metadata tables (Iceberg .files / .snapshots equivalents) ----------
