@@ -583,3 +583,44 @@ def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").rlike("00$").alias("ends_00"),
         F.regexp_replace("c_name", r"^Customer#0+", "C").alias("short_name"),
     )
+
+
+@register(
+    "q_partitioned_scan",
+    oracle="""
+    SELECT EXTRACT(year FROM o_orderdate) AS o_year, o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+    GROUP BY 1, 2
+    """,
+)
+def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned layout + partition pruning: orders re-written
+    partitioned by year into a temp dir (executors write each partition
+    directory in parallel), then scanned with a partition-key filter that
+    Spark satisfies by PRUNING DIRECTORIES — the scan's PartitionFilters
+    handle the year predicate and only 2 of the ~7 year directories are
+    read (see tests/test_plans.py).  This is the table-layout half of the
+    100 TB story: time-partitioned facts make time-bounded queries read
+    only their slice."""
+    import tempfile
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="part-orders-")
+    (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(path)
+    )
+    part = spark.read.parquet(path)
+    return (
+        part.where(F.col("o_year").isin(1996, 1997))
+        .groupBy("o_year", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("total"),
+        )
+    )

@@ -240,3 +240,47 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_batches").alias("n_batches"),
     )
     return w_latest
+
+
+@register(
+    "q_stream_static_join",
+    oracle="""
+    SELECT to_timestamp(floor(epoch(e.ts) / 3600) * 3600) AS window_start,
+           c.c_mktsegment,
+           count(*) AS n_events,
+           round(sum(e.value), 4) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with the (batch)
+    customer dimension, then a watermarked hourly window per market
+    segment.
+
+    The static side is broadcast into every micro-batch — the standard
+    dimension-enrichment shape; no state is kept for the join itself
+    (only the windowed aggregation holds state, bounded by the
+    watermark)."""
+    from iceberg_data_gen_spark.session import load_tables
+
+    customer = load_tables(spark, sf_dir, ("customer",))["customer"].select(
+        "c_custkey", "c_mktsegment"
+    )
+    ev = read_events_stream(spark, sf_dir)
+    joined = ev.join(F.broadcast(customer), ev["user_id"] == customer["c_custkey"])
+    agg = (
+        joined.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    out = run_to_completion(agg)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "c_mktsegment",
+        "n_events",
+        "sum_value",
+    )

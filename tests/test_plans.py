@@ -118,3 +118,11 @@ def test_streaming_uses_stateful_window_agg(spark):
     # eviction is bounded (no watermark = unbounded state at scale)
     plan = plan_of(agg, mode="simple")
     assert "EventTimeWatermark" in plan, plan
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    # the year filter must be satisfied as a PartitionFilter (directory
+    # pruning), not a data filter over all partitions
+    plan = plan_of(q("q_partitioned_scan", spark))
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "o_year" in pf[1].split("\n", 1)[0], plan
