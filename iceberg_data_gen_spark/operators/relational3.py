@@ -624,3 +624,36 @@ def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "q_skew_salted_agg",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for skewed keys: documents per lang
+    (5 languages → 5 hot reduce keys at any scale).
+
+    Stage 1 aggregates on (lang, salt) — the hot key's rows spread over
+    SALT reducers; stage 2 merges the SALT partials per lang (tiny).
+    Counts/sums are associative so the result is identical to the direct
+    groupBy, which is what the oracle computes.  This is the manual form
+    of what AQE skew handling does for joins; for aggregations Spark's
+    partial aggregation usually suffices, but when a single group's
+    partials are themselves too hot (billions of rows per key feeding
+    one reducer slot), salting is the standing fix.
+    """
+    SALT = 16
+    (docs,) = _t(spark, sf_dir, "documents")
+    stage1 = (
+        docs.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(SALT)))
+        .groupBy("lang", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("n_chars").alias("pc"))
+    )
+    return stage1.groupBy("lang").agg(
+        F.sum("pn").alias("n_docs"), F.sum("pc").cast("long").alias("total_chars")
+    )

@@ -284,3 +284,61 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+           c.ts AS click_ts, v.ts AS view_ts
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts >= c.ts - INTERVAL 10 MINUTE
+     AND v.ts <= c.ts
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same user's
+    views from the preceding 10 minutes.
+
+    Both sides are watermarked and the join condition carries the time
+    bound, so Spark's symmetric hash join can EVICT buffered rows once
+    the watermark passes the interval — state stays O(10 min of stream)
+    per side regardless of stream length.  An unbounded-condition
+    stream-stream join would buffer forever; the time bound is what
+    makes this shape production-safe."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    views = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+    )
+    out = run_to_completion(joined, output_mode="append")
+    return out.select(
+        "click_id",
+        "view_id",
+        "user_id",
+        F.col("click_ts").alias("click_ts"),
+        F.col("view_ts").alias("view_ts"),
+    )
