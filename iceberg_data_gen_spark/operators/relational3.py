@@ -657,3 +657,40 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stage1.groupBy("lang").agg(
         F.sum("pn").alias("n_docs"), F.sum("pc").cast("long").alias("total_chars")
     )
+
+
+@register(
+    "q_format_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey <= 1000
+    GROUP BY o_orderstatus
+    """,
+)
+def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink format surface: the same slice written to CSV (with
+    header, explicit schema on read-back — CSV carries no types) and to
+    JSON lines, read back, unioned and re-verified: both halves must
+    agree with the parquet original, so the aggregate over either equals
+    the oracle.  Exercises write → read for the two text formats the
+    parquet-native pipeline still meets at its edges (exports, logs)."""
+    import tempfile
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    sel = orders.where(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice")
+    )
+    base = tempfile.mkdtemp(prefix="fmt-rt-")
+    sel.write.mode("overwrite").option("header", True).csv(base + "/csv")
+    sel.write.mode("overwrite").json(base + "/json")
+    schema = "o_orderkey long, o_orderstatus string, o_totalprice decimal(18,2)"
+    csv_back = spark.read.schema(schema).option("header", True).csv(base + "/csv")
+    json_back = spark.read.schema(schema).json(base + "/json")
+    # both text halves must reproduce the parquet slice exactly
+    assert csv_back.exceptAll(sel).isEmpty() and sel.exceptAll(csv_back).isEmpty()
+    assert json_back.exceptAll(sel).isEmpty() and sel.exceptAll(json_back).isEmpty()
+    return csv_back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_totalprice").cast("double").alias("total"),
+    )
