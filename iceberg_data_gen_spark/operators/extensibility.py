@@ -135,6 +135,37 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one reference-table build per SparkSession: q_mor_scan / time-travel /
+# metadata queries all read the same prepared warehouse
+_MOR_CACHE: dict[int, str] = {}
+
+
+def _reference_table(spark: SparkSession):
+    import tempfile
+
+    from iceberg_data_gen_spark.datagen.app import IcebergDataGeneratorApp
+    from iceberg_data_gen_spark.datagen.config import (
+        CatalogConfig,
+        Config,
+        FileConfig,
+    )
+
+    key = id(spark)
+    if key not in _MOR_CACHE:
+        wh = tempfile.mkdtemp(prefix="mor-scan-")
+        cfg = Config(
+            catalog=CatalogConfig(warehouse=wh),
+            data_files=FileConfig(rows_per_file=1000, file_count=5),
+            pos_delete_files=FileConfig(rows_per_file=1000, file_count=2),
+            equality_delete_files=FileConfig(rows_per_file=1000, file_count=2),
+        )
+        IcebergDataGeneratorApp(spark, cfg).prepare()
+        _MOR_CACHE[key] = wh
+    from iceberg_data_gen_spark.table.catalog import LocalCatalog
+
+    return LocalCatalog(spark, _MOR_CACHE[key]).load_table("name1", "test_table")
+
+
 @register(
     "q_mor_scan",
     oracle="""
@@ -156,23 +187,45 @@ def q_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns gated by commit sequence number) — the Iceberg MoR read plan,
     with no shuffle of the data side.
     """
-    import tempfile
+    return _reference_table(spark).scan()
 
-    from iceberg_data_gen_spark.datagen.app import IcebergDataGeneratorApp
-    from iceberg_data_gen_spark.datagen.config import (
-        CatalogConfig,
-        Config,
-        FileConfig,
-    )
 
-    wh = tempfile.mkdtemp(prefix="mor-scan-")
-    cfg = Config(
-        catalog=CatalogConfig(warehouse=wh),
-        data_files=FileConfig(rows_per_file=1000, file_count=5),
-        pos_delete_files=FileConfig(rows_per_file=1000, file_count=2),
-        equality_delete_files=FileConfig(rows_per_file=1000, file_count=2),
+@register(
+    "q_mor_time_travel",
+    oracle="""
+    SELECT CAST(range AS VARCHAR) AS foo, CAST(range AS INT) AS bar, true AS baz
+    FROM range(0, 5000)
+    """,
+)
+def q_mor_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: scan the reference table AS OF snapshot 1 (the data
+    append, before either delete commit) — all 5000 generated rows are
+    visible again.  Snapshot isolation falls out of the immutable
+    file-set-per-snapshot metadata (the Iceberg model): reading an old
+    snapshot is just planning against its file list."""
+    return _reference_table(spark).scan(snapshot_id=1)
+
+
+@register(
+    "q_mor_metadata",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('data',       5, 5000),
+        ('pos-delete', 2, 2000),
+        ('eq-delete',  2, 2000)
+    ) AS t(kind, n_files, total_records)
+    """,
+)
+def q_mor_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-table surface (Iceberg `.files` equivalent, reference O9):
+    per content kind, file count and record totals — answered entirely
+    from commit metadata, no data file is opened."""
+    t = _reference_table(spark)
+    return (
+        t.files()
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_files"),
+            F.sum("record_count").cast("int").alias("total_records"),
+        )
     )
-    app = IcebergDataGeneratorApp(spark, cfg)
-    app.prepare()
-    table = app.catalog.load_table(cfg.table.namespace, cfg.table.table_name)
-    return table.scan()
