@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_data_gen_spark.operators import register
+from iceberg_data_gen_spark.operators import QUERIES, register
 from iceberg_data_gen_spark.session import load_tables
 
 SIMHASH_BITS = 32
@@ -445,3 +445,102 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiled.groupBy("label", "bi", "bj").applyInPandas(
         block_pairs, "id_a long, id_b long, cos_sim double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate clustering (connected components over the similarity graph)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_EDGE_SQL = """
+    w AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS s
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM w a JOIN w b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+         AND len(a.s) * 10 >= len(b.s) * 9
+         AND len(b.s) * 10 >= len(a.s) * 9
+         AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+    ),
+    edges AS (
+        SELECT da AS src, db AS dst FROM pairs
+        UNION ALL
+        SELECT db AS src, da AS dst FROM pairs
+    )
+"""
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_CLUSTER_EDGE_SQL},
+    reach AS (
+        SELECT doc_id AS doc, doc_id AS lab FROM documents
+        UNION
+        SELECT e.dst AS doc, r.lab
+        FROM reach r JOIN edges e ON e.src = r.doc
+    ),
+    labs AS (SELECT doc AS doc_id, min(lab) AS cluster_rep FROM reach GROUP BY doc)
+    SELECT l.doc_id, l.cluster_rep, c.n AS cluster_size
+    FROM labs l JOIN (
+        SELECT cluster_rep, count(*) AS n FROM labs GROUP BY cluster_rep
+    ) c USING (cluster_rep)
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-Jaccard (≥0.9) similarity
+    graph: every document labeled with its cluster representative (the
+    min doc_id reachable through near-duplicate edges) + cluster size —
+    the decision step that turns pair lists into keep/drop sets (keep
+    rep, drop the rest).
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own and its neighbors' labels; converges in O(graph
+    diameter) rounds (near-dup clusters are dense, so 2-3).  Each round
+    is one distributed join+groupBy; ``localCheckpoint`` truncates the
+    lineage so plans don't grow with iterations — the standard Spark
+    shape for iterative graph algorithms (cf. large-star/small-star).
+    The oracle computes the same components with a recursive CTE.
+    """
+    pairs = QUERIES["q_jaccard_pairs"](spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.col("doc_id").alias("cluster_rep"))
+        .localCheckpoint()
+    )
+    for _ in range(20):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("n_doc"))
+            .agg(F.min("cluster_rep").alias("nbr_rep"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["doc_id"] == F.col("n_doc"), "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_rep"), F.coalesce("nbr_rep", F.col("cluster_rep"))
+                ).alias("cluster_rep"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_rep") != F.col("o.cluster_rep"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "cluster_rep").select("doc_id", "cluster_rep", "cluster_size")
