@@ -82,10 +82,19 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # one warm-up pass so JVM/codegen startup cost doesn't pollute query 1
+    # warm-up passes so one-time startup costs don't pollute measurements:
+    # a JVM query (codegen/scan warmup) and a tiny mapInPandas (Python
+    # worker pool + Arrow serializer warmup — workers are reused after)
     operators.QUERIES["q6_forecast_revenue"](spark, sf_dir).write.format(
         "noop"
     ).mode("overwrite").save()
+
+    def _noop_batches(batches):
+        yield from batches
+
+    spark.range(32).mapInPandas(_noop_batches, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

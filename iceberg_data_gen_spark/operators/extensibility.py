@@ -229,3 +229,52 @@ def q_mor_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("record_count").cast("int").alias("total_records"),
         )
     )
+
+
+@register(
+    "q_cogroup",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey AS k, count(*) AS n_orders, max(o_totalprice) AS max_price
+        FROM orders GROUP BY o_custkey
+    ),
+    e AS (
+        SELECT user_id AS k, count(*) AS n_events, max(value) AS max_value
+        FROM events GROUP BY user_id
+    )
+    SELECT coalesce(o.k, e.k) AS user_id,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(n_events, 0) AS n_events,
+           max_price, max_value
+    FROM o FULL OUTER JOIN e ON o.k = e.k
+    """,
+)
+def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas map: orders and events grouped on the same key
+    meet in ONE Python function per key group (applyInPandas over
+    cogroup) — the two-sided custom-merge shape (reconciliation,
+    interleaving, custom joins Spark lacks).  Aggregates chosen
+    order-independent (count/max) so results are partitioning-stable.
+    """
+    tables = load_tables(spark, sf_dir, ("orders", "events"))
+    orders, events = tables["orders"], tables["events"]
+
+    def merge(key, o: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_orders": [len(o)],
+                "n_events": [len(e)],
+                "max_price": [o["o_totalprice"].max() if len(o) else None],
+                "max_value": [e["value"].max() if len(e) else None],
+            }
+        )
+
+    return (
+        orders.groupBy("o_custkey")
+        .cogroup(events.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_orders long, n_events long, max_price double, max_value double",
+        )
+    )
