@@ -182,16 +182,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    crows = sorted(
-        e.where(F.col("vec_id") < IVF_CENTROIDS).collect(), key=lambda r: r.vec_id
+    # one driver job fetches centroid + query vectors together (both tiny)
+    head = sorted(
+        e.where(F.col("vec_id") < max(IVF_CENTROIDS, N_QUERIES)).collect(),
+        key=lambda r: r.vec_id,
     )
-    C = np.array([r.v for r in crows], dtype=np.float64)
+    C = np.array([r.v for r in head if r.vec_id < IVF_CENTROIDS], dtype=np.float64)
     C = C / np.sqrt(np.einsum("ij,ij->i", C, C))[:, None]
-    qrows = sorted(
-        e.where(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
-    )
-    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
-    Q = np.array([r.v for r in qrows], dtype=np.float64)
+    q_ids = np.array([r.vec_id for r in head if r.vec_id < N_QUERIES], dtype=np.int64)
+    Q = np.array([r.v for r in head if r.vec_id < N_QUERIES], dtype=np.float64)
     Q = Q / np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
     # per-query probe list: the nprobe closest centroid cells
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :IVF_NPROBE]
