@@ -278,3 +278,22 @@ def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id long, n_orders long, n_events long, max_price double, max_value double",
         )
     )
+
+
+@register(
+    "q_mor_changelog",
+    oracle="""
+    SELECT CAST(range AS VARCHAR) AS foo, CAST(range AS INT) AS bar, true AS baz
+    FROM range(0, 4000)
+    """,
+)
+def q_mor_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog (CDC-style) read: rows visible at the append snapshot but
+    gone at the current snapshot = everything the two delete commits
+    removed (global rows 0..3999 — 2000 by position, 2000 by key,
+    SURVEY §1.5).  Computed as a multiset difference of the two
+    snapshot scans; at scale an engine would instead plan this from the
+    delete files directly (they ARE the changelog), which the metadata
+    in `.files` (kind + sequence_number) fully supports."""
+    t = _reference_table(spark)
+    return t.scan(snapshot_id=1).exceptAll(t.scan())

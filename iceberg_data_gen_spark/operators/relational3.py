@@ -694,3 +694,36 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("o_totalprice").cast("double").alias("total"),
     )
+
+
+@register(
+    "q_exchange_reuse",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT a.o_custkey, a.spend, b.spend AS next_spend
+    FROM spend a JOIN spend b ON b.o_custkey = a.o_custkey + 1
+    """,
+)
+def q_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same aggregation consumed twice (each customer's spend joined
+    to the NEXT customer's spend): Spark plans the scan + partial
+    aggregate + shuffle ONCE and wires the second consumer to a
+    ReusedExchange — identical subtrees are physically de-duplicated, so
+    self-referential analytics don't pay twice.  The projection is kept
+    symmetric (both consumers read exactly the same columns): asymmetric
+    column pruning would specialize the two subtrees and forfeit the
+    reuse.  Plan-asserted in tests/test_plans.py."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        dsum(F.col("o_totalprice"), 2).alias("spend"),
+    )
+    a, b = spend.alias("a"), spend.alias("b")
+    return a.join(b, F.col("b.o_custkey") == F.col("a.o_custkey") + 1).select(
+        F.col("a.o_custkey").alias("o_custkey"),
+        F.col("a.spend").alias("spend"),
+        F.col("b.spend").alias("next_spend"),
+    )

@@ -126,3 +126,16 @@ def test_partitioned_scan_prunes_directories(spark):
     plan = plan_of(q("q_partitioned_scan", spark))
     pf = plan.split("PartitionFilters", 1)
     assert len(pf) == 2 and "o_year" in pf[1].split("\n", 1)[0], plan
+
+
+def test_exchange_reuse_dedupes_shuffles(spark):
+    # the same aggregate consumed twice must reuse one exchange.  Exchange
+    # reuse is a static planner rule; assert on the non-adaptive plan (AQE
+    # re-derives the same reuse at runtime but renders it stage-by-stage,
+    # which is shape-flaky to grep)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(q("q_exchange_reuse", spark), mode="simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "ReusedExchange" in plan, plan
