@@ -727,3 +727,89 @@ def q_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.spend").alias("spend"),
         F.col("b.spend").alias("next_spend"),
     )
+
+
+@register(
+    "q_dpp_join",
+    oracle="""
+    WITH dim AS (
+        SELECT * FROM (VALUES
+            (1995,'drop'),(1996,'keep'),(1997,'keep'),(1998,'drop'),
+            (1999,'drop'),(2000,'drop'),(2001,'drop')
+        ) AS t(d_year, flag)
+    )
+    SELECT EXTRACT(year FROM o_orderdate) AS o_year, count(*) AS n_orders
+    FROM orders JOIN dim ON EXTRACT(year FROM o_orderdate) = d_year
+    WHERE flag = 'keep'
+    GROUP BY 1
+    """,
+)
+def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a year-partitioned fact joined to a
+    filtered dimension.  The dim filter is only known at runtime, so
+    Catalyst injects a ``dynamicpruningexpression`` into the fact scan's
+    PartitionFilters — the broadcast build side doubles as the partition
+    filter and only the 2 'keep' year directories are read.  This is the
+    mechanism that keeps star joins from scanning the whole fact table
+    when the predicate lives on the dimension (plan-asserted)."""
+    import tempfile
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="dpp-orders-")
+    (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(y, "keep" if y in (1996, 1997) else "drop") for y in range(1995, 2002)],
+        "d_year int, flag string",
+    )
+    return (
+        fact.join(dim, fact["o_year"] == dim["d_year"])
+        .where(F.col("flag") == "keep")
+        .groupBy("o_year")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q_null_semantics",
+    oracle="""
+    WITH v AS (
+        SELECT c_mktsegment,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS val
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_rows,
+           count(val) AS n_nonnull,
+           sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(coalesce(sum(CAST(val AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_val,
+           sum(CASE WHEN val IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS nullsafe_null_eq
+    FROM v
+    GROUP BY c_mktsegment
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued logic surface: negative balances nulled out, then
+    count(*) vs count(col) (nulls excluded), explicit IS NULL counting,
+    null-skipping sums, and null-safe equality (<=> / IS NOT DISTINCT
+    FROM) — the semantics every aggregation at scale silently depends
+    on."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    val = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    v = customer.select("c_mktsegment", val.alias("val"))
+    return v.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("val").alias("n_nonnull"),
+        F.sum(F.when(F.col("val").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.coalesce(F.sum(F.col("val").cast("decimal(18,2)")), F.lit(0))
+        .cast("double")
+        .alias("sum_val"),
+        F.sum(F.when(F.col("val").eqNullSafe(F.lit(None)), 1).otherwise(0)).alias(
+            "nullsafe_null_eq"
+        ),
+    )

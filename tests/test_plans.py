@@ -139,3 +139,10 @@ def test_exchange_reuse_dedupes_shuffles(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "ReusedExchange" in plan, plan
+
+
+def test_dpp_injects_dynamic_partition_filter(spark):
+    # the dim-side filter must reach the fact scan as a
+    # dynamicpruningexpression in PartitionFilters
+    plan = plan_of(q("q_dpp_join", spark))
+    assert "dynamicpruning" in plan.lower(), plan
