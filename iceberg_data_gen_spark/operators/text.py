@@ -335,3 +335,130 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower(F.regexp_replace("text", " +", " "))).alias("fp_normalized"),
         F.substring(F.md5("text"), 1, 8).alias("fp_short"),
     )
+
+
+@register(
+    "q_contamination",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2]))) AS g
+        FROM documents
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE source = 'web'),
+    hits AS (
+        SELECT t.doc_id, count(*) AS n_shared
+        FROM grams t JOIN bench b ON t.g = b.g
+        WHERE t.source <> 'web'
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_shared FROM hits WHERE n_shared >= 3
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: training docs sharing ≥3
+    distinct 3-grams with the held-out set (here: source='web' stands in
+    for the benchmark corpus) — the n-gram-overlap decontamination
+    pass every pretraining pipeline runs.
+
+    Plan shape: both sides explode to distinct n-grams, the join is
+    equi-keyed on the gram (the benchmark side is orders of magnitude
+    smaller and broadcasts), and the per-doc hit count is one hash
+    aggregation.  At 100 TB the gram would be hashed to a 64-bit token
+    before the join so the shuffle carries 8-byte keys.
+    """
+    docs = _docs(spark, sf_dir)
+    w = F.split("text", " ")
+    expr = (
+        "transform(sequence(0, size(split(text, ' ')) - 3), "
+        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
+        "split(text, ' ')[i+2]))"
+    )
+    grams = docs.where(F.size(w) >= 3).select(
+        "doc_id", "source", F.explode(F.array_distinct(F.expr(expr))).alias("g")
+    )
+    bench = grams.where(F.col("source") == "web").select("g").distinct()
+    return (
+        grams.where(F.col("source") != "web")
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= 20
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 20 documents per
+    language, chosen by md5-of-key order — reproducible across engines,
+    runs, and partitionings (unlike sampleBy, whose outcome depends on
+    the partition layout and seed stream).  The per-stratum quota is a
+    rank-filter window, which Spark executes as a partial top-k
+    (WindowGroupLimit) — no full sort of any stratum."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "q_bpe_pair_counts",
+    oracle="""
+    WITH chars AS (
+        SELECT string_split(lower(regexp_replace(text, '[^a-zA-Z]', '', 'g')), '') AS cs
+        FROM documents
+    )
+    SELECT pair, count(*) AS n
+    FROM (
+        SELECT unnest(list_transform(range(1, len(cs)),
+                                     i -> cs[i] || cs[i+1])) AS pair
+        FROM chars
+    )
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First iteration of byte-pair-encoding training: corpus-wide counts
+    of adjacent symbol pairs (on the letters-only lowercased text), top
+    20 — the merge-candidate table a BPE tokenizer trainer builds each
+    round.  One explode + one hash aggregation + TakeOrderedAndProject."""
+    docs = _docs(spark, sf_dir)
+    cleaned = F.lower(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    base = docs.select(cleaned.alias("x")).where(F.length("x") >= 2)
+    return (
+        base.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(x) - 1), i -> substring(x, i, 2))")
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
