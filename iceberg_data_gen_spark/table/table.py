@@ -149,6 +149,27 @@ class MoRTable:
         (self.path / "metadata.json").write_text(json.dumps(self._meta, indent=1))
         return snap
 
+    # -- schema evolution ---------------------------------------------------
+
+    def add_column(self, name: str, type_: str) -> TableSchema:
+        """Iceberg-style additive schema evolution: register a new optional
+        column in table metadata — NO data file is touched or rewritten.
+
+        Reads resolve it by projection: the scan passes the current schema
+        to the parquet reader, so files written before the evolution
+        simply surface NULL for the new column while newer files carry
+        values.  (Only optional columns can be added — a required column
+        would make every existing row invalid, same rule as Iceberg.)
+        """
+        schema = self.schema
+        if any(f.name == name for f in schema.fields):
+            raise ValueError(f"column exists: {name}")
+        next_id = max(f.field_id for f in schema.fields) + 1
+        schema.fields.append(Field(next_id, name, type_, required=False))
+        self._meta["schema"] = schema.to_json()
+        (self.path / "metadata.json").write_text(json.dumps(self._meta, indent=1))
+        return schema
+
     # -- writes -------------------------------------------------------------
 
     def _write_files(self, df: DataFrame, dest: Path, stem: str, single_file: bool) -> list[str]:

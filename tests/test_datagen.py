@@ -163,3 +163,44 @@ def test_property_style_configs(spark, tmp_path, d, p, e):
     app, table, summary = run_prepare(spark, tmp_path, d, p, e)
     check_invariants(spark, table, d, p, e)
     assert summary["derived_total"] == summary["measured_total"]
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Adding an optional column touches only metadata: old files read as
+    NULL, new files carry values, deletes still apply."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.table.table import Field, MoRTable, TableSchema
+
+    schema = TableSchema(
+        fields=[Field(1, "foo", "string"), Field(2, "bar", "int")],
+        identifier_field_ids=[2],
+    )
+    t = MoRTable.create(spark, str(tmp_path / "t"), schema)
+    old = spark.range(0, 10).select(
+        F.col("id").cast("string").alias("foo"), F.col("id").cast("int").alias("bar")
+    )
+    t.append_batches([old])
+
+    t.add_column("tag", "string")
+    t2 = MoRTable(spark, str(tmp_path / "t"))  # reload from metadata
+    assert [f.name for f in t2.schema.fields] == ["foo", "bar", "tag"]
+
+    new = spark.range(10, 15).select(
+        F.col("id").cast("string").alias("foo"),
+        F.col("id").cast("int").alias("bar"),
+        F.lit("v2").alias("tag"),
+    )
+    t2.append_batches([new])
+    rows = {r.bar: r.tag for r in t2.scan().collect()}
+    assert len(rows) == 15
+    assert all(rows[b] is None for b in range(10))
+    assert all(rows[b] == "v2" for b in range(10, 15))
+
+    # deletes still apply across the evolution boundary
+    t2.add_equality_deletes(
+        spark.createDataFrame([(str(b), b) for b in (3, 12)], "foo string, bar int"),
+        equality_ids=[1, 2],
+    )
+    surviving = {r.bar for r in t2.scan().collect()}
+    assert 3 not in surviving and 12 not in surviving and len(surviving) == 13
