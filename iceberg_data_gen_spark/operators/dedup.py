@@ -558,3 +558,52 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     sizes = labels.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "cluster_rep").select("doc_id", "cluster_rep", "cluster_size")
+
+
+@register(
+    "q_triangle_count",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS s
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM w a JOIN w b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+         AND len(a.s) * 10 >= len(b.s) * 9
+         AND len(b.s) * 10 >= len(a.s) * 9
+         AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+    )
+    SELECT (SELECT count(*) FROM pairs) AS n_edges,
+           (SELECT count(*)
+            FROM pairs e1
+            JOIN pairs e2 ON e2.da = e1.db
+            JOIN pairs e3 ON e3.da = e1.da AND e3.db = e2.db) AS n_triangles
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the near-duplicate graph — the clustering-
+    coefficient primitive (how clique-like are the dup clusters?).
+
+    Ordered-edge formulation: with every edge stored a<b, each triangle
+    a<b<c is counted exactly once by the wedge join (a,b)⋈(b,c) closed
+    by (a,c) — a two-step self-join, both equi-keyed on doc ids, no
+    explosion beyond the true wedge count.  At 100 TB you'd pre-bucket
+    edges by node so the wedge join is co-partitioned.
+    """
+    pairs = QUERIES["q_jaccard_pairs"](spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    wedges = e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+    triangles = wedges.join(
+        e3,
+        (F.col("e3.doc_a") == F.col("e1.doc_a")) & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+    )
+    n_edges = pairs.count()
+    return triangles.agg(
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.count(F.lit(1)).alias("n_triangles"),
+    )
