@@ -813,3 +813,42 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nullsafe_null_eq"
         ),
     )
+
+
+@register(
+    "q_window_time_range",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           count(*) OVER w AS n_last7d,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS spend_last7d
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey
+        ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: each order's trailing-7-day order count and
+    spend for its customer.  The frame is value-based (epoch seconds), so
+    ties share a frame and gaps shrink it — the rolling-window shape
+    feature pipelines use for recency aggregates.  DECIMAL accumulation
+    keeps the windowed sums order-independent within tied frames."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    epoch = F.unix_timestamp("o_orderdate")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch.cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_last7d"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_last7d"),
+    )
