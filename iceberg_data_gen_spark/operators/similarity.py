@@ -192,43 +192,47 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ids = np.array([r.vec_id for r in head if r.vec_id < N_QUERIES], dtype=np.int64)
     Q = np.array([r.v for r in head if r.vec_id < N_QUERIES], dtype=np.float64)
     Q = Q / np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
-    # per-query probe list: the nprobe closest centroid cells
+    # per-query probe list: the nprobe closest centroid cells, inverted to
+    # a cell -> [query row] lookup (the "inverted file") carried in the
+    # kernel closure — probing is then a dict lookup per corpus vector,
+    # no join and no second pass over the corpus
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :IVF_NPROBE]
-    probe_pairs = [
-        (int(q_ids[qi]), int(cell)) for qi in range(len(q_ids)) for cell in probe[qi]
-    ]
-    probe_df = spark.createDataFrame(probe_pairs, "query_id long, cell int")
-    q_by_id = {int(i): Q[k] for k, i in enumerate(q_ids)}
+    cell_to_queries: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for cell in probe[qi]:
+            cell_to_queries.setdefault(int(cell), []).append(qi)
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def assign_and_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             M = np.array(pdf["v"].tolist(), dtype=np.float64)
             M = M / np.sqrt(np.einsum("ij,ij->i", M, M))[:, None]
-            cells = np.argmax(M @ C.T, axis=1).astype("int32")
-            out = pdf[["vec_id", "v"]].copy()
-            out["cell"] = cells
-            yield out
-
-    assigned = e.mapInPandas(assign, "vec_id long, v array<double>, cell int")
-    cand = assigned.join(F.broadcast(probe_df), "cell").where(
-        F.col("vec_id") != F.col("query_id")
-    )
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            M = np.array(pdf["v"].tolist(), dtype=np.float64)
-            M = M / np.sqrt(np.einsum("ij,ij->i", M, M))[:, None]
-            Qm = np.array([q_by_id[int(q)] for q in pdf["query_id"]], dtype=np.float64)
-            cos = np.einsum("ij,ij->i", Qm, M)
+            ids = pdf["vec_id"].to_numpy()
+            cells = np.argmax(M @ C.T, axis=1)
+            out_q, out_n, out_c = [], [], []
+            for cell, qis in cell_to_queries.items():
+                in_cell = np.nonzero(cells == cell)[0]
+                if len(in_cell) == 0:
+                    continue
+                sub = M[in_cell]
+                for qi in qis:
+                    cos = np.einsum("j,ij->i", Q[qi], sub)
+                    keep = ids[in_cell] != q_ids[qi]
+                    out_q.append(np.full(keep.sum(), q_ids[qi]))
+                    out_n.append(ids[in_cell][keep])
+                    out_c.append(np.round(cos[keep], 6))
+            if not out_q:
+                continue
             yield pd.DataFrame(
                 {
-                    "query_id": pdf["query_id"],
-                    "neighbor_id": pdf["vec_id"],
-                    "cos_sim": np.round(cos, 6),
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos_sim": np.concatenate(out_c),
                 }
             )
 
-    scored = cand.mapInPandas(score, "query_id long, neighbor_id long, cos_sim double")
+    scored = e.mapInPandas(
+        assign_and_score, "query_id long, neighbor_id long, cos_sim double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= TOP_K)
 
