@@ -95,6 +95,8 @@ def main() -> None:
     spark.range(32).mapInPandas(_noop_batches, "id long").write.format("noop").mode(
         "overwrite"
     ).save()
+    # streaming engine warmup at the smallest SF (state-store + sink init)
+    operators.QUERIES["q_stream_tumbling"](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
