@@ -164,22 +164,29 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     )
     SELECT doc_id,
-           round(CAST(n_punct AS DOUBLE) / n, 6)          AS punct_ratio,
-           round(CAST(n_stop AS DOUBLE) / n_words, 6)     AS stopword_ratio,
-           round(least(1.0, n / 500.0), 6)                AS length_score,
-           round(0.4 * least(1.0, n / 500.0)
+           CAST(n_punct AS DOUBLE) / n                    AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / n_words               AS stopword_ratio,
+           least(1.0, n / 500.0)                          AS length_score,
+           0.4 * least(1.0, n / 500.0)
                + 0.4 * (CAST(n_stop AS DOUBLE) / n_words)
-               + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / n), 4) AS quality,
-           CASE WHEN round(0.4 * least(1.0, n / 500.0)
+               + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / n) AS quality,
+           CASE WHEN 0.4 * least(1.0, n / 500.0)
                     + 0.4 * (CAST(n_stop AS DOUBLE) / n_words)
-                    + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / n), 4) >= 0.5
+                    + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / n) >= 0.5
                 THEN 'keep' ELSE 'drop' END AS verdict
     FROM m
     """,
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite document-quality score: length, stopword ratio, and
-    punctuation ratio — the standard pretraining-corpus filter features."""
+    punctuation ratio — the standard pretraining-corpus filter features.
+
+    Deliberately UNROUNDED: both engines evaluate the identical
+    left-associative double expression, so the raw values are
+    bit-identical — whereas rounding can land on a representable tie
+    (0.52165 at 4dp did, at sf0.1) where HALF_UP and half-even engines
+    disagree.  No rounding = no tie to disagree on.
+    """
     docs = _docs(spark, sf_dir)
     n = F.length("text")
     n_words = F.size(F.split("text", " "))
@@ -188,12 +195,12 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     punct_ratio = n_punct.cast("double") / n
     stop_ratio = n_stop.cast("double") / n_words
     length_score = F.least(F.lit(1.0), n / 500.0)
-    quality = F.round(0.4 * length_score + 0.4 * stop_ratio + 0.2 * (1.0 - punct_ratio), 4)
+    quality = 0.4 * length_score + 0.4 * stop_ratio + 0.2 * (1.0 - punct_ratio)
     return docs.select(
         "doc_id",
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(length_score, 6).alias("length_score"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        length_score.alias("length_score"),
         quality.alias("quality"),
         F.when(quality >= 0.5, "keep").otherwise("drop").alias("verdict"),
     )
