@@ -325,10 +325,18 @@ class MoRTable:
         )
 
     def _upto(self, snapshot_id: int | None) -> list[dict]:
+        """Snapshots visible as of ``snapshot_id``, starting at the most
+        recent *baseline* (compaction/replace) snapshot: a replace commit
+        supersedes every earlier file, so older snapshots contribute
+        nothing to the live state — but they stay in metadata, which is
+        what keeps time travel to pre-compaction snapshots working."""
         snaps = self._meta["snapshots"]
-        if snapshot_id is None:
-            return snaps
-        return [s for s in snaps if s["id"] <= snapshot_id]
+        if snapshot_id is not None:
+            snaps = [s for s in snaps if s["id"] <= snapshot_id]
+        for i in range(len(snaps) - 1, -1, -1):
+            if snaps[i].get("baseline"):
+                return snaps[i:]
+        return snaps
 
     def _files_of_kind(self, kind: str, snapshot_id: int | None) -> list[dict]:
         out = []
@@ -337,6 +345,28 @@ class MoRTable:
                 if f["kind"] == kind:
                     out.append({**f, "sequence_number": snap["sequence_number"]})
         return out
+
+    # -- maintenance --------------------------------------------------------
+
+    def compact(self) -> dict:
+        """Rewrite the current merge-on-read state as clean data files
+        (Iceberg ``rewrite_data_files`` + delete-file cleanup in one):
+        materialize the resolved scan — deletes applied — and commit it
+        as a *baseline* snapshot that supersedes all earlier files.
+
+        Reads after compaction touch only the rewritten files (no
+        anti-joins); reads AS OF an earlier snapshot still see the old
+        file graph, so history survives.  Executors write the rewritten
+        files with Spark's natural partitioned layout (the byte-sized,
+        parallel path — exact per-file row counts only matter for the
+        generation phase, not maintenance)."""
+        current = self.scan()
+        paths = self._write_files(current, self.path / "data", "compacted", False)
+        files = [
+            {"path": p, "kind": "data", "record_count": _footer_row_count(p)}
+            for p in paths
+        ]
+        return self._commit("replace", files, baseline=True)
 
     # -- merge-on-read scan -------------------------------------------------
 
@@ -416,7 +446,7 @@ class MoRTable:
         """Measured + derived row counts (main.rs:334-345 derives only; we
         measure too, and clamp at zero instead of going negative — H4)."""
         by_kind = {"data": 0, "pos-delete": 0, "eq-delete": 0}
-        for snap in self._meta["snapshots"]:
+        for snap in self._upto(None):  # baseline-aware: post-compaction counts
             for f in snap["files"]:
                 by_kind[f["kind"]] += f["record_count"]
         derived = max(0, by_kind["data"] - by_kind["pos-delete"] - by_kind["eq-delete"])

@@ -204,3 +204,39 @@ def test_schema_evolution_add_column(spark, tmp_path):
     )
     surviving = {r.bar for r in t2.scan().collect()}
     assert 3 not in surviving and 12 not in surviving and len(surviving) == 13
+
+
+def test_compaction_preserves_state_and_history(spark, tmp_path):
+    """compact() rewrites the MoR state as clean files: same rows after,
+    no delete anti-joins in the new scan, and time travel to
+    pre-compaction snapshots still resolves the old file graph."""
+    from iceberg_data_gen_spark.datagen.app import IcebergDataGeneratorApp
+    from iceberg_data_gen_spark.datagen.config import CatalogConfig, Config, FileConfig
+
+    cfg = Config(
+        catalog=CatalogConfig(warehouse=str(tmp_path / "wh")),
+        data_files=FileConfig(rows_per_file=100, file_count=5),
+        pos_delete_files=FileConfig(rows_per_file=100, file_count=2),
+        equality_delete_files=FileConfig(rows_per_file=100, file_count=2),
+    )
+    app = IcebergDataGeneratorApp(spark, cfg)
+    app.prepare()
+    t = app.catalog.load_table("name1", "test_table")
+
+    before = sorted(r.bar for r in t.scan().collect())
+    assert before == list(range(400, 500))
+
+    t.compact()
+    after = sorted(r.bar for r in t.scan().collect())
+    assert after == before
+
+    # live state now comes from rewritten data files only
+    live = t.files()
+    kinds = {r.kind for r in live.collect()}
+    assert kinds == {"data"}
+    assert t.summary()["measured_total"] == t.summary()["derived_total"] == 100
+
+    # history intact: AS OF the append snapshot, all 500 rows exist
+    assert t.scan(snapshot_id=1).count() == 500
+    # AS OF the position-delete snapshot, 500 - 2x100 = 300 remain
+    assert t.scan(snapshot_id=2).count() == 300
