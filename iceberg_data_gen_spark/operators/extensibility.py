@@ -297,3 +297,41 @@ def q_mor_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     in `.files` (kind + sequence_number) fully supports."""
     t = _reference_table(spark)
     return t.scan(snapshot_id=1).exceptAll(t.scan())
+
+
+@register(
+    "q_mor_compacted",
+    oracle="""
+    SELECT CAST(range AS VARCHAR) AS foo, CAST(range AS INT) AS bar, true AS baz
+    FROM range(4000, 5000)
+    """,
+)
+def q_mor_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction through the correctness gate: build the reference table
+    in a fresh warehouse (not the shared cache — compaction mutates live
+    state), rewrite it with compact(), and scan.  The result must equal
+    the pre-compaction merge-on-read scan (rows 4000..4999) while the
+    post-compaction plan is a plain parquet read — no delete anti-joins
+    left."""
+    import tempfile
+
+    from iceberg_data_gen_spark.datagen.app import IcebergDataGeneratorApp
+    from iceberg_data_gen_spark.datagen.config import (
+        CatalogConfig,
+        Config,
+        FileConfig,
+    )
+
+    wh = tempfile.mkdtemp(prefix="mor-compact-")
+    cfg = Config(
+        catalog=CatalogConfig(warehouse=wh),
+        data_files=FileConfig(rows_per_file=1000, file_count=5),
+        pos_delete_files=FileConfig(rows_per_file=1000, file_count=2),
+        equality_delete_files=FileConfig(rows_per_file=1000, file_count=2),
+    )
+    IcebergDataGeneratorApp(spark, cfg).prepare()
+    from iceberg_data_gen_spark.table.catalog import LocalCatalog
+
+    t = LocalCatalog(spark, wh).load_table("name1", "test_table")
+    t.compact()
+    return t.scan()

@@ -342,3 +342,28 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_ts").alias("click_ts"),
         F.col("view_ts").alias("view_ts"),
     )
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicatesWithinWatermark on
+    (event_type, user_id) keeps one event per key while the watermark
+    bounds the dedup state (keys older than the watermark are evicted —
+    at 100 TB/day this is what makes exactly-once-per-key aggregation
+    possible without unbounded state).  The output aggregate (distinct
+    users per type) is independent of WHICH duplicate survived, so the
+    result is deterministic and batch-oracle-checkable."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_type", "user_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    out = run_to_completion(agg)
+    return out.select("event_type", "n_users")
