@@ -58,8 +58,11 @@ def bench_datagen(spark) -> float:
         FileConfig,
     )
 
+    import shutil
+
+    wh = tempfile.mkdtemp(prefix="bench-datagen-")
     cfg = Config(
-        catalog=CatalogConfig(warehouse=tempfile.mkdtemp(prefix="bench-datagen-")),
+        catalog=CatalogConfig(warehouse=wh),
         data_files=FileConfig(rows_per_file=500_000, file_count=4),
         pos_delete_files=FileConfig(rows_per_file=100_000, file_count=2),
         equality_delete_files=FileConfig(rows_per_file=100_000, file_count=2),
@@ -68,6 +71,7 @@ def bench_datagen(spark) -> float:
     summary = IcebergDataGeneratorApp(spark, cfg).prepare()
     elapsed = round(time.perf_counter() - t0, 3)
     assert summary["measured_total"] == summary["derived_total"] == 1_600_000, summary
+    shutil.rmtree(wh, ignore_errors=True)
     return elapsed
 
 
