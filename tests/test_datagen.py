@@ -240,3 +240,37 @@ def test_compaction_preserves_state_and_history(spark, tmp_path):
     assert t.scan(snapshot_id=1).count() == 500
     # AS OF the position-delete snapshot, 500 - 2x100 = 300 remain
     assert t.scan(snapshot_id=2).count() == 300
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    d_files=st.integers(0, 4),
+    d_rows=st.integers(1, 60),
+    p_files=st.integers(0, 3),
+    p_rows=st.integers(1, 50),
+    e_files=st.integers(0, 3),
+    e_rows=st.integers(1, 50),
+)
+def test_datagen_invariants_hold_for_any_config(
+    spark, tmp_path_factory, d_files, d_rows, p_files, p_rows, e_files, e_rows
+):
+    """Property: for ANY config tuple — including zero-file phases and
+    delete budgets exceeding the data — the surviving rows are exactly
+    the suffix bar ∈ [min(P+E, N), N) and the summary is consistent."""
+    tmp = tmp_path_factory.mktemp("prop")
+    d, p, e = (d_files, d_rows), (p_files, p_rows), (e_files, e_rows)
+    app, table, summary = run_prepare(spark, tmp, d, p, e)
+    total = d_files * d_rows
+    deleted = min(p_files * p_rows + e_files * e_rows, total)
+    assert summary["measured_total"] == total - deleted
+    assert summary["derived_total"] == summary["measured_total"]
+    if total - deleted:
+        check_invariants(spark, table, d, p, e)
