@@ -852,3 +852,29 @@ def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("spend_last7d"),
     )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 30000.0) AS INT) AS bucket,
+           count(*) AS n,
+           CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values (30k buckets): one hash
+    aggregation where the bucket id is pure arithmetic — the constant-
+    memory distribution profile that drives salting/partitioning
+    decisions at scale (min/max per bucket confirm the bucket edges)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 30000.0).cast("int")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(dec).cast("double").alias("lo"),
+        F.max(dec).cast("double").alias("hi"),
+    )
