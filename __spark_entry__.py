@@ -31,9 +31,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return operators.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+def _driver_verified() -> set[str]:
+    """Names with a green (or rows-only) row in any prior CORRECTNESS_r*.json.
+
+    The driver checks only the first ~50 ``queries()`` entries per round, so
+    we surface not-yet-verified queries first and re-surface any past
+    failures; already-proven queries go last.  Cumulative coverage converges
+    to the full registry over rounds.
+    """
+    import json
+
+    verified: set[str] = set()
+    for path in sorted(Path(_REPO).glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True or row.get("err") == "no_oracle":
+                verified.add(name)
+    return verified
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(operators.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so the driver's capped correctness pass hits unverified queries
+    first: (1) unverified with a SQL oracle, (2) unverified rows-only,
+    (3) previously driver-verified.  Registration order within each group.
+    """
+    verified = _driver_verified()
+    names = list(operators.QUERIES)
+    ordered = (
+        [n for n in names if n not in verified and n in operators.ORACLES]
+        + [n for n in names if n not in verified and n not in operators.ORACLES]
+        + [n for n in names if n in verified]
+    )
+    return {n: operators.QUERIES[n] for n in ordered}
 
 
 def oracle_sql() -> dict[str, str]:
