@@ -70,7 +70,9 @@ def bench_datagen(spark) -> float:
     t0 = time.perf_counter()
     summary = IcebergDataGeneratorApp(spark, cfg).prepare()
     elapsed = round(time.perf_counter() - t0, 3)
-    assert summary["measured_total"] == summary["derived_total"] == 1_600_000, summary
+    # derived-only: the measured count is a full MoR scan (two anti-joins)
+    # that a summary must not cost at scale; tests assert measured==derived
+    assert summary["derived_total"] == 1_600_000, summary
     shutil.rmtree(wh, ignore_errors=True)
     return elapsed
 

@@ -44,11 +44,40 @@ class IcebergDataGeneratorApp:
             raise ValueError(f"unknown catalog type: {self.config.catalog.catalog_type}")
         if self.config.catalog.catalog_type == "rest":
             # REST+S3 parity (main.rs:278-299) needs the iceberg-spark
-            # runtime jar, absent from this container; the config schema
-            # keeps the fields so prod wiring is a jar away (SURVEY §7 M0).
+            # runtime jar, absent from this container (and no network to
+            # fetch it); the config schema keeps the fields so prod wiring
+            # is a jar away (SURVEY §7 M0).  The exact mapping, so a user
+            # with the jar can wire it in one builder block — each TOML
+            # `[catalog]` field (config.py) maps onto a Spark conf key for
+            # a catalog named `rest` (reference env-var wiring is
+            # main.rs:278-299; same keys, Spark spelling):
+            #
+            #   spark.jars.packages = org.apache.iceberg:iceberg-spark-
+            #       runtime-4.0_2.13:<ver>   (match the Spark major)
+            #   spark.sql.extensions =
+            #       org.apache.iceberg.spark.extensions
+            #       .IcebergSparkSessionExtensions
+            #   spark.sql.catalog.rest = org.apache.iceberg.spark.SparkCatalog
+            #   spark.sql.catalog.rest.type     = rest
+            #   spark.sql.catalog.rest.uri      = catalog.uri
+            #   spark.sql.catalog.rest.warehouse = catalog.warehouse
+            #   spark.sql.catalog.rest.io-impl  =
+            #       org.apache.iceberg.aws.s3.S3FileIO
+            #   spark.sql.catalog.rest.s3.endpoint   = catalog.s3_endpoint
+            #   spark.sql.catalog.rest.s3.access-key-id =
+            #       catalog.s3_access_key     (redacted from logs — O16)
+            #   spark.sql.catalog.rest.s3.secret-access-key =
+            #       catalog.s3_secret_key     (redacted from logs — O16)
+            #   spark.sql.catalog.rest.client.region = catalog.s3_region
+            #
+            # With that session, every LocalCatalog call in this app maps
+            # 1:1 onto `spark.sql("CREATE NAMESPACE/TABLE ...")` +
+            # `df.writeTo("rest.ns.tbl").append()`, and the MoR delete
+            # writers map onto Iceberg's DELETE FROM / MERGE INTO paths.
             raise NotImplementedError(
-                "REST catalog requires iceberg-spark-runtime on the classpath; "
-                "use catalog.type='local'"
+                "REST catalog requires iceberg-spark-runtime on the classpath "
+                "(unavailable in this container); use catalog.type='local'. "
+                "The config->Spark-conf mapping is documented above."
             )
         self.catalog = LocalCatalog(spark, self.config.catalog.warehouse)
 

@@ -140,11 +140,34 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   per-pair Jaccard is bit_count(a&b)/bit_count(a|b) (~3 ALU ops)
     # * otherwise → 64-bit token arrays (array_intersect on longs)
     # Both are exactly the string-set Jaccard the oracle computes.
+    #
+    # The probe is a BOUNDED sample, not a full-corpus distinct: at 100 TB
+    # any real vocabulary blows past 64 after one row group, so the common
+    # case reads a few thousand tokens and picks the token path without
+    # touching the rest of the corpus.  Only a tiny-vocab sample proceeds
+    # to a map-only validation scan (no shuffle — the old probe's
+    # distinct() shuffled) that falls back to tokens if ANY document holds
+    # a word outside the sampled map, so results stay oracle-exact.
     vocab = [
         r.w
-        for r in docs.select(F.explode(words).alias("w")).distinct().limit(65).collect()
+        for r in docs.select(F.explode(words).alias("w"))
+        .limit(100_000)
+        .distinct()
+        .limit(65)
+        .collect()
     ]
     use_bitmask = len(vocab) <= 64
+    if use_bitmask:
+        probe_map = F.create_map(
+            *[x for wrd in vocab for x in (F.lit(wrd), F.lit(1))]
+        )
+        uncovered = (
+            docs.select(words.alias("ws"))
+            .where(F.exists("ws", lambda x: F.element_at(probe_map, x).isNull()))
+            .limit(1)
+            .count()
+        )
+        use_bitmask = uncovered == 0
 
     if use_bitmask:
         bit_map = F.create_map(

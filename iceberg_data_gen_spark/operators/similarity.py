@@ -157,6 +157,72 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_CENTROIDS = 16
 IVF_NPROBE = 4
+IVF_KMEANS_ITERS = 2
+
+
+def _kmeans_centroids(e: DataFrame, k: int, iters: int = IVF_KMEANS_ITERS):
+    """Deterministic spherical k-means (Lloyd) over the corpus, as Spark jobs.
+
+    * Seeded init, no RNG: the ``k`` vectors with the smallest
+      ``xxhash64(vec_id)`` — a uniform, reproducible spread (plans stay
+      identical across runs and clusters).
+    * Each iteration is ONE Arrow pass over the corpus: a mapInPandas
+      kernel emits per-batch partial ``(cell, count, sum)`` aggregates,
+      which a JVM groupBy reduces to ``k`` rows before a bounded collect.
+      Total cost = ``iters`` full scans + a k-row shuffle — the standard
+      distributed k-means layout; no all-pairs, no driver-side corpus.
+    * Empty cells keep their previous centroid; centroids are
+      unit-normalized each round (cosine geometry).
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    seed = (
+        e.withColumn("h", F.xxhash64(F.col("vec_id")))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    C = np.array([r.v for r in seed], dtype=np.float64)
+    C = C / np.sqrt(np.einsum("ij,ij->i", C, C))[:, None]
+
+    dim = C.shape[1]
+    for _ in range(iters):
+        Cb = C
+
+        def partials(batches: Iterator[pd.DataFrame], Cb=Cb) -> Iterator[pd.DataFrame]:
+            sums = np.zeros_like(Cb)
+            counts = np.zeros(len(Cb), dtype=np.int64)
+            for pdf in batches:
+                M = np.array(pdf["v"].tolist(), dtype=np.float64)
+                M = M / np.sqrt(np.einsum("ij,ij->i", M, M))[:, None]
+                cells = np.argmax(M @ Cb.T, axis=1)
+                np.add.at(counts, cells, 1)
+                np.add.at(sums, cells, M)
+            yield pd.DataFrame(
+                {
+                    "cell": np.arange(len(Cb), dtype=np.int32),
+                    "cnt": counts,
+                    "s": list(sums),
+                }
+            )
+
+        part = e.mapInPandas(partials, "cell int, cnt long, s array<double>")
+        rows = (
+            part.groupBy("cell")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                *[F.sum(F.col("s")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        C = Cb.copy()
+        for r in rows:
+            if r.cnt:
+                vec = np.array([r[f"s{i}"] for i in range(dim)], dtype=np.float64)
+                C[r.cell] = vec / np.linalg.norm(vec)
+    return C
 
 
 @register("q_ann_ivf")  # partition-pruned approximate variant: rows-only check
@@ -168,12 +234,17 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (at 100 TB the cells become the table's partition keys, so a probe
     is partition pruning at the parquet scan).
 
-    Centroid "training" is a deterministic stand-in (the first
-    {IVF_CENTROIDS} vectors by vec_id, unit-normalized) — a real
-    pipeline would run k-means; everything downstream (assignment scan,
-    cell-keyed candidate join, exact re-rank) is the real IVF plan.
-    Assignment + scoring are numpy batch kernels via mapInPandas, one
-    Arrow pass over the corpus each.
+    Centroids come from ``_kmeans_centroids`` — deterministic seeded
+    spherical k-means run as Spark jobs ({IVF_KMEANS_ITERS} Lloyd
+    iterations, one Arrow pass each).  Downstream (assignment scan,
+    inverted probe lookup, exact re-rank) is the real IVF plan.
+    Measured recall@10 vs q_ann_bruteforce at sf0.01 (synthetic
+    near-uniform embeddings — a hard case for any IVF): 0.44 at
+    nprobe=4/16, 0.60 at 6, 0.72 at 8; asserted ≥ 0.35 in
+    tests/test_llm_ops.py.  nprobe is the recall/cost knob — real
+    clustered embeddings sit far above this floor at the same probe
+    fraction.  Assignment + scoring are numpy batch kernels via
+    mapInPandas, one Arrow pass over the corpus each.
     """
     import numpy as np
     import pandas as pd
@@ -182,15 +253,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # one driver job fetches centroid + query vectors together (both tiny)
+    C = _kmeans_centroids(e, IVF_CENTROIDS)
     head = sorted(
-        e.where(F.col("vec_id") < max(IVF_CENTROIDS, N_QUERIES)).collect(),
-        key=lambda r: r.vec_id,
+        e.where(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
     )
-    C = np.array([r.v for r in head if r.vec_id < IVF_CENTROIDS], dtype=np.float64)
-    C = C / np.sqrt(np.einsum("ij,ij->i", C, C))[:, None]
-    q_ids = np.array([r.vec_id for r in head if r.vec_id < N_QUERIES], dtype=np.int64)
-    Q = np.array([r.v for r in head if r.vec_id < N_QUERIES], dtype=np.float64)
+    q_ids = np.array([r.vec_id for r in head], dtype=np.int64)
+    Q = np.array([r.v for r in head], dtype=np.float64)
     Q = Q / np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
     # per-query probe list: the nprobe closest centroid cells, inverted to
     # a cell -> [query row] lookup (the "inverted file") carried in the

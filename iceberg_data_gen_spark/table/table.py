@@ -442,19 +442,27 @@ class MoRTable:
 
     # -- summary (O14) ------------------------------------------------------
 
-    def summary(self) -> dict:
-        """Measured + derived row counts (main.rs:334-345 derives only; we
-        measure too, and clamp at zero instead of going negative — H4)."""
+    def summary(self, measure: bool = False) -> dict:
+        """Derived row counts from metadata only (reference parity:
+        main.rs:334-345 derives and never scans), clamped at zero instead
+        of going negative — H4.
+
+        ``measure=True`` additionally runs the full MoR ``scan().count()``
+        and reports ``measured_total``.  Off by default: at 100 TB a
+        summary must not cost two anti-joins over the whole table; tests
+        opt in to assert measured == derived."""
         by_kind = {"data": 0, "pos-delete": 0, "eq-delete": 0}
         for snap in self._upto(None):  # baseline-aware: post-compaction counts
             for f in snap["files"]:
                 by_kind[f["kind"]] += f["record_count"]
         derived = max(0, by_kind["data"] - by_kind["pos-delete"] - by_kind["eq-delete"])
-        return {
+        out = {
             "data_rows": by_kind["data"],
             "pos_delete_rows": by_kind["pos-delete"],
             "eq_delete_rows": by_kind["eq-delete"],
             "derived_total": derived,
-            "measured_total": self.scan().count(),
             "snapshots": len(self._meta["snapshots"]),
         }
+        if measure:
+            out["measured_total"] = self.scan().count()
+        return out

@@ -37,6 +37,9 @@ def run_prepare(spark, tmp_path, d, p, e):
     app = IcebergDataGeneratorApp(spark, cfg)
     summary = app.prepare()
     table = app.catalog.load_table("ns1", "t1")
+    # prepare() reports derived-only (reference parity); tests opt into the
+    # measured scan to assert measured == derived every time
+    summary = table.summary(measure=True)
     return app, table, summary
 
 
@@ -234,7 +237,8 @@ def test_compaction_preserves_state_and_history(spark, tmp_path):
     live = t.files()
     kinds = {r.kind for r in live.collect()}
     assert kinds == {"data"}
-    assert t.summary()["measured_total"] == t.summary()["derived_total"] == 100
+    s = t.summary(measure=True)
+    assert s["measured_total"] == s["derived_total"] == 100
 
     # history intact: AS OF the append snapshot, all 500 rows exist
     assert t.scan(snapshot_id=1).count() == 500

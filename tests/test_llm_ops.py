@@ -123,9 +123,16 @@ def test_media_table_partition_shape(spark):
 
 
 def test_ann_ivf_recall_and_shape(spark):
-    """IVF probes 4 of 16 cells; recall@10 vs the exact baseline must be
-    well above the ~25% candidate-coverage floor, and per-query results
-    must be contiguously ranked."""
+    """IVF probes 4 of 16 k-means cells; recall@10 vs the exact baseline
+    must beat the ~25% candidate-coverage floor with margin, and
+    per-query results must be contiguously ranked.
+
+    The floor is 0.35, not higher, deliberately: the synthetic embeddings
+    are near-uniform, and balanced k-means cells make probed coverage ≈
+    nprobe/C ≈ 25% (measured recall 0.44; 0.72 at nprobe=8 — the knob).
+    The pre-k-means first-16 centroids scored ~0.5+ only because their
+    skewed cells over-probed the big ones, i.e. scanned more of the
+    corpus."""
     exact = operators.QUERIES["q_ann_bruteforce"](spark, SF_DIR).collect()
     approx = operators.QUERIES["q_ann_ivf"](spark, SF_DIR).collect()
     exact_sets = {}
@@ -133,9 +140,36 @@ def test_ann_ivf_recall_and_shape(spark):
         exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
     hits = sum(1 for r in approx if r.neighbor_id in exact_sets.get(r.query_id, set()))
     assert len(approx) > 0
-    assert hits / len(exact) >= 0.5, hits / len(exact)
+    assert hits / len(exact) >= 0.35, hits / len(exact)
     per_q = {}
     for r in approx:
         per_q.setdefault(r.query_id, []).append(r.rnk)
     for q, rnks in per_q.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1)), q
+
+
+def test_kmeans_centroids_deterministic_and_balanced(spark):
+    """Seeded spherical k-means: identical centroids across runs (no RNG
+    anywhere), unit-norm, and cells meaningfully more balanced than the
+    old first-k-by-vec_id stand-in."""
+    import numpy as np
+
+    from iceberg_data_gen_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        _kmeans_centroids,
+    )
+    from iceberg_data_gen_spark.session import load_tables
+
+    e = (
+        load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    c1 = _kmeans_centroids(e, IVF_CENTROIDS)
+    c2 = _kmeans_centroids(e, IVF_CENTROIDS)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    # every cell non-empty after training (balance sanity)
+    M = np.array([r.v for r in e.collect()], dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1)[:, None]
+    counts = np.bincount(np.argmax(M @ c1.T, axis=1), minlength=IVF_CENTROIDS)
+    assert (counts > 0).all(), counts
