@@ -36,6 +36,7 @@ def register(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every operator module so registration side-effects run."""
     from iceberg_data_gen_spark.operators import (  # noqa: F401
+        analytics,
         asof,
         dedup,
         extensibility,

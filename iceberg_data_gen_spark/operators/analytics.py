@@ -1,0 +1,304 @@
+"""Event-stream analytics over the ``events`` table: sessionization,
+funnel conversion, cohort retention, time-series gap fill, and
+distribution window functions.
+
+These are the batch shapes a product/training-data pipeline runs at
+100 TB (the reference's datagen feeds exactly this kind of downstream —
+its surface stops at table writes, so these extend SURVEY.md §2's
+query layer the same way the dedup/text/similarity families do).
+
+Scale design
+------------
+* Sessionization is ONE shuffle (hash by ``user_id``); the session
+  boundary flag, session index, and per-session aggregates all reuse the
+  same partitioning, so Spark plans a single Exchange followed by
+  sort-based windows and a partial-agg groupBy.
+* Funnel and retention are conditional aggregations over one
+  per-user shuffle each — no self-joins, no explosion (the classic
+  mistake is N self-joins for N funnel stages).
+* Gap fill generates the dense (entity × day) frame with ``sequence`` +
+  ``explode`` on a one-row bounds aggregate — the dense frame is tiny
+  relative to the fact table and the join against observed counts is
+  broadcastable from the dense side.
+* The distribution windows (ntile / percent_rank / cume_dist) ride one
+  sort per partition key with tie-broken ordering so results are
+  deterministic across any cluster layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from iceberg_data_gen_spark.operators import register
+from iceberg_data_gen_spark.session import load_tables
+
+SESSION_GAP_SEC = 1800  # 30 min inactivity closes a session
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("events",))["events"]
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > {SESSION_GAP_SEC} * 1000000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, session_idx,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_idx
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): boundary flag via
+    ``lag``, session index via a running sum, then per-session rollup.
+
+    One hash shuffle on ``user_id`` feeds the lag window, the running-sum
+    window, AND the final groupBy (Spark reuses the partitioning; the
+    plan has a single Exchange).  This is the batch twin of the
+    streaming session window in streaming/events.py.
+    """
+    e = _events(spark, sf_dir)
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(order)
+    new_sess = F.when(
+        prev_us.isNull()
+        | ((F.unix_micros("ts") - prev_us) > SESSION_GAP_SEC * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("new_sess", new_sess)
+        .withColumn("session_idx", F.sum("new_sess").over(running))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    ),
+    stages AS (
+        SELECT user_id,
+               t_view IS NOT NULL AS s1,
+               t_view IS NOT NULL AND t_click > t_view AS s2,
+               t_view IS NOT NULL AND t_click > t_view
+                   AND t_purchase > t_click AS s3
+        FROM per_user
+    ),
+    counts AS (
+        SELECT count(CASE WHEN s1 THEN 1 END) AS c1,
+               count(CASE WHEN s2 THEN 1 END) AS c2,
+               count(CASE WHEN s3 THEN 1 END) AS c3
+        FROM stages
+    )
+    SELECT 1 AS stage_no, 'view' AS stage, c1 AS n_users FROM counts
+    UNION ALL
+    SELECT 2, 'view>click', c2 FROM counts
+    UNION ALL
+    SELECT 3, 'view>click>purchase', c3 FROM counts
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase) counted WITHOUT
+    self-joins: one per-user conditional aggregation computes the first
+    timestamp of each stage, then boolean stage predicates compare them.
+
+    The N-self-join formulation shuffles the fact table N times; this is
+    one shuffle regardless of funnel depth — the only formulation that
+    survives 100 TB.  NULL comparisons (user never clicked) are NULL →
+    false in both engines.
+    """
+    e = _events(spark, sf_dir)
+    first = F.min  # first occurrence = min event time
+
+    def stage_ts(t: str):
+        return first(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        stage_ts("view").alias("t_view"),
+        stage_ts("click").alias("t_click"),
+        stage_ts("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    counts = per_user.agg(
+        F.count(F.when(s1, F.lit(1))).alias("c1"),
+        F.count(F.when(s2, F.lit(1))).alias("c2"),
+        F.count(F.when(s3, F.lit(1))).alias("c3"),
+    )
+    # one-row aggregate unpivoted to (stage_no, stage, n_users) — the
+    # fact table is scanned and shuffled exactly once for all 3 stages
+    return counts.selectExpr(
+        "stack(3, 1, 'view', c1,"
+        "         2, 'view>click', c2,"
+        "         3, 'view>click>purchase', c3)"
+        " AS (stage_no, stage, n_users)"
+    )
+
+
+@register(
+    "q_retention",
+    oracle="""
+    WITH cohort AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+    )
+    SELECT c.cohort_day,
+           date_diff('day', c.cohort_day, a.active_day) AS day_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM cohort c JOIN active a ON c.user_id = a.user_id
+    WHERE date_diff('day', c.cohort_day, a.active_day) BETWEEN 0 AND 7
+    GROUP BY 1, 2
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted on
+    each of the next 7 days they return.
+
+    Both the cohort map and the (user, day) activity set shuffle on
+    ``user_id`` once; the join is co-partitioned so no further exchange,
+    and the output is |cohorts| × 8 rows.  At 100 TB the cohort side is
+    users-not-events sized and AQE broadcast-flips it.
+    """
+    e = _events(spark, sf_dir)
+    day = F.to_date("ts")
+    cohort = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    active = e.select("user_id", day.alias("active_day")).distinct()
+    off = F.datediff("active_day", "cohort_day")
+    return (
+        cohort.join(active, "user_id")
+        .where((off >= 0) & (off <= 7))
+        .groupBy("cohort_day", off.alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "q_gap_fill",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events WHERE value > 195 GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        FROM events
+    ),
+    frame AS (
+        SELECT t.event_type, CAST(g.day AS DATE) AS day
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM bounds
+        ) g
+    )
+    SELECT f.event_type, f.day, coalesce(obs.n, 0) AS n_events
+    FROM frame f
+    LEFT JOIN obs ON obs.event_type = f.event_type AND obs.day = f.day
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: dense (event_type × day) frame over the
+    observed span, zero-filling days where the filtered series
+    (value > 195 — sparse by construction) has no rows.
+
+    The dense frame comes from ``sequence``+``explode`` over a one-row
+    min/max aggregate crossed with the distinct entity set — tiny, built
+    without touching the fact table a second time beyond two cheap
+    aggregates, and the left join broadcasts the frame side.
+    """
+    e = _events(spark, sf_dir)
+    day = F.to_date("ts")
+    obs = (
+        e.where(F.col("value") > 195)
+        .groupBy(F.col("event_type").alias("o_type"), day.alias("o_day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = e.agg(F.min(day).alias("d0"), F.max(day).alias("d1"))
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    frame = e.select("event_type").distinct().crossJoin(days)
+    return (
+        frame.join(
+            obs,
+            (frame["event_type"] == obs["o_type"]) & (frame["day"] == obs["o_day"]),
+            "left",
+        )
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "q_window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           round(o_totalprice, 2) AS price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    per order priority, tie-broken by key so row-position-dependent
+    ntile is deterministic on any partition layout."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round("o_totalprice", 2).alias("price"),
+    )

@@ -310,6 +310,85 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_ngram_jaccard_pairs",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ws
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    s AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        FROM w
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.sh, b.sh)) AS i,
+               len(a.sh) + len(b.sh) AS sz
+        FROM s a JOIN s b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+         AND len(a.sh) * 5 >= len(b.sh) * 4
+         AND len(b.sh) * 5 >= len(a.sh) * 4
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (sz - i), 4) AS jaccard
+    FROM pairs
+    WHERE CAST(i AS DOUBLE) / (sz - i) >= 0.8
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard ≥ 0.8 within language blocks — the
+    exact counterpart of q_minhash_lsh's estimate (same shingle
+    definition as ``shingles()``), and the n-gram flavor of
+    q_jaccard_pairs' word-set dedup.
+
+    Same scale skeleton as q_jaccard_pairs: lang blocking, integer
+    size-band prune (J ≥ 0.8 ⇒ |A|/|B| ∈ [0.8, 1.25]), 2D pair-space
+    bucketing to split skewed language blocks, shingles dictionary-
+    encoded to xxhash64 longs so the per-pair work is an int-array
+    intersect, one array op per pair via |A∪B| = |A|+|B|−|A∩B|.
+    """
+    P = 16
+    docs = _docs(spark, sf_dir)
+    with_words = docs.select("doc_id", "lang", F.split("text", " ").alias("w"))
+    gram = (
+        "transform(sequence(0, size(w) - 3), "
+        "i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))"
+    )
+    tokens = F.transform(
+        F.array_distinct(F.expr(gram)), lambda x: F.xxhash64(x)
+    )
+    w = (
+        with_words.where(F.size("w") >= 3)
+        .select("doc_id", "lang", tokens.alias("s"))
+        .withColumn("sz", F.size("s"))
+        .withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(P)))
+    )
+    a = w.withColumn("partner", F.explode(F.sequence(F.lit(0), F.lit(P - 1)))).alias("a")
+    b = w.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    j = inter.cast("double") / (F.col("a.sz") + F.col("b.sz") - inter)
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.partner") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.sz") * 5 >= F.col("b.sz") * 4)
+            & (F.col("b.sz") * 5 >= F.col("a.sz") * 4),
+        )
+        .where(j >= 0.8)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(j, 4).alias("jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (md5-derived bits → oracle-checkable)
 # ---------------------------------------------------------------------------

@@ -469,3 +469,52 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(20)
     )
+
+
+@register(
+    "q_repetition_score",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    g AS (
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+        FROM w, UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    c AS (
+        SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS top_bigram_frac
+    FROM c
+    GROUP BY doc_id
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal: the fraction of a document's
+    word bigrams taken by its single most frequent bigram (high → boiler-
+    plate / repeated spans; training pipelines drop docs above a cutoff).
+
+    Explode bigrams → per-(doc, gram) count → per-doc max/sum: two hash
+    aggregations that both partition by doc_id, so Spark plans one real
+    shuffle and reuses it; everything stays in WholeStageCodegen.
+    """
+    docs = _docs(spark, sf_dir)
+    with_words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    grams = F.expr(
+        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i + 1]))"
+    )
+    return (
+        with_words.where(F.size("w") >= 2)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.round(F.max("cnt") / F.sum("cnt"), 4).alias("top_bigram_frac"),
+        )
+    )
