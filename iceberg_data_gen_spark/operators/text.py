@@ -498,23 +498,38 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     word bigrams taken by its single most frequent bigram (high → boiler-
     plate / repeated spans; training pipelines drop docs above a cutoff).
 
-    Explode bigrams → per-(doc, gram) count → per-doc max/sum: two hash
-    aggregations that both partition by doc_id, so Spark plans one real
-    shuffle and reuses it; everything stays in WholeStageCodegen.
+    ZERO shuffles: the per-doc bigram histogram max is computed inside the
+    row — sort the bigram array, then the longest run of equal adjacent
+    elements IS the top bigram count (one ``aggregate`` HOF pass,
+    O(n log n) per doc).  The explode → groupBy(doc, gram) → groupBy(doc)
+    formulation shuffles one row per bigram occurrence — at 100 TB that
+    is a corpus-sized exchange for a per-document statistic; this plan is
+    a pure map over the scan, in WholeStageCodegen end-to-end.
     """
     docs = _docs(spark, sf_dir)
     with_words = docs.select("doc_id", F.split("text", " ").alias("w"))
     grams = F.expr(
         "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i + 1]))"
     )
+
+    def merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    top_cnt = F.aggregate(F.array_sort(grams), acc0, merge, lambda a: a["best"])
+    n = F.size(grams)
     return (
         with_words.where(F.size("w") >= 2)
-        .select("doc_id", F.explode(grams).alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_bigrams"),
-            F.round(F.max("cnt") / F.sum("cnt"), 4).alias("top_bigram_frac"),
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_bigrams"),
+            F.round(top_cnt.cast("double") / n, 4).alias("top_bigram_frac"),
         )
     )

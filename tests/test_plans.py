@@ -146,3 +146,37 @@ def test_dpp_injects_dynamic_partition_filter(spark):
     # dynamicpruningexpression in PartitionFilters
     plan = plan_of(q("q_dpp_join", spark))
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_sessionize_single_exchange(spark):
+    # lag window, running-sum window, and per-session groupBy must all
+    # reuse ONE hash exchange on user_id — N exchanges here multiplies
+    # the fact-table shuffle at scale
+    plan = plan_of(q("q_sessionize", spark), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_funnel_has_no_joins(spark):
+    # N-stage funnel must be conditional aggregation, never N self-joins
+    plan = plan_of(q("q_funnel", spark), mode="simple")
+    assert "Join" not in plan, plan
+
+
+def test_gap_fill_broadcasts_dense_frame(spark):
+    # the (entity × day) dense frame is tiny; it must broadcast, the
+    # observed-counts side must not shuffle into a sort-merge join
+    plan = plan_of(q("q_gap_fill", spark), mode="simple")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_repetition_score_is_shuffle_free(spark):
+    # per-document statistic computed inside the row: zero exchanges
+    plan = plan_of(q("q_repetition_score", spark), mode="simple")
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_ngram_jaccard_is_equi_join(spark):
+    # the pair join must stay equi-keyed on (lang, bucket) — a cartesian
+    # or broadcast-nested-loop here is the quadratic blowup
+    plan = plan_of(q("q_ngram_jaccard_pairs", spark), mode="simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
