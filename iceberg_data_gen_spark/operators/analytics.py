@@ -302,3 +302,59 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.round("o_totalprice", 2).alias("price"),
     )
+
+
+@register(
+    "q_source_diversity",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, count(*) AS n
+        FROM documents GROUP BY source, lang
+    ),
+    t AS (
+        SELECT source, sum(n) AS total FROM c GROUP BY source
+    )
+    SELECT c.source,
+           CAST(t.total AS BIGINT) AS n_docs,
+           count(*) AS n_langs,
+           round(1.0 - sum(CAST(c.n AS DOUBLE) * c.n)
+                       / (CAST(t.total AS DOUBLE) * t.total), 6)
+               AS lang_gini
+    FROM c JOIN t ON c.source = t.source
+    GROUP BY c.source, t.total
+    """,
+)
+def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-diversity profile: doc count, distinct
+    languages, and Gini impurity of the language distribution — the
+    mixture-monitoring view a training-data pipeline keeps per corpus
+    source.
+
+    Gini (1 − Σ pᵢ²) instead of Shannon entropy deliberately: it is pure
+    rational arithmetic over counts, so Spark and DuckDB agree bit-for-bit
+    (no libm log whose last ulp differs across engines).  Two hash
+    aggregations partitioned by the same source key + a broadcast-sized
+    totals join.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").alias("total"))
+    return (
+        c.join(t, "source")
+        .groupBy("source", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(
+                F.lit(1.0)
+                - F.sum(F.col("n").cast("double") * F.col("n"))
+                / (F.col("total").cast("double") * F.col("total")),
+                6,
+            ).alias("lang_gini"),
+        )
+        .select(
+            "source",
+            F.col("total").cast("bigint").alias("n_docs"),
+            "n_langs",
+            "lang_gini",
+        )
+    )

@@ -368,9 +368,59 @@ class MoRTable:
         ]
         return self._commit("replace", files, baseline=True)
 
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Iceberg ``expire_snapshots`` + ``remove_orphan_files`` in one:
+        drop history older than the ``keep_last`` most recent snapshots and
+        physically delete every file referenced only by expired snapshots.
+
+        The retained range is extended back to the governing *baseline*
+        (replace) snapshot of the oldest kept snapshot, because resolving
+        any kept snapshot's live state needs the snapshots from its
+        baseline forward — expiring into that range would corrupt reads.
+        Time travel to an expired snapshot id raises afterwards.
+
+        Metadata-only bookkeeping plus driver-side file unlinks of the
+        expired set — no table scan, no Spark job; at scale the unlink
+        loop becomes the storage-API batch delete Iceberg's action runs.
+        """
+        snaps = self._meta["snapshots"]
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        if len(snaps) <= keep_last:
+            return {"expired": 0, "removed_files": 0}
+        start = len(snaps) - keep_last
+        # extend to the governing baseline of the oldest kept snapshot
+        while start > 0 and not snaps[start].get("baseline"):
+            start -= 1
+        kept, expired = snaps[start:], snaps[:start]
+        keep_paths = {_canon_path(f["path"]) for s in kept for f in s["files"]}
+        removed = 0
+        for s in expired:
+            for f in s["files"]:
+                if _canon_path(f["path"]) not in keep_paths:
+                    Path(f["path"]).unlink(missing_ok=True)
+                    removed += 1
+        self._meta["snapshots"] = kept
+        (self.path / "metadata.json").write_text(json.dumps(self._meta, indent=1))
+        return {"expired": len(expired), "removed_files": removed}
+
     # -- merge-on-read scan -------------------------------------------------
 
     def scan(self, snapshot_id: int | None = None) -> DataFrame:
+        """Read the table state as of ``snapshot_id`` (default: current).
+
+        Raises ``ValueError`` for a snapshot id that never existed or was
+        expired — matching Iceberg's behavior instead of silently
+        returning an empty table."""
+        if snapshot_id is not None and snapshot_id not in {
+            s["id"] for s in self._meta["snapshots"]
+        }:
+            raise ValueError(
+                f"snapshot {snapshot_id} does not exist (never created, or expired)"
+            )
+        return self._scan_resolved(snapshot_id)
+
+    def _scan_resolved(self, snapshot_id: int | None = None) -> DataFrame:
         """Read the table state as of ``snapshot_id`` (default: current).
 
         Plan shape: parquet scan of the data files (+hidden ``_metadata``)

@@ -278,3 +278,41 @@ def test_datagen_invariants_hold_for_any_config(
     assert summary["derived_total"] == summary["measured_total"]
     if total - deleted:
         check_invariants(spark, table, d, p, e)
+
+
+def test_expire_snapshots_after_compaction(spark, tmp_path):
+    """Iceberg expire_snapshots semantics: after compaction (baseline
+    snapshot), all pre-baseline history can be expired — metadata shrinks
+    to the baseline, orphaned files are physically removed, time travel
+    to expired ids raises, and the live scan is untouched."""
+    import pytest
+
+    d, p, e = (5, 100), (2, 100), (2, 100)
+    app, t, _ = run_prepare(spark, tmp_path, d, p, e)
+    t.compact()  # snapshot 4, baseline
+    n_files_before = len(list((tmp_path / "wh").rglob("*.parquet")))
+
+    r = t.expire_snapshots(keep_last=1)
+    assert r["expired"] == 3 and r["removed_files"] > 0
+
+    n_files_after = len(list((tmp_path / "wh").rglob("*.parquet")))
+    assert n_files_after == n_files_before - r["removed_files"]
+    assert [s["id"] for s in t.snapshots()] == [4]
+    assert sorted(row.bar for row in t.scan().collect()) == list(range(400, 500))
+    with pytest.raises(ValueError):
+        t.scan(snapshot_id=1)
+    # idempotent: nothing further to expire
+    assert t.expire_snapshots(keep_last=1)["expired"] == 0
+
+
+def test_expire_snapshots_without_baseline_is_noop(spark, tmp_path):
+    """Without a compaction baseline every snapshot participates in
+    resolving the current state (commits are incremental), so expiration
+    must refuse to drop any of them — the guard that keeps reads
+    correct."""
+    d, p, e = (3, 50), (1, 40), (1, 30)
+    app, t, _ = run_prepare(spark, tmp_path, d, p, e)
+    r = t.expire_snapshots(keep_last=1)
+    assert r == {"expired": 0, "removed_files": 0}
+    assert t.scan().count() == 80
+    assert t.scan(snapshot_id=1).count() == 150  # history intact

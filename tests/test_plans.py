@@ -180,3 +180,40 @@ def test_ngram_jaccard_is_equi_join(spark):
     # or broadcast-nested-loop here is the quadratic blowup
     plan = plan_of(q("q_ngram_jaccard_pairs", spark), mode="simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Pre-bucketed, pre-sorted tables co-locate an equi-join: the plan
+    has NO Exchange — the bucketing layout that turns a repeated 100 TB
+    fact-fact join from two full shuffles into a local zip of bucket
+    files.  (Broadcast disabled to force the sort-merge path.)"""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR, ("orders", "customer"))
+    for name, df, key, path in (
+        ("b_orders", t["orders"], "o_custkey", "bo"),
+        ("b_customer", t["customer"], "c_custkey", "bc"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / path))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    joined = spark.table("b_orders").join(
+        spark.table("b_customer"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(joined, mode="simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+    assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
