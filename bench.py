@@ -43,6 +43,17 @@ HEADLINE = [
     "q_stream_tumbling",
 ]
 
+# measured alongside but excluded from the headline total (fixed set above
+# keeps `value` comparable across rounds); one entry per round-2 family
+EXTRA = [
+    "q_sessionize",
+    "q_gap_fill",
+    "q_ngram_jaccard_pairs",
+    "q_repetition_score",
+    "q_pack_sequences",
+    "q_source_diversity",
+]
+
 
 def bench_datagen(spark) -> float:
     """Generation throughput at 2M rows (the reference's own workload,
@@ -112,6 +123,15 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
     timings["datagen_2m_rows_mor"] = bench_datagen(spark)
 
+    # round-2+ operators, timed but reported OUTSIDE the headline total so
+    # `value` stays comparable round-over-round on a fixed query set
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        fn = operators.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        extra[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -120,6 +140,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra,
                 "sf": sf,
             }
         )

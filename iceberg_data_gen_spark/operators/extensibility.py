@@ -335,3 +335,45 @@ def q_mor_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = LocalCatalog(spark, wh).load_table("name1", "test_table")
     t.compact()
     return t.scan()
+
+
+@register(
+    "q_mor_incremental",
+    oracle="""
+    SELECT CAST(range AS VARCHAR) AS foo, CAST(range AS INT) AS bar, true AS baz
+    FROM range(1000, 2000)
+    """,
+)
+def q_mor_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append consumption (Iceberg incremental-read parity):
+    build a table with append(0..999) → equality deletes → append
+    (1000..1999), then read only what the window (snap 2, snap 3]
+    appended — the second append, untouched by the earlier deletes.
+    The plan is a plain parquet scan of the window's files: no
+    anti-joins, no shuffle — this is how a downstream pipeline consumes
+    a 100 TB table in snapshot-sized increments."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=1000, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-incr-"), schema)
+
+    def rows(a: int, b: int) -> DataFrame:
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    t.append(rows(0, 1000), single_file=True)  # snapshot 1
+    t.add_equality_deletes(  # snapshot 2: delete keys 0..99
+        rows(0, 100).select("foo", "bar"), [1, 2]
+    )
+    t.append(rows(1000, 2000), single_file=True)  # snapshot 3
+    return t.incremental_scan(2, 3)

@@ -404,6 +404,40 @@ class MoRTable:
         (self.path / "metadata.json").write_text(json.dumps(self._meta, indent=1))
         return {"expired": len(expired), "removed_files": removed}
 
+    def incremental_scan(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Iceberg incremental APPEND scan: the rows of data files
+        committed by ``append`` snapshots in ``(from, to]`` — the batch
+        CDC-consumption primitive (process a table in snapshot-sized
+        increments without re-reading history).
+
+        Contract matches Iceberg's incremental read: only ``append``
+        commits contribute (a compaction ``replace`` rewrites old rows —
+        it is not new data), and later deletes are NOT applied — the
+        consumer sees what was appended in the window.  Plan: a plain
+        parquet scan of just the window's files; no anti-joins, no
+        shuffle.
+        """
+        ids = {s["id"] for s in self._meta["snapshots"]}
+        if from_snapshot_id != 0 and from_snapshot_id not in ids:
+            raise ValueError(f"snapshot {from_snapshot_id} does not exist")
+        to = to_snapshot_id if to_snapshot_id is not None else self.current_snapshot_id()
+        if to is None or to not in ids:
+            raise ValueError(f"snapshot {to_snapshot_id} does not exist")
+        files = [
+            f
+            for s in self._meta["snapshots"]
+            if from_snapshot_id < s["id"] <= to and s["operation"] == "append"
+            for f in s["files"]
+            if f["kind"] == "data"
+        ]
+        if not files:
+            return self.spark.createDataFrame([], self.schema.to_spark())
+        return self.spark.read.schema(self.schema.to_spark()).parquet(
+            *[f["path"] for f in files]
+        )
+
     # -- merge-on-read scan -------------------------------------------------
 
     def scan(self, snapshot_id: int | None = None) -> DataFrame:

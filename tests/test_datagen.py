@@ -316,3 +316,45 @@ def test_expire_snapshots_without_baseline_is_noop(spark, tmp_path):
     assert r == {"expired": 0, "removed_files": 0}
     assert t.scan().count() == 80
     assert t.scan(snapshot_id=1).count() == 150  # history intact
+
+
+def test_incremental_scan_windows(spark, tmp_path):
+    """Incremental append scan: (from, to] windows return exactly the
+    appended rows; deletes in the window are not applied (Iceberg
+    incremental-read contract); compaction replace commits contribute
+    nothing; invalid snapshot ids raise."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=10, file_count=1)
+    t = MoRTable.create(
+        spark, str(tmp_path / "incr"), FixSchemaGenerator(fc, fc, fc).schema()
+    )
+
+    def rows(a, b):
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    t.append(rows(0, 10), single_file=True)      # snap 1
+    t.add_equality_deletes(rows(0, 5).select("foo", "bar"), [1, 2])  # snap 2
+    t.append(rows(10, 20), single_file=True)     # snap 3
+    t.compact()                                   # snap 4 (replace)
+
+    assert sorted(r.bar for r in t.incremental_scan(0).collect()) == list(range(20))
+    assert sorted(r.bar for r in t.incremental_scan(1, 3).collect()) == list(range(10, 20))
+    # window covering only the delete commit: nothing appended
+    assert t.incremental_scan(1, 2).count() == 0
+    # window covering only the compaction: replace != append
+    assert t.incremental_scan(3, 4).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.incremental_scan(99)
+    with pytest.raises(ValueError):
+        t.incremental_scan(1, 99)
