@@ -345,47 +345,99 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition as ``shingles()``), and the n-gram flavor of
     q_jaccard_pairs' word-set dedup.
 
-    Same scale skeleton as q_jaccard_pairs: lang blocking, integer
-    size-band prune (J ≥ 0.8 ⇒ |A|/|B| ∈ [0.8, 1.25]), 2D pair-space
-    bucketing to split skewed language blocks, shingles dictionary-
-    encoded to xxhash64 longs so the per-pair work is an int-array
-    intersect, one array op per pair via |A∪B| = |A|+|B|−|A∩B|.
+    Candidate generation is PREFIX FILTERING (the PPJoin family), not a
+    blocked all-pairs join: with each doc's shingle hashes sorted under
+    one global order, any pair with J ≥ t must share at least one hash
+    among the first ``|s| − ⌈t·|s|⌉ + 1`` of each side (J ≥ t forces
+    overlap ≥ ⌈t·|s|⌉, and missing the whole prefix caps overlap at
+    ⌈t·|s|⌉ − 1).  So candidates come from an inverted-index equi-join
+    on (lang, prefix-hash) — shuffle volume ≈ (1−t)·Σ|s| — and only
+    candidates pay the exact array_intersect verify.  No quadratic
+    stage anywhere; ⌈t·n⌉ with t = 4/5 is computed as (4n+4) div 5 in
+    integer math so float rounding can never shorten a prefix into a
+    false negative.
     """
-    P = 16
     docs = _docs(spark, sf_dir)
     with_words = docs.select("doc_id", "lang", F.split("text", " ").alias("w"))
     gram = (
         "transform(sequence(0, size(w) - 3), "
         "i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))"
     )
-    tokens = F.transform(
-        F.array_distinct(F.expr(gram)), lambda x: F.xxhash64(x)
+    tokens = F.array_sort(
+        F.transform(F.array_distinct(F.expr(gram)), lambda x: F.xxhash64(x))
     )
+    # Two plan-shape tricks keep the shingling work to ONE pass:
+    # * two repartitions — the first parallelizes shingle computation
+    #   off the raw scan (the source may be one split), the second is
+    #   the exchange ALL FOUR consumers (prefix index a/b, verify a/b)
+    #   sit on; identical subplans collapse to ReusedExchange so the
+    #   arrays are computed once and read back from shuffle files.
+    #   `lang` is carried through the candidate pairs and consumed by
+    #   the verify joins so every branch prunes the exchange to the
+    #   same columns — different pruning would fork the stage.
+    # * non-equi join predicates are wrapped in when(...,True)  — a
+    #   null-INtolerant predicate on sz/s would make Catalyst infer
+    #   isnotnull(size(array_sort(...))) constraints and push the whole
+    #   shingle expression back into the scan-side Filter, recomputing
+    #   it per row below the exchange.  CaseWhen blocks the inference;
+    #   the predicates are never null so semantics are unchanged.
+    par = spark.sparkContext.defaultParallelism
     w = (
         with_words.where(F.size("w") >= 3)
+        .repartition(par)
         .select("doc_id", "lang", tokens.alias("s"))
         .withColumn("sz", F.size("s"))
-        .withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(P)))
+        .repartition(par, "doc_id")
     )
-    a = w.withColumn("partner", F.explode(F.sequence(F.lit(0), F.lit(P - 1)))).alias("a")
-    b = w.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
-    j = inter.cast("double") / (F.col("a.sz") + F.col("b.sz") - inter)
-    return (
-        a.join(
-            b,
+
+    def _safe(cond):  # block isnotnull-constraint inference (see above)
+        return F.when(cond, F.lit(True)).otherwise(F.lit(False))
+
+    # prefix length |s| − ⌈0.8·|s|⌉ + 1, all-integer
+    pref = w.select(
+        "doc_id",
+        "lang",
+        "sz",
+        F.explode(
+            F.expr("slice(s, 1, sz - (4 * sz + 4) DIV 5 + 1)")
+        ).alias("tok"),
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
             (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.partner") == F.col("b.bucket"))
+            & (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.sz") * 5 >= F.col("b.sz") * 4)
-            & (F.col("b.sz") * 5 >= F.col("a.sz") * 4),
+            & _safe(
+                (F.col("a.sz") * 5 >= F.col("b.sz") * 4)
+                & (F.col("b.sz") * 5 >= F.col("a.sz") * 4)
+            ),
         )
-        .where(j >= 0.8)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(j, 4).alias("jaccard"),
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.lang").alias("lang_b"),
         )
+        .distinct()
+    )
+    sa, sb = w.alias("sa"), w.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
+    j = inter.cast("double") / (F.col("sa.sz") + F.col("sb.sz") - inter)
+    return (
+        cand.join(
+            sa,
+            (cand["doc_a"] == F.col("sa.doc_id"))
+            & (cand["lang_a"] == F.col("sa.lang")),
+        )
+        .join(
+            sb,
+            (cand["doc_b"] == F.col("sb.doc_id"))
+            & (cand["lang_b"] == F.col("sb.lang")),
+        )
+        .where(_safe(j >= 0.8))
+        .select("doc_a", "doc_b", F.round(j, 4).alias("jaccard"))
     )
 
 
