@@ -377,3 +377,94 @@ def q_mor_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.append(rows(1000, 2000), single_file=True)  # snapshot 3
     return t.incremental_scan(2, 3)
+
+
+@register(
+    "q_mor_merge",
+    oracle="""
+    SELECT CAST(range AS VARCHAR) AS foo, CAST(range AS INT) AS bar, true AS baz
+    FROM range(0, 500)
+    UNION ALL
+    SELECT CAST(range AS VARCHAR) AS foo, CAST(range AS INT) AS bar, false AS baz
+    FROM range(500, 1500)
+    """,
+)
+def q_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) on the MoR table: append rows 0..999
+    (baz=true), then merge a source of rows 500..1499 (baz=false) keyed
+    on bar — 500..999 are updated in place, 1000..1499 inserted, all in
+    ONE overwrite snapshot that never reads or rewrites existing data
+    files (equality-delete + data files, sequence-number rule keeps the
+    same-commit inserts alive).  Expected state: 0..499 original +
+    500..1499 from the source."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=1000, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-merge-"), schema)
+
+    def rows(a: int, b: int, baz: bool) -> DataFrame:
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(baz).alias("baz"),
+        )
+
+    t.append(rows(0, 1000, True), single_file=True)
+    t.merge(rows(500, 1500, False))  # identifier field = bar
+    return t.scan()
+
+
+@register(
+    "q_mor_schema_evolution",
+    oracle="""
+    SELECT CAST(range AS VARCHAR) AS foo, CAST(range AS INT) AS bar, true AS baz,
+           CAST(NULL AS DOUBLE) AS score
+    FROM range(0, 1000)
+    UNION ALL
+    SELECT CAST(range AS VARCHAR) AS foo, CAST(range AS INT) AS bar, true AS baz,
+           CAST(range AS DOUBLE) / 2 AS score
+    FROM range(1000, 2000)
+    """,
+)
+def q_mor_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution: append 3-column rows 0..999, evolve the
+    schema with add_column(score double), append 4-column rows
+    1000..1999, scan.  No old file is rewritten — the scan projects the
+    CURRENT schema over every data file, so pre-evolution files surface
+    NULL for the new column (Iceberg column-projection-by-id semantics,
+    metadata-only DDL)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=1000, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-evolve-"), schema)
+
+    def rows(a: int, b: int) -> DataFrame:
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    t.append(rows(0, 1000), single_file=True)
+    t.add_column("score", "double")
+    t.append(
+        rows(1000, 2000).withColumn(
+            "score", F.col("bar").cast("double") / F.lit(2)
+        ),
+        single_file=True,
+    )
+    return t.scan()

@@ -298,10 +298,43 @@ class MoRTable:
             assert set(df.columns) == set(cols), (df.columns, cols)
             paths = self._write_files(df.select(*cols), dest, "eq-delete", single_file)
         files = [
-            {"path": p, "kind": "eq-delete", "record_count": _footer_row_count(p)}
+            {"path": p, "kind": "eq-delete", "record_count": _footer_row_count(p), "equality_ids": ids}
             for p in paths
         ]
         return self._commit("delete-equality", files, equality_ids=ids)
+
+    def merge(self, source: DataFrame, on_ids: list[int] | None = None) -> dict:
+        """MERGE INTO (upsert): rows whose key matches a source row are
+        replaced by it; unmatched source rows are inserted — committed as
+        ONE ``overwrite`` snapshot holding an equality-delete file (the
+        source keys) plus the source data files.
+
+        This is the write shape Iceberg lowers ``MERGE ... WHEN MATCHED
+        THEN UPDATE WHEN NOT MATCHED THEN INSERT`` to on a merge-on-read
+        table: no existing data file is read or rewritten (the whole
+        point of MoR at 100 TB), and correctness rests on the sequence-
+        number rule the scan already enforces — an equality delete
+        applies only to data files with a strictly OLDER sequence
+        number, so the data files committed in this same snapshot are
+        untouched by its own delete file.
+        """
+        ids = on_ids or self.schema.identifier_field_ids
+        key_cols = self.schema.names_for_ids(ids)
+        cols = [f.name for f in self.schema.fields]
+        del_paths = self._write_files(
+            source.select(*key_cols).distinct(), self.path / "deletes", "eq-delete", True
+        )
+        data_paths = self._write_files(
+            source.select(*cols), self.path / "data", "data", False
+        )
+        files = [
+            {"path": p, "kind": "eq-delete", "record_count": _footer_row_count(p), "equality_ids": ids}
+            for p in del_paths
+        ] + [
+            {"path": p, "kind": "data", "record_count": _footer_row_count(p)}
+            for p in data_paths
+        ]
+        return self._commit("overwrite", files, equality_ids=ids)
 
     # -- metadata tables (Iceberg .files / .snapshots equivalents) ----------
 
@@ -497,13 +530,14 @@ class MoRTable:
             df = df.join(F.broadcast(file_seq), df["__file"] == file_seq["__file2"], "left").drop(
                 "__file2"
             )
-            # group eq-delete files by their equality-id set (usually one)
+            # group eq-delete files by their equality-id set (usually one);
+            # kind-based so deletes inside mixed commits (merge) count too
             by_ids: dict[tuple[int, ...], list[dict]] = {}
             for snap in self._upto(snapshot_id):
-                if snap["operation"] != "delete-equality":
-                    continue
-                key = tuple(snap["equality_ids"])
                 for f in snap["files"]:
+                    if f["kind"] != "eq-delete":
+                        continue
+                    key = tuple(f.get("equality_ids") or snap["equality_ids"])
                     by_ids.setdefault(key, []).append(
                         {**f, "sequence_number": snap["sequence_number"]}
                     )

@@ -358,3 +358,89 @@ def test_incremental_scan_windows(spark, tmp_path):
         t.incremental_scan(99)
     with pytest.raises(ValueError):
         t.incremental_scan(1, 99)
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    """merge() = one overwrite snapshot; matched keys replaced, unmatched
+    inserted, same-commit inserts not hit by the commit's own delete
+    file; time travel to the pre-merge snapshot still sees old rows."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=10, file_count=1)
+    t = MoRTable.create(
+        spark, str(tmp_path / "m"), FixSchemaGenerator(fc, fc, fc).schema()
+    )
+
+    def rows(a, b, baz=True):
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(baz).alias("baz"),
+        )
+
+    t.append(rows(0, 10), single_file=True)          # snap 1
+    snap = t.merge(rows(5, 15, baz=False))           # snap 2: upsert keys 5..14
+    assert snap["operation"] == "overwrite"
+    assert {f["kind"] for f in snap["files"]} == {"eq-delete", "data"}
+
+    got = {(r.bar, r.baz) for r in t.scan().collect()}
+    assert got == {(i, True) for i in range(5)} | {(i, False) for i in range(5, 15)}
+    # time travel: pre-merge state intact
+    pre = {(r.bar, r.baz) for r in t.scan(snapshot_id=1).collect()}
+    assert pre == {(i, True) for i in range(10)}
+
+    # second merge on a custom key (foo, field id 1)
+    t.merge(rows(0, 3, baz=False), on_ids=[1])
+    got = {(r.bar, r.baz) for r in t.scan().collect()}
+    assert got == {(i, False) for i in range(3)} | {(i, True) for i in range(3, 5)} | {
+        (i, False) for i in range(5, 15)
+    }
+
+    # compaction after merges preserves the resolved state
+    t.compact()
+    assert {(r.bar, r.baz) for r in t.scan().collect()} == got
+
+
+def test_schema_evolution_scan_and_merge(spark, tmp_path):
+    """add_column is metadata-only: old files read as NULL for the new
+    column; writes after evolution carry it; merge works on the evolved
+    schema."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=10, file_count=1)
+    t = MoRTable.create(
+        spark, str(tmp_path / "e"), FixSchemaGenerator(fc, fc, fc).schema()
+    )
+
+    def rows(a, b):
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    t.append(rows(0, 5), single_file=True)
+    t.add_column("score", "double")
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.add_column("score", "double")  # duplicate name rejected
+
+    t.append(rows(5, 10).withColumn("score", F.lit(1.5)), single_file=True)
+    got = {(r.bar, r.score) for r in t.scan().collect()}
+    assert got == {(i, None) for i in range(5)} | {(i, 1.5) for i in range(5, 10)}
+
+    # merge on the evolved schema: source must carry the full schema
+    t.merge(rows(3, 7).withColumn("score", F.lit(9.0)))
+    got = {(r.bar, r.score) for r in t.scan().collect()}
+    assert got == {(i, None) for i in range(3)} | {(i, 9.0) for i in range(3, 7)} | {
+        (i, 1.5) for i in range(7, 10)
+    }
