@@ -594,3 +594,162 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
         )
     )
+
+
+_HEX16 = "0123456789abcdef"
+# first 8 md5 hex digits of the doc_id as a 32-bit uint, digit-by-digit so
+# the formula is portable to engines without a hex-string cast (the same
+# construction the simhash oracle uses)
+_SQL_HASH32 = (
+    "CAST(list_sum(list_transform(range(8), i -> "
+    f"(strpos('{_HEX16}', substr(md5(CAST(doc_id AS VARCHAR)), CAST(i+1 AS INT), 1)) - 1)::BIGINT"
+    " << (4*(7-i)))) AS BIGINT)"
+)
+
+
+@register(
+    "q_temperature_sample",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY source
+    ),
+    m AS (SELECT min(n) AS mn FROM counts),
+    u AS (
+        SELECT doc_id, source,
+               ({_SQL_HASH32}) / 4294967296.0 AS frac
+        FROM documents
+    )
+    SELECT u.doc_id, u.source
+    FROM u JOIN counts USING (source) CROSS JOIN m
+    WHERE frac * frac * CAST(counts.n AS DOUBLE) < CAST(m.mn AS DOUBLE)
+    """,
+)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (T5/multilingual-style, α = 1/2):
+    each source s is downsampled at rate sqrt(min_count / n_s), so the
+    rarest source keeps everything and head sources shrink toward —
+    but not to — parity.  The membership test is DETERMINISTIC: a doc
+    survives iff u² · n_s < min_count where u is an md5-derived 32-bit
+    fraction of its key.  Squaring instead of sqrt keeps the predicate
+    to IEEE multiply/compare, bit-identical across engines, runs, and
+    partition layouts — resampling a 100 TB corpus twice yields the
+    same mixture.
+
+    Plan shape: one tiny groupBy for the per-source counts (broadcast
+    back), then a map-side filter over the corpus — no shuffle of the
+    data itself.
+    """
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    mn = counts.agg(F.min("n").alias("mn"))
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    frac = h32 / F.lit(4294967296.0)
+    return (
+        docs.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(mn))
+        .where(frac * frac * F.col("n").cast("double") < F.col("mn").cast("double"))
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "q_bm25",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dlen FROM words GROUP BY doc_id),
+    stats AS (
+        SELECT count(*) AS n_docs, avg(CAST(dlen AS DOUBLE)) AS avgdl FROM dl
+    ),
+    q AS (
+        SELECT term FROM words GROUP BY term
+        ORDER BY count(*) DESC, term LIMIT 3
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM words
+        WHERE term IN (SELECT term FROM q)
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(
+                   ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * (dlen / avgdl)))
+               ) AS score
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against the corpus' three most
+    frequent terms (a stand-in for a search query), top-20 — the lexical
+    retrieval primitive for data curation (query-targeted corpus
+    mining).
+
+    Uses k1 = 1.2, b = 0.75 and the RATIONAL idf (N − df + ½)/(df + ½)
+    (the classic Robertson idf without the log): every factor is one
+    IEEE multiply/divide, so scores — and therefore the ranking — are
+    bit-identical across engines, which a log-based idf cannot
+    guarantee near ties.
+
+    Plan shape: one explode + two hash aggregations (doc lengths, term
+    frequencies pre-filtered to the broadcast query terms), a broadcast
+    join of tiny df/avgdl sides, one final per-doc sum, and a global
+    top-20 (TakeOrderedAndProject).
+    """
+    docs = _docs(spark, sf_dir)
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dlen").cast("double")).alias("avgdl"),
+    )
+    q = (
+        words.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("qn"))
+        .orderBy(F.desc("qn"), "term")
+        .limit(3)
+        .select("term")
+    )
+    tf = (
+        words.join(F.broadcast(q), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    score_term = (
+        idf
+        * (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dlen") / F.col("avgdl")))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(score_term).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+    )
