@@ -761,3 +761,36 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_edges).cast("long").alias("n_edges"),
         F.count(F.lit(1)).alias("n_triangles"),
     )
+
+
+@register(
+    "q_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE
+    {_CLUSTER_EDGE_SQL},
+    reach AS (
+        SELECT doc_id AS doc, doc_id AS lab FROM documents
+        UNION
+        SELECT e.dst AS doc, r.lab
+        FROM reach r JOIN edges e ON e.src = r.doc
+    ),
+    labs AS (SELECT doc AS doc_id, min(lab) AS cluster_rep FROM reach GROUP BY doc)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN labs l USING (doc_id)
+    WHERE l.cluster_rep = d.doc_id
+    """,
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself: one canonical document (min
+    doc_id) per near-duplicate cluster, everything else dropped — the
+    end-to-end output a training pipeline actually feeds the tokenizer,
+    closing the pair→cluster→keep/drop loop that q_jaccard_pairs and
+    q_dedup_clusters open.
+
+    Survivors are exactly the docs that are their own cluster
+    representative, so this adds ONE broadcast-ready semi-join over the
+    cluster labels — no new shuffle of the corpus."""
+    labels = QUERIES["q_dedup_clusters"](spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    keep = labels.where(F.col("doc_id") == F.col("cluster_rep")).select("doc_id")
+    return docs.join(keep, "doc_id", "left_semi").select("doc_id", "lang", "source")

@@ -367,3 +367,67 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
     out = run_to_completion(agg)
     return out.select("event_type", "n_users")
+
+
+@register(
+    "q_stream_to_mor",
+    oracle="""
+    SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_to_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert into the table format: a watermarked tumbling
+    aggregation in UPDATE mode feeds ``foreachBatch``, and every batch
+    MERGEs its changed windows into a MoR table keyed on
+    (window_start, event_type) — the Structured-Streaming-into-
+    Iceberg/Delta CDC sink pattern.  Late re-aggregations of a window
+    overwrite the previous row via the merge's equality delete instead
+    of appending duplicates, so the table always holds exactly one row
+    per window×type and the final scan is oracle-checkable."""
+    import tempfile
+
+    from iceberg_data_gen_spark.table.table import Field, MoRTable, TableSchema
+
+    schema = TableSchema(
+        fields=[
+            Field(1, "window_start", "timestamp"),
+            Field(2, "event_type", "string"),
+            Field(3, "n_events", "long"),
+            Field(4, "sum_value", "double"),
+        ],
+        identifier_field_ids=[1, 2],
+    )
+    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-stream-"), schema)
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t.merge(batch_df)
+
+    q = agg.writeStream.outputMode("update").foreachBatch(upsert).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return MoRTable(spark, str(t.path)).scan()
