@@ -52,6 +52,10 @@ EXTRA = [
     "q_repetition_score",
     "q_pack_sequences",
     "q_source_diversity",
+    "q_mor_merge",
+    "q_bm25",
+    "q_temperature_sample",
+    "q_dedup_survivors",
 ]
 
 

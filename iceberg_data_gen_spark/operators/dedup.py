@@ -248,8 +248,13 @@ def minhash_signatures(df: DataFrame, perms: int = MINHASH_PERMS, n: int = 3) ->
         f"transform(sequence(0, size(w) - {n}), "
         f"i -> concat_ws(' ', {', '.join(f'w[i + {k}]' for k in range(n))}))"
     )
-    base = with_words.where(F.size("w") >= n).select(
-        "doc_id", F.array_distinct(F.expr(expr)).alias("sh")
+    # repartition the RAW rows first: the source may be one parquet split,
+    # and perms × |shingles| hashes per doc is the pipeline's CPU hot spot
+    # — it must run on every core, not one
+    base = (
+        with_words.where(F.size("w") >= n)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", F.array_distinct(F.expr(expr)).alias("sh"))
     )
     cols = [
         F.array_min(F.transform("sh", lambda x, s=s: F.xxhash64(x, F.lit(s)))).alias(f"h{s}")

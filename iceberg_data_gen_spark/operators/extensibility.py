@@ -468,3 +468,62 @@ def q_mor_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         single_file=True,
     )
     return t.scan()
+
+
+@register(
+    "q_python_datasource",
+    oracle="""
+    SELECT CAST(range AS VARCHAR) AS foo, CAST(range AS INT) AS bar, true AS baz
+    FROM range(0, 8000)
+    """,
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's sequence generator as a custom Spark V2 source
+    (Python DataSource API): ``format("fixseq")`` with 8 input
+    partitions of 1000 rows — generation happens ON EXECUTORS, one task
+    per reference "file", with no driver-side loop or parallelize().
+    This is the idiomatic Spark lowering of the reference's generator
+    trait (fix_schema_generator.rs:60-117): a source, not a program."""
+    from iceberg_data_gen_spark.sources.fixseq import register_fixseq
+
+    register_fixseq(spark)
+    return (
+        spark.read.format("fixseq")
+        .option("rows_per_file", 1000)
+        .option("file_count", 8)
+        .load()
+    )
+
+
+@register(
+    "q_format_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey <= 1000
+    GROUP BY o_orderstatus
+    """,
+)
+def q_format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → read roundtrip (the columnar sibling of
+    q_format_roundtrip's CSV/JSON halves): the slice must survive the
+    format conversion bit-exactly, so the aggregate over the read-back
+    equals the oracle computed on the parquet original."""
+    import tempfile
+
+    from iceberg_data_gen_spark.session import load_tables
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    sel = orders.where(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    base = tempfile.mkdtemp(prefix="orc-rt-")
+    sel.write.mode("overwrite").orc(base + "/orc")
+    back = spark.read.orc(base + "/orc")
+    assert back.exceptAll(sel).isEmpty() and sel.exceptAll(back).isEmpty()
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_totalprice").cast("double").alias("total"),
+    )

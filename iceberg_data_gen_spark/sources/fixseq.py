@@ -1,0 +1,80 @@
+"""The reference's sequence generator as a first-class Spark V2 source.
+
+``FixSchemaGenerator`` semantics (reference parity:
+``/root/reference/src/fix_schema_generator.rs:60-117`` — global cursor
+``g`` over files of ``rows_per_file`` rows, each row
+``(foo=str(g), bar=g, baz=true)``) exposed through the Spark 4 Python
+DataSource API instead of a driver-side loop: one ``InputPartition`` per
+generated file, so the rows of a 10^9-row generation job materialize ON
+THE EXECUTORS in parallel and flow straight into whatever the plan does
+next (write, join, aggregate) with no driver involvement and no
+collect/parallelize round trip.
+
+The classes are built inside a factory (not at module top level) so
+cloudpickle ships them BY VALUE to executor Python workers — a module-
+level class would be pickled by reference and fail to import on workers
+that don't have this repo on their path (e.g. the round driver's
+vanilla session).
+
+Usage::
+
+    spark.dataSource.register(make_fixseq_datasource())
+    df = (spark.read.format("fixseq")
+          .option("rows_per_file", 1000)
+          .option("file_count", 8)
+          .load())
+"""
+
+from __future__ import annotations
+
+
+def make_fixseq_datasource():
+    """Build (by value, picklable) the ``fixseq`` DataSource class."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class FilePartition(InputPartition):
+        def __init__(self, start: int, end: int) -> None:
+            self.start = start
+            self.end = end
+
+    class FixSeqReader(DataSourceReader):
+        def __init__(self, options: dict) -> None:
+            self.rows_per_file = int(options.get("rows_per_file", 1000))
+            self.file_count = int(options.get("file_count", 1))
+            self.start_at = int(options.get("start_at", 0))
+
+        def partitions(self) -> list:
+            # one partition per reference "file": the unit the reference
+            # writes sequentially is the unit Spark generates in parallel
+            return [
+                FilePartition(
+                    self.start_at + i * self.rows_per_file,
+                    self.start_at + (i + 1) * self.rows_per_file,
+                )
+                for i in range(self.file_count)
+            ]
+
+        def read(self, partition: FilePartition):
+            for g in range(partition.start, partition.end):
+                yield (str(g), g, True)
+
+    class FixSeqDataSource(DataSource):
+        """``format("fixseq")`` — the reference's fixed-schema generator."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "fixseq"
+
+        def schema(self) -> str:
+            return "foo string, bar int, baz boolean"
+
+        def reader(self, schema) -> DataSourceReader:
+            return FixSeqReader(self.options)
+
+    return FixSeqDataSource
+
+
+def register_fixseq(spark) -> None:
+    """Idempotently register the source on a session (driver sessions are
+    vanilla — registration must happen inside the query)."""
+    spark.dataSource.register(make_fixseq_datasource())
