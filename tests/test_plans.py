@@ -217,3 +217,60 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
     assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
+
+
+def test_ngram_jaccard_shares_one_shingle_exchange(spark):
+    """The prefix-filter pipeline's four consumers of the shingle arrays
+    (index a/b, verify a/b) must read ONE shared shuffle — a fork here
+    recomputes the corpus-wide shingling per branch.  Also: constraint
+    propagation must NOT push the shingle expression into the scan-side
+    filter (the when()-wrap guards this)."""
+    df = q("q_ngram_jaccard_pairs", spark)
+    df.collect()  # a write would plan a SEPARATE execution; collect finalizes df's own
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed, executed[:200]
+    assert "ReusedExchange" in executed or "ReusedQueryStage" in executed, executed
+    # the scan filter must not contain the array_sort(transform(...)) expr
+    scan_filters = [
+        ln for ln in executed.splitlines()
+        if "Filter" in ln and "array_sort" in ln and "Scan parquet" not in ln
+    ]
+    assert not any("split(text" in ln and "xxhash64" in ln for ln in scan_filters), scan_filters
+
+
+def test_temperature_sample_no_corpus_shuffle(spark):
+    # per-source counts are a tiny agg broadcast back; the corpus itself
+    # is filtered map-side — its scan must feed the join without Exchange
+    plan = plan_of(q("q_temperature_sample", spark), mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bm25_broadcasts_tiny_sides(spark):
+    # query terms, df and corpus stats are tiny: all joins broadcast,
+    # never a sort-merge shuffle of the exploded words
+    plan = plan_of(q("q_bm25", spark), mode="simple")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan  # global top-20, no full sort
+
+
+def test_python_datasource_partitions_parallel(spark):
+    # one input partition per generated "file" — executor-side generation
+    df = q("q_python_datasource", spark)
+    assert df.rdd.getNumPartitions() == 8
+    plan = plan_of(df, mode="simple")
+    assert "PythonDataSource" in plan or "BatchEvalPython" in plan or "Scan" in plan, plan
+
+
+def test_mor_incremental_scan_is_plain_file_scan(spark):
+    # incremental consumption must not pay the MoR anti-joins
+    plan = plan_of(q("q_mor_incremental", spark), mode="simple")
+    assert "Join" not in plan, plan
+
+
+def test_mor_merge_scan_broadcasts_delete_side(spark):
+    # after a merge, the scan's equality-delete anti-join must broadcast
+    # the (tiny) delete side, never shuffle the data side
+    plan = plan_of(q("q_mor_merge", spark), mode="simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
