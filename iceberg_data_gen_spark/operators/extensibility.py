@@ -527,3 +527,40 @@ def q_format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("o_totalprice").cast("double").alias("total"),
     )
+
+
+@register(
+    "q_mor_stats_pruning",
+    oracle="""
+    SELECT CAST(range AS VARCHAR) AS foo, CAST(range AS INT) AS bar, true AS baz
+    FROM range(1500, 2500)
+    """,
+)
+def q_mor_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping scan: four 1000-row data files with disjoint bar
+    ranges; a scan with where={'bar': (1500, 2499)} plans a parquet read
+    over only the TWO overlapping files (footer min/max recorded at
+    write time, checked at planning time — Iceberg manifest pruning) and
+    applies the residual predicate for exactness.  The pruning is
+    asserted in tests/test_datagen.py via inputFiles()."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=1000, file_count=4)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-prune-"), schema)
+
+    def rows(a: int, b: int) -> DataFrame:
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    t.append_batches([rows(i * 1000, (i + 1) * 1000) for i in range(4)])
+    return t.scan(where={"bar": (1500, 2499)})

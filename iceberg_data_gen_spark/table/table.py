@@ -107,6 +107,50 @@ def _footer_row_count(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def _footer_stats(path: str) -> dict[str, list]:
+    """Per-column [min, max] from the parquet footer — the file-level
+    stats an Iceberg manifest carries.  Collected once at WRITE time
+    (the writer already has the footer in hand), so scan planning can
+    skip whole files without opening them.  Only JSON-representable
+    scalar stats are kept; a column without stats simply can't prune."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    stats: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        row = md.row_group(rg)
+        for ci in range(row.num_columns):
+            col = row.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes) or isinstance(mx, bytes):
+                continue
+            if not isinstance(mn, (int, float, str, bool)):
+                continue
+            name = col.path_in_schema
+            if name in stats:
+                stats[name] = [min(stats[name][0], mn), max(stats[name][1], mx)]
+            else:
+                stats[name] = [mn, mx]
+    return stats
+
+
+def _stats_overlap(stats: dict | None, where: dict[str, tuple]) -> bool:
+    """May a file with these stats contain rows matching ``where``
+    (col → inclusive (lo, hi) range)?  Missing stats ⇒ must keep."""
+    if not stats:
+        return True
+    for col, (lo, hi) in where.items():
+        if col not in stats:
+            continue
+        mn, mx = stats[col]
+        if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+            return False
+    return True
+
+
 class MoRTable:
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
@@ -197,7 +241,7 @@ class MoRTable:
         files = []
         for path in self._write_files(df, self.path / "data", "data", single_file):
             files.append(
-                {"path": path, "kind": "data", "record_count": _footer_row_count(path)}
+                {"path": path, "kind": "data", "record_count": _footer_row_count(path), "stats": _footer_stats(path)}
             )
         return self._commit("append", files)
 
@@ -235,7 +279,7 @@ class MoRTable:
         file, all committed in ONE snapshot (the per-file loop of
         main.rs:128-151 + single fast_append commit at main.rs:157-158)."""
         files = [
-            {"path": path, "kind": "data", "record_count": _footer_row_count(path)}
+            {"path": path, "kind": "data", "record_count": _footer_row_count(path), "stats": _footer_stats(path)}
             for path in self._write_batches_one_job(dfs, self.path / "data", "data")
         ]
         return self._commit("append", files)
@@ -331,7 +375,7 @@ class MoRTable:
             {"path": p, "kind": "eq-delete", "record_count": _footer_row_count(p), "equality_ids": ids}
             for p in del_paths
         ] + [
-            {"path": p, "kind": "data", "record_count": _footer_row_count(p)}
+            {"path": p, "kind": "data", "record_count": _footer_row_count(p), "stats": _footer_stats(p)}
             for p in data_paths
         ]
         return self._commit("overwrite", files, equality_ids=ids)
@@ -396,7 +440,7 @@ class MoRTable:
         current = self.scan()
         paths = self._write_files(current, self.path / "data", "compacted", False)
         files = [
-            {"path": p, "kind": "data", "record_count": _footer_row_count(p)}
+            {"path": p, "kind": "data", "record_count": _footer_row_count(p), "stats": _footer_stats(p)}
             for p in paths
         ]
         return self._commit("replace", files, baseline=True)
@@ -473,8 +517,22 @@ class MoRTable:
 
     # -- merge-on-read scan -------------------------------------------------
 
-    def scan(self, snapshot_id: int | None = None) -> DataFrame:
+    def scan(
+        self,
+        snapshot_id: int | None = None,
+        where: dict[str, tuple] | None = None,
+    ) -> DataFrame:
         """Read the table state as of ``snapshot_id`` (default: current).
+
+        ``where`` (col → inclusive ``(lo, hi)`` range, either end None
+        for unbounded) enables Iceberg-style FILE SKIPPING: data files
+        whose footer min/max cannot overlap the range are dropped at
+        PLANNING time — no footer read, no task, no I/O — and the
+        residual predicate is still applied to the surviving rows, so
+        results are exact regardless of how coarse the stats are.  This
+        is the manifest-pruning layer that sits ABOVE parquet row-group
+        pruning: at 100 TB it is the difference between listing a
+        million files and scheduling tasks for the three that matter.
 
         Raises ``ValueError`` for a snapshot id that never existed or was
         expired — matching Iceberg's behavior instead of silently
@@ -485,9 +543,13 @@ class MoRTable:
             raise ValueError(
                 f"snapshot {snapshot_id} does not exist (never created, or expired)"
             )
-        return self._scan_resolved(snapshot_id)
+        return self._scan_resolved(snapshot_id, where)
 
-    def _scan_resolved(self, snapshot_id: int | None = None) -> DataFrame:
+    def _scan_resolved(
+        self,
+        snapshot_id: int | None = None,
+        where: dict[str, tuple] | None = None,
+    ) -> DataFrame:
         """Read the table state as of ``snapshot_id`` (default: current).
 
         Plan shape: parquet scan of the data files (+hidden ``_metadata``)
@@ -497,6 +559,10 @@ class MoRTable:
         never shuffled by the read itself.
         """
         data_files = self._files_of_kind("data", snapshot_id)
+        if where:
+            data_files = [
+                f for f in data_files if _stats_overlap(f.get("stats"), where)
+            ]
         cols = [f.name for f in self.schema.fields]
         if not data_files:
             return self.spark.createDataFrame([], self.schema.to_spark())
@@ -556,7 +622,14 @@ class MoRTable:
                 df = df.join(F.broadcast(dels), cond, "left_anti")
             df = df.drop("__data_seq")
 
-        return df.drop("__file", "__pos")
+        df = df.drop("__file", "__pos")
+        if where:  # residual predicate: exactness never depends on stats
+            for c, (lo, hi) in where.items():
+                if lo is not None:
+                    df = df.where(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    df = df.where(F.col(c) <= F.lit(hi))
+        return df
 
     # -- summary (O14) ------------------------------------------------------
 

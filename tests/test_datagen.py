@@ -444,3 +444,46 @@ def test_schema_evolution_scan_and_merge(spark, tmp_path):
     assert got == {(i, None) for i in range(3)} | {(i, 9.0) for i in range(3, 7)} | {
         (i, 1.5) for i in range(7, 10)
     }
+
+
+def test_stats_pruning_skips_files(spark, tmp_path):
+    """scan(where=...) must plan only the files whose footer min/max
+    overlap the range, keep files without stats, and stay exact via the
+    residual predicate."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=100, file_count=4)
+    t = MoRTable.create(
+        spark, str(tmp_path / "p"), FixSchemaGenerator(fc, fc, fc).schema()
+    )
+
+    def rows(a, b):
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    t.append_batches([rows(i * 100, (i + 1) * 100) for i in range(4)])
+
+    full = t.scan()
+    assert len(full.inputFiles()) == 4
+    pruned = t.scan(where={"bar": (150, 249)})
+    assert len(pruned.inputFiles()) == 2            # files 1 and 2 only
+    assert sorted(r.bar for r in pruned.collect()) == list(range(150, 250))
+    # residual filters within the surviving files (file 1 spans 100..199)
+    tight = t.scan(where={"bar": (199, 200)})
+    assert len(tight.inputFiles()) == 2
+    assert sorted(r.bar for r in tight.collect()) == [199, 200]
+    # unbounded ends
+    assert len(t.scan(where={"bar": (300, None)}).inputFiles()) == 1
+    assert t.scan(where={"bar": (None, 99)}).count() == 100
+    # disjoint range: empty result, zero files
+    assert t.scan(where={"bar": (5000, 6000)}).count() == 0
+    # deletes still apply on a pruned scan
+    t.add_equality_deletes(rows(150, 160).select("foo", "bar"), [1, 2])
+    assert t.scan(where={"bar": (150, 249)}).count() == 90
