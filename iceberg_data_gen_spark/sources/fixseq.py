@@ -30,7 +30,12 @@ from __future__ import annotations
 
 def make_fixseq_datasource():
     """Build (by value, picklable) the ``fixseq`` DataSource class."""
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
     class FilePartition(InputPartition):
         def __init__(self, start: int, end: int) -> None:
@@ -58,6 +63,27 @@ def make_fixseq_datasource():
             for g in range(partition.start, partition.end):
                 yield (str(g), g, True)
 
+    class FixSeqStreamReader(SimpleDataSourceStreamReader):
+        """Micro-batch flavor: the global cursor ``g`` IS the stream
+        offset, so each batch is one reference "file" of rows and
+        replay-between-offsets (exactly-once on failure) falls out of
+        the arithmetic — regenerating [start, end) is deterministic."""
+
+        def __init__(self, options: dict) -> None:
+            self.rows_per_batch = int(options.get("rows_per_batch", 1000))
+            self.total_rows = int(options.get("total_rows", 5000))
+
+        def initialOffset(self) -> dict:
+            return {"g": 0}
+
+        def read(self, start: dict):
+            g = start["g"]
+            end = min(g + self.rows_per_batch, self.total_rows)
+            return iter([(str(i), i, True) for i in range(g, end)]), {"g": end}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return iter([(str(i), i, True) for i in range(start["g"], end["g"])])
+
     class FixSeqDataSource(DataSource):
         """``format("fixseq")`` — the reference's fixed-schema generator."""
 
@@ -70,6 +96,9 @@ def make_fixseq_datasource():
 
         def reader(self, schema) -> DataSourceReader:
             return FixSeqReader(self.options)
+
+        def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+            return FixSeqStreamReader(self.options)
 
     return FixSeqDataSource
 

@@ -431,3 +431,39 @@ def q_stream_to_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return MoRTable(spark, str(t.path)).scan()
+
+
+@register(
+    "q_stream_python_source",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           sum(CAST(range AS BIGINT)) AS sum_bar,
+           CAST(max(range) AS INT) AS max_bar,
+           CAST(min(range) AS INT) AS min_bar
+    FROM range(0, 5000)
+    """,
+)
+def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A CUSTOM streaming source (Spark 4 Python DataSource,
+    SimpleDataSourceStreamReader): the reference's sequence generator as
+    a micro-batch stream — the global cursor is the stream offset, each
+    batch one reference "file", replay-between-offsets deterministic by
+    arithmetic (exactly-once).  5 batches of 1000 rows flow through a
+    streaming aggregation in complete mode; the converged totals are
+    oracle-checkable."""
+    from iceberg_data_gen_spark.sources.fixseq import register_fixseq
+
+    register_fixseq(spark)
+    stream = (
+        spark.readStream.format("fixseq")
+        .option("rows_per_batch", 1000)
+        .option("total_rows", 5000)
+        .load()
+    )
+    agg = stream.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("bar").cast("bigint")).alias("sum_bar"),
+        F.max("bar").alias("max_bar"),
+        F.min("bar").alias("min_bar"),
+    )
+    return run_to_completion(agg)
