@@ -564,3 +564,44 @@ def q_mor_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t.append_batches([rows(i * 1000, (i + 1) * 1000) for i in range(4)])
     return t.scan(where={"bar": (1500, 2499)})
+
+
+@register(
+    "q_mor_rollback",
+    oracle="""
+    SELECT CAST(range AS VARCHAR) AS foo, CAST(range AS INT) AS bar, true AS baz
+    FROM range(100, 1000)
+    """,
+)
+def q_mor_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollback_to_snapshot: append 0..999, equality-delete 0..99 (state
+    = 100..999), append 1000..1999, then roll back to the delete
+    snapshot — a new baseline commit that re-references the old file
+    graph (metadata only, nothing read or copied), each file keeping its
+    ORIGINAL sequence number so the restored delete still applies to the
+    first append but not to files of its own commit era.  Current state
+    after rollback: 100..999."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=1000, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-rb-"), schema)
+
+    def rows(a: int, b: int) -> DataFrame:
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    t.append(rows(0, 1000), single_file=True)                       # snap 1
+    t.add_equality_deletes(rows(0, 100).select("foo", "bar"), [1, 2])  # snap 2
+    t.append(rows(1000, 2000), single_file=True)                    # snap 3
+    t.rollback(2)                                                   # snap 4
+    return t.scan()

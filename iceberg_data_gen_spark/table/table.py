@@ -420,8 +420,65 @@ class MoRTable:
         for snap in self._upto(snapshot_id):
             for f in snap["files"]:
                 if f["kind"] == kind:
-                    out.append({**f, "sequence_number": snap["sequence_number"]})
+                    # a file-level sequence number (rollback snapshots
+                    # re-reference old files) wins over the commit's own
+                    out.append(
+                        {**f, "sequence_number": f.get("sequence_number", snap["sequence_number"])}
+                    )
         return out
+
+    # -- refs (tags) + rollback ---------------------------------------------
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> dict:
+        """Named immutable ref to a snapshot (Iceberg tag): a retention
+        anchor and a stable name for time travel (``scan(ref=...)``).
+        Metadata-only."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None or sid not in {s["id"] for s in self._meta["snapshots"]}:
+            raise ValueError(f"snapshot {snapshot_id} does not exist")
+        refs = self._meta.setdefault("refs", {})
+        if name in refs:
+            raise ValueError(f"ref exists: {name}")
+        refs[name] = {"type": "tag", "snapshot_id": sid}
+        (self.path / "metadata.json").write_text(json.dumps(self._meta, indent=1))
+        return refs[name]
+
+    def drop_tag(self, name: str) -> None:
+        refs = self._meta.get("refs", {})
+        if name not in refs:
+            raise ValueError(f"no such ref: {name}")
+        del refs[name]
+        (self.path / "metadata.json").write_text(json.dumps(self._meta, indent=1))
+
+    def resolve_ref(self, name: str) -> int:
+        refs = self._meta.get("refs", {})
+        if name not in refs:
+            raise ValueError(f"no such ref: {name}")
+        return refs[name]["snapshot_id"]
+
+    def rollback(self, snapshot_id: int) -> dict:
+        """Iceberg ``rollback_to_snapshot``: make an OLD snapshot's state
+        current again by committing a new baseline snapshot that
+        re-references the target's visible files — no data is read,
+        copied, or rewritten (file-list metadata only), history after
+        the target stays in metadata, and time travel to the rolled-
+        back-over snapshots still works.
+
+        Each re-referenced file keeps its ORIGINAL sequence number so
+        equality-delete ordering inside the restored state is preserved
+        (a delete still applies only to data files strictly older than
+        it)."""
+        if snapshot_id not in {s["id"] for s in self._meta["snapshots"]}:
+            raise ValueError(f"snapshot {snapshot_id} does not exist")
+        files = []
+        for snap in self._upto(snapshot_id):
+            for f in snap["files"]:
+                files.append(
+                    {**f, "sequence_number": f.get("sequence_number", snap["sequence_number"])}
+                )
+        return self._commit(
+            "rollback", files, baseline=True, rollback_to=snapshot_id
+        )
 
     # -- maintenance --------------------------------------------------------
 
@@ -470,6 +527,14 @@ class MoRTable:
         while start > 0 and not snaps[start].get("baseline"):
             start -= 1
         kept, expired = snaps[start:], snaps[:start]
+        # refs are retention anchors (Iceberg semantics): refuse to expire
+        # a tagged snapshot rather than silently breaking the ref
+        tagged = {r["snapshot_id"] for r in self._meta.get("refs", {}).values()}
+        hit = tagged & {s["id"] for s in expired}
+        if hit:
+            raise ValueError(
+                f"snapshots {sorted(hit)} are referenced by tags; drop the tags first"
+            )
         keep_paths = {_canon_path(f["path"]) for s in kept for f in s["files"]}
         removed = 0
         for s in expired:
@@ -521,6 +586,7 @@ class MoRTable:
         self,
         snapshot_id: int | None = None,
         where: dict[str, tuple] | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Read the table state as of ``snapshot_id`` (default: current).
 
@@ -534,9 +600,16 @@ class MoRTable:
         pruning: at 100 TB it is the difference between listing a
         million files and scheduling tasks for the three that matter.
 
+        ``ref`` resolves a named tag to its snapshot id (mutually
+        exclusive with ``snapshot_id``).
+
         Raises ``ValueError`` for a snapshot id that never existed or was
         expired — matching Iceberg's behavior instead of silently
         returning an empty table."""
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or ref, not both")
+            snapshot_id = self.resolve_ref(ref)
         if snapshot_id is not None and snapshot_id not in {
             s["id"] for s in self._meta["snapshots"]
         }:
@@ -605,7 +678,7 @@ class MoRTable:
                         continue
                     key = tuple(f.get("equality_ids") or snap["equality_ids"])
                     by_ids.setdefault(key, []).append(
-                        {**f, "sequence_number": snap["sequence_number"]}
+                        {**f, "sequence_number": f.get("sequence_number", snap["sequence_number"])}
                     )
             for ids, dfiles in by_ids.items():
                 key_cols = self.schema.names_for_ids(list(ids))

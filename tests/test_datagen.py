@@ -487,3 +487,59 @@ def test_stats_pruning_skips_files(spark, tmp_path):
     # deletes still apply on a pruned scan
     t.add_equality_deletes(rows(150, 160).select("foo", "bar"), [1, 2])
     assert t.scan(where={"bar": (150, 249)}).count() == 90
+
+
+def test_tags_and_rollback(spark, tmp_path):
+    """Tags name snapshots for scans and anchor retention; rollback
+    restores an old state metadata-only with delete ordering intact and
+    history still reachable."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=10, file_count=1)
+    t = MoRTable.create(
+        spark, str(tmp_path / "r"), FixSchemaGenerator(fc, fc, fc).schema()
+    )
+
+    def rows(a, b):
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    t.append(rows(0, 10), single_file=True)                         # snap 1
+    t.create_tag("v1")
+    t.add_equality_deletes(rows(0, 3).select("foo", "bar"), [1, 2])  # snap 2
+    t.append(rows(10, 20), single_file=True)                        # snap 3
+
+    # tag scan = state at snap 1
+    assert sorted(r.bar for r in t.scan(ref="v1").collect()) == list(range(10))
+    with pytest.raises(ValueError):
+        t.scan(snapshot_id=1, ref="v1")
+    with pytest.raises(ValueError):
+        t.create_tag("v1")          # duplicate
+    with pytest.raises(ValueError):
+        t.create_tag("x", 99)       # missing snapshot
+
+    # rollback to snap 2: deletes still apply to snap-1 data only
+    t.rollback(2)
+    assert sorted(r.bar for r in t.scan().collect()) == list(range(3, 10))
+    # history after the rollback target is still reachable
+    assert t.scan(snapshot_id=3).count() == 17
+    # new writes continue on the restored state
+    t.append(rows(100, 105), single_file=True)
+    assert t.scan().count() == 12
+
+    # expire refuses to drop a tagged snapshot...
+    with pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=1)
+    # ...until the tag is dropped
+    t.drop_tag("v1")
+    r = t.expire_snapshots(keep_last=2)
+    assert r["expired"] == 3
+    assert sorted(x.bar for x in t.scan().collect()) == list(range(3, 10)) + list(range(100, 105))
