@@ -878,3 +878,68 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(dec).cast("double").alias("lo"),
         F.max(dec).cast("double").alias("hi"),
     )
+
+
+# one SQL text, two engines: the recursive-CTE and LATERAL queries are
+# written in the dialect intersection so the ORACLE IS THE QUERY —
+# the strongest possible differential check for these surfaces
+_RECURSIVE_SQL = f"""
+WITH RECURSIVE n(i) AS (
+    SELECT 0
+    UNION ALL
+    SELECT i + 1 FROM n WHERE i < 79
+),
+spine AS (
+    SELECT make_date(1995 + CAST((i - (i % 12)) / 12 AS INT), 1 + (i % 12), 1) AS month
+    FROM n
+),
+rev AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           {dsum_sql('o_totalprice', 2)} AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+)
+SELECT s.month, coalesce(r.revenue, 0.0) AS revenue,
+       coalesce(r.n_orders, 0) AS n_orders
+FROM spine s LEFT JOIN rev r ON s.month = r.month
+"""
+
+
+@register("q_recursive_cte", oracle=_RECURSIVE_SQL)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): an 80-month calendar
+    spine generated by recursion, left-joined to monthly revenue so
+    orderless months surface as zero rows — the gap-free time dimension
+    every reporting stack needs.  The SAME SQL text runs on Spark and
+    on DuckDB as its own oracle (dialect-intersection SQL, decimal
+    money sum for engine exactness)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    t["orders"].createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_SQL)
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.price
+FROM customer c,
+LATERAL (
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 2
+) t
+"""
+
+
+@register("q_lateral_topk", oracle=_LATERAL_SQL)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT: each
+    customer's two most expensive orders — the top-k-per-entity shape
+    written the SQL-standard way instead of a window.  Catalyst
+    decorrelates the lateral into a ranked join (no per-customer
+    re-execution); the identical SQL text is the DuckDB oracle."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    t["customer"].createOrReplaceTempView("customer")
+    t["orders"].createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)

@@ -274,3 +274,19 @@ def test_mor_merge_scan_broadcasts_delete_side(spark):
     plan = plan_of(q("q_mor_merge", spark), mode="simple")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    """The correlated LATERAL ... ORDER BY ... LIMIT must decorrelate
+    into a per-key window rank + equi-join — NOT re-execute the subquery
+    per outer row (nested loop) — or it dies at the first big customer
+    table."""
+    plan = plan_of(q("q_lateral_topk", spark), mode="simple")
+    assert "Window" in plan and "row_number" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_recursive_cte_executes(spark):
+    # WITH RECURSIVE plans a UnionLoop/recursion node joined broadcast
+    plan = plan_of(q("q_recursive_cte", spark), mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
