@@ -605,3 +605,49 @@ def q_mor_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(rows(1000, 2000), single_file=True)                    # snap 3
     t.rollback(2)                                                   # snap 4
     return t.scan()
+
+
+@register(
+    "q_mor_zorder",
+    oracle="""
+    SELECT CAST(range // 64 AS INT) AS x, CAST(range % 64 AS INT) AS y,
+           CAST(range AS VARCHAR) AS payload
+    FROM range(0, 4096)
+    WHERE range // 64 BETWEEN 8 AND 23 AND range % 64 BETWEEN 8 AND 23
+    """,
+)
+def q_mor_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering (Iceberg rewrite_data_files sort_order=zorder /
+    Delta OPTIMIZE ZORDER BY): a 64x64 (x, y) grid appended as 16
+    x-banded files — tight stats on x, useless stats on y — is rewritten
+    by cluster_by(["x","y"]) into z-curve-contiguous files, each covering
+    a tight RECTANGLE of the grid.  The box scan
+    where={'x': (8, 23), 'y': (8, 23)} then file-skips on BOTH columns
+    (before: every y-selective scan touched all 16 files).  File counts
+    are asserted in tests/test_datagen.py; here the driver checks the
+    scan is still exact after the rewrite (residual predicate applies
+    regardless of pruning)."""
+    import tempfile
+
+    from iceberg_data_gen_spark.table.table import Field, MoRTable, TableSchema
+
+    schema = TableSchema(
+        fields=[
+            Field(1, "x", "int"),
+            Field(2, "y", "int"),
+            Field(3, "payload", "string"),
+        ]
+    )
+    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-zorder-"), schema)
+
+    def band(b: int) -> DataFrame:
+        # x in [4b, 4b+4) x y in [0, 64): one x-band per file
+        return spark.range(b * 256, (b + 1) * 256).select(
+            F.expr("CAST(id DIV 64 AS INT)").alias("x"),
+            F.expr("CAST(id % 64 AS INT)").alias("y"),
+            F.col("id").cast("string").alias("payload"),
+        )
+
+    t.append_batches([band(b) for b in range(16)])
+    t.cluster_by(["x", "y"], target_files=16, bits=6)
+    return t.scan(where={"x": (8, 23), "y": (8, 23)})

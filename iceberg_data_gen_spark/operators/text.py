@@ -753,3 +753,163 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", F.round("score", 6).alias("bm25"))
     )
+
+
+@register(
+    "q_char_diversity",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, string_split(text, '') AS chars FROM documents
+    )
+    SELECT doc_id,
+           len(chars) AS n_chars_total,
+           len(list_distinct(chars)) AS distinct_chars,
+           CAST(CAST(list_sum(list_transform(list_distinct(chars),
+                    ch -> CAST(len(list_filter(chars, x -> x = ch)) AS BIGINT)
+                          * len(list_filter(chars, x -> x = ch)))) AS BIGINT)
+                AS DOUBLE)
+             / CAST(CAST(len(chars) AS BIGINT) * len(chars) AS DOUBLE)
+             AS collision_prob
+    FROM c
+    """,
+)
+def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-collision probability (Simpson index) per document — a
+    LOG-FREE quality proxy for gibberish/low-entropy text: the chance two
+    random character draws collide, sum(c_i^2)/n^2.  High collision =
+    repetitive/degenerate text; the rational form avoids libm entirely
+    (exactness playbook — integer sums, ONE final division), unlike a
+    Shannon-entropy score whose log2 drifts between engines.
+
+    Shuffle-free and per-row: the whole computation is higher-order array
+    functions over the row's own text (no explode, no groupBy) — at
+    100 TB this is a map-only pass inside WholeStageCodegen."""
+    docs = _docs(spark, sf_dir)
+    chars = F.split("text", "")
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda ch: F.size(F.filter(chars, lambda x: x == ch)).cast("long"),
+    )
+    ssq = F.aggregate(counts, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    n = F.size(chars).cast("long")
+    return docs.select(
+        "doc_id",
+        F.size(chars).alias("n_chars_total"),
+        F.size(F.array_distinct(chars)).alias("distinct_chars"),
+        (ssq.cast("double") / (n * n).cast("double")).alias("collision_prob"),
+    )
+
+
+@register(
+    "q_boilerplate_strip",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ), flat AS (
+      SELECT doc_id, unnest(arr) AS tok,
+             unnest(range(1, len(arr) + 1)) AS pos
+      FROM toks
+    ), top AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS c FROM flat GROUP BY tok
+        ORDER BY c DESC, tok LIMIT 10
+      )
+    ), kept AS (
+      SELECT doc_id, pos, tok FROM flat
+      WHERE tok NOT IN (SELECT tok FROM top)
+    )
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(tok, ' ' ORDER BY pos) AS cleaned
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet/RefinedWeb 'strip the
+    most common lines' step, token-granular here because the synthetic
+    docs are single-line): find the 10 most frequent tokens corpus-wide
+    (tie-break: token asc), delete them from every document, and emit the
+    cleaned text with original token order preserved.
+
+    Scale shape: ONE explode+groupBy computes the global top-10 (bounded
+    driver collect — 10 scalars, like any global-threshold pipeline
+    step); the strip itself is a shuffle-free higher-order filter against
+    a literal array, applied per-row with order preserved — no second
+    explode, no re-grouping, no sort."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    top = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(10)
+        .collect()
+    )
+    top_arr = F.array(*[F.lit(r.tok) for r in top])
+    kept = F.filter(toks, lambda t: ~F.array_contains(top_arr, t))
+    return (
+        docs.select(
+            "doc_id",
+            F.size(kept).alias("n_kept"),
+            F.array_join(kept, " ").alias("cleaned"),
+        )
+        .where(F.col("n_kept") > 0)
+    )
+
+
+@register(
+    "q_length_band_filter",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM documents
+    ), edges AS (
+      SELECT max(CASE WHEN rn = ((n - 1) * 10) // 100 + 1 THEN n_chars END) AS p10_chars,
+             max(CASE WHEN rn = ((n - 1) * 90) // 100 + 1 THEN n_chars END) AS p90_chars
+      FROM ranked
+    )
+    SELECT d.doc_id, d.n_chars, d.lang, e.p10_chars, e.p90_chars
+    FROM documents d, edges e
+    WHERE d.n_chars BETWEEN e.p10_chars AND e.p90_chars
+    """,
+)
+def q_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-band filtering (drop the shortest/longest tails, a standard
+    pretraining-corpus step): keep documents whose n_chars lies between
+    the exact 10th and 90th percentile ORDER STATISTICS (value at rank
+    floor((n-1)*p)+1 under (n_chars, doc_id) order — pure integer rank
+    arithmetic, no float interpolation, so both engines pick the
+    identical element; exactness playbook).
+
+    The exact order statistic needs a global sort (single-partition
+    window) — fine for a threshold over scalar per-doc lengths; the
+    100 TB variant swaps in approx_percentile over the same band filter,
+    trading driver-exactness for a sample bound (documented, not
+    default, because the oracle demands exactness)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+    ).crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("n"))))
+    edges = ranked.agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("((n - 1) * 10) DIV 100 + 1"), F.col("n_chars")
+            )
+        ).alias("p10_chars"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("((n - 1) * 90) DIV 100 + 1"), F.col("n_chars")
+            )
+        ).alias("p90_chars"),
+    )
+    return (
+        docs.select("doc_id", "n_chars", "lang")
+        .crossJoin(F.broadcast(edges))
+        .where(F.col("n_chars").between(F.col("p10_chars"), F.col("p90_chars")))
+    )

@@ -543,3 +543,53 @@ def test_tags_and_rollback(spark, tmp_path):
     r = t.expire_snapshots(keep_last=2)
     assert r["expired"] == 3
     assert sorted(x.bar for x in t.scan().collect()) == list(range(3, 10)) + list(range(100, 105))
+
+
+def test_zorder_clustering_prunes_both_dims(spark, tmp_path):
+    """cluster_by must (a) preserve the exact row set, (b) make stats
+    pruning effective on EVERY clustered column: the x-banded layout
+    prunes x-ranges but scans all files for any y-range; after the
+    z-order rewrite a y-range scan file-skips too, and history (the
+    pre-rewrite snapshot) still reads the old layout."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.table.table import Field, MoRTable, TableSchema
+
+    schema = TableSchema(
+        fields=[Field(1, "x", "int"), Field(2, "y", "int"), Field(3, "payload", "string")]
+    )
+    t = MoRTable.create(spark, str(tmp_path / "z"), schema)
+
+    def band(b):
+        return spark.range(b * 256, (b + 1) * 256).select(
+            F.expr("CAST(id DIV 64 AS INT)").alias("x"),
+            F.expr("CAST(id % 64 AS INT)").alias("y"),
+            F.col("id").cast("string").alias("payload"),
+        )
+
+    t.append_batches([band(b) for b in range(16)])
+    before_snap = t.current_snapshot_id()
+
+    # x-banded layout: y-selective scan cannot skip anything
+    assert len(t.scan(where={"y": (8, 23)}).inputFiles()) == 16
+    assert len(t.scan(where={"x": (8, 23)}).inputFiles()) == 4
+
+    expected = {(r.x, r.y) for r in t.scan().collect()}
+    t.cluster_by(["x", "y"], target_files=16, bits=6)
+
+    # exact same rows after the rewrite
+    assert {(r.x, r.y) for r in t.scan().collect()} == expected
+    # both dimensions now prune: a y-range scan skips most files ...
+    y_files = len(t.scan(where={"y": (8, 23)}).inputFiles())
+    assert y_files <= 10, y_files
+    # ... and x-range pruning survives
+    x_files = len(t.scan(where={"x": (8, 23)}).inputFiles())
+    assert x_files <= 10, x_files
+    # a 2-D box touches only the overlapping curve segments
+    box = t.scan(where={"x": (8, 23), "y": (8, 23)})
+    assert len(box.inputFiles()) <= 6
+    assert {(r.x, r.y) for r in box.collect()} == {
+        (x, y) for x in range(8, 24) for y in range(8, 24)
+    }
+    # time travel to the pre-rewrite snapshot sees the banded layout
+    assert len(t.scan(snapshot_id=before_snap).inputFiles()) == 16
