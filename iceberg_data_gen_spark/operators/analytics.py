@@ -358,3 +358,49 @@ def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_gini",
         )
     )
+
+
+@register(
+    "q_scd2",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), chg AS (
+      SELECT user_id, event_type, ts, event_id FROM seq
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM chg
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: collapse each user's event
+    stream into validity intervals of their current ``event_type`` state
+    — a row per state CHANGE, with ``valid_from``/``valid_to`` interval
+    bounds (lead of the next change) and an ``is_current`` flag on the
+    open interval.  The standard warehouse dimension-history shape.
+
+    One hash shuffle on ``user_id`` serves the change-detection lag, the
+    filter, AND the interval lead — Spark reuses the partitioning, so
+    the plan carries a single Exchange (same trick as q_sessionize).
+    (ts, event_id) is a unique order key: no tie ambiguity."""
+    e = _events(spark, sf_dir)
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        e.withColumn("prev", F.lag("event_type").over(order))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    valid_to = F.lead("ts").over(order)
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -943,3 +943,51 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t["customer"].createOrReplaceTempView("customer")
     t["orders"].createOrReplaceTempView("orders")
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "q_dynamic_partition_overwrite",
+    oracle="""
+    WITH base AS (SELECT * FROM events WHERE event_id <= 2000),
+    final AS (
+      SELECT event_type, value FROM base WHERE event_type <> 'click'
+      UNION ALL
+      SELECT event_type, value * 2 AS value FROM base WHERE event_type = 'click'
+    )
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM final GROUP BY event_type
+    """,
+)
+def q_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (Hive/Iceberg ``INSERT OVERWRITE``
+    semantics, ``partitionOverwriteMode=dynamic`` as a WRITE option — no
+    session-level conf mutation): events land partitioned by
+    ``event_type``; a second write overwrites ONLY the partitions it
+    touches ('click', values doubled) and every other partition survives
+    untouched.  The read-back aggregate proves partition isolation.
+
+    At scale this is the idempotent-backfill primitive: re-running a
+    day/type slice replaces exactly that slice, no table-wide rewrite,
+    no read-modify-write of unrelated partitions."""
+    import tempfile
+
+    e = load_tables(spark, sf_dir, ("events",))["events"].where(
+        F.col("event_id") <= 2000
+    )
+    base = tempfile.mkdtemp(prefix="dpo-") + "/events"
+    e.select("event_id", "value", "event_type").write.partitionBy(
+        "event_type"
+    ).mode("overwrite").parquet(base)
+    (
+        e.where(F.col("event_type") == "click")
+        .select("event_id", (F.col("value") * 2).alias("value"), "event_type")
+        .write.partitionBy("event_type")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(base)
+    )
+    back = spark.read.parquet(base)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
