@@ -353,3 +353,119 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= TOP_K)
     )
+
+
+KNN_QUERIES = 32  # vec_id < 32 form the deterministic classification set
+KNN_K = 16
+
+
+@register(
+    "q_knn_classify",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        FROM e
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS true_label,
+               c.vec_id AS cid, c.label AS clabel,
+               round(list_dot_product(q.nv, c.nv), 6) AS cos_sim
+        FROM n q JOIN n c ON q.vec_id < {KNN_QUERIES} AND c.vec_id != q.vec_id
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, cid
+            ) AS rnk
+            FROM scored
+        ) WHERE rnk <= {KNN_K}
+    ),
+    votes AS (
+        SELECT query_id, true_label, clabel, count(*) AS votes
+        FROM topk GROUP BY query_id, true_label, clabel
+    )
+    SELECT query_id, true_label, clabel AS predicted_label, votes
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY votes DESC, clabel
+        ) AS r
+        FROM votes
+    ) WHERE r = 1
+    """,
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label classification: majority vote over the top-{K} cosine
+    neighbors of each query vector (vote ties -> smaller label id).
+
+    Same scale shape as ``q_ann_bruteforce``: the {Q}-row query matrix is
+    broadcast inside a mapInPandas einsum kernel, the corpus streams past
+    it once, and the per-query top-k is a WindowGroupLimit partial before
+    the tiny vote aggregation.  At 100 TB the corpus pass is the only
+    full-data stage and it is embarrassingly parallel; everything after
+    the window is k x |queries| rows.
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qrows = sorted(
+        e.where(F.col("vec_id") < KNN_QUERIES).collect(), key=lambda r: r.vec_id
+    )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_labels = np.array([r.label for r in qrows], dtype=np.int32)
+    Q = np.array([r.v for r in qrows], dtype=np.float64)
+    Q = Q / np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            M = np.array(pdf["v"].tolist(), dtype=np.float64)
+            M = M / np.sqrt(np.einsum("ij,ij->i", M, M))[:, None]
+            ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            cos = np.einsum("qj,cj->qc", Q, M)
+            qq = np.repeat(q_ids, len(ids))
+            tl = np.repeat(q_labels, len(ids))
+            cc = np.tile(ids, len(q_ids))
+            cl = np.tile(labels, len(q_ids))
+            keep = qq != cc
+            yield pd.DataFrame(
+                {
+                    "query_id": qq[keep],
+                    "true_label": tl[keep],
+                    "cid": cc[keep],
+                    "clabel": cl[keep],
+                    "cos_sim": np.round(cos.ravel()[keep], 6),
+                }
+            )
+
+    scored = e.mapInPandas(
+        score,
+        "query_id long, true_label int, cid long, clabel int, cos_sim double",
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "cid")
+    votes = (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .where(F.col("rnk") <= KNN_K)
+        .groupBy("query_id", "true_label", "clabel")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), "clabel")
+    return (
+        votes.withColumn("r", F.row_number().over(wv))
+        .where(F.col("r") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("clabel").alias("predicted_label"),
+            "votes",
+        )
+    )

@@ -913,3 +913,92 @@ def q_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(edges))
         .where(F.col("n_chars").between(F.col("p10_chars"), F.col("p90_chars")))
     )
+
+
+@register(
+    "q_doc_chunking",
+    oracle="""
+    WITH c AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    e AS (SELECT doc_id, w,
+                 unnest(range(0, CAST(ceil(len(w) / 64.0) AS BIGINT))) AS chunk_id
+          FROM c)
+    SELECT doc_id, chunk_id,
+           array_to_string(list_slice(w, chunk_id * 64 + 1, chunk_id * 64 + 64), ' ')
+               AS chunk_text,
+           len(list_slice(w, chunk_id * 64 + 1, chunk_id * 64 + 64)) AS chunk_words
+    FROM e
+    """,
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size document chunking (training-sample prep): split each
+    document into consecutive 64-token chunks, last chunk ragged.
+
+    Spark-first: one ``split`` + ``explode(sequence(...))`` per row — no
+    shuffle at all, perfectly parallel over input partitions, and the
+    chunk text is built by ``slice``/``concat_ws`` inside codegen.  A
+    stride < 64 (overlapping windows) is the same plan with the slice
+    start multiplied by the stride instead of the width.  At 100 TB this
+    is a pure map stage: output partitioning inherits input file splits.
+    """
+    docs = _docs(spark, sf_dir)
+    w = F.split("text", " ")
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), (F.ceil(F.size("w") / 64.0)) - 1)
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.concat_ws(
+                " ", F.slice("w", (F.col("chunk_id") * 64 + 1).cast("int"), 64)
+            ).alias("chunk_text"),
+            F.size(F.slice("w", (F.col("chunk_id") * 64 + 1).cast("int"), 64))
+            .cast("long")
+            .alias("chunk_words"),
+        )
+    )
+
+
+@register(
+    "q_token_rarity",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+    cnt AS (SELECT word, count(*) AS c FROM tok GROUP BY word)
+    SELECT doc_id,
+           sum(c)                           AS total_corpus_freq,
+           count(*)                         AS n_tokens,
+           CAST(sum(c) AS DOUBLE) / count(*) AS mean_token_freq
+    FROM tok JOIN cnt USING (word)
+    GROUP BY doc_id
+    """,
+)
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal: mean corpus frequency of a
+    document's tokens (documents of rare tokens score low -> "surprising"
+    content; boilerplate of stock words scores high).
+
+    Exactness: all aggregation is over BIGINT token counts (orderless),
+    with ONE final double division — no float sums, no logs (playbook).
+    Scale: token->count map is vocabulary-sized, broadcast to the
+    explode side, so the only full shuffle is the doc_id re-aggregation;
+    at 100 TB with a web-scale vocab the broadcast degrades to a
+    shuffled hash join on the same plan.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    cnt = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tok.join(F.broadcast(cnt), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("total_corpus_freq"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("c") / F.count(F.lit(1))).alias("mean_token_freq"),
+        )
+    )

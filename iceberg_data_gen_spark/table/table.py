@@ -214,6 +214,78 @@ class MoRTable:
         (self.path / "metadata.json").write_text(json.dumps(self._meta, indent=1))
         return schema
 
+    # -- partition-spec evolution (Iceberg partition model) ------------------
+
+    @property
+    def partition_specs(self) -> list[dict]:
+        return self._meta.get("partition_specs", [{"spec_id": 0, "fields": []}])
+
+    @property
+    def default_spec(self) -> dict:
+        sid = self._meta.get("default_spec_id", 0)
+        return next(s for s in self.partition_specs if s["spec_id"] == sid)
+
+    def update_spec(self, fields: list[dict]) -> dict:
+        """Iceberg-style PARTITION EVOLUTION: register a new partition spec
+        and make it the default for future writes — NO existing data file
+        is touched or rewritten.  Old files keep the spec they were
+        written under; scans plan each file against its own spec, so one
+        table can mix layouts forever (the Iceberg property that makes
+        repartitioning a 100 TB table a metadata-only operation).
+
+        Each field: ``{"source": col, "transform": t[, "n": int]}`` with
+        ``t`` in identity | bucket (mod-n, needs n) | truncate (width-n,
+        needs n).  The derived partition-field name follows Iceberg's
+        convention: ``col`` / ``col_bucket`` / ``col_trunc``.
+        """
+        known = {f.name for f in self.schema.fields}
+        norm = []
+        for f in fields:
+            if f["source"] not in known:
+                raise ValueError(f"unknown column: {f['source']}")
+            t = f["transform"]
+            if t not in ("identity", "bucket", "truncate"):
+                raise ValueError(f"unknown transform: {t}")
+            if t in ("bucket", "truncate") and not f.get("n"):
+                raise ValueError(f"{t} needs n")
+            suffix = {"identity": "", "bucket": "_bucket", "truncate": "_trunc"}[t]
+            norm.append(
+                {
+                    "source": f["source"],
+                    "transform": t,
+                    "n": f.get("n"),
+                    "name": f["source"] + suffix,
+                }
+            )
+        specs = self.partition_specs
+        spec = {"spec_id": specs[-1]["spec_id"] + 1, "fields": norm}
+        self._meta["partition_specs"] = specs + [spec]
+        self._meta["default_spec_id"] = spec["spec_id"]
+        (self.path / "metadata.json").write_text(json.dumps(self._meta, indent=1))
+        return spec
+
+    def _transform_expr(self, field: dict):
+        """Spark Column computing a partition-transform value for a row."""
+        col = F.col(field["source"])
+        t = field["transform"]
+        if t == "identity":
+            return col
+        if t == "bucket":
+            return F.pmod(col.cast("long"), F.lit(field["n"])).cast("int")
+        ftype = next(
+            f.type for f in self.schema.fields if f.name == field["source"]
+        )
+        if ftype == "string":
+            return F.substring(col, 1, field["n"])
+        return (F.floor(col.cast("long") / field["n"]) * field["n"]).cast("long")
+
+    def _spec_field(self, name: str) -> dict:
+        for spec in reversed(self.partition_specs):
+            for f in spec["fields"]:
+                if f["name"] == name:
+                    return f
+        raise ValueError(f"unknown partition field: {name}")
+
     # -- writes -------------------------------------------------------------
 
     def _write_files(self, df: DataFrame, dest: Path, stem: str, single_file: bool) -> list[str]:
