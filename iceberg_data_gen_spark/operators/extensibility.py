@@ -651,3 +651,47 @@ def q_mor_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append_batches([band(b) for b in range(16)])
     t.cluster_by(["x", "y"], target_files=16, bits=6)
     return t.scan(where={"x": (8, 23), "y": (8, 23)})
+
+
+@register(
+    "q_mor_partition_evolution",
+    oracle="""
+    SELECT CAST(range AS VARCHAR) AS foo, CAST(range AS INT) AS bar, true AS baz
+    FROM range(0, 2000) WHERE range % 4 = 1
+    """,
+)
+def q_mor_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg PARTITION EVOLUTION: rows 0..999 are appended under the
+    initial unpartitioned spec, the spec then evolves to bucket(bar, 4)
+    (a metadata-only operation — nothing is rewritten), rows 1000..1999
+    are appended under the new spec as one file per bucket, and the scan
+    filters to bucket 1.
+
+    Planning prunes 3 of the 4 new-spec files by their metadata
+    partition tuple; the old-spec file cannot be pruned (it predates the
+    field) and instead pays the residual transform predicate
+    ``pmod(bar, 4) == 1`` — exactly Iceberg's mixed-spec contract.  At
+    100 TB the evolved portion of the table answers partition queries
+    from the manifest alone while history stays readable in place.
+    """
+    import tempfile
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=1000, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-pspec-"), schema)
+
+    def rows(a: int, b: int) -> DataFrame:
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    t.append(rows(0, 1000), single_file=True)  # spec 0: unpartitioned
+    t.update_spec([{"source": "bar", "transform": "bucket", "n": 4}])
+    t.append(rows(1000, 2000))  # spec 1: one file per bucket
+    return t.scan(partition_filter={"bar_bucket": 1})

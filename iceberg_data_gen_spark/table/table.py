@@ -309,12 +309,63 @@ class MoRTable:
         return finals
 
     def append(self, df: DataFrame, single_file: bool = False) -> dict:
-        """Append data files; ONE snapshot per call (main.rs:125-158)."""
+        """Append data files; ONE snapshot per call (main.rs:125-158).
+
+        When the default partition spec has fields, the write is routed
+        through the partition-aware path and each produced file records
+        its constant partition tuple + spec id in the snapshot metadata
+        (the Iceberg manifest model) so scans can prune at planning time.
+        """
+        spec = self.default_spec
+        if spec["fields"]:
+            return self._append_partitioned(df, spec)
         files = []
         for path in self._write_files(df, self.path / "data", "data", single_file):
             files.append(
                 {"path": path, "kind": "data", "record_count": _footer_row_count(path), "stats": _footer_stats(path)}
             )
+        return self._commit("append", files)
+
+    def _append_partitioned(self, df: DataFrame, spec: dict) -> dict:
+        """Partition-aware append: derive the transform columns, let Spark
+        hash-cluster the write with ``partitionBy`` (executors write all
+        partitions in parallel — the 100 TB path), then lift each output
+        file's constant partition tuple out of its Hive-style directory
+        into file-level metadata.  Data files keep only SOURCE columns;
+        partition values live in metadata, exactly like Iceberg manifests.
+        """
+        from urllib.parse import unquote
+
+        pcols = [f["name"] for f in spec["fields"]]
+        tmp = self.path / f"_tmp-{uuid.uuid4().hex}"
+        out = df.select(
+            *df.columns,
+            *[self._transform_expr(f).alias(f["name"]) for f in spec["fields"]],
+        )
+        # cluster rows by partition tuple so each value writes one file per
+        # task instead of one per (input-partition × value); at 100 TB add a
+        # salt column here to split hot partitions across writers
+        out = out.repartition(*[F.col(c) for c in pcols])
+        out.write.mode("overwrite").partitionBy(*pcols).parquet(str(tmp))
+        files: list[dict] = []
+        for part in sorted(tmp.rglob("part-*.parquet")):
+            pvals: dict[str, str] = {}
+            for comp in part.relative_to(tmp).parts[:-1]:
+                k, _, v = comp.partition("=")
+                pvals[k] = unquote(v)
+            final = self.path / "data" / f"data-{uuid.uuid4().hex[:8]}-{len(files)}.parquet"
+            shutil.move(str(part), str(final))
+            files.append(
+                {
+                    "path": str(final),
+                    "kind": "data",
+                    "record_count": _footer_row_count(str(final)),
+                    "stats": _footer_stats(str(final)),
+                    "spec_id": spec["spec_id"],
+                    "partition": pvals,
+                }
+            )
+        shutil.rmtree(tmp)
         return self._commit("append", files)
 
     def _write_batches_one_job(
@@ -743,6 +794,7 @@ class MoRTable:
         snapshot_id: int | None = None,
         where: dict[str, tuple] | None = None,
         ref: str | None = None,
+        partition_filter: dict[str, object] | None = None,
     ) -> DataFrame:
         """Read the table state as of ``snapshot_id`` (default: current).
 
@@ -755,6 +807,15 @@ class MoRTable:
         is the manifest-pruning layer that sits ABOVE parquet row-group
         pruning: at 100 TB it is the difference between listing a
         million files and scheduling tasks for the three that matter.
+
+        ``partition_filter`` (partition-field name → value, e.g.
+        ``{"bar_bucket": 3}``) prunes files by their metadata partition
+        tuple.  PARTITION-EVOLUTION semantics: a file written under a
+        spec that does not carry the field cannot be pruned and is kept;
+        the residual transform predicate is applied to the surviving
+        ROWS, so results stay exact across mixed-spec tables — old
+        layout pays the filter, new layout pays nothing but the pruned
+        file list.
 
         ``ref`` resolves a named tag to its snapshot id (mutually
         exclusive with ``snapshot_id``).
@@ -772,12 +833,13 @@ class MoRTable:
             raise ValueError(
                 f"snapshot {snapshot_id} does not exist (never created, or expired)"
             )
-        return self._scan_resolved(snapshot_id, where)
+        return self._scan_resolved(snapshot_id, where, partition_filter)
 
     def _scan_resolved(
         self,
         snapshot_id: int | None = None,
         where: dict[str, tuple] | None = None,
+        partition_filter: dict[str, object] | None = None,
     ) -> DataFrame:
         """Read the table state as of ``snapshot_id`` (default: current).
 
@@ -791,6 +853,16 @@ class MoRTable:
         if where:
             data_files = [
                 f for f in data_files if _stats_overlap(f.get("stats"), where)
+            ]
+        if partition_filter:
+            data_files = [
+                f
+                for f in data_files
+                if all(
+                    k not in (f.get("partition") or {})
+                    or (f.get("partition") or {})[k] == str(v)
+                    for k, v in partition_filter.items()
+                )
             ]
         cols = [f.name for f in self.schema.fields]
         if not data_files:
@@ -858,6 +930,9 @@ class MoRTable:
                     df = df.where(F.col(c) >= F.lit(lo))
                 if hi is not None:
                     df = df.where(F.col(c) <= F.lit(hi))
+        if partition_filter:  # residual transform predicate (old-spec files)
+            for k, v in partition_filter.items():
+                df = df.where(self._transform_expr(self._spec_field(k)) == F.lit(v))
         return df
 
     # -- summary (O14) ------------------------------------------------------

@@ -593,3 +593,64 @@ def test_zorder_clustering_prunes_both_dims(spark, tmp_path):
     }
     # time travel to the pre-rewrite snapshot sees the banded layout
     assert len(t.scan(snapshot_id=before_snap).inputFiles()) == 16
+
+
+def test_partition_evolution(spark, tmp_path):
+    """Partition evolution: spec change is metadata-only, partitioned
+    appends record per-file partition tuples, scans prune new-spec files
+    at planning time while old-spec files pay only the residual filter,
+    and deletes still apply across specs."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=100, file_count=1)
+    t = MoRTable.create(
+        spark, str(tmp_path / "pspec"), FixSchemaGenerator(fc, fc, fc).schema()
+    )
+
+    def rows(a, b):
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    t.append(rows(0, 100), single_file=True)  # spec 0 (unpartitioned)
+    old_files = {f["path"] for f in t._files_of_kind("data", None)}
+    spec = t.update_spec([{"source": "bar", "transform": "bucket", "n": 4}])
+    assert spec["spec_id"] == 1 and spec["fields"][0]["name"] == "bar_bucket"
+    # evolution rewrote nothing
+    assert {f["path"] for f in t._files_of_kind("data", None)} == old_files
+
+    t.append(rows(100, 200))  # spec 1: one file per bucket value
+    files = t._files_of_kind("data", None)
+    assert len(files) == 5
+    tuples = sorted(
+        f["partition"]["bar_bucket"] for f in files if f.get("partition")
+    )
+    assert tuples == ["0", "1", "2", "3"]
+
+    # mixed-spec scan: 1 unprunable old file + exactly 1 new-spec file
+    got = sorted(r.bar for r in t.scan(partition_filter={"bar_bucket": 3}).collect())
+    assert got == [b for b in range(200) if b % 4 == 3]
+
+    # deletes still apply across specs
+    t.add_equality_deletes(rows(3, 4).select("foo", "bar"), [1, 2])
+    got = sorted(r.bar for r in t.scan(partition_filter={"bar_bucket": 3}).collect())
+    assert got == [b for b in range(200) if b % 4 == 3 and b != 3]
+
+    # identity + truncate transforms validate and name correctly
+    s2 = t.update_spec(
+        [{"source": "baz", "transform": "identity"},
+         {"source": "foo", "transform": "truncate", "n": 1}]
+    )
+    assert [f["name"] for f in s2["fields"]] == ["baz", "foo_trunc"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.update_spec([{"source": "nope", "transform": "identity"}])
+    with pytest.raises(ValueError):
+        t.update_spec([{"source": "bar", "transform": "bucket"}])
