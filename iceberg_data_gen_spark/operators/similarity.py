@@ -320,16 +320,61 @@ def lsh_bucket_col(v: Column) -> Column:
     return bucket
 
 
-@register("q_ann_lsh")  # bucketed approximate variant: rows-only check
+def _lsh_oracle() -> str:
+    """DuckDB twin of the LSH plan: the ±1 hyperplanes are compile-time
+    literals, so the whole bucket computation is expressible as CASE sums
+    — sign decisions agree bit-exactly because both engines evaluate the
+    identical sequential dot over identically-normalized doubles."""
+    terms = []
+    for j in range(LSH_PLANES):
+        plane = ", ".join(str(float(x)) for x in _hyperplane(j))
+        terms.append(
+            f"(CASE WHEN list_dot_product(nv, [{plane}]) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = "\n           + ".join(terms)
+    return f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        FROM e
+    ),
+    b AS (
+        SELECT vec_id, nv,
+           {bucket} AS bucket
+        FROM n
+    ),
+    q AS (
+        SELECT vec_id AS query_id, nv AS qv, bucket AS qb
+        FROM b WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.qv, c.nv), 6) AS cos_sim
+        FROM b c JOIN q ON c.bucket = q.qb AND c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+        ) AS rnk
+        FROM cand
+    )
+    WHERE rnk <= {TOP_K}
+    """
+
+
+@register("q_ann_lsh", oracle=_lsh_oracle())
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-{K} via random-hyperplane LSH buckets.
 
     Candidates are corpus vectors sharing the query's bucket; exact
     cosine then ranks within candidates.  The candidate join is an
     equi-join on bucket id — the quadratic never materializes.  Bucket
-    assignment is deterministic arithmetic, so results are reproducible
-    (rows-only driver check; the exactness baseline is
-    q_ann_bruteforce).
+    assignment is deterministic arithmetic (no RNG), so the full result
+    is oracle-checked against DuckDB computing the same planes.
     """
     from iceberg_data_gen_spark.operators.dedup import normalized_vectors
 
