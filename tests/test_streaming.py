@@ -137,3 +137,21 @@ def test_foreachbatch_sink_into_mor_table(spark, tmp_path):
     snaps = table.snapshots()
     assert len(snaps) >= 1
     assert all(s["operation"] == "append" for s in snaps)
+
+
+def test_tws_running_totals_gated(spark):
+    """transformWithStateInPandas seam: runs for real where protobuf
+    exists; raises the documented ImportError here (container lacks it)."""
+    import pytest
+
+    from iceberg_data_gen_spark.streaming.events import tws_running_totals
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="protobuf"):
+            tws_running_totals(spark, SF_DIR)
+        return
+    out = tws_running_totals(spark, SF_DIR)
+    assert {"user_id", "n_events", "total_value"} <= set(out.columns)
+    assert out.count() > 0
