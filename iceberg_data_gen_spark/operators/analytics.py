@@ -404,3 +404,189 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+@register(
+    "q_column_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_totalprice),
+           CAST(CAST(min(o_totalprice) AS DECIMAL(15,2)) AS VARCHAR),
+           CAST(CAST(max(o_totalprice) AS DECIMAL(15,2)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderdate),
+           CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR),
+           CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator (pipeline QA surface): per-column null
+    count, exact distinct count, and min/max rendered to engine-portable
+    strings (ints verbatim, doubles via DECIMAL(15,2), timestamps via
+    DATE — the playbook's portable casts).
+
+    ONE pass over the table: all 6x4 aggregates run in a single global
+    aggregation (Catalyst plans the multi-distinct via Expand), then the
+    1-row result unpivots driver-side via ``stack`` — versus the naive
+    per-column scan loop (6 scans).  At 100 TB swap the exact distincts
+    for approx_count_distinct and keep the identical plan shape.
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+
+    def prof(c: str, caster) -> list:
+        return [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"nd_{c}"),
+            caster(F.min(c)).cast("string").alias(f"mn_{c}"),
+            caster(F.max(c)).cast("string").alias(f"mx_{c}"),
+        ]
+
+    ident = lambda x: x  # noqa: E731
+    casts = {
+        "o_orderkey": ident,
+        "o_custkey": ident,
+        "o_orderstatus": ident,
+        "o_orderpriority": ident,
+        "o_totalprice": lambda x: x.cast("decimal(15,2)"),
+        "o_orderdate": lambda x: x.cast("date"),
+    }
+    aggs = [a for c, caster in casts.items() for a in prof(c, caster)]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in casts
+    )
+    return one.selectExpr(
+        f"stack({len(casts)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)"
+    )
+
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000  # integer mass per node; 15% base = 150_000
+
+
+def _pagerank_oracle() -> str:
+    """Chained-CTE twin: each Lloyd-style iteration is one CTE pair.
+    All arithmetic is BIGINT (floor division) so partition merge order
+    cannot perturb a single bit — the playbook's integer-exactness rule
+    applied to an iterative graph algorithm."""
+    base = PR_SCALE * 15 // 100
+    sql = """
+    WITH ord AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS nxt
+        FROM events
+    ),
+    edges AS (
+        SELECT event_type AS src, nxt AS dst, count(*) AS w
+        FROM ord WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    outw AS (SELECT src, sum(w) AS tw FROM edges GROUP BY src),
+    m0 AS (SELECT node, CAST({scale} AS BIGINT) AS mass FROM nodes)
+    """.format(scale=PR_SCALE)
+    for i in range(1, PR_ITERS + 1):
+        sql += """,
+    c{i} AS (
+        SELECT e.dst AS node,
+               sum((((m.mass * 85) // 100) * e.w) // o.tw) AS contrib
+        FROM edges e
+        JOIN m{p} m ON m.node = e.src
+        JOIN outw o ON o.src = e.src
+        GROUP BY e.dst
+    ),
+    m{i} AS (
+        SELECT n.node, {base} + coalesce(c.contrib, 0) AS mass
+        FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+    )
+    """.format(i=i, p=i - 1, base=base)
+    sql += f"SELECT node AS event_type, mass AS pagerank_mass FROM m{PR_ITERS}"
+    return sql
+
+
+@register("q_event_pagerank", oracle=_pagerank_oracle())
+def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph — the iterative
+    graph-algorithm shape (power iteration) as pure DataFrame joins.
+
+    Graph: per-user event streams yield (type -> next type) edges with
+    transition counts (one window pass); {PR_ITERS} power iterations
+    propagate INTEGER mass (85% along out-edges proportional to weight
+    with floor division, 15% base), so results are bit-exact against the
+    chained-CTE oracle — float PageRank would diverge across partition
+    merge orders.  Dangling-node mass evaporates (documented classic
+    variant).
+
+    Scale: nodes here are event types, but the plan is the web-graph
+    one — each iteration is contribution-join + groupBy(dst) + left
+    join, all on the node key; at 1e9 nodes you pre-partition edges by
+    src, reuse that partitioning every iteration, and localCheckpoint
+    the rank vector (as ``q_dedup_clusters`` does) to cut the lineage.
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordd = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    )
+    edges = (
+        ordd.where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
+    edges = edges.join(outw, "src").cache()
+
+    base = PR_SCALE * 15 // 100
+    mass = nodes.withColumn("mass", F.lit(PR_SCALE).cast("long"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(F.broadcast(mass), edges["src"] == mass["node"])
+            .select(
+                "dst",
+                F.expr("(((mass * 85) div 100) * w) div tw").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        mass = nodes.join(
+            F.broadcast(contrib), nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (F.lit(base) + F.coalesce("contrib", F.lit(0))).cast("long").alias("mass"),
+        )
+    return mass.select(
+        F.col("node").alias("event_type"), F.col("mass").alias("pagerank_mass")
+    )
