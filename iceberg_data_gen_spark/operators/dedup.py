@@ -32,6 +32,7 @@ from iceberg_data_gen_spark.session import load_tables
 SIMHASH_BITS = 32
 MINHASH_PERMS = 32
 LSH_BANDS = 8  # 8 bands × 4 rows
+CC_DRIVER_MAX_EDGES = 2_000_000  # union-find shortcut cap (~32 MB of pairs)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -671,23 +672,62 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decision step that turns pair lists into keep/drop sets (keep
     rep, drop the rest).
 
-    Iterative min-label propagation: each round, every node takes the
-    min of its own and its neighbors' labels; converges in O(graph
-    diameter) rounds (near-dup clusters are dense, so 2-3).  Each round
-    is one distributed join+groupBy; ``localCheckpoint`` truncates the
-    lineage so plans don't grow with iterations — the standard Spark
-    shape for iterative graph algorithms (cf. large-star/small-star).
-    The oracle computes the same components with a recursive CTE.
+    Iterative min-label propagation over ONLY the dup-graph nodes: the
+    similarity graph is orders of magnitude smaller than the corpus
+    (most documents have no near-duplicate), so isolated docs never
+    enter the loop — they are their own representative by construction
+    and join back in once at the end.  Each round is one join+groupBy
+    on the (tiny) subgraph with a ``changed`` flag folded into the same
+    materialization (no extra convergence join); ``localCheckpoint``
+    truncates lineage so plans don't grow with iterations — the
+    standard Spark shape for iterative graph algorithms (cf.
+    large-star/small-star).  The oracle computes the same components
+    with a recursive CTE.
     """
-    pairs = QUERIES["q_jaccard_pairs"](spark, sf_dir).select("doc_a", "doc_b")
+    pairs = (
+        QUERIES["q_jaccard_pairs"](spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    n_pairs = pairs.count()
+    if n_pairs <= CC_DRIVER_MAX_EDGES:
+        # small-graph fast path (the common case: near-dup pairs are a
+        # sliver of the corpus): union-find on the driver over a BOUNDED
+        # edge list — the count above gates the collect, so this never
+        # pulls more than ~32 MB; one job replaces O(diameter) rounds of
+        # join+groupBy (GraphFrames' CC does the same shortcut).
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in ((r.doc_a, r.doc_b) for r in pairs.collect()):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp_min: dict = {}
+        for node in parent:
+            r = find(node)
+            comp_min[r] = min(comp_min.get(r, node), node)
+        labels = spark.createDataFrame(
+            [(n, comp_min[find(n)]) for n in sorted(parent)],
+            "doc_id long, cluster_rep long",
+        )
+        return _labels_to_clusters(spark, sf_dir, labels)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .localCheckpoint()
     )
     labels = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.col("doc_id").alias("cluster_rep"))
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("doc_id"), F.col("src").alias("cluster_rep"))
         .localCheckpoint()
     )
     for _ in range(20):
@@ -703,20 +743,35 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("cluster_rep"), F.coalesce("nbr_rep", F.col("cluster_rep"))
                 ).alias("cluster_rep"),
+                (F.col("nbr_rep") < F.col("cluster_rep")).alias("__changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_rep") != F.col("o.cluster_rep"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             break
-    sizes = labels.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return labels.join(sizes, "cluster_rep").select("doc_id", "cluster_rep", "cluster_size")
+    return _labels_to_clusters(spark, sf_dir, labels)
+
+
+def _labels_to_clusters(
+    spark: SparkSession, sf_dir: str, labels: DataFrame
+) -> DataFrame:
+    """Join dup-node labels back to the full corpus (isolated docs are
+    their own representative) and attach cluster sizes.  No broadcast
+    hints: the dup-node set is usually tiny but data-dependent (10%+ of
+    a web corpus can be near-dup) — AQE picks broadcast when the
+    measured size allows."""
+    full = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_rep", F.col("doc_id")).alias("cluster_rep"))
+    )
+    sizes = full.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return full.join(sizes, "cluster_rep").select(
+        "doc_id", "cluster_rep", "cluster_size"
+    )
 
 
 @register(

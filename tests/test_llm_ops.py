@@ -173,3 +173,26 @@ def test_kmeans_centroids_deterministic_and_balanced(spark):
     M = M / np.linalg.norm(M, axis=1)[:, None]
     counts = np.bincount(np.argmax(M @ c1.T, axis=1), minlength=IVF_CENTROIDS)
     assert (counts > 0).all(), counts
+
+
+def test_cc_distributed_path_matches_unionfind(spark):
+    """The >2M-edge distributed label-propagation branch must produce
+    exactly the labels of the driver union-find shortcut (the branch is
+    data-size-selected, so correctness must not depend on which runs)."""
+    from iceberg_data_gen_spark.operators import QUERIES, dedup
+
+    sf = "/root/testdata/sf0.01"
+    fast = {
+        (r.doc_id, r.cluster_rep, r.cluster_size)
+        for r in QUERIES["q_dedup_clusters"](spark, sf).collect()
+    }
+    cap = dedup.CC_DRIVER_MAX_EDGES
+    dedup.CC_DRIVER_MAX_EDGES = -1  # force the distributed loop
+    try:
+        slow = {
+            (r.doc_id, r.cluster_rep, r.cluster_size)
+            for r in QUERIES["q_dedup_clusters"](spark, sf).collect()
+        }
+    finally:
+        dedup.CC_DRIVER_MAX_EDGES = cap
+    assert fast == slow
