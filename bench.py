@@ -56,6 +56,13 @@ EXTRA = [
     "q_bm25",
     "q_temperature_sample",
     "q_dedup_survivors",
+    "q_doc_chunking",
+    "q_token_rarity",
+    "q_knn_classify",
+    "q_event_pagerank",
+    "q_column_profile",
+    "q_mor_partition_evolution",
+    "q_ann_lsh",
 ]
 
 

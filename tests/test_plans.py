@@ -290,3 +290,42 @@ def test_recursive_cte_executes(spark):
     # WITH RECURSIVE plans a UnionLoop/recursion node joined broadcast
     plan = plan_of(q("q_recursive_cte", spark), mode="simple")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_doc_chunking_no_shuffle(spark):
+    """Chunking is a pure map stage: explode+slice must not introduce
+    any Exchange — output partitioning inherits the input splits."""
+    plan = plan_of(q("q_doc_chunking", spark))
+    assert "Exchange" not in plan, plan
+
+
+def test_token_rarity_broadcast_vocab(spark):
+    """The vocabulary-count side of the rarity join is broadcast — the
+    corpus explode side must never shuffle for the join itself."""
+    plan = plan_of(q("q_token_rarity", spark))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_knn_classify_partial_topk(spark):
+    """Per-query top-k runs the WindowGroupLimit partial rewrite before
+    any shuffle of scored rows."""
+    plan = plan_of(q("q_knn_classify", spark))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_event_pagerank_broadcast_iterations(spark):
+    """Every power-iteration join broadcasts the rank vector (hinted):
+    the edge list is never shuffled across iterations."""
+    plan = plan_of(q("q_event_pagerank", spark))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_column_profile_single_scan_expand(spark):
+    """All per-column aggregates fold into ONE scan of orders (Catalyst
+    plans multi-distinct via Expand) — not one scan per column."""
+    plan = plan_of(q("q_column_profile", spark))
+    # formatted mode prints each node twice (tree line + detail block),
+    # so ONE scan node == exactly two occurrences
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Expand" in plan, plan
