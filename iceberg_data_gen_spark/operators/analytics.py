@@ -590,3 +590,95 @@ def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mass.select(
         F.col("node").alias("event_type"), F.col("mass").alias("pagerank_mass")
     )
+
+
+@register(
+    "q_ewma",
+    oracle="""
+    WITH RECURSIVE s AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, rn, event_id, value, value AS ewma FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.rn, s.event_id, s.value, (s.value + r.ewma) / 2
+        FROM s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ewma FROM r
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha = 1/2) over event values — the genuinely
+    SEQUENTIAL per-key operator Spark's built-ins cannot express: each
+    state depends on the previous, so it runs as a grouped-map
+    (applyInPandas) with one Arrow batch per user and a tight numpy loop
+    inside.
+
+    Exactness: alpha = 1/2 makes every step ``(x + prev) / 2`` — the
+    division is exact in binary floating point and both engines evaluate
+    the identical left-to-right recurrence (the oracle's recursive CTE
+    steps in the same order), so results are bit-equal with no rounding.
+    Scale: per-user history is the only sequential span; users fan out
+    across executors (one shuffle on user_id) — the canonical
+    stateful-timeseries layout.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+
+    def ewma_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vals = pdf["value"].to_numpy()
+        out = np.empty(len(vals))
+        acc = 0.0
+        for i, v in enumerate(vals):
+            acc = v if i == 0 else (v + acc) / 2.0
+            out[i] = acc
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "ewma": out}
+        )
+
+    return (
+        ev.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(ewma_fn, "user_id long, event_id long, ewma double")
+    )
+
+
+@register(
+    "q_ntile_binning",
+    oracle="""
+    WITH b AS (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+        FROM orders
+    )
+    SELECT bin, count(*) AS n_orders,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+    FROM b GROUP BY bin
+    """,
+)
+def q_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-depth (decile) feature binning with ``ntile`` — the
+    discretization step of feature pipelines.  The (value, key)
+    tie-break makes bucket assignment identical in both engines; min/max
+    emit unrounded doubles (same element selected -> bit-equal).
+
+    The global ntile is a single-partition window — fine for a
+    threshold-sized result, but at 100 TB the same binning is done with
+    approx_percentile edges + a broadcast range join (documented trade,
+    as in q_length_band_filter)."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
