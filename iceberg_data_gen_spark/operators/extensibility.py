@@ -695,3 +695,124 @@ def q_mor_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.update_spec([{"source": "bar", "transform": "bucket", "n": 4}])
     t.append(rows(1000, 2000))  # spec 1: one file per bucket
     return t.scan(partition_filter={"bar_bucket": 1})
+
+
+@register(
+    "q_mor_delete_where",
+    oracle="""
+    SELECT CAST(range AS VARCHAR) AS foo, CAST(range AS INT) AS bar, true AS baz
+    FROM range(0, 1000) WHERE range % 10 != 3 AND range >= 200
+    """,
+)
+def q_mor_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level ``DELETE FROM t WHERE ...`` on the MoR table: two
+    successive predicate deletes lower to POSITION-delete files (no data
+    file rewritten).  The second delete scans through the first's
+    anti-join, so overlapping predicates never double-delete a position
+    — the idempotence Iceberg's delete writer guarantees.
+    """
+    import tempfile
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=1000, file_count=1)
+    t = MoRTable.create(
+        spark, tempfile.mkdtemp(prefix="mor-delw-"), FixSchemaGenerator(fc, fc, fc).schema()
+    )
+    t.append(
+        spark.range(0, 1000).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        ),
+        single_file=True,
+    )
+    t.delete_where("bar % 10 = 3")
+    t.delete_where("bar < 200")  # overlaps rows already deleted above
+    return t.scan()
+
+
+@register(
+    "q_mor_wap",
+    oracle="""
+    SELECT CAST(range AS VARCHAR) AS foo, CAST(range AS INT) AS bar, true AS baz
+    FROM range(0, 2000)
+    """,
+)
+def q_mor_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish: rows 1000..1999 are committed STAGED
+    (invisible to readers), audited by scanning the staged snapshot id
+    directly, then published as a metadata-only cherry-pick.  The final
+    scan sees both halves; mid-flow invariants (reader isolation during
+    audit) are asserted inline — a failed audit would simply skip
+    publish and expire the staged files.
+    """
+    import tempfile
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=1000, file_count=1)
+    t = MoRTable.create(
+        spark, tempfile.mkdtemp(prefix="mor-wap-"), FixSchemaGenerator(fc, fc, fc).schema()
+    )
+
+    def rows(a: int, b: int) -> DataFrame:
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    t.append(rows(0, 1000), single_file=True)
+    staged = t.append_staged(rows(1000, 2000), single_file=True)
+    # audit: quarantined from normal readers, visible by staged id
+    assert t.scan().count() == 1000, "staged rows leaked to readers"
+    audit = t.scan(snapshot_id=staged["id"]).count()
+    assert audit == 2000, f"audit scan saw {audit}"
+    t.publish_snapshot(staged["id"])
+    return t.scan()
+
+
+@register(
+    "q_mor_partitions",
+    oracle="""
+    SELECT * FROM (VALUES
+        (0, '{}',                     1, 1000),
+        (1, '{"bar_bucket": "0"}',    1,  250),
+        (1, '{"bar_bucket": "1"}',    1,  250),
+        (1, '{"bar_bucket": "2"}',    1,  250),
+        (1, '{"bar_bucket": "3"}',    1,  250)
+    ) AS t(spec_id, partition, n_files, record_count)
+    """,
+)
+def q_mor_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``.partitions`` metadata table over a mixed-spec table
+    (unpartitioned history + bucket(bar,4) evolution): per partition
+    tuple, live file and record counts — answered purely from commit
+    metadata, no data file opened."""
+    import tempfile
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=1000, file_count=1)
+    t = MoRTable.create(
+        spark, tempfile.mkdtemp(prefix="mor-parts-"), FixSchemaGenerator(fc, fc, fc).schema()
+    )
+
+    def rows(a: int, b: int) -> DataFrame:
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    t.append(rows(0, 1000), single_file=True)
+    t.update_spec([{"source": "bar", "transform": "bucket", "n": 4}])
+    t.append(rows(1000, 2000))
+    return t.partitions_df()

@@ -176,8 +176,10 @@ class MoRTable:
         return list(self._meta["snapshots"])
 
     def current_snapshot_id(self) -> int | None:
-        snaps = self._meta["snapshots"]
-        return snaps[-1]["id"] if snaps else None
+        """Table head: the latest snapshot that is not write-audit-publish
+        STAGED (a staged append is quarantined until published)."""
+        live = [s for s in self._meta["snapshots"] if not s.get("staged")]
+        return live[-1]["id"] if live else None
 
     def _commit(self, operation: str, files: list[dict], **extra) -> dict:
         snaps = self._meta["snapshots"]
@@ -503,7 +505,77 @@ class MoRTable:
         ]
         return self._commit("overwrite", files, equality_ids=ids)
 
+    def delete_where(self, condition) -> dict:
+        """``DELETE FROM t WHERE <condition>`` lowered to POSITION deletes
+        — the merge-on-read row-level delete: the scan (with its
+        MoR anti-joins, so already-deleted rows never re-delete) finds
+        the live rows matching the predicate, and only their
+        (file, position) pairs are written; NO data file is rewritten.
+
+        At 100 TB the predicate's file pruning applies before the scan
+        (pass the same bounds via ``scan(where=...)`` conventions), so a
+        selective delete touches only matching files' row positions.
+        """
+        if not self._files_of_kind("data", None):
+            return self._commit("delete-position", [])
+        live = self._scan_resolved(None, keep_meta=True).where(condition)
+        dels = live.select(
+            F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
+        )
+        return self.add_position_deletes(dels)
+
+    # -- write-audit-publish (staged snapshots) ------------------------------
+
+    def append_staged(self, df: DataFrame, single_file: bool = False) -> dict:
+        """Write-Audit-Publish step 1: commit an append as a STAGED
+        snapshot — files are durable and auditable via
+        ``scan(snapshot_id=staged_id)``, but the snapshot is invisible
+        to normal reads and does not advance the table head until
+        ``publish_snapshot``.  This is Iceberg's WAP flow
+        (``spark.wap.id`` + cherry-pick): bad data is caught while
+        quarantined, with zero rewrite on publish."""
+        snap = self.append(df, single_file=single_file)
+        snap["staged"] = True
+        (self.path / "metadata.json").write_text(json.dumps(self._meta, indent=1))
+        return snap
+
+    def publish_snapshot(self, snapshot_id: int) -> dict:
+        """Write-Audit-Publish step 2: cherry-pick a staged append onto
+        the current head — a metadata-only commit referencing the SAME
+        files (nothing moves), exactly Iceberg's cherrypick_snapshot.
+        The staged snapshot stays in history for audit lineage."""
+        snap = next(
+            (s for s in self._meta["snapshots"] if s["id"] == snapshot_id), None
+        )
+        if snap is None or not snap.get("staged"):
+            raise ValueError(f"snapshot {snapshot_id} is not a staged snapshot")
+        if snap["operation"] != "append":
+            raise ValueError("only append snapshots can be staged/published")
+        return self._commit(
+            "append", list(snap["files"]), cherry_picked_from=snapshot_id
+        )
+
     # -- metadata tables (Iceberg .files / .snapshots equivalents) ----------
+
+    def partitions_df(self) -> DataFrame:
+        """Iceberg ``.partitions`` metadata table: per (spec_id,
+        partition tuple), live file count and record total — answered
+        from commit metadata, no data file opened."""
+        agg: dict[tuple, list[int]] = {}
+        for f in self._files_of_kind("data", None):
+            key = (
+                f.get("spec_id", 0),
+                json.dumps(f.get("partition") or {}, sort_keys=True),
+            )
+            cur = agg.setdefault(key, [0, 0])
+            cur[0] += 1
+            cur[1] += int(f["record_count"])
+        rows = [
+            (sid, part, n, rec) for (sid, part), (n, rec) in sorted(agg.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "spec_id int, partition string, n_files int, record_count long"
+        )
 
     def files(self, snapshot_id: int | None = None) -> DataFrame:
         rows = []
@@ -533,6 +605,11 @@ class MoRTable:
         snaps = self._meta["snapshots"]
         if snapshot_id is not None:
             snaps = [s for s in snaps if s["id"] <= snapshot_id]
+        # WAP: staged snapshots are invisible except when directly
+        # addressed (the audit read of that staged id)
+        snaps = [
+            s for s in snaps if not s.get("staged") or s["id"] == snapshot_id
+        ]
         for i in range(len(snaps) - 1, -1, -1):
             if snaps[i].get("baseline"):
                 return snaps[i:]
@@ -840,6 +917,7 @@ class MoRTable:
         snapshot_id: int | None = None,
         where: dict[str, tuple] | None = None,
         partition_filter: dict[str, object] | None = None,
+        keep_meta: bool = False,
     ) -> DataFrame:
         """Read the table state as of ``snapshot_id`` (default: current).
 
@@ -923,7 +1001,8 @@ class MoRTable:
                 df = df.join(F.broadcast(dels), cond, "left_anti")
             df = df.drop("__data_seq")
 
-        df = df.drop("__file", "__pos")
+        if not keep_meta:
+            df = df.drop("__file", "__pos")
         if where:  # residual predicate: exactness never depends on stats
             for c, (lo, hi) in where.items():
                 if lo is not None:

@@ -654,3 +654,55 @@ def test_partition_evolution(spark, tmp_path):
         t.update_spec([{"source": "nope", "transform": "identity"}])
     with pytest.raises(ValueError):
         t.update_spec([{"source": "bar", "transform": "bucket"}])
+
+
+def test_delete_where_and_wap(spark, tmp_path):
+    """delete_where: predicate → position deletes, idempotent across
+    overlapping deletes, no-op on an empty table.  WAP: staged appends
+    invisible until published; publishing twice / publishing non-staged
+    raises; history keeps the staged snapshot for audit."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=100, file_count=1)
+
+    def rows(a, b):
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    t = MoRTable.create(
+        spark, str(tmp_path / "dml"), FixSchemaGenerator(fc, fc, fc).schema()
+    )
+    # empty-table delete: metadata-only no-op commit
+    t.delete_where("bar = 1")
+    assert t.scan().count() == 0
+
+    t.append(rows(0, 100), single_file=True)
+    t.delete_where("bar % 2 = 0")
+    assert t.scan().count() == 50
+    t.delete_where("bar < 50")  # overlap: evens < 50 already gone
+    assert sorted(r.bar for r in t.scan().collect()) == list(range(51, 100, 2))
+    # no double-deleted positions: pos-delete record total == rows removed
+    removed = sum(
+        f["record_count"] for f in t._files_of_kind("pos-delete", None)
+    )
+    assert removed == 100 - 25
+
+    staged = t.append_staged(rows(100, 200), single_file=True)
+    assert t.scan().count() == 25  # quarantined
+    assert t.scan(snapshot_id=staged["id"]).count() == 125  # audit view
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.publish_snapshot(staged["id"] - 1)  # not staged
+    pub = t.publish_snapshot(staged["id"])
+    assert pub["cherry_picked_from"] == staged["id"]
+    assert t.scan().count() == 125
+    # staged snapshot remains in history (audit lineage)
+    assert any(s.get("staged") for s in t.snapshots())
