@@ -1,0 +1,106 @@
+"""Streaming reads FROM the MoR table: snapshot ids as stream offsets.
+
+The Iceberg streaming-read model (``spark.readStream.format("iceberg")``):
+each micro-batch consumes the data files committed by APPEND snapshots in
+``(last offset, current]`` — the same contract as ``MoRTable.
+incremental_scan`` (deletes and compaction replace commits contribute
+nothing; consumers see what was appended).  Replay between offsets is
+deterministic because a past snapshot's file list is immutable — the
+exactly-once property falls out of the table format, as in Iceberg
+(until snapshots are expired, the same caveat Iceberg documents).
+
+Classes are built inside a factory so cloudpickle ships them BY VALUE —
+module-level classes fail to import on vanilla-session workers (see
+``fixseq.py``).
+"""
+
+from __future__ import annotations
+
+
+def make_mor_stream_datasource():
+    """Build (by value, picklable) the ``mor-stream`` DataSource class."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    def _load_meta(path: str) -> dict:
+        import json
+        from pathlib import Path
+
+        return json.loads((Path(path) / "metadata.json").read_text())
+
+    def _append_files(meta: dict, lo: int, hi: int) -> list[str]:
+        return [
+            f["path"]
+            for s in meta["snapshots"]
+            if lo < s["id"] <= hi
+            and s["operation"] == "append"
+            and not s.get("staged")
+            for f in s["files"]
+            if f["kind"] == "data"
+        ]
+
+    def _rows_of(paths: list[str], columns: list[str]) -> list:
+        # materialized (not a generator): the Simple stream API caches and
+        # copy()s the returned iterator for replay — list iterators copy,
+        # generators don't.  Bounded by one commit's files per batch.
+        import pyarrow.parquet as pq
+
+        rows: list = []
+        for p in paths:
+            tbl = pq.read_table(p, columns=columns)
+            cols = [tbl.column(c).to_pylist() for c in columns]
+            rows.extend(zip(*cols))
+        return rows
+
+    class MoRStreamReader(SimpleDataSourceStreamReader):
+        """Offset = last consumed snapshot id.  ``read`` advances to the
+        table head; ``readBetweenOffsets`` replays a committed window
+        from the immutable snapshot file lists."""
+
+        def __init__(self, options: dict) -> None:
+            self.path = options["path"]
+            meta = _load_meta(self.path)
+            self.columns = [f["name"] for f in meta["schema"]["fields"]]
+
+        def initialOffset(self) -> dict:
+            return {"snapshot": 0}
+
+        def read(self, start: dict):
+            meta = _load_meta(self.path)
+            live = [s for s in meta["snapshots"] if not s.get("staged")]
+            head = live[-1]["id"] if live else 0
+            lo = start["snapshot"]
+            if head <= lo:
+                return iter([]), start
+            files = _append_files(meta, lo, head)
+            return iter(_rows_of(files, self.columns)), {"snapshot": head}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            meta = _load_meta(self.path)
+            files = _append_files(meta, start["snapshot"], end["snapshot"])
+            return iter(_rows_of(files, self.columns))
+
+    class MoRStreamDataSource(DataSource):
+        """``format("mor-stream")`` with ``option("path", table_path)`` —
+        change-data consumption straight off the table's commit log."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "mor-stream"
+
+        def schema(self) -> str:
+            meta = _load_meta(self.options["path"])
+            types = {"string": "string", "int": "int", "boolean": "boolean", "long": "long", "double": "double"}
+            return ", ".join(
+                f"{f['name']} {types[f['type']]}" for f in meta["schema"]["fields"]
+            )
+
+        def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+            return MoRStreamReader(self.options)
+
+    return MoRStreamDataSource
+
+
+def register_mor_stream(spark) -> None:
+    """Idempotently register on a session (driver sessions are vanilla —
+    registration must happen inside the query)."""
+    spark.dataSource.register(make_mor_stream_datasource())

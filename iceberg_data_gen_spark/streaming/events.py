@@ -518,3 +518,56 @@ def tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "None",
     )
     return run_to_completion(out, output_mode="update")
+
+
+@register(
+    "q_stream_from_mor",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           sum(CAST(range AS BIGINT)) AS sum_bar,
+           CAST(max(range) AS INT) AS max_bar,
+           CAST(min(range) AS INT) AS min_bar
+    FROM range(0, 3000)
+    """,
+)
+def q_stream_from_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC *out of* the MoR table: snapshot ids are the stream
+    offsets (Iceberg streaming-read contract) — each micro-batch is the
+    data appended by commits in ``(last, head]``; the eq-delete commit
+    in between contributes NOTHING (append-only semantics, same as
+    ``incremental_scan``), replay is deterministic off the immutable
+    snapshot file lists.  Three appends flow through a streaming
+    aggregation; totals converge to the closed form.
+    """
+    import tempfile
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.sources.mor_stream import register_mor_stream
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=1000, file_count=1)
+    path = tempfile.mkdtemp(prefix="mor-cdc-")
+    t = MoRTable.create(spark, path, FixSchemaGenerator(fc, fc, fc).schema())
+
+    def rows(a: int, b: int) -> DataFrame:
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    t.append(rows(0, 1000), single_file=True)
+    t.add_equality_deletes(rows(0, 100).select("foo", "bar"), [1, 2])
+    t.append(rows(1000, 2000), single_file=True)
+    t.append(rows(2000, 3000), single_file=True)
+
+    register_mor_stream(spark)
+    stream = spark.readStream.format("mor-stream").option("path", path).load()
+    agg = stream.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("bar").cast("bigint")).alias("sum_bar"),
+        F.max("bar").alias("max_bar"),
+        F.min("bar").alias("min_bar"),
+    )
+    return run_to_completion(agg)
