@@ -1002,3 +1002,81 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("c") / F.count(F.lit(1))).alias("mean_token_freq"),
         )
     )
+
+@register(
+    "q_chunk_dedup",
+    oracle="""
+    WITH c AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    e AS (SELECT doc_id, w,
+                 unnest(range(0, CAST(ceil(len(w) / 32.0) AS BIGINT))) AS chunk_id
+          FROM c),
+    ch AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(w, chunk_id * 32 + 1, chunk_id * 32 + 32), ' '
+               )) AS h
+        FROM e
+        WHERE len(list_slice(w, chunk_id * 32 + 1, chunk_id * 32 + 32)) = 32
+    ),
+    shared AS (
+        SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT ch.doc_id,
+           count(*) AS n_chunks,
+           sum(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_chunks,
+           CAST(sum(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS dup_ratio
+    FROM ch LEFT JOIN shared s ON ch.h = s.h
+    GROUP BY ch.doc_id
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-SPAN detection (the cheap stand-in for
+    suffix-array substring dedup): documents are cut into aligned
+    32-token chunks, each chunk is content-hashed, and a chunk counts as
+    duplicated when its hash occurs in >= 2 distinct documents.  Output:
+    per-doc full-chunk count, duplicated-chunk count, and ratio (the
+    usual drop/trim signal for template boilerplate).
+
+    Plan: chunking is the shuffle-free map of ``q_doc_chunking``; the
+    only shuffles are the hash groupBy (vocabulary of chunk hashes) and
+    the per-doc re-aggregation — the shared-hash side joins broadcast at
+    test scale and degrades to a shuffled hash join at corpus scale,
+    same plan.  Integer counts + one final division keep both engines
+    bit-equal.
+    """
+    docs = _docs(spark, sf_dir)
+    w = F.split("text", " ")
+    chunks = (
+        docs.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), (F.ceil(F.size("w") / 32.0)) - 1)
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.slice("w", (F.col("chunk_id") * 32 + 1).cast("int"), 32).alias("cw"),
+        )
+        .where(F.size("cw") == 32)
+        .select("doc_id", F.md5(F.concat_ws(" ", "cw")).alias("h"))
+    )
+    shared = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_shared"))
+    )
+    return (
+        chunks.join(F.broadcast(shared), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.coalesce("is_shared", F.lit(0))).alias("n_dup_chunks"),
+            (
+                F.sum(F.coalesce("is_shared", F.lit(0))) / F.count(F.lit(1))
+            ).alias("dup_ratio"),
+        )
+    )
