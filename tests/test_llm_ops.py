@@ -196,3 +196,21 @@ def test_cc_distributed_path_matches_unionfind(spark):
     finally:
         dedup.CC_DRIVER_MAX_EDGES = cap
     assert fast == slow
+
+
+def test_pq_recall_floor(spark):
+    """Product-quantization ADC top-10 must overlap the exact brute-force
+    top-10 at >= 0.4 mean recall (measured 0.58 on the near-uniform
+    synthetic embeddings — the hard case for any quantizer)."""
+    from collections import defaultdict
+
+    from iceberg_data_gen_spark.operators import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    pqs, bfs = defaultdict(set), defaultdict(set)
+    for r in QUERIES["q_ann_pq"](spark, sf).collect():
+        pqs[r.query_id].add(r.neighbor_id)
+    for r in QUERIES["q_ann_bruteforce"](spark, sf).collect():
+        bfs[r.query_id].add(r.neighbor_id)
+    recalls = [len(pqs[q] & bfs[q]) / len(bfs[q]) for q in bfs]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
