@@ -151,6 +151,12 @@ def _stats_overlap(stats: dict | None, where: dict[str, tuple]) -> bool:
     return True
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed since this handle last read the table
+    metadata.  Mirrors Iceberg's ``CommitFailedException``: the commit
+    loop is catch → ``refresh()`` → re-apply → retry."""
+
+
 class MoRTable:
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
@@ -182,18 +188,51 @@ class MoRTable:
         return live[-1]["id"] if live else None
 
     def _commit(self, operation: str, files: list[dict], **extra) -> dict:
+        """Append a snapshot with Iceberg-style OPTIMISTIC CONCURRENCY:
+        before publishing, re-read the on-disk metadata and require that
+        its head is still the head this handle built on — a concurrent
+        writer's commit raises ``CommitConflictError`` instead of being
+        silently clobbered (the caller refreshes and retries, which is
+        exactly Iceberg's commit loop).  The metadata write itself is
+        atomic (temp file + ``os.replace``), so readers never observe a
+        torn metadata.json."""
         snaps = self._meta["snapshots"]
+        expected_parent = snaps[-1]["id"] if snaps else None
+        meta_path = self.path / "metadata.json"
+        on_disk = json.loads(meta_path.read_text())
+        disk_snaps = on_disk["snapshots"]
+        disk_head = disk_snaps[-1]["id"] if disk_snaps else None
+        if disk_head != expected_parent:
+            raise CommitConflictError(
+                f"concurrent commit detected: expected head {expected_parent}, "
+                f"found {disk_head} — refresh() and retry"
+            )
         snap = {
             "id": (snaps[-1]["id"] + 1) if snaps else 1,
-            "parent": snaps[-1]["id"] if snaps else None,
+            "parent": expected_parent,
             "sequence_number": len(snaps) + 1,
             "operation": operation,
             "files": files,
             **extra,
         }
         snaps.append(snap)
-        (self.path / "metadata.json").write_text(json.dumps(self._meta, indent=1))
+        self._write_meta()
         return snap
+
+    def _write_meta(self) -> None:
+        """Atomically publish ``self._meta``: write to a temp file in the
+        same directory, then ``os.replace`` — readers see either the old
+        or the new metadata.json, never a torn one.  (Stands in for the
+        catalog's atomic pointer swap in real Iceberg.)"""
+        tmp = self.path / f"metadata.json.tmp-{uuid.uuid4().hex[:8]}"
+        tmp.write_text(json.dumps(self._meta, indent=1))
+        os.replace(tmp, self.path / "metadata.json")
+
+    def refresh(self) -> "MoRTable":
+        """Reload table metadata from disk (the retry step after a
+        ``CommitConflictError``)."""
+        self._meta = json.loads((self.path / "metadata.json").read_text())
+        return self
 
     # -- schema evolution ---------------------------------------------------
 
@@ -213,7 +252,7 @@ class MoRTable:
         next_id = max(f.field_id for f in schema.fields) + 1
         schema.fields.append(Field(next_id, name, type_, required=False))
         self._meta["schema"] = schema.to_json()
-        (self.path / "metadata.json").write_text(json.dumps(self._meta, indent=1))
+        self._write_meta()
         return schema
 
     # -- partition-spec evolution (Iceberg partition model) ------------------
@@ -263,7 +302,7 @@ class MoRTable:
         spec = {"spec_id": specs[-1]["spec_id"] + 1, "fields": norm}
         self._meta["partition_specs"] = specs + [spec]
         self._meta["default_spec_id"] = spec["spec_id"]
-        (self.path / "metadata.json").write_text(json.dumps(self._meta, indent=1))
+        self._write_meta()
         return spec
 
     def _transform_expr(self, field: dict):
@@ -536,7 +575,7 @@ class MoRTable:
         quarantined, with zero rewrite on publish."""
         snap = self.append(df, single_file=single_file)
         snap["staged"] = True
-        (self.path / "metadata.json").write_text(json.dumps(self._meta, indent=1))
+        self._write_meta()
         return snap
 
     def publish_snapshot(self, snapshot_id: int) -> dict:
@@ -640,7 +679,7 @@ class MoRTable:
         if name in refs:
             raise ValueError(f"ref exists: {name}")
         refs[name] = {"type": "tag", "snapshot_id": sid}
-        (self.path / "metadata.json").write_text(json.dumps(self._meta, indent=1))
+        self._write_meta()
         return refs[name]
 
     def drop_tag(self, name: str) -> None:
@@ -648,7 +687,7 @@ class MoRTable:
         if name not in refs:
             raise ValueError(f"no such ref: {name}")
         del refs[name]
-        (self.path / "metadata.json").write_text(json.dumps(self._meta, indent=1))
+        self._write_meta()
 
     def resolve_ref(self, name: str) -> int:
         refs = self._meta.get("refs", {})
@@ -827,7 +866,7 @@ class MoRTable:
                     Path(f["path"]).unlink(missing_ok=True)
                     removed += 1
         self._meta["snapshots"] = kept
-        (self.path / "metadata.json").write_text(json.dumps(self._meta, indent=1))
+        self._write_meta()
         return {"expired": len(expired), "removed_files": removed}
 
     def incremental_scan(

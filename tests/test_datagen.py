@@ -706,3 +706,42 @@ def test_delete_where_and_wap(spark, tmp_path):
     assert t.scan().count() == 125
     # staged snapshot remains in history (audit lineage)
     assert any(s.get("staged") for s in t.snapshots())
+
+
+def test_commit_conflict_detection_and_retry(spark, tmp_path):
+    """Optimistic concurrency: two handles on one table — the handle that
+    commits second on a stale head raises CommitConflictError; after
+    refresh() the retry lands on the new head (Iceberg's commit loop)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.table.table import (
+        CommitConflictError,
+        Field,
+        MoRTable,
+        TableSchema,
+    )
+
+    schema = TableSchema(
+        fields=[Field(1, "foo", "string"), Field(2, "bar", "int")],
+        identifier_field_ids=[2],
+    )
+    t1 = MoRTable.create(spark, str(tmp_path / "t"), schema)
+    batch = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").cast("string").alias("foo"), F.col("id").cast("int").alias("bar")
+    )
+    t1.append_batches([batch(0, 5)])
+
+    t2 = MoRTable(spark, str(tmp_path / "t"))  # second writer, own metadata copy
+    t1.append_batches([batch(5, 10)])  # advances head under t2's feet
+
+    import pytest as _pytest
+
+    with _pytest.raises(CommitConflictError):
+        t2.append_batches([batch(10, 15)])
+
+    t2.refresh()
+    t2.append_batches([batch(10, 15)])  # retry succeeds on refreshed head
+    assert t2.scan().count() == 15
+    # linear history: parents chain head-to-head, no snapshot clobbered
+    snaps = MoRTable(spark, str(tmp_path / "t")).snapshots()
+    assert [s["parent"] for s in snaps] == [None] + [s["id"] for s in snaps[:-1]]
