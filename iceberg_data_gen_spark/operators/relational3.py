@@ -991,3 +991,205 @@ def q_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion: Q2 / Q11 / Q20 (partsupp derived from lineitem)
+# ---------------------------------------------------------------------------
+#
+# The testdata has no partsupp table, so these three queries derive the
+# supplier-part relation from lineitem: ps_supplycost := the minimum unit
+# price (l_extendedprice / l_quantity) ever charged for that (part,
+# supplier) pair.  IEEE double division and min() are order-independent
+# and bit-identical across engines, so equality joins on the derived cost
+# are hash-exact.
+
+_PARTSUPP_SQL = """
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           min(l_extendedprice / l_quantity) AS ps_supplycost
+    FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _partsupp(lineitem: DataFrame) -> DataFrame:
+    return lineitem.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL})
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+    FROM part, partsupp, supplier, nation, region
+    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      AND p_size = 15 AND p_type = 'STANDARD'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+          SELECT min(ps2.ps_supplycost)
+          FROM partsupp ps2, supplier s2, nation n2, region r2
+          WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+            AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'EUROPE')
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: cheapest regional supplier per selected part.
+
+    The correlated min-cost subquery is de-correlated into a per-part
+    MIN over the region-restricted partsupp, broadcast back as an
+    equality join — one shuffle on ps_partkey for the aggregate, then
+    broadcast joins throughout (every dimension is small relative to the
+    derived partsupp).  Completes the 22-query TPC-H set together with
+    q11/q20 below (reference has no query layer; SURVEY.md §2.2).
+    """
+    part, lineitem, supplier, nation, region = _t(
+        spark, sf_dir, "part", "lineitem", "supplier", "nation", "region"
+    )
+    eu_supp = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    regional = _partsupp(lineitem).join(
+        F.broadcast(eu_supp), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    min_cost = regional.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    wanted = part.where((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    return (
+        regional.join(F.broadcast(wanted), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            F.broadcast(min_cost),
+            (F.col("mc_partkey") == F.col("ps_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_supplycost")
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH national AS (
+        SELECT l_partkey AS ps_partkey,
+               {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS part_value
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY 1
+    )
+    SELECT ps_partkey, part_value
+    FROM national
+    WHERE part_value > (SELECT 0.001 * sum(part_value) FROM national)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts whose national inventory value exceeds a fraction
+    of the nation's total (value stand-in: national suppliers' net spend
+    per part, since the derived ps_supplycost is an arbitrary double
+    whose decimal cast rounds differently across engines — price and
+    discount are 2-decimal, so their product is exact at scale 4).
+
+    The HAVING-against-global-total becomes a 1-row broadcast cross
+    join — the per-part aggregate shuffles once on l_partkey and the
+    global total reduces from that same aggregate, so the fact table is
+    read once.  DECIMAL accumulation keeps both sums engine-exact; the
+    0.001 multiply happens in double on both sides identically.
+    """
+    lineitem, supplier, nation = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    nat_supp = supplier.join(
+        F.broadcast(nation.where(F.col("n_name") == "NATION_7")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    national = (
+        lineitem.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("part_value"))
+    )
+    threshold = national.agg((F.lit(0.001) * F.sum("part_value")).alias("cutoff"))
+    return (
+        national.join(F.broadcast(threshold))
+        .where(F.col("part_value") > F.col("cutoff"))
+        .select("ps_partkey", "part_value")
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT recent.l_suppkey
+        FROM (SELECT l_suppkey, l_partkey,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS recent_qty
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY 1, 2) recent
+        JOIN (SELECT l_suppkey, l_partkey,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+              FROM lineitem GROUP BY 1, 2) alltime
+          ON recent.l_suppkey = alltime.l_suppkey
+         AND recent.l_partkey = alltime.l_partkey
+        WHERE recent.l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND recent.recent_qty > 0.3 * alltime.total_qty)
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: suppliers with surplus of promotable parts (availqty
+    stand-in: a supplier qualifies when its 1996 shipments of a
+    'small%'-named part exceed 30% of its all-time shipments of it).
+
+    The nested IN subqueries become two LEFT SEMI joins: parts filter
+    (broadcast) into the per-(supplier, part) aggregates, then the
+    qualifying supplier set semi-joined into the nation-filtered
+    supplier dimension.  Both quantity aggregates shuffle on the same
+    (l_suppkey, l_partkey) key, so AQE plans them off one exchange.
+    """
+    supplier, nation, lineitem, part = _t(
+        spark, sf_dir, "supplier", "nation", "lineitem", "part"
+    )
+    small_parts = part.where(F.col("p_name").like("small%")).select("p_partkey")
+    keys = [F.col("l_suppkey"), F.col("l_partkey")]
+    recent = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(*keys)
+        .agg(dsum(F.col("l_quantity"), 2).alias("recent_qty"))
+    )
+    alltime = lineitem.groupBy(
+        F.col("l_suppkey").alias("a_suppkey"), F.col("l_partkey").alias("a_partkey")
+    ).agg(dsum(F.col("l_quantity"), 2).alias("total_qty"))
+    qualifying = (
+        recent.join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            alltime,
+            (F.col("l_suppkey") == F.col("a_suppkey"))
+            & (F.col("l_partkey") == F.col("a_partkey")),
+        )
+        .where(F.col("recent_qty") > 0.3 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation.where(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
