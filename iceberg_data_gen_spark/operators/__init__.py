@@ -41,6 +41,7 @@ def load_all() -> None:
         dedup,
         extensibility,
         multimodal,
+        pipeline,
         relational,
         relational2,
         relational3,

@@ -1,0 +1,208 @@
+"""Training-data pipeline operators: the corpus-preparation steps a
+large-scale LLM data pipeline runs AFTER dedup/quality filtering —
+deterministic global shuffle into training shards, domain-mixture
+rebalancing, inverted-index construction, and term co-occurrence counts.
+
+Reference parity note: the reference implements none of these (it is a
+table-population CLI, SURVEY.md §2.2); they enter via the driver's
+north-star LLM-pipeline extension, alongside dedup.py / text.py /
+similarity.py.
+
+Design rules (100 TB posture)
+-----------------------------
+* Ordering/sampling keys are ``md5`` of stable ids — engine-portable,
+  partition-layout-independent, reproducible run to run (TABLESAMPLE and
+  rand() are neither).  This is the same primitive as q_sample_hash /
+  q_temperature_sample.
+* Shard-local positions come from a window partitioned BY SHARD, so no
+  global total ordering is ever materialized: each shard sorts
+  independently (at scale: ``repartitionByRange`` on the hash key then
+  a per-partition sort — an exchange plus local sort, no single-reducer
+  bottleneck).
+* Token pair generation is a JVM higher-order-function expression over
+  the sorted distinct-token array — no self-join, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from iceberg_data_gen_spark.operators import register
+from iceberg_data_gen_spark.session import load_tables
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def _shard_col() -> F.Column:
+    # hex digit -> 0..15: portable across Spark (instr) and DuckDB (strpos)
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    return F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+
+
+@register(
+    "q_global_shuffle",
+    oracle="""
+    SELECT doc_id, source, shard,
+           row_number() OVER (PARTITION BY shard
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS position
+    FROM (SELECT doc_id, source,
+                 strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS shard
+          FROM documents)
+    """,
+)
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: every doc gets
+    a (shard, position) from the md5 of its id — the reproducible
+    "random" order a training run reads.
+
+    The window partitions BY SHARD, so each of the 16 shards sorts
+    independently — there is no global sort and no single-reducer
+    stage; at 1000 executors this is one hash exchange on ``shard``
+    plus embarrassingly parallel local sorts.
+    """
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    sharded = docs.select("doc_id", "source", _shard_col().alias("shard"), h.alias("h"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return sharded.select(
+        "doc_id", "source", "shard", F.row_number().over(w).alias("position")
+    )
+
+
+@register(
+    "q_domain_mixture",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rk
+        FROM documents
+    ),
+    cap AS (
+        SELECT min(cnt) AS cap
+        FROM (SELECT count(*) AS cnt FROM documents GROUP BY source)
+    )
+    SELECT source,
+           count(*)    AS kept,
+           sum(doc_id) AS kept_checksum
+    FROM ranked, cap
+    WHERE rk <= cap
+    GROUP BY source
+    """,
+)
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: downsample every source to the size of
+    the smallest one (a uniform target mix), choosing survivors by md5
+    rank so the subsample is deterministic and engine-portable.  The
+    checksum of kept doc_ids proves both engines selected the SAME
+    documents, not merely the same number.
+
+    Per-source ranking is a window partitioned by ``source`` (one hash
+    exchange); the cap is a 1-row broadcast.  At a real mixture step the
+    cap per source comes from a target-weights table instead of min() —
+    same plan shape with the cap joined by source.
+    """
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = docs.select("doc_id", "source", h.alias("h")).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    cap = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("cap"))
+    )
+    return (
+        ranked.join(F.broadcast(cap))
+        .where(F.col("rk") <= F.col("cap"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.sum("doc_id").alias("kept_checksum"),
+        )
+    )
+
+
+@register(
+    "q_inverted_index",
+    oracle="""
+    SELECT term,
+           count(DISTINCT doc_id) AS doc_freq,
+           count(*)               AS term_freq,
+           min(doc_id)            AS first_doc,
+           max(doc_id)            AS last_doc
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY term
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: per-term document frequency, corpus
+    term frequency, and posting-list bounds — the metadata page of a
+    search index over the corpus.
+
+    One explode + one groupBy on ``term`` (map-side partial aggregation
+    applies); posting bounds are min/max so no per-term list is
+    materialized on any single task.  A full posting-list build at scale
+    would ``collect_list(doc_id)`` per term with the same single
+    exchange, writing lists straight to the index sink.
+    """
+    docs = _docs(spark, sf_dir)
+    terms = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    return terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("term_freq"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "q_cooccurrence",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_sort(list_distinct(string_split(text, ' ')))) AS tok
+        FROM documents
+    )
+    SELECT t1.tok AS term_a, t2.tok AS term_b, count(*) AS pair_count
+    FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t1.tok < t2.tok
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+    """,
+)
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term co-occurrence counts (the integer core of PMI / word-vector
+    statistics): for every pair of distinct terms appearing in the same
+    document, how many documents contain both.
+
+    Pairs are generated JVM-side by a higher-order expression over the
+    SORTED distinct-token array (slice beyond each element ⇒ each
+    unordered pair exactly once, already in (a < b) form) — no self-join
+    and no shuffle until the single pair-count groupBy.  Pair volume is
+    quadratic in per-doc DISTINCT vocabulary, not document length; at
+    scale the standard containment step is restricting to a top-V
+    frequent-term vocabulary first (one broadcast semi-join), which
+    bounds pairs per doc at V².  Counts are exact integers, so the
+    oracle match is bit-for-bit.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = F.array_sort(F.array_distinct(F.split("text", " ")))
+    pairs = F.expr(
+        "flatten(transform(toks, (x, i) -> "
+        "  transform(slice(toks, i + 2, size(toks)), y -> struct(x AS a, y AS b))))"
+    )
+    return (
+        docs.select(toks.alias("toks"))
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= 5)
+    )
