@@ -56,15 +56,16 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, ts, value,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_idx
         FROM flagged
     )
     SELECT user_id, session_idx,
            min(ts) AS session_start,
            max(ts) AS session_end,
            count(*) AS n_events,
-           round(sum(value), 4) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM sess
     GROUP BY user_id, session_idx
     """,
@@ -99,7 +100,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # DECIMAL accumulation: events.value has <= 2 decimal places, so
+            # the sum is exact regardless of partition merge order; a raw
+            # double sum drifts with the session's partitioning (playbook).
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
 
@@ -410,39 +414,39 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_column_profile",
     oracle="""
     SELECT 'o_orderkey' AS column_name,
-           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            count(DISTINCT o_orderkey) AS n_distinct,
            CAST(min(o_orderkey) AS VARCHAR) AS min_value,
            CAST(max(o_orderkey) AS VARCHAR) AS max_value
     FROM orders
     UNION ALL
     SELECT 'o_custkey',
-           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_custkey),
            CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus',
-           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_orderstatus),
            min(o_orderstatus), max(o_orderstatus)
     FROM orders
     UNION ALL
     SELECT 'o_orderpriority',
-           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_orderpriority),
            min(o_orderpriority), max(o_orderpriority)
     FROM orders
     UNION ALL
     SELECT 'o_totalprice',
-           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_totalprice),
            CAST(CAST(min(o_totalprice) AS DECIMAL(15,2)) AS VARCHAR),
            CAST(CAST(max(o_totalprice) AS DECIMAL(15,2)) AS VARCHAR)
     FROM orders
     UNION ALL
     SELECT 'o_orderdate',
-           sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_orderdate),
            CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR),
            CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR)
@@ -532,7 +536,7 @@ def _pagerank_oracle() -> str:
         FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
     )
     """.format(i=i, p=i - 1, base=base)
-    sql += f"SELECT node AS event_type, mass AS pagerank_mass FROM m{PR_ITERS}"
+    sql += f"SELECT node AS event_type, CAST(mass AS BIGINT) AS pagerank_mass FROM m{PR_ITERS}"
     return sql
 
 

@@ -91,7 +91,7 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            count(*)    AS kept,
-           sum(doc_id) AS kept_checksum
+           CAST(sum(doc_id) AS BIGINT) AS kept_checksum
     FROM ranked, cap
     WHERE rk <= cap
     GROUP BY source

@@ -452,7 +452,7 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_agg",
     oracle="""
     SELECT n_name,
-           list(c_name ORDER BY c_name) AS customers,
+           array_to_string(list(c_name ORDER BY c_name), '|') AS customers,
            len(list(c_name ORDER BY c_name)) AS n_customers
     FROM nation JOIN customer ON c_nationkey = n_nationkey
     GROUP BY n_name
@@ -460,13 +460,22 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation with deterministic ordering (collect_list is
-    order-nondeterministic → always sort before comparing/serving)."""
+    order-nondeterministic → always sort before comparing/serving).
+
+    The posting list is serialized with array_join at the output boundary
+    only — the driver's value-hash canonicalizer cannot sort list-typed
+    pandas columns, so array-valued results are emitted as delimited
+    strings on both engines."""
     nation, customer = _t(spark, sf_dir, "nation", "customer")
     return (
         customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.array_sort(F.collect_list("c_name")).alias("customers"))
-        .select("n_name", "customers", F.size("customers").alias("n_customers"))
+        .agg(F.array_sort(F.collect_list("c_name")).alias("arr"))
+        .select(
+            "n_name",
+            F.array_join("arr", "|").alias("customers"),
+            F.size("arr").alias("n_customers"),
+        )
     )
 
 
