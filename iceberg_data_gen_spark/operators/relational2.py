@@ -474,7 +474,7 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_name",
             F.array_join("arr", "|").alias("customers"),
-            F.size("arr").alias("n_customers"),
+            F.size("arr").cast("long").alias("n_customers"),
         )
     )
 

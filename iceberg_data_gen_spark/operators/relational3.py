@@ -426,26 +426,39 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_hof",
     oracle="""
     SELECT o_orderkey,
-           range(1, (o_orderkey % 5) + 4)                                   AS seq,
-           list_filter(range(1, (o_orderkey % 5) + 4), x -> x % 2 = 0)      AS evens,
-           list_transform(range(1, (o_orderkey % 5) + 4), x -> x * x)       AS squares,
-           list_sum(range(1, (o_orderkey % 5) + 4))                         AS total,
-           list_slice(list_sort(range(1, (o_orderkey % 5) + 4), 'DESC'), 1, 2) AS top2
+           array_to_string(range(1, (o_orderkey % 5) + 4), ',')                 AS seq,
+           array_to_string(
+               list_filter(range(1, (o_orderkey % 5) + 4), x -> x % 2 = 0), ',') AS evens,
+           array_to_string(
+               list_transform(range(1, (o_orderkey % 5) + 4), x -> x * x), ',') AS squares,
+           CAST(list_sum(range(1, (o_orderkey % 5) + 4)) AS BIGINT)             AS total,
+           array_to_string(
+               list_slice(list_sort(range(1, (o_orderkey % 5) + 4), 'DESC'), 1, 2),
+               ',')                                                             AS top2
     FROM orders WHERE o_orderkey <= 300
     """,
 )
 def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions: sequence / filter / transform /
-    aggregate / sort / slice — all JVM-side lambda expressions."""
+    aggregate / sort / slice — all JVM-side lambda expressions.
+
+    Array-valued columns are serialized with array_join at the output
+    boundary only — the driver's value-hash canonicalizer cannot sort
+    list-typed pandas columns, so both engines emit delimited strings
+    (the lambdas themselves still run on real arrays)."""
     (orders,) = _t(spark, sf_dir, "orders")
     seq = F.sequence(F.lit(1).cast("long"), F.pmod("o_orderkey", F.lit(5)) + 3)
+
+    def _s(arr):
+        return F.array_join(F.transform(arr, lambda x: x.cast("string")), ",")
+
     return orders.where(F.col("o_orderkey") <= 300).select(
         "o_orderkey",
-        seq.alias("seq"),
-        F.filter(seq, lambda x: x % 2 == 0).alias("evens"),
-        F.transform(seq, lambda x: x * x).alias("squares"),
+        _s(seq).alias("seq"),
+        _s(F.filter(seq, lambda x: x % 2 == 0)).alias("evens"),
+        _s(F.transform(seq, lambda x: x * x)).alias("squares"),
         F.aggregate(seq, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("total"),
-        F.slice(F.sort_array(seq, asc=False), 1, 2).alias("top2"),
+        _s(F.slice(F.sort_array(seq, asc=False), 1, 2)).alias("top2"),
     )
 
 
@@ -786,9 +799,9 @@ def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            count(*) AS n_rows,
            count(val) AS n_nonnull,
-           sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            CAST(coalesce(sum(CAST(val AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_val,
-           sum(CASE WHEN val IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS nullsafe_null_eq
+           CAST(sum(CASE WHEN val IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS nullsafe_null_eq
     FROM v
     GROUP BY c_mktsegment
     """,

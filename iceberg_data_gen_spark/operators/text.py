@@ -971,7 +971,7 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM documents),
     cnt AS (SELECT word, count(*) AS c FROM tok GROUP BY word)
     SELECT doc_id,
-           sum(c)                           AS total_corpus_freq,
+           CAST(sum(c) AS BIGINT)           AS total_corpus_freq,
            count(*)                         AS n_tokens,
            CAST(sum(c) AS DOUBLE) / count(*) AS mean_token_freq
     FROM tok JOIN cnt USING (word)
@@ -1023,7 +1023,7 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT ch.doc_id,
            count(*) AS n_chunks,
-           sum(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_chunks,
+           CAST(sum(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
            CAST(sum(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
                / count(*) AS dup_ratio
     FROM ch LEFT JOIN shared s ON ch.h = s.h

@@ -76,19 +76,26 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Load one driver-testdata parquet table as a DataFrame.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as a raw long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microsecond
-    TimestampType — the same truncation DuckDB applies, so oracle
-    comparisons see identical values.
+    ``events.ts`` has shipped in two physical layouts across testdata
+    generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+    only accepts as a raw long via ``spark.sql.legacy.parquet.nanosAsLong``)
+    and plain TIMESTAMP(MICROS) (which Spark reads as TIMESTAMP_NTZ).  Both
+    are normalized to session-zone TimestampType at microsecond precision —
+    the same value DuckDB produces — so every downstream query and oracle
+    comparison sees one canonical type regardless of the file layout.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

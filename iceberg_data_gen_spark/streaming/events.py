@@ -24,28 +24,46 @@ from pyspark.sql import types as T
 
 from iceberg_data_gen_spark.operators import register
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, bool]:
+    """File-source streams need an explicit schema; events.ts has shipped
+    both as TIMESTAMP(NANOS) (only readable as a raw long) and as plain
+    TIMESTAMP(MICROS).  Sniff the parquet footer (metadata-only, no data
+    read) and return (schema, ts_is_long)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    ts_is_long = str(t) not in ("timestamp[us]", "timestamp[ms]", "timestamp[s]")
+    ts_type = T.LongType() if ts_is_long else T.TimestampNTZType()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return schema, ts_is_long
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file-source stream with microsecond timestamps."""
+    """events.parquet as a file-source stream with microsecond timestamps,
+    normalized to session-zone TimestampType exactly like the batch loader
+    (session.load_table) so stream and oracle see identical values."""
+    schema, ts_is_long = _events_raw_schema(sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_completion(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
@@ -69,10 +87,10 @@ def run_to_completion(sdf: DataFrame, output_mode: str = "complete") -> DataFram
 @register(
     "q_stream_tumbling",
     oracle="""
-    SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS window_start,
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS window_start,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 4) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -86,7 +104,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "5 minutes"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
     out = run_to_completion(agg)
@@ -102,7 +120,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_sliding",
     oracle="""
     WITH b AS (
-        SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS bucket, value FROM events
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS bucket, value FROM events
     ),
     expanded AS (
         SELECT bucket AS window_start, value FROM b
@@ -111,7 +129,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT window_start,
            count(*) AS n_events,
-           round(sum(value), 4) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM expanded
     GROUP BY 1
     """,
@@ -125,7 +143,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes", "5 minutes"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
     out = run_to_completion(agg)
@@ -157,7 +175,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(ts) AS session_start,
            max(ts) AS last_event_ts,
            count(*) AS n_events,
-           round(sum(value), 4) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -175,7 +193,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("last_event_ts"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
     out = run_to_completion(agg)
@@ -245,10 +263,10 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_stream_static_join",
     oracle="""
-    SELECT to_timestamp(floor(epoch(e.ts) / 3600) * 3600) AS window_start,
+    SELECT CAST(to_timestamp(floor(epoch(e.ts) / 3600) * 3600) AS TIMESTAMP) AS window_start,
            c.c_mktsegment,
            count(*) AS n_events,
-           round(sum(e.value), 4) AS sum_value
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY 1, 2
     """,
@@ -274,7 +292,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
     out = run_to_completion(agg)
@@ -372,10 +390,10 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_stream_to_mor",
     oracle="""
-    SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS window_start,
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS window_start,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 4) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -410,7 +428,7 @@ def q_stream_to_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "5 minutes"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -437,7 +455,7 @@ def q_stream_to_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_python_source",
     oracle="""
     SELECT count(*) AS n_rows,
-           sum(CAST(range AS BIGINT)) AS sum_bar,
+           CAST(sum(CAST(range AS BIGINT)) AS BIGINT) AS sum_bar,
            CAST(max(range) AS INT) AS max_bar,
            CAST(min(range) AS INT) AS min_bar
     FROM range(0, 5000)
@@ -524,7 +542,7 @@ def tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_from_mor",
     oracle="""
     SELECT count(*) AS n_rows,
-           sum(CAST(range AS BIGINT)) AS sum_bar,
+           CAST(sum(CAST(range AS BIGINT)) AS BIGINT) AS sum_bar,
            CAST(max(range) AS INT) AS max_bar,
            CAST(min(range) AS INT) AS min_bar
     FROM range(0, 3000)
