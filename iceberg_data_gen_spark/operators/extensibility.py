@@ -816,3 +816,82 @@ def q_mor_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.update_spec([{"source": "bar", "transform": "bucket", "n": 4}])
     t.append(rows(1000, 2000))
     return t.partitions_df()
+
+
+@register(
+    "q_mor_expire_snapshots",
+    oracle="""
+    SELECT CAST(range AS VARCHAR) AS foo, CAST(range AS INT) AS bar, true AS baz
+    FROM range(100, 2000)
+    """,
+)
+def q_mor_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expire_snapshots + remove_orphan_files: append 0..999, eq-delete
+    0..99, compact (baseline snapshot materializing 100..999), append
+    1000..1999, then expire keeping the last two snapshots.  The
+    pre-compaction history (and the files only it referenced) is
+    physically gone — time travel to snapshot 1 raises afterwards
+    (asserted in tests) — while the live state 100..1999 is untouched.
+    Expiry is metadata bookkeeping plus storage deletes; no table scan,
+    no Spark job."""
+    import tempfile
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=1000, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-expire-"), schema)
+
+    def rows(a: int, b: int) -> DataFrame:
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    t.append(rows(0, 1000), single_file=True)                          # snap 1
+    t.add_equality_deletes(rows(0, 100).select("foo", "bar"), [1, 2])  # snap 2
+    t.compact()                                                        # snap 3 (baseline)
+    t.append(rows(1000, 2000), single_file=True)                       # snap 4
+    info = t.expire_snapshots(keep_last=2)
+    assert info["expired"] == 2 and info["removed_files"] >= 2, info
+    return t.scan()
+
+
+@register(
+    "q_mor_tag_read",
+    oracle="""
+    SELECT CAST(range AS VARCHAR) AS foo, CAST(range AS INT) AS bar, true AS baz
+    FROM range(0, 1000)
+    """,
+)
+def q_mor_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs (Iceberg tags): tag the first append as ``v1``, keep
+    mutating the table (equality delete + another append), then read
+    ``scan(ref="v1")`` — the tag pins the exact pre-mutation state by
+    name, metadata-only, and doubles as a retention anchor
+    (expire_snapshots refuses to expire a tagged snapshot)."""
+    import tempfile
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=1000, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-tag-"), schema)
+
+    def rows(a: int, b: int) -> DataFrame:
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    t.append(rows(0, 1000), single_file=True)                          # snap 1
+    t.create_tag("v1")
+    t.add_equality_deletes(rows(0, 100).select("foo", "bar"), [1, 2])  # snap 2
+    t.append(rows(1000, 2000), single_file=True)                       # snap 3
+    return t.scan(ref="v1")

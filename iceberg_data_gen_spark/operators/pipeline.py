@@ -206,3 +206,65 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .where(F.col("pair_count") >= 5)
     )
+
+
+@register(
+    "q_curriculum_order",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr,
+           CAST(row_number() OVER (
+               ORDER BY CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                        / len(string_split(text, ' ')) DESC,
+                        doc_id
+           ) AS BIGINT) AS global_rank
+    FROM documents
+    """,
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: a GLOBAL rank over the whole corpus (here by
+    type-token ratio, cleanest-first) computed WITHOUT a single-reducer
+    sort — the pattern a 100 TB curriculum schedule needs.
+
+    Plan: range-repartition on the sort key (sampled boundaries, fully
+    parallel), rank locally within each range partition, then add
+    per-partition offsets (a tiny driver-side cumulative sum over the
+    partition COUNTS — 16 longs, not data).  The result equals
+    ``row_number() OVER (ORDER BY ...)`` exactly, but every stage is
+    embarrassingly parallel; the classic one-partition window would
+    funnel the entire corpus through one task.  Ranks are deterministic
+    even though the sampled range boundaries are not: the key
+    (ttr DESC, doc_id) is a total order, and offsets are computed from
+    the actual partition sizes.
+    """
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    ttr = F.size(F.array_distinct(words)).cast("double") / F.size(words)
+    d = docs.select("doc_id", ttr.alias("ttr"))
+    n_parts = 16
+    rp = d.repartitionByRange(n_parts, F.desc("ttr"), F.asc("doc_id")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    rp = rp.localCheckpoint(eager=True)  # pin partitioning: pid must be stable
+    # partition sizes -> exclusive prefix offsets (n_parts rows on the driver)
+    sizes = {r["pid"]: r["cnt"] for r in rp.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in range(n_parts):
+        offsets[pid] = acc
+        acc += sizes.get(pid, 0)
+    off_df = rp.sparkSession.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "pid int, off long"
+    )
+    w = Window.partitionBy("pid").orderBy(F.desc("ttr"), F.asc("doc_id"))
+    return (
+        rp.withColumn("local_rank", F.row_number().over(w))
+        .join(F.broadcast(off_df), "pid")
+        .select(
+            "doc_id",
+            "ttr",
+            (F.col("off") + F.col("local_rank")).cast("long").alias("global_rank"),
+        )
+    )

@@ -1080,3 +1080,90 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+@register(
+    "q_quality_filter_funnel",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS ttr
+        FROM documents
+    ),
+    stages AS (
+        SELECT 1 AS stage_no, 'ingest'        AS stage, count(*) AS survivors FROM scored
+        UNION ALL
+        SELECT 2, 'min_chars_150',  count(*) FROM scored WHERE n_chars >= 150
+        UNION ALL
+        SELECT 3, 'min_words_30',   count(*) FROM scored WHERE n_chars >= 150 AND n_words >= 30
+        UNION ALL
+        SELECT 4, 'ttr_above_0.25', count(*) FROM scored
+         WHERE n_chars >= 150 AND n_words >= 30 AND ttr >= 0.25
+        UNION ALL
+        SELECT 5, 'lang_known',     count(*) FROM scored
+         WHERE n_chars >= 150 AND n_words >= 30 AND ttr >= 0.25
+           AND lang IN ('en', 'de', 'fr', 'es', 'zh')
+    )
+    SELECT stage_no, stage, survivors,
+           round(CAST(survivors AS DOUBLE)
+                 / (SELECT count(*) FROM scored), 4) AS keep_rate
+    FROM stages
+    """,
+)
+def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survivor report for a chained C4-style quality filter
+    (length -> word count -> type-token ratio -> language allowlist) —
+    the acceptance dashboard every corpus-cleaning pipeline publishes.
+
+    ONE scan, ONE aggregation: each stage's predicate becomes a
+    conditional count in a single groupBy-less agg (no N passes, no
+    self-joins), then the 5 stage rows are unpivoted from one row of
+    counters — at 100 TB this costs exactly one map-side pass with a
+    1-row reduce.  Counts are integers and the keep rate is one exact
+    division, so both engines agree bitwise.
+    """
+    docs = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(words).alias("n_words"),
+        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("ttr"),
+    )
+    s2 = F.col("n_chars") >= 150
+    s3 = s2 & (F.col("n_words") >= 30)
+    s4 = s3 & (F.col("ttr") >= 0.25)
+    s5 = s4 & F.col("lang").isin("en", "de", "fr", "es", "zh")
+    counters = d.agg(
+        F.count(F.lit(1)).alias("c1"),
+        F.sum(s2.cast("long")).alias("c2"),
+        F.sum(s3.cast("long")).alias("c3"),
+        F.sum(s4.cast("long")).alias("c4"),
+        F.sum(s5.cast("long")).alias("c5"),
+    )
+    def _stage(no: int, name: str, col: str):
+        return F.struct(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.col(col).alias("survivors"),
+        )
+
+    stages = F.array(
+        _stage(1, "ingest", "c1"),
+        _stage(2, "min_chars_150", "c2"),
+        _stage(3, "min_words_30", "c3"),
+        _stage(4, "ttr_above_0.25", "c4"),
+        _stage(5, "lang_known", "c5"),
+    )
+    return (
+        counters.select(F.col("c1"), F.explode(stages).alias("s"))
+        .select(
+            F.col("s.stage_no").alias("stage_no"),
+            F.col("s.stage").alias("stage"),
+            F.col("s.survivors").alias("survivors"),
+            F.round(F.col("s.survivors").cast("double") / F.col("c1"), 4).alias("keep_rate"),
+        )
+    )

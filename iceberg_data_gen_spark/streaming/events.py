@@ -589,3 +589,54 @@ def q_stream_from_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("bar").alias("min_bar"),
     )
     return run_to_completion(agg)
+
+
+@register(
+    "q_stream_foreach_batch",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE value >= 10.0
+    GROUP BY event_type
+    """,
+)
+def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow + foreachBatch parquet sink: the
+    batch-ingest-shaped streaming job (process everything available,
+    then stop — the pattern for incremental backfills on a schedule).
+    Each micro-batch appends its filtered projection to a parquet
+    directory; the checkpoint makes the whole run resumable
+    exactly-once at the batch level.  The final read-back aggregates
+    the sink — so the check covers the sink files, not just the
+    in-memory stream state."""
+    import tempfile
+
+    ev = read_events_stream(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="stream-fb-")
+    sink, ckpt = f"{base}/sink", f"{base}/ckpt"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.where(F.col("value") >= 10.0)
+            .select("event_id", "event_type", "value")
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )

@@ -745,3 +745,23 @@ def test_commit_conflict_detection_and_retry(spark, tmp_path):
     # linear history: parents chain head-to-head, no snapshot clobbered
     snaps = MoRTable(spark, str(tmp_path / "t")).snapshots()
     assert [s["parent"] for s in snaps] == [None] + [s["id"] for s in snaps[:-1]]
+
+
+def test_tag_blocks_expiration_until_dropped(spark, tmp_path):
+    """Tags are retention anchors (Iceberg semantics): expire_snapshots
+    refuses to expire a tagged snapshot; after drop_tag the same call
+    succeeds and the tag's pinned state is gone with it."""
+    import pytest
+
+    d, p, e = (5, 100), (2, 100), (2, 100)
+    app, t, _ = run_prepare(spark, tmp_path, d, p, e)
+    t.create_tag("pre-compact", snapshot_id=1)
+    t.compact()  # baseline
+    with pytest.raises(ValueError, match="referenced by tags"):
+        t.expire_snapshots(keep_last=1)
+    # the tag still resolves and pins the first append's state
+    assert t.scan(ref="pre-compact").count() == 500
+    t.drop_tag("pre-compact")
+    assert t.expire_snapshots(keep_last=1)["expired"] == 3
+    with pytest.raises(ValueError):
+        t.resolve_ref("pre-compact")
