@@ -329,3 +329,36 @@ def test_column_profile_single_scan_expand(spark):
     # so ONE scan node == exactly two occurrences
     assert plan.count("Scan parquet") == 2, plan
     assert "Expand" in plan, plan
+
+
+def test_quality_filter_funnel_single_pass(spark):
+    """The funnel must be ONE scan with conditional counters — not five
+    scans of documents (the naive per-stage loop)."""
+    import re
+
+    plan = plan_of(q("q_quality_filter_funnel", spark))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    # final agg is a 1-row global aggregate, then generate/stack — no join
+    assert "Join" not in plan, plan
+
+
+def test_curriculum_order_no_global_sort_window(spark):
+    """Global ranks must come from per-partition windows keyed on the
+    range-partition id plus a broadcast offset join — never a
+    single-partition window over the whole corpus."""
+    import re
+
+    df = q("q_curriculum_order", spark)
+    plan = plan_of(df)
+    # every Window node must carry a partition spec containing pid
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "pid" in m.group(1), plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_stream_foreach_batch_sink_files(spark, tmp_path):
+    """AvailableNow + foreachBatch lands parquet in the sink and the
+    read-back aggregation broadcasts nothing (plain scan + agg)."""
+    df = operators.QUERIES["q_stream_foreach_batch"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Scan parquet" in plan and "HashAggregate" in plan, plan
