@@ -1206,3 +1206,55 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
     )
+
+
+@register(
+    "q_bucketed_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           {dsum_sql('l_extendedprice', 2)} AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style bucketed tables + co-located join: both sides written
+    ``bucketBy(8, key).sortBy(key)``, so the subsequent sort-merge join
+    needs NO Exchange on either side (asserted in tests/test_plans.py) —
+    bucket i of orders joins bucket i of lineitem where it sits.
+
+    This is the amortize-the-shuffle move for 100 TB fact-fact joins:
+    pay one bucketed write, then every downstream join/aggregation on the
+    bucket key is exchange-free.  The merge hint forces SMJ so the plan
+    exercises bucketing rather than broadcasting the (test-scale-small)
+    orders side; the only exchange left is the final tiny groupBy.
+    """
+    import tempfile
+
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    base = tempfile.mkdtemp(prefix="bucketed-")
+    sides = (
+        ("orders", orders.select("o_orderkey", "o_orderpriority"), "o_orderkey"),
+        ("lineitem", lineitem.select("l_orderkey", "l_extendedprice"), "l_orderkey"),
+    )
+    for name, df, key in sides:
+        (
+            df.repartition(8, F.col(key))  # one file per bucket, not files×buckets
+            .write.mode("overwrite")
+            .option("path", f"{base}/{name}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(f"bjoin_{name}")
+        )
+    o = spark.table("bjoin_orders")
+    li = spark.table("bjoin_lineitem")
+    return (
+        o.hint("merge")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice"), 2).alias("revenue"),
+        )
+    )

@@ -362,3 +362,16 @@ def test_stream_foreach_batch_sink_files(spark, tmp_path):
     df = operators.QUERIES["q_stream_foreach_batch"](spark, SF_DIR)
     plan = plan_of(df)
     assert "Scan parquet" in plan and "HashAggregate" in plan, plan
+
+
+def test_bucketed_join_no_exchange_below_smj(spark):
+    """Both sides read bucketed, the SMJ consumes bucket layout directly,
+    and the ONLY exchange in the plan is the final tiny groupBy — the
+    amortized-shuffle property that makes bucketing worth the write."""
+    import re
+
+    plan = plan_of(q("q_bucketed_join", spark))
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "SortMergeJoin" in plan, plan
+    exchanges = re.findall(r"\(\d+\) Exchange\nInput.*\nArguments: ([^\n]*)", plan)
+    assert len(exchanges) == 1 and "o_orderpriority" in exchanges[0], plan
