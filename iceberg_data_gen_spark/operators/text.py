@@ -1167,3 +1167,119 @@ def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s.survivors").cast("double") / F.col("c1"), 4).alias("keep_rate"),
         )
     )
+
+
+BPE_ITERS = 3
+
+
+def _bpe_train_oracle() -> str:
+    """Chained-CTE twin of the iterative trainer: each iteration is a
+    (pair-count, argmax, corpus-merge) CTE triple.  Weighted counts are
+    integers and the argmax order (n DESC, pair ASC) is total, so every
+    iteration is engine-exact."""
+    sql = """
+    WITH wf AS (
+        SELECT w, count(*) AS wf
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) >= 1
+        GROUP BY w
+    ),
+    s0 AS (
+        SELECT '||' || regexp_replace(w, '(.)', '\\1||', 'g') AS seq, wf FROM wf
+    )
+    """
+    for i in range(1, BPE_ITERS + 1):
+        p = i - 1
+        sql += f""",
+    p{i} AS (
+        SELECT pair, CAST(sum(wf) AS BIGINT) AS n
+        FROM (
+            SELECT unnest(list_transform(range(1, len(ss)),
+                                         j -> ss[j] || ' ' || ss[j+1])) AS pair,
+                   wf
+            FROM (SELECT list_filter(string_split(seq, '||'), x -> x <> '') AS ss,
+                         wf
+                  FROM s{p})
+        )
+        GROUP BY pair
+    ),
+    b{i} AS (SELECT pair, n FROM p{i} ORDER BY n DESC, pair LIMIT 1),
+    s{i} AS (
+        SELECT replace(seq,
+                       '|' || split_part(pair, ' ', 1) || '||'
+                           || split_part(pair, ' ', 2) || '|',
+                       '|' || replace(pair, ' ', '') || '|') AS seq,
+               wf
+        FROM s{p}, b{i}
+    )
+    """
+    sql += "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS iter, pair, replace(pair, ' ', '') AS merged, n FROM b{i}"
+        for i in range(1, BPE_ITERS + 1)
+    )
+    return sql
+
+
+@register("q_bpe_train", oracle=_bpe_train_oracle())
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training (the real loop, not just the
+    first pair table): 3 rounds of corpus-wide weighted pair counting →
+    argmax merge rule → merge applied to every word.
+
+    Scale design: the corpus collapses to the DISTINCT-WORD table
+    up front (BPE's standard trick — pair counts are weighted by word
+    frequency, so each iteration shuffles |vocab| rows, not |corpus|).
+    Each round is one explode + one hash aggregation; only the single
+    argmax ROW is collected per round (the merge-rule table IS the
+    trainer's output artifact, same as a production BPE trainer).
+
+    Symbols are encoded with double-sentinel separators
+    (``||sym||sym||``), so the literal ``replace('|x||y|' -> '|xy|')``
+    consumes one sentinel from each side and adjacent occurrences still
+    merge — exact greedy left-to-right BPE, bit-identical in Spark and
+    DuckDB.
+    """
+    docs = _docs(spark, sf_dir)
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    cur = wf.select(
+        F.concat(F.lit("||"), F.regexp_replace("w", "(.)", r"$1||")).alias("seq"),
+        "wf",
+    ).localCheckpoint(eager=False)
+    rules = []
+    for it in range(1, BPE_ITERS + 1):
+        symbols = F.filter(F.split("seq", r"\|\|"), lambda x: x != F.lit(""))
+        pairs = (
+            cur.select(symbols.alias("ss"), "wf")
+            # single-symbol words have no pairs; also guards Spark's
+            # sequence(1, 0) which counts DOWN ([1, 0]) instead of empty
+            .where(F.size("ss") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ss) - 1), "
+                        "j -> concat(element_at(ss, j), ' ', element_at(ss, j + 1)))"
+                    )
+                ).alias("pair"),
+                "wf",
+            )
+            .groupBy("pair")
+            .agg(F.sum("wf").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), F.asc("pair")).limit(1).collect()[0]
+        left, right = best["pair"].split(" ")
+        merged = left + right
+        rules.append((it, best["pair"], merged, int(best["n"])))
+        cur = cur.select(
+            F.replace(
+                F.col("seq"),
+                F.lit(f"|{left}||{right}|"),
+                F.lit(f"|{merged}|"),
+            ).alias("seq"),
+            "wf",
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(rules, "iter int, pair string, merged string, n long")
