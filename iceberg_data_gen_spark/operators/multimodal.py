@@ -176,3 +176,70 @@ def q_multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("meta.n_bytes"), 4).alias("avg_bytes"),
         F.sum(frames).alias("total_frames"),
     )
+
+
+SHARD_BYTE_BUDGET = 16 * 1024  # bytes of payload per training shard
+
+
+@register(
+    "q_multimodal_shard_manifest",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END
+                   AS format,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    placed AS (
+        SELECT doc_id, format, n_bytes,
+               CAST(floor(
+                   (sum(n_bytes) OVER (PARTITION BY format ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_bytes)
+                   / {SHARD_BYTE_BUDGET}.0) AS BIGINT) AS shard_id
+        FROM sized
+    )
+    SELECT format, shard_id,
+           count(*) AS n_items,
+           CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM placed
+    GROUP BY format, shard_id
+    """,
+)
+def q_multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest for media blobs: pack payloads into
+    byte-budgeted shards per format (the WebDataset-style layout step a
+    multimodal pipeline runs before writing tar shards).
+
+    Next-fit packing by running byte sum — the same cumsum-window shape
+    as q_pack_sequences, here over ``meta.n_bytes`` so the PAYLOAD is
+    never read: the manifest costs one metadata-column window per
+    format, not a byte of media I/O.  One hash exchange on ``format``;
+    at 100 TB the window key becomes (format, coarse_shard) exactly as
+    documented for sequence packing.
+    """
+    from pyspark.sql.window import Window
+
+    media = media_table(spark, sf_dir)
+    sized = media.select(
+        "doc_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    w = (
+        Window.partitionBy("format")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_bytes").over(w) - F.col("n_bytes")
+    placed = sized.withColumn(
+        "shard_id", F.floor(start / F.lit(float(SHARD_BYTE_BUDGET))).cast("long")
+    )
+    return placed.groupBy("format", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").cast("long").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

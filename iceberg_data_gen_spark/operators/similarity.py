@@ -666,3 +666,69 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).where(
         F.col("rnk") <= TOP_K
     )
+
+
+@register(
+    "q_embedding_quantize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, label, e,
+               CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 1.0
+                    ELSE 127.0 / list_max(list_transform(e, x -> abs(x)))
+               END AS scale
+        FROM v
+    )
+    SELECT vec_id, label,
+           CAST(len(e) AS BIGINT) AS n_dims,
+           CAST(list_sum(list_transform(e,
+               x -> CAST(floor(x * scale + 0.5) AS BIGINT))) AS BIGINT)
+               AS q_checksum,
+           list_min(list_transform(e, x -> CAST(floor(x * scale + 0.5) AS BIGINT)))
+               AS q_min,
+           list_max(list_transform(e, x -> CAST(floor(x * scale + 0.5) AS BIGINT)))
+               AS q_max,
+           list_max(list_transform(e,
+               x -> abs(CAST(floor(x * scale + 0.5) AS BIGINT) / scale - x)))
+               AS max_abs_err
+    FROM s
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    compression step before an ANN index ships to serving (4x smaller,
+    one scale per vector).
+
+    Everything is JVM-side array lambdas over the row's own vector:
+    zero shuffles, zero Python.  The math uses only IEEE-exact ops
+    (multiply, divide, floor — round-half-up via floor(x+0.5), because
+    Spark round() is HALF_UP while DuckDB's is half-even), so the
+    checksums AND the raw double reconstruction-error column are
+    bit-identical across engines with no rounding in the output.
+    """
+    e = _emb(spark, sf_dir)
+    ecol = F.transform("embedding", lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(ecol, lambda x: F.abs(x)))
+    d = e.select(
+        "vec_id",
+        "label",
+        ecol.alias("e"),
+        F.when(maxabs == 0, F.lit(1.0)).otherwise(F.lit(127.0) / maxabs).alias("scale"),
+    )
+    scale = F.col("scale")
+    qarr = F.transform("e", lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"))
+    return d.select(
+        "vec_id",
+        "label",
+        F.size("e").cast("long").alias("n_dims"),
+        F.aggregate(qarr, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_checksum"),
+        F.array_min(qarr).alias("q_min"),
+        F.array_max(qarr).alias("q_max"),
+        F.array_max(
+            F.zip_with(qarr, F.col("e"), lambda qv, xv: F.abs(qv / scale - xv))
+        ).alias("max_abs_err"),
+    )
