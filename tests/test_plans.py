@@ -375,3 +375,20 @@ def test_bucketed_join_no_exchange_below_smj(spark):
     assert "SortMergeJoin" in plan, plan
     exchanges = re.findall(r"\(\d+\) Exchange\nInput.*\nArguments: ([^\n]*)", plan)
     assert len(exchanges) == 1 and "o_orderpriority" in exchanges[0], plan
+
+
+def test_shard_manifest_never_reads_payload(spark):
+    """The manifest must be computable from the metadata column alone —
+    payload bytes stay out of the scan entirely."""
+    plan = plan_of(q("q_multimodal_shard_manifest", spark))
+    read_schema = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "text" in read_schema or "n_chars" in read_schema, read_schema
+    # the window + final agg share the format exchange; payload (text
+    # bytes) is only needed for n_bytes which rides the same projection
+
+
+def test_embedding_quantize_shuffle_free(spark):
+    """Per-vector quantization is a pure row-local map: zero exchanges,
+    zero Python eval nodes."""
+    plan = plan_of(q("q_embedding_quantize", spark), mode="simple")
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan, plan
