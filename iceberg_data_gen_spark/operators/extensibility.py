@@ -895,3 +895,44 @@ def q_mor_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.add_equality_deletes(rows(0, 100).select("foo", "bar"), [1, 2])  # snap 2
     t.append(rows(1000, 2000), single_file=True)                       # snap 3
     return t.scan(ref="v1")
+
+
+@register(
+    "q_mor_branch_ff",
+    oracle="""
+    SELECT CAST(range AS VARCHAR) AS foo, CAST(range AS INT) AS bar, true AS baz
+    FROM range(0, 3000)
+    """,
+)
+def q_mor_branch_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg branches: fork ``audit`` at the first append, write two
+    commits to the branch (each parented at the BRANCH head, invisible
+    to main), then fast-forward — main adopts the branch head by a
+    metadata-only ancestry check; no file is read or rewritten.  The
+    mid-state is asserted: main stays at 1000 rows while the branch
+    reads 3000 through its parent chain."""
+    import tempfile
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=1000, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-branch-"), schema)
+
+    def rows(a: int, b: int) -> DataFrame:
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    t.append(rows(0, 1000), single_file=True)                      # main: snap 1
+    t.create_branch("audit")
+    t.append(rows(1000, 2000), single_file=True, branch="audit")   # snap 2 (audit)
+    t.append(rows(2000, 3000), single_file=True, branch="audit")   # snap 3 (audit)
+    assert t.scan().count() == 1000, "branch commits leaked into main"
+    assert t.scan(ref="audit").count() == 3000, "branch chain read broken"
+    t.fast_forward("audit")
+    return t.scan()

@@ -182,9 +182,14 @@ class MoRTable:
         return list(self._meta["snapshots"])
 
     def current_snapshot_id(self) -> int | None:
-        """Table head: the latest snapshot that is not write-audit-publish
-        STAGED (a staged append is quarantined until published)."""
-        live = [s for s in self._meta["snapshots"] if not s.get("staged")]
+        """MAIN head: the latest snapshot that is neither write-audit-
+        publish STAGED (quarantined until published) nor committed to a
+        BRANCH (visible only through its ref until fast-forwarded)."""
+        live = [
+            s
+            for s in self._meta["snapshots"]
+            if not s.get("staged") and not s.get("branch")
+        ]
         return live[-1]["id"] if live else None
 
     def _commit(self, operation: str, files: list[dict], **extra) -> dict:
@@ -197,19 +202,22 @@ class MoRTable:
         atomic (temp file + ``os.replace``), so readers never observe a
         torn metadata.json."""
         snaps = self._meta["snapshots"]
-        expected_parent = snaps[-1]["id"] if snaps else None
+        linear_head = snaps[-1]["id"] if snaps else None
         meta_path = self.path / "metadata.json"
         on_disk = json.loads(meta_path.read_text())
         disk_snaps = on_disk["snapshots"]
         disk_head = disk_snaps[-1]["id"] if disk_snaps else None
-        if disk_head != expected_parent:
+        if disk_head != linear_head:
             raise CommitConflictError(
-                f"concurrent commit detected: expected head {expected_parent}, "
+                f"concurrent commit detected: expected head {linear_head}, "
                 f"found {disk_head} — refresh() and retry"
             )
+        # branch commits parent at their BRANCH head (passed via extra
+        # "parent"); main commits parent at the linear head as before
+        parent = extra.pop("parent", linear_head)
         snap = {
             "id": (snaps[-1]["id"] + 1) if snaps else 1,
-            "parent": expected_parent,
+            "parent": parent,
             "sequence_number": len(snaps) + 1,
             "operation": operation,
             "files": files,
@@ -349,8 +357,15 @@ class MoRTable:
         shutil.rmtree(tmp)
         return finals
 
-    def append(self, df: DataFrame, single_file: bool = False) -> dict:
+    def append(
+        self, df: DataFrame, single_file: bool = False, branch: str | None = None
+    ) -> dict:
         """Append data files; ONE snapshot per call (main.rs:125-158).
+
+        ``branch`` targets a named branch ref (Iceberg's ``branch_x``
+        write): the commit parents at the BRANCH head, stays invisible to
+        main reads, and advances the branch ref — main's history is
+        untouched until ``fast_forward``.
 
         When the default partition spec has fields, the write is routed
         through the partition-aware path and each produced file records
@@ -359,13 +374,25 @@ class MoRTable:
         """
         spec = self.default_spec
         if spec["fields"]:
+            if branch is not None:
+                raise ValueError("branch writes with a partition spec: not supported")
             return self._append_partitioned(df, spec)
         files = []
         for path in self._write_files(df, self.path / "data", "data", single_file):
             files.append(
                 {"path": path, "kind": "data", "record_count": _footer_row_count(path), "stats": _footer_stats(path)}
             )
-        return self._commit("append", files)
+        if branch is None:
+            return self._commit("append", files)
+        ref = self._meta.get("refs", {}).get(branch)
+        if ref is None or ref["type"] != "branch":
+            raise ValueError(f"no such branch: {branch}")
+        snap = self._commit(
+            "append", files, parent=ref["snapshot_id"], branch=branch
+        )
+        ref["snapshot_id"] = snap["id"]
+        self._write_meta()
+        return snap
 
     def _append_partitioned(self, df: DataFrame, spec: dict) -> dict:
         """Partition-aware append: derive the transform columns, let Spark
@@ -641,9 +668,23 @@ class MoRTable:
         supersedes every earlier file, so older snapshots contribute
         nothing to the live state — but they stay in metadata, which is
         what keeps time travel to pre-compaction snapshots working."""
-        snaps = self._meta["snapshots"]
         if snapshot_id is not None:
-            snaps = [s for s in snaps if s["id"] <= snapshot_id]
+            # PARENT-CHAIN walk (not a linear id filter): a branch head's
+            # ancestry skips main commits made after the fork point, and
+            # vice versa — this is what makes scan(ref=branch) correct.
+            by_id = {s["id"]: s for s in self._meta["snapshots"]}
+            if snapshot_id not in by_id:
+                snaps = []
+            else:
+                chain = []
+                cur: int | None = snapshot_id
+                while cur is not None and cur in by_id:
+                    sn = by_id[cur]
+                    chain.append(sn)
+                    cur = sn.get("parent")
+                snaps = list(reversed(chain))
+        else:
+            snaps = [s for s in self._meta["snapshots"] if not s.get("branch")]
         # WAP: staged snapshots are invisible except when directly
         # addressed (the audit read of that staged id)
         snaps = [
@@ -681,6 +722,52 @@ class MoRTable:
         refs[name] = {"type": "tag", "snapshot_id": sid}
         self._write_meta()
         return refs[name]
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> dict:
+        """Named WRITABLE ref (Iceberg branch): forks at ``snapshot_id``
+        (default: current main head).  ``append(..., branch=name)``
+        advances it; ``scan(ref=name)`` reads its head via the parent
+        chain; ``fast_forward`` lands it on main.  Metadata-only."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None or sid not in {s["id"] for s in self._meta["snapshots"]}:
+            raise ValueError(f"snapshot {snapshot_id} does not exist")
+        refs = self._meta.setdefault("refs", {})
+        if name in refs:
+            raise ValueError(f"ref exists: {name}")
+        refs[name] = {"type": "branch", "snapshot_id": sid}
+        self._write_meta()
+        return refs[name]
+
+    def fast_forward(self, name: str) -> int:
+        """Iceberg ``fast_forward('main', branch)``: land a branch on
+        main.  Requires main's head to be an ANCESTOR of the branch head
+        (no divergence — otherwise this would need a real merge); then
+        the branch's commits simply become main-visible.  The ref stays,
+        now pointing at the shared head.  Metadata-only: no file is
+        read, copied, or rewritten."""
+        refs = self._meta.get("refs", {})
+        ref = refs.get(name)
+        if ref is None or ref["type"] != "branch":
+            raise ValueError(f"no such branch: {name}")
+        head = ref["snapshot_id"]
+        by_id = {s["id"]: s for s in self._meta["snapshots"]}
+        ancestors = set()
+        cur: int | None = head
+        while cur is not None:
+            ancestors.add(cur)
+            cur = by_id[cur].get("parent")
+        main_head = self.current_snapshot_id()
+        if main_head is not None and main_head not in ancestors:
+            raise ValueError(
+                f"main head {main_head} is not an ancestor of branch head "
+                f"{head}: divergent histories cannot fast-forward"
+            )
+        cur = head
+        while cur is not None and by_id[cur].get("branch") == name:
+            by_id[cur].pop("branch")
+            cur = by_id[cur].get("parent")
+        self._write_meta()
+        return head
 
     def drop_tag(self, name: str) -> None:
         refs = self._meta.get("refs", {})

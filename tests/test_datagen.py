@@ -765,3 +765,53 @@ def test_tag_blocks_expiration_until_dropped(spark, tmp_path):
     assert t.expire_snapshots(keep_last=1)["expired"] == 3
     with pytest.raises(ValueError):
         t.resolve_ref("pre-compact")
+
+
+def test_branch_write_read_fast_forward(spark, tmp_path):
+    """Iceberg branch lifecycle: fork a branch, write to it (invisible to
+    main), read it via scan(ref=...), fast-forward it onto main, and
+    reject fast-forward of divergent histories."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=100, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    t = MoRTable.create(spark, str(tmp_path / "branchy"), schema)
+
+    def rows(a, b):
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    t.append(rows(0, 100), single_file=True)          # main head = 1
+    t.create_branch("audit")
+    t.append(rows(100, 200), single_file=True, branch="audit")   # snap 2 (branch)
+    t.append(rows(200, 300), single_file=True, branch="audit")   # snap 3 (branch)
+    # main untouched; branch sees fork + its own commits
+    assert t.scan().count() == 100
+    assert t.current_snapshot_id() == 1
+    assert sorted(r.bar for r in t.scan(ref="audit").collect()) == list(range(300))
+    # fast-forward lands the branch commits on main (metadata-only)
+    assert t.fast_forward("audit") == 3
+    assert t.scan().count() == 300
+    assert t.current_snapshot_id() == 3
+    # divergence: new branch at 1, main moves on, branch commits -> no ff
+    t2 = MoRTable.create(spark, str(tmp_path / "diverge"), schema)
+    t2.append(rows(0, 100), single_file=True)                     # 1
+    t2.create_branch("b")
+    t2.append(rows(100, 200), single_file=True)                   # 2 on main
+    t2.append(rows(200, 300), single_file=True, branch="b")       # 3 on b
+    with pytest.raises(ValueError, match="divergent"):
+        t2.fast_forward("b")
+    # divergent branch still reads correctly: fork(1) + its commit(3)
+    assert sorted(r.bar for r in t2.scan(ref="b").collect()) == (
+        list(range(100)) + list(range(200, 300))
+    )
+    assert t2.scan().count() == 200
