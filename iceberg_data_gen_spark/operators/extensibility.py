@@ -936,3 +936,72 @@ def q_mor_branch_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert t.scan(ref="audit").count() == 3000, "branch chain read broken"
     t.fast_forward("audit")
     return t.scan()
+
+
+@register(
+    "q_mor_compaction_plan",
+    oracle="""
+    WITH f AS (
+        SELECT CAST(range AS INT) + 1 AS seq,
+               100 * ((range % 5) + 1)  AS n_rows
+        FROM range(0, 16)
+    ),
+    placed AS (
+        SELECT seq, n_rows,
+               CAST(floor(
+                   (sum(n_rows) OVER (ORDER BY seq ROWS UNBOUNDED PRECEDING)
+                    - n_rows) / 800.0) AS BIGINT) AS group_id
+        FROM f
+    )
+    SELECT group_id,
+           count(*) AS n_files,
+           CAST(sum(n_rows) AS BIGINT) AS total_rows,
+           min(seq) AS first_seq,
+           max(seq) AS last_seq
+    FROM placed
+    GROUP BY group_id
+    """,
+)
+def q_mor_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLANNER (Iceberg rewrite_data_files
+    bin-packing, planning half): group data files into rewrite tasks by
+    a row budget, computed ENTIRELY from the .files metadata table — no
+    data file is opened.  16 appends of 100..500 rows produce the
+    small-file mess; the plan packs them next-fit in commit order into
+    ~800-row tasks.  At 100 TB this is the planner that turns a million
+    50 MB files into 10k rewrite tasks without touching a byte of data;
+    the execution half is MoRTable.compact()/cluster_by()."""
+    import tempfile
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+    from pyspark.sql.window import Window
+
+    fc = FileConfig(rows_per_file=100, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-plan-"), schema)
+    lo = 0
+    for i in range(16):
+        n = 100 * ((i % 5) + 1)
+        t.append(
+            spark.range(lo, lo + n).select(
+                F.col("id").cast("string").alias("foo"),
+                F.col("id").cast("int").alias("bar"),
+                F.lit(True).alias("baz"),
+            ),
+            single_file=True,
+        )
+        lo += n
+    files = t.files().where(F.col("kind") == "data").select(
+        F.col("sequence_number").alias("seq"), F.col("record_count").alias("n_rows")
+    )
+    w = Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    start = F.sum("n_rows").over(w) - F.col("n_rows")
+    placed = files.withColumn("group_id", F.floor(start / F.lit(800.0)).cast("long"))
+    return placed.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.min("seq").alias("first_seq"),
+        F.max("seq").alias("last_seq"),
+    )

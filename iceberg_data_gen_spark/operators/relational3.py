@@ -1258,3 +1258,74 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "q_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+           (SELECT count(*) FROM lineitem) AS n_rows,
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+    """,
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-QA referential-integrity report: orphan counts for every
+    FK edge of the star schema in one result set — the check a warehouse
+    load runs before publishing a snapshot.
+
+    Each edge is one pass over the child table: broadcast LEFT join to
+    the parent's key column, then a 1-row aggregate counting null parent
+    keys (the scalable orphan formula — no collects, no subqueries, the
+    whole report is one lazy UNION plan).  Counts are exact integers."""
+    lineitem, orders, part, supplier, customer, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "customer", "nation"
+    )
+
+    def edge(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
+        return (
+            child.select(ck)
+            .join(F.broadcast(parent.select(pk)), F.col(ck) == F.col(pk), "left")
+            .agg(
+                F.lit(name).alias("fk_edge"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(pk).isNull().cast("long")).alias("n_orphans"),
+            )
+        )
+
+    edges = [
+        edge("lineitem.l_orderkey -> orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+        edge("lineitem.l_partkey -> part", lineitem, "l_partkey", part, "p_partkey"),
+        edge("lineitem.l_suppkey -> supplier", lineitem, "l_suppkey", supplier, "s_suppkey"),
+        edge("orders.o_custkey -> customer", orders, "o_custkey", customer, "c_custkey"),
+        edge("customer.c_nationkey -> nation", customer, "c_nationkey", nation, "n_nationkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionAll(e)
+    return out
