@@ -686,3 +686,44 @@ def q_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+@register(
+    "q_event_latest_state",
+    oracle="""
+    SELECT user_id, event_type, ts AS last_ts, value AS last_value
+    FROM (
+        SELECT user_id, event_type, ts, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def q_event_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins compaction: the CURRENT state per (user, event
+    type) — the materialization step that turns an append-only event log
+    into an upsert table (CDC compaction / Kafka log-compaction
+    semantics, batch form).
+
+    One hash exchange on the state key, and the rank-filter window
+    compiles to WindowGroupLimit (plan-asserted): each reducer keeps a
+    running top-1 instead of buffering the full group — at 100 TB the
+    state per key is one row, not the key's history."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )

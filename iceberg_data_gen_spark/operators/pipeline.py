@@ -268,3 +268,63 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("off") + F.col("local_rank")).cast("long").alias("global_rank"),
         )
     )
+
+
+@register(
+    "q_top_p_per_source",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source, n_chars,
+               sum(n_chars) OVER (PARTITION BY source) AS total_chars,
+               sum(n_chars) OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum_chars
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS kept_docs,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+           CAST(min(n_chars) AS BIGINT) AS cutoff_chars
+    FROM scored
+    WHERE cum_chars - n_chars < 0.8 * total_chars
+    GROUP BY source
+    """,
+)
+def q_top_p_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) corpus selection per source: keep the
+    largest-first documents until 80% of each source's character mass is
+    covered — the budgeted-keep step a data-mixture pipeline runs when a
+    source must shrink without uniform subsampling.
+
+    The keep rule uses the EXCLUSIVE cumulative sum (a doc is kept if
+    the mass BEFORE it is still under the threshold), so exactly the
+    boundary document crosses p.  Both windows (total + running) ride
+    ONE hash exchange on ``source``; integer character counts and one
+    0.8*total double product keep the cutoff engine-exact."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    w_total = Window.partitionBy("source")
+    w_run = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(w_total).alias("total_chars"),
+        F.sum("n_chars").over(w_run).alias("cum_chars"),
+    )
+    return (
+        scored.where(
+            F.col("cum_chars") - F.col("n_chars") < 0.8 * F.col("total_chars")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+            F.min("n_chars").cast("long").alias("cutoff_chars"),
+        )
+    )

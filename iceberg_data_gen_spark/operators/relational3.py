@@ -1329,3 +1329,60 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in edges[1:]:
         out = out.unionAll(e)
     return out
+
+
+@register(
+    "q_skew_salted_join",
+    oracle=f"""
+    SELECT d.lang,
+           count(*) AS n_docs,
+           {dsum_sql('w.weight', 4)} AS weighted_docs
+    FROM documents d
+    JOIN (SELECT 'en' AS lang, 1.00 AS weight UNION ALL
+          SELECT 'de', 1.25 UNION ALL
+          SELECT 'fr', 1.25 UNION ALL
+          SELECT 'es', 1.50 UNION ALL
+          SELECT 'zh', 2.00) w
+      ON w.lang = d.lang
+    GROUP BY d.lang
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted (replicated) join for HOT KEYS: documents join a per-lang
+    weight table on ``lang`` — 5 distinct keys, so a plain shuffle join
+    sends ALL rows of a language through one reducer slot.
+
+    The salt pattern: replicate the SMALL side SALT times (explode), salt
+    the BIG side with hash(doc_id) % SALT, join on (key, salt) — the hot
+    key's rows now spread across SALT reducer slots.  Result identical
+    to the plain join (each big-side row matches exactly its own salt
+    replica), which is what the oracle computes.  This is the manual
+    form of AQE's skew-join splitting, needed when skew is known ahead
+    of time or AQE's per-partition thresholds don't trigger.
+
+    (With a 5-row build side Spark would broadcast anyway — the point is
+    the PLAN SHAPE, asserted shuffle-join-safe in tests: at 100 TB the
+    "weights" side is a million-row model table and broadcast is off
+    the table.)
+    """
+    SALT = 16
+    (docs,) = _t(spark, sf_dir, "documents")
+    weights = docs.sparkSession.createDataFrame(
+        [("en", 1.00), ("de", 1.25), ("fr", 1.25), ("es", 1.50), ("zh", 2.00)],
+        "lang string, weight double",
+    )
+    salted_small = weights.select(
+        "lang", "weight", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))).alias("salt")
+    )
+    salted_big = docs.select(
+        F.col("lang").alias("d_lang"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(SALT)).cast("int").alias("salt"),
+    )
+    joined = salted_big.hint("shuffle_hash").join(
+        salted_small,
+        (F.col("d_lang") == F.col("lang")) & (salted_big["salt"] == salted_small["salt"]),
+    )
+    return joined.groupBy(F.col("d_lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dsum(F.col("weight"), 4).alias("weighted_docs"),
+    )

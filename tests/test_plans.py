@@ -392,3 +392,26 @@ def test_embedding_quantize_shuffle_free(spark):
     zero Python eval nodes."""
     plan = plan_of(q("q_embedding_quantize", spark), mode="simple")
     assert "Exchange" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_skew_salted_join_spreads_hot_keys(spark):
+    """The salted join must actually shuffle on (key, salt) — a broadcast
+    would bypass the pattern being demonstrated — and must not plan a
+    cartesian/BNLJ."""
+    plan = plan_of(q("q_skew_salted_join", spark), mode="simple")
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_event_latest_state_uses_window_group_limit(spark):
+    """rank-filter rn=1 must compile to WindowGroupLimit (running top-1
+    per reducer), never a full per-key sort + filter."""
+    plan = plan_of(q("q_event_latest_state", spark))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_top_p_single_exchange(spark):
+    """Both windows (per-source total and running sum) plus the final
+    groupBy must ride ONE hash exchange on source."""
+    plan = plan_of(q("q_top_p_per_source", spark), mode="simple")
+    assert plan.count("Exchange") == 1, plan
