@@ -68,6 +68,14 @@ EXTRA = [
     "q_quality_filter_funnel",
     "q_curriculum_order",
     "q_stream_foreach_batch",
+    "q_mor_branch_ff",
+    "q_mor_compaction_plan",
+    "q_referential_integrity",
+    "q_skew_salted_join",
+    "q_event_latest_state",
+    "q_top_p_per_source",
+    "q_embedding_quantize",
+    "q_multimodal_shard_manifest",
 ]
 
 

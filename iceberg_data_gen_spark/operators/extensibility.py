@@ -1005,3 +1005,45 @@ def q_mor_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("seq").alias("first_seq"),
         F.max("seq").alias("last_seq"),
     )
+
+
+@register(
+    "q_observed_ingest",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE n_chars >= 100 AND lang IN ('en', 'de', 'fr', 'es', 'zh')
+    """,
+)
+def q_observed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation API: ingest-filter QA metrics collected in the SAME
+    pass as the query itself — `observe()` attaches accumulator-backed
+    aggregates to the plan, so the row count / reject count / char sum
+    cost ZERO extra scans (vs the classic "run the query, then run three
+    count queries" which triples the 100 TB read).
+
+    The observed metrics are validated against an independent aggregate
+    here (test-scale self-check); the returned DataFrame is the filtered
+    corpus the driver oracle-checks."""
+    from pyspark.sql import Observation
+
+    docs = _t(spark, sf_dir, "documents")[0]
+    obs = Observation("ingest_qa")
+    keep = (F.col("n_chars") >= 100) & F.col("lang").isin("en", "de", "fr", "es", "zh")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_seen"),
+        F.sum((~keep).cast("long")).alias("n_rejected"),
+        F.sum(F.col("n_chars")).alias("chars_seen"),
+    ).where(keep)
+    out = observed.select("doc_id", "lang", "n_chars")
+    # materialize once so the observation fires, then self-check it
+    n_kept = out.count()
+    m = obs.get
+    expected = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("c")
+    ).collect()[0]
+    assert m["n_seen"] == expected["n"], (m, expected)
+    assert m["chars_seen"] == expected["c"], (m, expected)
+    assert m["n_seen"] - m["n_rejected"] == n_kept, (m, n_kept)
+    return out
