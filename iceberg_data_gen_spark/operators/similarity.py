@@ -732,3 +732,57 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with(qarr, F.col("e"), lambda qv, xv: F.abs(qv / scale - xv))
         ).alias("max_abs_err"),
     )
+
+
+def _recall_oracle() -> str:
+    """Compose the two already-registered oracles: recall@K of the LSH
+    approximation against the brute-force ground truth.  DuckDB accepts
+    WITH-bearing subqueries in parentheses, so both oracles nest
+    verbatim — one source of truth, no duplicated SQL."""
+    from iceberg_data_gen_spark.operators import ORACLES
+
+    return f"""
+    SELECT bf.query_id,
+           count(l.neighbor_id) AS n_hit,
+           count(*)             AS n_true,
+           CAST(count(l.neighbor_id) AS DOUBLE) / count(*) AS recall_at_k
+    FROM ({ORACLES['q_ann_bruteforce']}) bf
+    LEFT JOIN ({ORACLES['q_ann_lsh']}) l
+      ON l.query_id = bf.query_id AND l.neighbor_id = bf.neighbor_id
+    GROUP BY bf.query_id
+    """
+
+
+@register("q_ann_recall", oracle=_recall_oracle())
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluating similarity search: recall@K of the LSH-bucketed
+    ANN against the exact brute-force top-K, per query — the quality
+    gate an ANN index ships with.
+
+    Both sides reuse the registered operators (single source of truth);
+    the join is K·|queries| rows on each side, so the evaluation costs
+    two index probes plus a trivially small join — runnable continuously
+    as an index-health monitor at any corpus size."""
+    from iceberg_data_gen_spark.operators import QUERIES
+
+    bf = QUERIES["q_ann_bruteforce"](spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = (
+        QUERIES["q_ann_lsh"](spark, sf_dir)
+        .select(
+            F.col("query_id").alias("l_qid"), F.col("neighbor_id").alias("l_nid")
+        )
+    )
+    return (
+        bf.join(
+            lsh,
+            (F.col("query_id") == F.col("l_qid"))
+            & (F.col("neighbor_id") == F.col("l_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("l_nid").alias("n_hit"),
+            F.count(F.lit(1)).alias("n_true"),
+            (F.count("l_nid").cast("double") / F.count(F.lit(1))).alias("recall_at_k"),
+        )
+    )
