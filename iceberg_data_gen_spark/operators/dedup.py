@@ -854,3 +854,64 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     keep = labels.where(F.col("doc_id") == F.col("cluster_rep")).select("doc_id")
     return docs.join(keep, "doc_id", "left_semi").select("doc_id", "lang", "source")
+
+
+@register(
+    "q_dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+        SELECT md5(lower(trim(text))) AS h
+        FROM documents WHERE doc_id % 10 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, lang, source, md5(lower(trim(text))) AS h
+        FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT b.doc_id, b.lang, b.source,
+           CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+                WHEN b.h IN (SELECT h FROM batch GROUP BY h HAVING count(*) > 1)
+                     AND b.doc_id <> (SELECT min(doc_id) FROM batch b2 WHERE b2.h = b.h)
+                     THEN 'dup_in_batch'
+                ELSE 'new' END AS verdict
+    FROM batch b
+    LEFT JOIN (SELECT DISTINCT h FROM corpus) c ON c.h = b.h
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: classify every document of an incoming
+    batch (here: doc_id % 10 = 0 stands in for "today's crawl") against
+    the EXISTING corpus — ``dup_of_corpus`` (hash already ingested),
+    ``dup_in_batch`` (duplicate within the batch itself, min-doc_id
+    survivor wins), or ``new``.
+
+    This is the daily-shape of dedup at 100 TB: the corpus side reduces
+    to its DISTINCT HASH SET (one column, the only state the check
+    needs — in production a bloom/hash index maintained incrementally),
+    so each day's cost is |batch| + |corpus-hash-index|, never a
+    re-scan of all past text.  Two hash joins + one in-batch window; no
+    text comparison after the initial hash."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.lower(F.trim("text")))
+    corpus_hashes = (
+        docs.where(F.col("doc_id") % 10 != 0).select(h.alias("ch")).distinct()
+    )
+    batch = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "lang", "source", h.alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    classified = (
+        batch.join(corpus_hashes, F.col("h") == F.col("ch"), "left")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.when(F.col("ch").isNotNull(), "dup_of_corpus")
+            .when(F.col("rn") > 1, "dup_in_batch")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+    )
+    return classified
