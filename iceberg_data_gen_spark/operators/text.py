@@ -1283,3 +1283,63 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wf",
         ).localCheckpoint(eager=False)
     return spark.createDataFrame(rules, "iter int, pair string, merged string, n long")
+
+
+@register(
+    "q_ols_per_source",
+    oracle="""
+    WITH m AS (
+        SELECT source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+               CAST(n_chars AS BIGINT) AS y
+        FROM documents
+    ),
+    s AS (
+        SELECT source,
+               count(*)            AS n,
+               CAST(sum(x) AS BIGINT)   AS sx,
+               CAST(sum(y) AS BIGINT)   AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM m GROUP BY source
+    )
+    SELECT source, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / (n * sxx - sx * sx)                         AS slope,
+           (sy - CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx) * sx) / n             AS intercept
+    FROM s
+    """,
+)
+def q_ols_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped model fit: closed-form OLS (chars ~ words) per source —
+    the feature-engineering shape of "fit a small model per group" done
+    WITHOUT Python: the sufficient statistics (n, Σx, Σy, Σxy, Σx²) are
+    INTEGER sums, so the one groupBy is map-side-combinable, order-
+    independent, and engine-exact; the slope/intercept are then two
+    IEEE-exact double expressions over those integers.  Compare
+    applyInPandas-per-group (q_pandas_udaf territory): that ships rows
+    to Python, this ships five longs per group."""
+    docs = _docs(spark, sf_dir)
+    x = F.size(F.split("text", " ")).cast("long")
+    y = F.col("n_chars").cast("long")
+    s = (
+        docs.select("source", x.alias("x"), y.alias("y"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "source",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )
