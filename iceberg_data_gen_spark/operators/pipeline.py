@@ -328,3 +328,51 @@ def q_top_p_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_chars").cast("long").alias("cutoff_chars"),
         )
     )
+
+
+TOKEN_BUDGET = 1_000_000  # total training tokens to fill
+
+
+@register(
+    "q_token_budget_epochs",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents
+        GROUP BY source
+    ),
+    tot AS (SELECT count(*) AS n_sources FROM per_source)
+    SELECT source, n_docs, tokens,
+           CAST({TOKEN_BUDGET} / n_sources AS BIGINT) AS target_tokens,
+           CAST(ceil(CAST({TOKEN_BUDGET} / n_sources AS BIGINT)
+                     / CAST(tokens AS DOUBLE)) AS BIGINT) AS epochs
+    FROM per_source, tot
+    """,
+)
+def q_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-run planning: per-source epoch counts against a global
+    token budget with a uniform target mix — the "how many times do we
+    repeat each source" table an LLM data-mixing config is built from
+    (small sources repeat, large ones subsample at epochs=1).
+
+    One aggregation over the corpus plus a 1-row broadcast of the source
+    count; token totals are integer sums (map-side combinable) and the
+    epoch count is ceil of one exact double division, so the plan is
+    engine-exact and costs a single shuffle at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    per_source = (
+        docs.select("source", F.size(F.split("text", " ")).cast("long").alias("t"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("t").alias("tokens"))
+    )
+    tot = per_source.agg(F.count(F.lit(1)).alias("n_sources"))
+    target = (F.lit(TOKEN_BUDGET) / F.col("n_sources")).cast("long")
+    return per_source.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        target.alias("target_tokens"),
+        F.ceil(target / F.col("tokens").cast("double")).cast("long").alias("epochs"),
+    )
