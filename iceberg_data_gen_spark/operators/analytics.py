@@ -727,3 +727,48 @@ def q_event_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+@register(
+    "q_lag_features",
+    oracle="""
+    SELECT user_id, event_id, ts, value,
+           lag(value, 1) OVER w AS lag1,
+           lag(value, 2) OVER w AS lag2,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / least(row_number() OVER w, 3) AS rolling_mean3,
+           CAST(row_number() OVER w AS BIGINT) AS event_seq
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence feature engineering for per-user event models: lag-1/
+    lag-2 values, 3-event rolling mean, and the event index — the
+    window-feature block a churn/next-action model trains on.
+
+    All four features ride ONE hash exchange + one sort on
+    (user_id, ts): Catalyst fuses same-spec windows into a single Window
+    node.  The rolling sum accumulates in DECIMAL because engines
+    disagree on float summation order inside sliding frames (Spark adds
+    incrementally, DuckDB may segment-tree) — exact accumulation makes
+    the frame math order-independent, then one exact division."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-2, 0)
+    rn = F.row_number().over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("value", 1).over(w).alias("lag1"),
+        F.lag("value", 2).over(w).alias("lag2"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).over(wf).cast("double")
+            / F.least(rn, F.lit(3))
+        ).alias("rolling_mean3"),
+        rn.cast("long").alias("event_seq"),
+    )
