@@ -1386,3 +1386,51 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         dsum(F.col("weight"), 4).alias("weighted_docs"),
     )
+
+
+@register(
+    "q_benford_digits",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderstatus,
+               substr(CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR), 1, 1)
+                   AS first_digit
+        FROM orders
+        WHERE o_totalprice > 0
+    )
+    SELECT o_orderstatus, first_digit,
+           count(*) AS n,
+           CAST(count(*) AS DOUBLE)
+               / sum(count(*)) OVER (PARTITION BY o_orderstatus) AS share
+    FROM d
+    GROUP BY o_orderstatus, first_digit
+    """,
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screening of order amounts per status — the
+    classic anomaly/fraud QA scan a finance pipeline runs on new feeds
+    (fabricated amounts skew the leading-digit distribution).
+
+    The first digit comes from the DECIMAL(15,2) string rendering —
+    fixed-point formatting is identical across engines, unlike float
+    repr or log10-based digit math (log10 is not IEEE-exact).  One
+    aggregation + one partition-total window; integer counts and a
+    single exact division."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    d = orders.where(F.col("o_totalprice") > 0).select(
+        "o_orderstatus",
+        F.substring(F.col("o_totalprice").cast("decimal(15,2)").cast("string"), 1, 1)
+            .alias("first_digit"),
+    )
+    counts = d.groupBy("o_orderstatus", "first_digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus")
+    return counts.select(
+        "o_orderstatus",
+        "first_digit",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("share"),
+    )
