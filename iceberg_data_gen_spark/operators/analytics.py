@@ -772,3 +772,63 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rolling_mean3"),
         rn.cast("long").alias("event_seq"),
     )
+
+
+@register(
+    "q_value_outliers_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type,
+               m.med,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           m.med AS median_value,
+           m.mad AS mad_value,
+           CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY e.event_type, m.med, m.mad
+    """,
+)
+def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: per event type, flag values more than
+    3 median-absolute-deviations from the median — the
+    mean/stddev-free screen that survives heavy-tailed metrics.
+
+    Two aggregation passes on the same event_type key (median, then MAD
+    of deviations) and one counting join — all exact: Spark
+    ``percentile`` and DuckDB ``quantile_cont`` both compute the
+    linear-interpolated exact percentile, and the interpolation
+    ``a + (b-a)*f`` is IEEE-exact given identical inputs.  Medians
+    broadcast back (|event types| rows), so the fact table shuffles
+    once per pass and never self-joins."""
+    ev = _events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type", "med").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad")
+    )
+    scored = ev.join(F.broadcast(mad), "event_type")
+    return scored.groupBy("event_type", "med", "mad").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")).cast("long")
+        ).alias("n_outliers"),
+    ).select(
+        "event_type",
+        "n_events",
+        F.col("med").alias("median_value"),
+        F.col("mad").alias("mad_value"),
+        "n_outliers",
+    )

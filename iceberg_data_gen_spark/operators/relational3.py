@@ -1434,3 +1434,50 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(w)).alias("share"),
     )
+
+
+@register(
+    "q_group_concat_topk",
+    oracle="""
+    WITH ranked AS (
+        SELECT n_name, c_name, c_acctbal,
+               row_number() OVER (PARTITION BY n_name
+                                  ORDER BY c_acctbal DESC, c_name) AS rk
+        FROM customer JOIN nation ON n_nationkey = c_nationkey
+    )
+    SELECT n_name,
+           array_to_string(list(c_name ORDER BY rk), '|') AS top3_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS top3_balance
+    FROM ranked WHERE rk <= 3
+    GROUP BY n_name
+    """,
+)
+def q_group_concat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k-per-group serialized as a report column: the 3 richest
+    customers per nation as an ordered delimited string plus their
+    combined balance — the leaderboard-cell shape BI exports want.
+
+    The rank filter compiles to WindowGroupLimit (running top-3 per
+    reducer, plan-asserted class), the ordered list is rebuilt
+    deterministically from (rank, name) structs via array_sort —
+    collect_list alone is order-nondeterministic under parallel merge —
+    and the balance accumulates in DECIMAL."""
+    customer, nation = _t(spark, sf_dir, "customer", "nation")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_name"))
+    ranked = (
+        customer.join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+    )
+    return ranked.groupBy("n_name").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", "c_name"))),
+                lambda s: s["c_name"],
+            ),
+            "|",
+        ).alias("top3_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("top3_balance"),
+    )
