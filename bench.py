@@ -76,6 +76,16 @@ EXTRA = [
     "q_top_p_per_source",
     "q_embedding_quantize",
     "q_multimodal_shard_manifest",
+    "q_ann_recall",
+    "q_dedup_incremental",
+    "q_ols_per_source",
+    "q_benford_digits",
+    "q_value_outliers_mad",
+    "q_lag_features",
+    "q_token_budget_epochs",
+    "q_group_concat_topk",
+    "q_revenue_mom_change",
+    "q_observed_ingest",
 ]
 
 

@@ -1481,3 +1481,46 @@ def q_group_concat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top3_customers"),
         F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("top3_balance"),
     )
+
+
+@register(
+    "q_revenue_mom_change",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               {dsum_sql('o_totalprice', 2)} AS revenue
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT month, revenue,
+           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+           revenue - lag(revenue) OVER (ORDER BY month) AS abs_change,
+           round((revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month), 6) AS rel_change
+    FROM monthly
+    """,
+)
+def q_revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue deltas — the KPI-trend query every BI
+    layer runs.  Aggregation first (months are few), THEN the unbounded
+    lag window over the tiny monthly table: the unpartitioned window is
+    fine precisely because it sees |months| rows, not the fact table —
+    the inverse of q_curriculum_order's problem.  DECIMAL-accumulated
+    revenue; the relative change is one exact division rounded at the
+    output boundary."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    monthly = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(dsum(F.col("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        (F.col("revenue") - prev).alias("abs_change"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("rel_change"),
+    )
