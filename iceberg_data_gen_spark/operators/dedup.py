@@ -915,3 +915,38 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return classified
+
+
+@register(
+    "q_dup_rate_by_source",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(lower(trim(text)))) AS n_unique,
+           CAST(count(*) - count(DISTINCT md5(lower(trim(text)))) AS BIGINT)
+               AS n_dup_docs,
+           CAST(count(*) - count(DISTINCT md5(lower(trim(text)))) AS DOUBLE)
+               / count(*) AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-rate scorecard per source — the per-provider QA metric
+    a crawl pipeline tracks over time (a source whose dup rate spikes
+    gets throttled or re-crawled).
+
+    One groupBy with a count-distinct over the normalized content hash:
+    Catalyst plans the distinct via Expand with partial aggregation, so
+    the shuffle carries (source, hash) partials, not documents.  Integer
+    counts and one exact division."""
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.lower(F.trim("text")))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(h).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(h)).cast("long").alias("n_dup_docs"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct(h)).cast("double") / F.count(F.lit(1))
+        ).alias("dup_rate"),
+    )
