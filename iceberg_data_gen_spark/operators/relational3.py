@@ -1524,3 +1524,38 @@ def q_revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("revenue") - prev).alias("abs_change"),
         F.round((F.col("revenue") - prev) / prev, 6).alias("rel_change"),
     )
+
+
+@register(
+    "q_dim_denormalize",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment,
+           n_name AS nation, r_name AS region,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    """,
+)
+def q_dim_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake → star denormalization: flatten the
+    customer→nation→region chain into one conformed dimension — the ETL
+    step that trades a little storage for removing two joins from every
+    downstream query.  Both lookup sides broadcast (nation/region are
+    tiny at any scale); acctbal is normalized through
+    DECIMAL(18,2) (then emitted as double — pandas renders Decimal and
+    float differently) so the flattened dim is exact for later
+    aggregation."""
+    customer, nation, region = _t(spark, sf_dir, "customer", "nation", "region")
+    return (
+        customer.join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("acctbal"),
+        )
+    )
