@@ -1559,3 +1559,29 @@ def q_dim_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("acctbal"),
         )
     )
+
+
+@register(
+    "q_weekday_seasonality",
+    oracle=f"""
+    SELECT CAST(isodow(o_orderdate) AS INT) AS iso_weekday,
+           count(*) AS n_orders,
+           {dsum_sql('o_totalprice', 2)} AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/revenue seasonality by ISO weekday (1=Monday..7=Sunday) —
+    the weekly-pattern profile capacity planning reads.
+
+    Calendar-function portability is the trap here: Spark's dayofweek is
+    1=Sunday while DuckDB's isodow is 1=Monday, so both engines are
+    normalized onto the ISO numbering explicitly.  One aggregation,
+    DECIMAL revenue."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    iso = (F.dayofweek("o_orderdate") + 5) % 7 + 1
+    return orders.groupBy(iso.cast("int").alias("iso_weekday")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), 2).alias("revenue"),
+    )
