@@ -1585,3 +1585,132 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@register(
+    "q_customer_rfm",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey AS custkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               {dsum_sql('o_totalprice', 2)} AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    binned AS (
+        SELECT custkey,
+               ntile(5) OVER (ORDER BY last_order, custkey)  AS r_bin,
+               ntile(5) OVER (ORDER BY frequency, custkey)   AS f_bin,
+               ntile(5) OVER (ORDER BY monetary, custkey)    AS m_bin,
+               monetary
+        FROM per_cust
+    )
+    SELECT r_bin, f_bin, m_bin,
+           count(*) AS n_customers,
+           {dsum_sql('monetary', 2)} AS segment_value
+    FROM binned
+    GROUP BY r_bin, f_bin, m_bin
+    """,
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quintile bins of recency / frequency / monetary
+    per customer, rolled up to segment sizes and value — the marketing
+    segmentation every warehouse ships.
+
+    Pattern notes: the fact table aggregates FIRST (one shuffle), the
+    three ntile windows run over the small per-customer table, and every
+    window order carries custkey as the tie-break — ntile over a
+    non-total order is nondeterministic under parallel merge, the
+    classic silent-flakiness bug in segmentation jobs.  Monetary
+    accumulates in DECIMAL twice (per customer, then per segment)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum(F.col("o_totalprice"), 2).alias("monetary"),
+    )
+    binned = per_cust.select(
+        "custkey",
+        "monetary",
+        F.ntile(5).over(Window.orderBy("last_order", "custkey")).alias("r_bin"),
+        F.ntile(5).over(Window.orderBy("frequency", "custkey")).alias("f_bin"),
+        F.ntile(5).over(Window.orderBy("monetary", "custkey")).alias("m_bin"),
+    )
+    return binned.groupBy("r_bin", "f_bin", "m_bin").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum(F.col("monetary"), 2).alias("segment_value"),
+    )
+
+
+@register(
+    "q_abc_pareto",
+    oracle=f"""
+    WITH per_part AS (
+        SELECT l_partkey AS partkey,
+               {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT partkey, revenue,
+               CAST(sum(CAST(revenue AS DECIMAL(18,4))) OVER () AS DOUBLE)
+                   AS total_rev,
+               CAST(sum(CAST(revenue AS DECIMAL(18,4)))
+                        OVER (ORDER BY revenue DESC, partkey
+                              ROWS UNBOUNDED PRECEDING) AS DOUBLE) - revenue
+                   AS cum_before
+        FROM per_part
+    )
+    SELECT CASE WHEN cum_before < 0.8  * total_rev THEN 'A'
+                WHEN cum_before < 0.95 * total_rev THEN 'B'
+                ELSE 'C' END AS abc_class,
+           count(*) AS n_parts,
+           {dsum_sql('revenue', 4)} AS class_revenue
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue contribution
+    (A: first 80% of revenue, B: next 15%, C: tail) — the inventory-
+    analytics classic.
+
+    Same exclusive-cumsum boundary rule as q_top_p_per_source so exactly
+    the boundary part crosses each threshold; revenue is DECIMAL-exact
+    at every level, and the 0.8/0.95 products are single exact double
+    multiplies, so the class assignment cannot flip between engines.
+    The unpartitioned windows run over the per-part aggregate, not the
+    fact table."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql.window import Window
+
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = lineitem.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        dsum(rev, 4).alias("revenue")
+    )
+    w_tot = Window.partitionBy()
+    w_run = Window.orderBy(F.desc("revenue"), F.asc("partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_part.select(
+        "partkey",
+        "revenue",
+        # DECIMAL window accumulation: engines disagree on float summation
+        # order inside window frames (incremental vs segment-tree)
+        F.sum(F.col("revenue").cast("decimal(18,4)")).over(w_tot)
+        .cast("double").alias("total_rev"),
+        (
+            F.sum(F.col("revenue").cast("decimal(18,4)")).over(w_run).cast("double")
+            - F.col("revenue")
+        ).alias("cum_before"),
+    )
+    cls = (
+        F.when(F.col("cum_before") < 0.8 * F.col("total_rev"), "A")
+        .when(F.col("cum_before") < 0.95 * F.col("total_rev"), "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        dsum(F.col("revenue"), 4).alias("class_revenue"),
+    )
