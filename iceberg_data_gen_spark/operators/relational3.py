@@ -1714,3 +1714,53 @@ def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         dsum(F.col("revenue"), 4).alias("class_revenue"),
     )
+
+
+@register(
+    "q_supplier_hhi",
+    oracle="""
+    WITH per_supp AS (
+        SELECT s_nationkey,
+               l_suppkey,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY s_nationkey, l_suppkey
+    )
+    SELECT s_nationkey AS nationkey,
+           count(*) AS n_suppliers,
+           round(CAST(sum(CAST(rev AS DECIMAL(28,4)) * rev) AS DOUBLE)
+                 / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE)),
+                 10) AS hhi
+    FROM per_supp
+    GROUP BY s_nationkey
+    """,
+)
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration screening: the Herfindahl-Hirschman index of
+    supplier revenue shares per nation (1/n = perfectly even, 1.0 =
+    monopoly) — the concentration metric a supply-chain risk report
+    tracks.
+
+    Exactness: HHI = Σrev² / (Σrev)², with rev, rev², and both sums all
+    accumulated in DECIMAL — squaring shares as doubles then summing
+    would reintroduce partition-order float drift.  Only the final
+    division is floating point, rounded to 10 dp at the output boundary —
+    the engines' DECIMAL(38,8)->double conversions of the huge Σrev² can
+    differ by one ulp.  Two
+    aggregations, both map-side combinable."""
+    (lineitem,), (supplier,) = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    per_supp = (
+        lineitem.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(rev).cast("decimal(18,4)").alias("rev"))
+    )
+    return per_supp.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(
+            F.sum(F.col("rev") * F.col("rev")).cast("double")
+            / (F.sum("rev").cast("double") * F.sum("rev").cast("double")),
+            10,
+        ).alias("hhi"),
+    )
