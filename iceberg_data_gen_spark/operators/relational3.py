@@ -1764,3 +1764,46 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).alias("hhi"),
     )
+
+
+@register(
+    "q_ship_latency",
+    oracle="""
+    WITH j AS (
+        SELECT o_orderpriority,
+               date_diff('day', o_orderdate, l_shipdate) AS lat_days
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= o_orderdate
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           CAST(sum(lat_days) AS BIGINT) AS total_days,
+           quantile_cont(lat_days, 0.5) AS median_days,
+           CAST(max(lat_days) AS BIGINT) AS max_days
+    FROM j
+    GROUP BY o_orderpriority
+    """,
+)
+def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-latency SLA report: order-to-ship days per priority
+    (count / total / exact median / max) — the operations dashboard
+    behind every "are URGENT orders actually faster" question.
+
+    Integer day diffs keep the sum exact; the median is the exact
+    interpolated percentile (identical in both engines); the fact-fact
+    join shuffles once and the aggregate combines map-side."""
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    j = (
+        lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long").alias("lat_days"),
+        )
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("lat_days").alias("total_days"),
+        F.percentile("lat_days", 0.5).alias("median_days"),
+        F.max("lat_days").alias("max_days"),
+    )
