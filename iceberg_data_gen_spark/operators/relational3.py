@@ -1807,3 +1807,83 @@ def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("lat_days", 0.5).alias("median_days"),
         F.max("lat_days").alias("max_days"),
     )
+
+
+@register(
+    "q_market_basket_pairs",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, count(*) AS support
+    FROM pairs
+    GROUP BY part_a, part_b
+    HAVING count(*) >= 2
+    """,
+)
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase mining: part pairs appearing together in
+    at least two orders — the support table association rules start
+    from.
+
+    The pair join is EQUI-KEYED on l_orderkey with the a<b triangle
+    predicate as residual, so the blowup is Σ k²/2 over per-order line
+    counts (k≈4 here) — bounded per basket, never |lineitem|².  At
+    100 TB the same plan holds because baskets stay small; a hot
+    mega-basket would get the salting treatment of q_skew_salted_join."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    a = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = lineitem.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+    )
+
+
+@register(
+    "q_repeat_purchase_interval",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders
+    )
+    SELECT count(*) AS n_intervals,
+           CAST(sum(gap_days) AS BIGINT) AS total_gap_days,
+           quantile_cont(gap_days, 0.5) AS median_gap_days,
+           CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days
+    FROM seq WHERE gap_days IS NOT NULL
+    """,
+)
+def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of day gaps between a
+    customer's consecutive orders — the behavioral input to churn and
+    replenishment models.
+
+    One hash exchange on customer for the lag window; integer day gaps
+    make the sum exact and the median is the exact interpolated
+    percentile.  The final global summary is a 1-row aggregate over the
+    per-interval rows."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long").alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("gap_days").alias("total_gap_days"),
+        F.percentile("gap_days", 0.5).alias("median_gap_days"),
+        F.min("gap_days").alias("min_gap_days"),
+        F.max("gap_days").alias("max_gap_days"),
+    )
