@@ -832,3 +832,59 @@ def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mad").alias("mad_value"),
         "n_outliers",
     )
+
+
+@register(
+    "q_dau_mau_stickiness",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+               CAST(date_trunc('day', ts) AS DATE)   AS day,
+               count(DISTINCT user_id) AS dau
+        FROM events
+        GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+               count(DISTINCT user_id) AS mau
+        FROM events
+        GROUP BY 1
+    )
+    SELECT m.month, m.mau,
+           CAST(sum(d.dau) AS BIGINT) AS sum_dau,
+           count(*) AS n_days,
+           CAST(sum(d.dau) AS DOUBLE) / count(*) / m.mau AS stickiness
+    FROM monthly m JOIN daily d USING (month)
+    GROUP BY m.month, m.mau
+    """,
+)
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement scorecard: per month, distinct monthly actives (MAU),
+    summed daily actives, and the DAU/MAU stickiness ratio — the
+    product-health metric every activity pipeline reports.
+
+    Two count-distinct aggregations over the same scan (day grain and
+    month grain) joined on month (|months| rows broadcast); integer
+    distinct counts make every input exact and stickiness is two exact
+    divisions.  At 100 TB the exact distincts swap for HLL sketches with
+    the identical plan shape."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    monthly = ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("month")
+    ).agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        daily.join(F.broadcast(monthly), "month")
+        .groupBy("month", "mau")
+        .agg(
+            F.sum("dau").alias("sum_dau"),
+            F.count(F.lit(1)).alias("n_days"),
+            (
+                F.sum("dau").cast("double") / F.count(F.lit(1)) / F.col("mau")
+            ).alias("stickiness"),
+        )
+        .select("month", "mau", "sum_dau", "n_days", "stickiness")
+    )
