@@ -786,3 +786,62 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("l_nid").cast("double") / F.count(F.lit(1))).alias("recall_at_k"),
         )
     )
+
+
+@register(
+    "q_embedding_norm_outliers",
+    oracle="""
+    WITH norms AS (
+        SELECT vec_id, label,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
+        FROM embeddings
+    ),
+    med AS (SELECT quantile_cont(l2_norm, 0.5) AS med FROM norms),
+    mad AS (
+        SELECT m.med, quantile_cont(abs(n.l2_norm - m.med), 0.5) AS mad
+        FROM norms n, med m GROUP BY m.med
+    )
+    SELECT n.label,
+           count(*) AS n_vectors,
+           CAST(sum(CASE WHEN abs(n.l2_norm - d.med) > 3 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM norms n, mad d
+    GROUP BY n.label
+    """,
+)
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QA: vectors whose L2 norm is a MAD outlier —
+    the broken-encoder / wrong-normalization screen run before any
+    similarity index is built over a new embedding batch.
+
+    The norm is computed in-row (array lambda, fixed summation order,
+    then sqrt — all IEEE-exact), the global median/MAD are exact
+    interpolated percentiles broadcast back as one row, and the final
+    pass counts outliers per label.  No shuffle touches the vectors
+    themselves after the norm projection."""
+    e = _emb(spark, sf_dir)
+    sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    norms = e.select(
+        "vec_id",
+        "label",
+        F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)).alias("l2_norm"),
+    )
+    med = norms.agg(F.percentile("l2_norm", 0.5).alias("med"))
+    mad = (
+        norms.join(F.broadcast(med))
+        .agg(
+            F.first("med").alias("med"),
+            F.percentile(F.abs(F.col("l2_norm") - F.col("med")), 0.5).alias("mad"),
+        )
+    )
+    return (
+        norms.join(F.broadcast(mad))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(
+                (F.abs(F.col("l2_norm") - F.col("med")) > 3 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
