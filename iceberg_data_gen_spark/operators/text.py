@@ -1343,3 +1343,66 @@ def q_ols_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     )
+
+
+@register(
+    "q_lang_confusion_matrix",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_sql_marker_count('en')} AS s_en,
+               {_sql_marker_count('de')} AS s_de,
+               {_sql_marker_count('fr')} AS s_fr,
+               {_sql_marker_count('es')} AS s_es,
+               {_sql_marker_count('zh')} AS s_zh
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang AS labeled_lang,
+               CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+                    WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+                    WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+                    WHEN s_es >= s_zh THEN 'es'
+                    ELSE 'zh' END AS pred_lang
+        FROM scored
+    )
+    SELECT labeled_lang, pred_lang,
+           count(*) AS n_docs,
+           CAST(count(*) AS DOUBLE)
+               / sum(count(*)) OVER (PARTITION BY labeled_lang) AS row_share
+    FROM pred
+    GROUP BY labeled_lang, pred_lang
+    """,
+)
+def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the confusion matrix of the
+    stopword language-ID against the labeled language, with row-
+    normalized shares — the model-eval aggregation an ML-data pipeline
+    materializes after every classifier change.
+
+    Reuses q_lang_id's exact scoring expressions (same markers, same
+    deterministic tie order); one aggregation plus a per-label total
+    window, integer counts, one exact division."""
+    docs = _lang_scores_spark(_docs(spark, sf_dir))
+    s = {lang: F.col(f"s_{lang}") for lang in _LANG_ORDER}
+    pred = (
+        F.when(s["en"] >= F.greatest(s["de"], s["fr"], s["es"], s["zh"]), "en")
+        .when(s["de"] >= F.greatest(s["fr"], s["es"], s["zh"]), "de")
+        .when(s["fr"] >= F.greatest(s["es"], s["zh"]), "fr")
+        .when(s["es"] >= s["zh"], "es")
+        .otherwise("zh")
+    )
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(F.col("lang").alias("labeled_lang"), pred.alias("pred_lang"))
+        .groupBy("labeled_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("labeled_lang")
+    return counts.select(
+        "labeled_lang",
+        "pred_lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias("row_share"),
+    )
