@@ -1887,3 +1887,76 @@ def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").alias("min_gap_days"),
         F.max("gap_days").alias("max_gap_days"),
     )
+
+
+@register(
+    "q_discount_quantity_corr",
+    oracle="""
+    WITH m AS (
+        SELECT p_brand,
+               CAST(l_discount AS DECIMAL(18,2)) AS x,
+               CAST(l_quantity AS DECIMAL(18,2)) AS y
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    s AS (
+        SELECT p_brand,
+               count(*) AS n,
+               CAST(sum(x) AS DECIMAL(38,2))     AS sx,
+               CAST(sum(y) AS DECIMAL(38,2))     AS sy,
+               CAST(sum(x * y) AS DECIMAL(38,4)) AS sxy,
+               CAST(sum(x * x) AS DECIMAL(38,4)) AS sxx,
+               CAST(sum(y * y) AS DECIMAL(38,4)) AS syy
+        FROM m GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           round(
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+               8) AS corr_discount_qty
+    FROM s
+    """,
+)
+def q_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of discount vs quantity per brand — the
+    price-sensitivity probe, computed like q_ols_per_source from
+    DECIMAL-exact sufficient statistics instead of the built-in corr()
+    (whose float accumulation is partition-order-dependent and NOT
+    reproducible across engines or runs).
+
+    Both inputs are fixed-point (2-dp), so Σx, Σy, Σxy, Σx², Σy² are all
+    exact; the closed-form correlation is then IEEE-exact arithmetic
+    over identical operands, rounded at the output boundary only to
+    absorb wide-decimal→double conversion ulps."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    x = F.col("l_discount").cast("decimal(18,2)")
+    y = F.col("l_quantity").cast("decimal(18,2)")
+    s = (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .select("p_brand", x.alias("x"), y.alias("y"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    return s.select(
+        "p_brand",
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            8,
+        ).alias("corr_discount_qty"),
+    )
