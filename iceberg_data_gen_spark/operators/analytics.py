@@ -888,3 +888,35 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("month", "mau", "sum_dau", "n_days", "stickiness")
     )
+
+
+@register(
+    "q_activity_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) AS INT) AS iso_weekday,
+           CAST(extract(hour FROM ts) AS INT) AS hour_of_day,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (weekday × hour) activity grid behind every usage heatmap —
+    one aggregation over calendar-bucketed event time with both volume
+    and unique-user intensity.
+
+    Same ISO-weekday normalization as q_weekday_seasonality (Spark
+    dayofweek is Sunday-based); hour extraction agrees because both
+    engines see the same session-zone timestamps.  168 output cells at
+    any scale — the shuffle carries partial (cell, count, user-partials)
+    rows only."""
+    ev = _events(spark, sf_dir)
+    iso = (F.dayofweek("ts") + 5) % 7 + 1
+    return ev.groupBy(
+        iso.cast("int").alias("iso_weekday"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
