@@ -1960,3 +1960,41 @@ def q_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("corr_discount_qty"),
     )
+
+
+@register(
+    "q_basket_size_distribution",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey, count(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n_lines AS basket_size,
+           count(*) AS n_orders,
+           CAST(count(*) AS DOUBLE)
+               / sum(count(*)) OVER () AS share
+    FROM per_order
+    GROUP BY n_lines
+    """,
+)
+def q_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size histogram: how many orders have k line items, with
+    global shares — the order-mix profile pricing and fulfillment teams
+    read, and the k² input to q_market_basket_pairs' cost model.
+
+    Two aggregations (order grain, then size grain) plus one global-
+    total window over the tiny histogram; integer counts, one exact
+    division."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql.window import Window
+
+    per_order = lineitem.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    hist = per_order.groupBy(F.col("n_lines").alias("basket_size")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.partitionBy()
+    return hist.select(
+        "basket_size",
+        "n_orders",
+        (F.col("n_orders").cast("double") / F.sum("n_orders").over(w)).alias("share"),
+    )
