@@ -1998,3 +1998,57 @@ def q_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         (F.col("n_orders").cast("double") / F.sum("n_orders").over(w)).alias("share"),
     )
+
+
+@register(
+    "q_customer_order_gini",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey, count(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT n_orders,
+               row_number() OVER (ORDER BY n_orders, o_custkey) AS i,
+               count(*) OVER ()            AS n,
+               sum(n_orders) OVER ()       AS total
+        FROM per_cust
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(max(total) AS BIGINT) AS n_orders,
+           CAST(sum((2 * i - n - 1) * n_orders) AS DOUBLE)
+               / (max(n) * max(total)) AS gini
+    FROM ranked
+    """,
+)
+def q_customer_order_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality of customer activity: the Gini coefficient of orders
+    per customer (0 = everyone orders equally, →1 = a few whales) — the
+    concentration number a marketplace health report leads with.
+
+    Computed with the rank formula Σ(2i−n−1)xᵢ / (n·Σx) over the SMALL
+    per-customer aggregate: the numerator is a pure INTEGER sum (no
+    float accumulation anywhere), the one division is exact, and the
+    rank order is total (count, custkey).  The unpartitioned windows see
+    |customers| rows, not orders — same aggregate-first discipline as
+    q_revenue_mom_change."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    w_rank = Window.orderBy("n_orders", "o_custkey")
+    w_all = Window.partitionBy()
+    ranked = per_cust.select(
+        "n_orders",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("n_orders").over(w_all).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.max("total").cast("long").alias("n_orders"),
+        (
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("n_orders")).cast("double")
+            / (F.max("n") * F.max("total"))
+        ).alias("gini"),
+    )
