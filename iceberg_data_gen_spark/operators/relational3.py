@@ -2052,3 +2052,50 @@ def q_customer_order_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("n") * F.max("total"))
         ).alias("gini"),
     )
+
+
+@register(
+    "q_cumulative_order_volume",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               count(*) AS n_orders,
+               {dsum_sql('o_totalprice', 2)} AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders,
+           CAST(sum(n_orders) OVER (ORDER BY month
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_orders,
+           CAST(sum(CAST(revenue AS DECIMAL(18,2)))
+                    OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               AS cum_revenue
+    FROM monthly
+    """,
+)
+def q_cumulative_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running business volume: cumulative orders and revenue by month —
+    the growth curve behind every "orders to date" chart.
+
+    Aggregate-first (fact table collapses to |months| rows in one
+    shuffle), then integer and DECIMAL running windows over the tiny
+    monthly table — the cumulative revenue re-enters DECIMAL inside the
+    frame because engines disagree on float summation order in window
+    frames."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), 2).alias("revenue"),
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return monthly.select(
+        "month",
+        "n_orders",
+        F.sum("n_orders").over(w).cast("long").alias("cum_orders"),
+        F.sum(F.col("revenue").cast("decimal(18,2)")).over(w).cast("double")
+        .alias("cum_revenue"),
+    )
