@@ -2099,3 +2099,66 @@ def q_cumulative_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("revenue").cast("decimal(18,2)")).over(w).cast("double")
         .alias("cum_revenue"),
     )
+
+
+@register(
+    "q_segment_mix_by_region",
+    oracle="""
+    SELECT r_name AS region, c_mktsegment,
+           count(*) AS n_customers,
+           CAST(count(*) AS DOUBLE)
+               / sum(count(*)) OVER (PARTITION BY r_name) AS segment_share
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY r_name, c_mktsegment
+    """,
+)
+def q_segment_mix_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer market-segment mix per region with within-region shares —
+    the composition cross-tab a territory review opens with.  Broadcast
+    snowflake joins, one aggregation, one per-region total window,
+    integer counts and an exact division."""
+    customer, nation, region = _t(spark, sf_dir, "customer", "nation", "region")
+    from pyspark.sql.window import Window
+
+    counts = (
+        customer.join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    w = Window.partitionBy("region")
+    return counts.select(
+        "region",
+        "c_mktsegment",
+        "n_customers",
+        (F.col("n_customers").cast("double") / F.sum("n_customers").over(w))
+        .alias("segment_share"),
+    )
+
+
+@register(
+    "q_price_by_size_band",
+    oracle=f"""
+    SELECT CAST(p_size // 10 AS INT) AS size_band,
+           count(*) AS n_parts,
+           {dsum_sql('p_retailprice', 2)} AS total_price,
+           round({dsum_sql('p_retailprice', 2)} / count(*), 6) AS avg_price
+    FROM part
+    GROUP BY 1
+    """,
+)
+def q_price_by_size_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average retail price by part-size decade band — a pricing-curve
+    summary whose mean is DECIMAL-sum / integer-count (a bare avg() of
+    doubles is partition-order-dependent), rounded once at the output
+    boundary."""
+    (part,) = _t(spark, sf_dir, "part")
+    band = F.floor(F.col("p_size") / 10).cast("int")
+    total = dsum(F.col("p_retailprice"), 2)
+    return part.groupBy(band.alias("size_band")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        total.alias("total_price"),
+        F.round(total / F.count(F.lit(1)), 6).alias("avg_price"),
+    )
