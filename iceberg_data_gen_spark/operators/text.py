@@ -1406,3 +1406,44 @@ def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias("row_share"),
     )
+
+
+@register(
+    "q_corpus_summary",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           count(DISTINCT md5(lower(trim(text)))) AS n_unique_docs,
+           CAST(count(*) - count(DISTINCT md5(lower(trim(text)))) AS DOUBLE)
+               / count(*) AS dup_rate,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS mean_doc_chars
+    FROM documents
+    """,
+)
+def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus dashboard header: one row summarizing the whole
+    training set — documents, tokens, characters, language/source
+    diversity, exact duplication rate, mean length.
+
+    ONE aggregation over one scan (the distincts plan via Expand with
+    map-side partials); every number is an integer or one exact division
+    of integers, so the headline the pipeline publishes is bit-stable
+    run over run."""
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.lower(F.trim("text")))
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct(h).alias("n_unique_docs"),
+        ((F.count(F.lit(1)) - F.countDistinct(h)).cast("double") / F.count(F.lit(1)))
+        .alias("dup_rate"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4)
+        .alias("mean_doc_chars"),
+    )
