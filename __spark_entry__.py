@@ -60,13 +60,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordered so the driver's capped correctness pass hits unverified queries
     first: (1) unverified with a SQL oracle, (2) unverified rows-only,
-    (3) previously driver-verified.  Registration order within each group.
+    (3) previously driver-verified.  WITHIN the unverified groups,
+    longest-starved modules come first (similarity/text/streaming have
+    waited since round 1 while newer registrations crowded them out), and
+    any round's NEW registrations (new modules, imported last) sort after
+    them — so cumulative coverage converges oldest-first.
     """
     verified = _driver_verified()
     names = list(operators.QUERIES)
+    # modules that have never had a driver row, oldest registrations first
+    starved = ("similarity", "text", "streaming")
+    reg_order = {n: i for i, n in enumerate(names)}
+
+    def starve_key(n: str) -> tuple[int, int]:
+        mod = operators.QUERIES[n].__module__.rsplit(".", 1)[-1]
+        for i, m in enumerate(starved):
+            if mod.startswith(m) or (m == "streaming" and "streaming" in
+                                     operators.QUERIES[n].__module__):
+                return (i, reg_order[n])
+        return (len(starved), reg_order[n])
+
+    unverified_oracle = sorted(
+        (n for n in names if n not in verified and n in operators.ORACLES),
+        key=starve_key,
+    )
+    unverified_rowsonly = sorted(
+        (n for n in names if n not in verified and n not in operators.ORACLES),
+        key=starve_key,
+    )
     ordered = (
-        [n for n in names if n not in verified and n in operators.ORACLES]
-        + [n for n in names if n not in verified and n not in operators.ORACLES]
+        unverified_oracle
+        + unverified_rowsonly
         + [n for n in names if n in verified]
     )
     return {n: operators.QUERIES[n] for n in ordered}

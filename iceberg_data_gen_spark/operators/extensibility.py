@@ -1022,9 +1022,13 @@ def q_observed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost ZERO extra scans (vs the classic "run the query, then run three
     count queries" which triples the 100 TB read).
 
-    The observed metrics are validated against an independent aggregate
-    here (test-scale self-check); the returned DataFrame is the filtered
-    corpus the driver oracle-checks."""
+    The production path is single-scan by construction — validating the
+    observed metrics against an independent aggregate would defeat the
+    point of `observe()`, so that cross-check lives only in the test
+    suite (``SPARK_GRAFT_OBSERVE_CHECK=1``); the returned DataFrame is
+    the filtered corpus the driver oracle-checks."""
+    import os
+
     from pyspark.sql import Observation
 
     docs = _t(spark, sf_dir, "documents")[0]
@@ -1037,15 +1041,17 @@ def q_observed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_chars")).alias("chars_seen"),
     ).where(keep)
     out = observed.select("doc_id", "lang", "n_chars")
-    # materialize once so the observation fires, then self-check it
-    n_kept = out.count()
-    m = obs.get
-    expected = docs.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("c")
-    ).collect()[0]
-    assert m["n_seen"] == expected["n"], (m, expected)
-    assert m["chars_seen"] == expected["c"], (m, expected)
-    assert m["n_seen"] - m["n_rejected"] == n_kept, (m, n_kept)
+    if os.environ.get("SPARK_GRAFT_OBSERVE_CHECK"):
+        # test-only: materialize once so the observation fires, then
+        # cross-check it against an independent (extra-scan) aggregate
+        n_kept = out.count()
+        m = obs.get
+        expected = docs.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("c")
+        ).collect()[0]
+        assert m["n_seen"] == expected["n"], (m, expected)
+        assert m["chars_seen"] == expected["c"], (m, expected)
+        assert m["n_seen"] - m["n_rejected"] == n_kept, (m, n_kept)
     return out
 
 

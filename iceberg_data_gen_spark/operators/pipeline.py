@@ -345,8 +345,8 @@ TOKEN_BUDGET = 1_000_000  # total training tokens to fill
     ),
     tot AS (SELECT count(*) AS n_sources FROM per_source)
     SELECT source, n_docs, tokens,
-           CAST({TOKEN_BUDGET} / n_sources AS BIGINT) AS target_tokens,
-           CAST(ceil(CAST({TOKEN_BUDGET} / n_sources AS BIGINT)
+           CAST({TOKEN_BUDGET} // n_sources AS BIGINT) AS target_tokens,
+           CAST(ceil(CAST({TOKEN_BUDGET} // n_sources AS BIGINT)
                      / CAST(tokens AS DOUBLE)) AS BIGINT) AS epochs
     FROM per_source, tot
     """,
@@ -368,7 +368,10 @@ def q_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("t").alias("tokens"))
     )
     tot = per_source.agg(F.count(F.lit(1)).alias("n_sources"))
-    target = (F.lit(TOKEN_BUDGET) / F.col("n_sources")).cast("long")
+    # integer floor-division on BOTH sides (DuckDB `//` above): double
+    # division + cast would truncate in Spark but round-to-nearest in a
+    # DuckDB CAST, diverging whenever the fraction is >= .5
+    target = F.expr(f"div({TOKEN_BUDGET}, n_sources)")
     return per_source.join(F.broadcast(tot)).select(
         "source",
         "n_docs",

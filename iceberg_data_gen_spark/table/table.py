@@ -213,8 +213,17 @@ class MoRTable:
                 f"found {disk_head} — refresh() and retry"
             )
         # branch commits parent at their BRANCH head (passed via extra
-        # "parent"); main commits parent at the linear head as before
-        parent = extra.pop("parent", linear_head)
+        # "parent"); main commits parent at the MAIN head (latest
+        # non-staged, non-branch snapshot) — NOT the linear head, which
+        # after append(branch=b) would be a branch snapshot and would
+        # pollute main's parent chain (time travel to the main head
+        # would then walk branch-only commits)
+        parent = extra.pop("parent", None)
+        if parent is None:
+            live = [
+                s for s in snaps if not s.get("staged") and not s.get("branch")
+            ]
+            parent = live[-1]["id"] if live else None
         snap = {
             "id": (snaps[-1]["id"] + 1) if snaps else 1,
             "parent": parent,
@@ -754,6 +763,11 @@ class MoRTable:
         ancestors = set()
         cur: int | None = head
         while cur is not None:
+            if cur not in by_id:
+                raise ValueError(
+                    f"branch {name!r} ancestry references snapshot {cur}, "
+                    "which no longer exists (expired?) — cannot fast-forward"
+                )
             ancestors.add(cur)
             cur = by_id[cur].get("parent")
         main_head = self.current_snapshot_id()
@@ -980,7 +994,13 @@ class MoRTable:
         files = [
             f
             for s in self._meta["snapshots"]
-            if from_snapshot_id < s["id"] <= to and s["operation"] == "append"
+            if from_snapshot_id < s["id"] <= to
+            and s["operation"] == "append"
+            # mirror _upto(None): branch-only and WAP-staged commits are
+            # not main-visible, so they must not leak into main's CDC
+            # window until fast-forwarded / published
+            and not s.get("branch")
+            and not s.get("staged")
             for f in s["files"]
             if f["kind"] == "data"
         ]

@@ -815,3 +815,93 @@ def test_branch_write_read_fast_forward(spark, tmp_path):
         list(range(100)) + list(range(200, 300))
     )
     assert t2.scan().count() == 200
+
+
+def test_branch_main_interleave_parent_chain(spark, tmp_path):
+    """Interleaved branch-then-main writes must keep main's parent chain
+    clean: a plain append after append(branch=...) parents at the MAIN
+    head, not the linear (branch) head — so time travel to the main head
+    matches scan(), and branch commits never leak into main's ancestry
+    or its incremental CDC window."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=100, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    t = MoRTable.create(spark, str(tmp_path / "interleave"), schema)
+
+    def rows(a, b):
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    t.append(rows(0, 100), single_file=True)                     # 1 (main)
+    t.create_branch("side")
+    t.append(rows(100, 200), single_file=True, branch="side")    # 2 (branch)
+    t.append(rows(200, 300), single_file=True)                   # 3 (main)
+    # main snapshot 3 parents at 1, never at branch snapshot 2
+    snap3 = next(s for s in t.snapshots() if s["id"] == 3)
+    assert snap3["parent"] == 1
+    # time travel to the main head == current scan (no branch rows)
+    main_rows = sorted(r.bar for r in t.scan().collect())
+    tt_rows = sorted(r.bar for r in t.scan(snapshot_id=3).collect())
+    assert main_rows == tt_rows == list(range(100)) + list(range(200, 300))
+    # incremental CDC over main never sees the un-fast-forwarded branch
+    assert sorted(r.bar for r in t.incremental_scan(0).collect()) == main_rows
+    assert sorted(r.bar for r in t.incremental_scan(1, 3).collect()) == list(
+        range(200, 300)
+    )
+    # fast-forward is still possible the other way round: main is an
+    # ancestor of a FRESH branch forked at the new head
+    t.create_branch("side2")
+    t.append(rows(300, 400), single_file=True, branch="side2")   # 4 (branch)
+    assert t.fast_forward("side2") == 4
+    assert t.scan().count() == 300
+    # after ff the branch rows DO appear in the incremental window
+    assert sorted(r.bar for r in t.incremental_scan(3).collect()) == list(
+        range(300, 400)
+    )
+    # the divergent old branch still cannot fast-forward
+    with pytest.raises(ValueError, match="divergent"):
+        t.fast_forward("side")
+
+
+def test_fast_forward_expired_chain_errors(spark, tmp_path):
+    """fast_forward across a parent chain broken by expire_snapshots
+    raises a descriptive ValueError, not a KeyError."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=100, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    t = MoRTable.create(spark, str(tmp_path / "expired_ff"), schema)
+
+    def rows(a, b):
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    t.append(rows(0, 100), single_file=True)                     # 1
+    t.append(rows(100, 200), single_file=True)                   # 2
+    t.create_branch("late")
+    t.append(rows(200, 300), single_file=True, branch="late")    # 3
+    # surgically break the chain the way an over-eager expire would
+    # (expire_snapshots itself refuses while refs pin snapshots)
+    t._meta["snapshots"] = [s for s in t._meta["snapshots"] if s["id"] != 1]
+    t._write_meta()
+    with pytest.raises(ValueError, match="no longer exists"):
+        t.fast_forward("late")

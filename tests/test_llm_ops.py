@@ -214,3 +214,14 @@ def test_pq_recall_floor(spark):
         bfs[r.query_id].add(r.neighbor_id)
     recalls = [len(pqs[q] & bfs[q]) / len(bfs[q]) for q in bfs]
     assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_observed_ingest_self_check(spark, monkeypatch):
+    """With SPARK_GRAFT_OBSERVE_CHECK set, q_observed_ingest cross-checks
+    its Observation metrics against an independent aggregate (the extra
+    scan is test-only; the production path is single-scan)."""
+    from iceberg_data_gen_spark.operators import QUERIES
+
+    monkeypatch.setenv("SPARK_GRAFT_OBSERVE_CHECK", "1")
+    out = QUERIES["q_observed_ingest"](spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
