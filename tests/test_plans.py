@@ -415,3 +415,37 @@ def test_top_p_single_exchange(spark):
     groupBy must ride ONE hash exchange on source."""
     plan = plan_of(q("q_top_p_per_source", spark), mode="simple")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_pii_redact_pure_map(spark):
+    """Redaction is a map-only rewrite: three chained regexp_replace in
+    one projection, no Exchange anywhere — at 100 TB it streams scan to
+    sink."""
+    plan = plan_of(q("q_pii_redact", spark))
+    assert "Exchange" not in plan, plan
+
+
+def test_pii_scan_single_exchange(spark):
+    """The PII incidence report pays exactly ONE exchange (the final
+    groupBy(source) of map-side-combined partials)."""
+    plan = plan_of(q("q_pii_scan", spark))
+    assert plan.count("Exchange") <= 2, plan  # hash exchange (+AQE read)
+    assert "HashAggregate" in plan, plan
+
+
+def test_simpson_diversity_no_shuffle(spark):
+    """Simpson Σn_w² is computed inside the row (sorted-run aggregate
+    HOF) — the per-document statistic must NOT explode + shuffle a
+    corpus-sized token table."""
+    plan = plan_of(q("q_simpson_diversity", spark))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode at all
+
+
+def test_source_divergence_broadcast_reductions(spark):
+    """The contingency-table reductions (per-source totals, corpus word
+    totals, grand total) broadcast back to the (source, word) table —
+    the only real shuffle is the groupBy(source, word)."""
+    plan = plan_of(q("q_source_divergence", spark))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
