@@ -865,3 +865,113 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@register("q_ann_ivfpq")  # trained coarse+fine quantizers: rows-only check
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-{TOP_K} via IVF + PQ — the composed billion-scale
+    ANN layout (FAISS ``IVFx,PQy``): the IVF coarse quantizer prunes the
+    candidate set to the {IVF_NPROBE} probed cells per query, and PQ
+    asymmetric-distance tables score only those survivors — so at 100 TB
+    the scan touches ~nprobe/C of the corpus AND holds only 1-byte-per-
+    subspace codes in memory, the two savings multiplying.
+
+    ONE corpus pass does everything: assign the coarse cell (argmax
+    against the broadcast centroids), and for vectors landing in a
+    probed cell, PQ-encode and ADC-score them against exactly the
+    queries probing that cell (per-cell fancy indexing — no per-pair
+    Python loop, no second scan, no join).  Both trained models come
+    from the shared ``_trained`` cache: train once per corpus snapshot,
+    reuse for every query batch.  Recall@{TOP_K} vs q_ann_bruteforce is
+    floor-asserted in tests/test_llm_ops.py (measured 0.40 mean at
+    sf0.01 on the near-uniform synthetic embeddings — consistent with
+    the two stages' standalone recalls of 0.44 (IVF, nprobe=4/16) and
+    0.58 (PQ) stacking); nprobe and the codebook
+    size are the recall/cost knobs, and exact re-ranking of the
+    survivors' full vectors is the standard final stage a production
+    deployment adds.
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    C = _trained(
+        ("ivf", sf_dir, IVF_CENTROIDS, IVF_KMEANS_ITERS),
+        lambda: _kmeans_centroids(e, IVF_CENTROIDS),
+    )
+    B = _trained(
+        ("pq", sf_dir, PQ_SUBSPACES, PQ_CODES, PQ_ITERS),
+        lambda: _pq_codebooks(e),
+    )  # (subspaces, codes, d)
+    d = B.shape[2]
+    qrows = sorted(
+        e.where(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
+    )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([r.v for r in qrows], dtype=np.float64)
+    Q = Q / np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
+    # ADC tables: T[q, j, c] = dot(Q[q] subspace j, B[j, c])
+    T = np.stack(
+        [Q[:, j * d : (j + 1) * d] @ B[j].T for j in range(PQ_SUBSPACES)], axis=1
+    )
+    # inverted file: cell -> [query rows probing it]
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :IVF_NPROBE]
+    cell_to_queries: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for cell in probe[qi]:
+            cell_to_queries.setdefault(int(cell), []).append(qi)
+
+    def assign_encode_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            M = np.array(pdf["v"].tolist(), dtype=np.float64)
+            M = M / np.sqrt(np.einsum("ij,ij->i", M, M))[:, None]
+            ids = pdf["vec_id"].to_numpy()
+            cells = np.argmax(M @ C.T, axis=1)
+            # PQ-encode ONLY vectors in probed cells (the IVF prune)
+            probed_mask = np.isin(cells, list(cell_to_queries))
+            if not probed_mask.any():
+                continue
+            sel = np.nonzero(probed_mask)[0]
+            Ms, ids_s, cells_s = M[sel], ids[sel], cells[sel]
+            codes = np.empty((len(Ms), PQ_SUBSPACES), dtype=np.int64)
+            for j in range(PQ_SUBSPACES):
+                Mj = Ms[:, j * d : (j + 1) * d]
+                d2 = (
+                    np.einsum("ik,ik->i", Mj, Mj)[:, None]
+                    - 2.0 * (Mj @ B[j].T)
+                    + np.einsum("ck,ck->c", B[j], B[j])[None, :]
+                )
+                codes[:, j] = np.argmin(d2, axis=1)
+            sub = np.arange(PQ_SUBSPACES)[None, :]
+            out_q, out_n, out_s = [], [], []
+            for cell, qis in cell_to_queries.items():
+                in_cell = np.nonzero(cells_s == cell)[0]
+                if len(in_cell) == 0:
+                    continue
+                lut = T[qis]  # (len(qis), subspaces, codes)
+                sc = lut[:, sub, codes[in_cell]].sum(axis=2)  # (qis, in_cell)
+                for k, qi in enumerate(qis):
+                    keep = ids_s[in_cell] != q_ids[qi]
+                    out_q.append(np.full(keep.sum(), q_ids[qi]))
+                    out_n.append(ids_s[in_cell][keep])
+                    out_s.append(np.round(sc[k][keep], 6))
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "approx_cos": np.concatenate(out_s),
+                }
+            )
+
+    scored = e.mapInPandas(
+        assign_encode_score, "query_id long, neighbor_id long, approx_cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_cos"), "neighbor_id")
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= TOP_K
+    )

@@ -286,3 +286,21 @@ def test_pii_detection_on_injected_fixtures(spark):
             by_id[did].ip,
             by_id[did].id,
         ), (did, text)
+
+
+def test_ivfpq_recall_floor(spark):
+    """IVF+PQ composed ANN: top-10 overlap with exact brute force must
+    clear a floor despite BOTH approximations stacking (cell prune +
+    code quantization) on near-uniform synthetic embeddings."""
+    from collections import defaultdict
+
+    from iceberg_data_gen_spark.operators import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    approx, exact = defaultdict(set), defaultdict(set)
+    for r in QUERIES["q_ann_ivfpq"](spark, sf).collect():
+        approx[r.query_id].add(r.neighbor_id)
+    for r in QUERIES["q_ann_bruteforce"](spark, sf).collect():
+        exact[r.query_id].add(r.neighbor_id)
+    recalls = [len(approx[q] & exact[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
