@@ -86,6 +86,12 @@ EXTRA = [
     "q_group_concat_topk",
     "q_revenue_mom_change",
     "q_observed_ingest",
+    # round-4 additions
+    "q_pii_redact",
+    "q_simpson_diversity",
+    "q_source_divergence",
+    "q_zipf_check",
+    "q_ann_ivfpq",
 ]
 
 

@@ -981,20 +981,26 @@ def q_mor_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     fc = FileConfig(rows_per_file=100, file_count=1)
     schema = FixSchemaGenerator(fc, fc, fc).schema()
     t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-plan-"), schema)
-    lo = 0
+    batches, lo = [], 0
     for i in range(16):
         n = 100 * ((i % 5) + 1)
-        t.append(
+        batches.append(
             spark.range(lo, lo + n).select(
                 F.col("id").cast("string").alias("foo"),
                 F.col("id").cast("int").alias("bar"),
                 F.lit(True).alias("baz"),
-            ),
-            single_file=True,
+            )
         )
         lo += n
+    # ONE snapshot, 16 files (reference-shaped append_batches) — the
+    # fixture costs one commit instead of 16 sequential ones; commit
+    # order is (sequence_number, file_ordinal), ranked back to 1..16
+    t.append_batches(batches)
     files = t.files().where(F.col("kind") == "data").select(
-        F.col("sequence_number").alias("seq"), F.col("record_count").alias("n_rows")
+        F.row_number()
+        .over(Window.orderBy("sequence_number", "file_ordinal"))
+        .alias("seq"),
+        F.col("record_count").alias("n_rows"),
     )
     w = Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     start = F.sum("n_rows").over(w) - F.col("n_rows")

@@ -653,13 +653,18 @@ class MoRTable:
         )
 
     def files(self, snapshot_id: int | None = None) -> DataFrame:
+        """Iceberg ``.files`` metadata table.  ``file_ordinal`` is the
+        entry's position within its snapshot's manifest — Iceberg
+        manifests are ordered, and (sequence_number, file_ordinal) is
+        the table-wide commit order of data files even when one commit
+        lands many files (``append_batches``)."""
         rows = []
         for snap in self._upto(snapshot_id):
-            for f in snap["files"]:
+            for i, f in enumerate(snap["files"]):
                 rows.append(
-                    (f["path"], f["kind"], int(f["record_count"]), snap["id"], snap["sequence_number"])
+                    (f["path"], f["kind"], int(f["record_count"]), snap["id"], snap["sequence_number"], i)
                 )
-        schema = "file_path string, kind string, record_count long, snapshot_id int, sequence_number int"
+        schema = "file_path string, kind string, record_count long, snapshot_id int, sequence_number int, file_ordinal int"
         return self.spark.createDataFrame(rows, schema)
 
     def snapshots_df(self) -> DataFrame:
