@@ -743,7 +743,12 @@ class MoRTable:
         advances it; ``scan(ref=name)`` reads its head via the parent
         chain; ``fast_forward`` lands it on main.  Metadata-only."""
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
-        if sid is None or sid not in {s["id"] for s in self._meta["snapshots"]}:
+        if sid is None:
+            raise ValueError(
+                "cannot create a branch on an empty table: no snapshot to "
+                "fork from (commit to main first, or pass snapshot_id)"
+            )
+        if sid not in {s["id"] for s in self._meta["snapshots"]}:
             raise ValueError(f"snapshot {snapshot_id} does not exist")
         refs = self._meta.setdefault("refs", {})
         if name in refs:

@@ -65,3 +65,96 @@ def test_random_agg_spec_matches_duckdb(spark, grp, agg_col, filt_col, frac):
     errors = compare(spark, f"prop[{grp},{agg_col},{filt_col},{frac:.3f}]",
                      fn, sql, SF_SMALL)
     assert not errors, errors
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(st.sampled_from(["main", "branch", "ff"]), min_size=3, max_size=7))
+def test_branch_main_interleave_model(spark, ops):
+    """Differential fuzz of the MoR branch lifecycle: a random interleaving
+    of main appends, branch appends, and fast-forwards is replayed against
+    a pure-Python visibility model.  Invariants checked after every op:
+    main scan == model, branch scan == model, time travel to the main head
+    == main scan (the parent chain never walks branch-only commits), and
+    main's incremental CDC window sees exactly the main-visible appends."""
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=10, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    base = tempfile.mkdtemp(prefix="mor-fuzz-")
+    t = MoRTable.create(spark, base, schema)
+
+    def rows(a, b):
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    nxt = 0
+    main_rows: set[int] = set()
+    branch_exists = False
+    fork_rows: set[int] = set()   # main rows visible at the fork point
+    branch_rows: set[int] = set()  # rows appended on the branch since fork
+
+    def append(target: str | None) -> None:
+        nonlocal nxt
+        t.append(rows(nxt, nxt + 10), single_file=True, branch=target)
+        nxt += 10
+
+    try:
+        for op in ops:
+            if op == "main":
+                append(None)
+                main_rows.update(range(nxt - 10, nxt))
+            elif op == "branch":
+                if not branch_exists:
+                    if not main_rows:
+                        # branching an empty table is an error by design
+                        with pytest.raises(ValueError, match="empty table"):
+                            t.create_branch("b")
+                        continue
+                    t.create_branch("b")
+                    branch_exists = True
+                    fork_rows = set(main_rows)
+                    branch_rows = set()
+                append("b")
+                branch_rows.update(range(nxt - 10, nxt))
+            else:  # ff
+                if not branch_exists or not branch_rows:
+                    continue
+                if main_rows == fork_rows:
+                    t.fast_forward("b")
+                    main_rows |= branch_rows
+                    # ref persists at the landed head; future branch
+                    # appends fork from there
+                    fork_rows = set(main_rows)
+                    branch_rows = set()
+                else:
+                    with pytest.raises(ValueError, match="divergent"):
+                        t.fast_forward("b")
+            got_main = {r.bar for r in t.scan().collect()}
+            assert got_main == main_rows, (op, ops)
+            head = t.current_snapshot_id()
+            if head is not None:
+                tt = {r.bar for r in t.scan(snapshot_id=head).collect()}
+                assert tt == main_rows, (op, ops)
+            inc = {r.bar for r in t.incremental_scan(0).collect()}
+            assert inc == main_rows, (op, ops)
+            if branch_exists:
+                got_b = {r.bar for r in t.scan(ref="b").collect()}
+                assert got_b == fork_rows | branch_rows, (op, ops)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
