@@ -24,6 +24,40 @@ from iceberg_data_gen_spark.table.catalog import LocalCatalog
 log = logging.getLogger(__name__)
 
 
+def rest_spark_confs(cat, name: str = "rest") -> dict[str, str]:
+    """The complete TOML ``[catalog]`` -> Spark-conf mapping for an
+    Iceberg REST catalog over S3 (reference wiring: main.rs:278-299;
+    same keys, Spark spelling).  Pure function of the config — returned
+    as a dict so callers apply it with one
+    ``for k, v in rest_spark_confs(cfg.catalog).items():
+    builder.config(k, v)`` loop.  Requires
+    ``org.apache.iceberg:iceberg-spark-runtime-<spark-major>_<scala>``
+    on the classpath (add via ``spark.jars.packages``, matching the
+    Spark major version); S3 credentials never pass through logging
+    (O16 — ``redacted`` covers them).
+    """
+    confs = {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{name}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{name}.type": "rest",
+        f"spark.sql.catalog.{name}.uri": cat.uri,
+        f"spark.sql.catalog.{name}.warehouse": cat.warehouse,
+    }
+    if cat.s3_endpoint or cat.s3_access_key_id:
+        confs[f"spark.sql.catalog.{name}.io-impl"] = (
+            "org.apache.iceberg.aws.s3.S3FileIO"
+        )
+        confs[f"spark.sql.catalog.{name}.s3.endpoint"] = cat.s3_endpoint
+        confs[f"spark.sql.catalog.{name}.s3.access-key-id"] = cat.s3_access_key_id
+        confs[f"spark.sql.catalog.{name}.s3.secret-access-key"] = (
+            cat.s3_secret_access_key
+        )
+        confs[f"spark.sql.catalog.{name}.client.region"] = cat.s3_region
+    return confs
+
+
 class IcebergDataGeneratorApp:
     """main.rs:96-115 — app wired to a DataGenerator behind the trait."""
 
@@ -45,39 +79,21 @@ class IcebergDataGeneratorApp:
         if self.config.catalog.catalog_type == "rest":
             # REST+S3 parity (main.rs:278-299) needs the iceberg-spark
             # runtime jar, absent from this container (and no network to
-            # fetch it); the config schema keeps the fields so prod wiring
-            # is a jar away (SURVEY §7 M0).  The exact mapping, so a user
-            # with the jar can wire it in one builder block — each TOML
-            # `[catalog]` field (config.py) maps onto a Spark conf key for
-            # a catalog named `rest` (reference env-var wiring is
-            # main.rs:278-299; same keys, Spark spelling):
-            #
-            #   spark.jars.packages = org.apache.iceberg:iceberg-spark-
-            #       runtime-4.0_2.13:<ver>   (match the Spark major)
-            #   spark.sql.extensions =
-            #       org.apache.iceberg.spark.extensions
-            #       .IcebergSparkSessionExtensions
-            #   spark.sql.catalog.rest = org.apache.iceberg.spark.SparkCatalog
-            #   spark.sql.catalog.rest.type     = rest
-            #   spark.sql.catalog.rest.uri      = catalog.uri
-            #   spark.sql.catalog.rest.warehouse = catalog.warehouse
-            #   spark.sql.catalog.rest.io-impl  =
-            #       org.apache.iceberg.aws.s3.S3FileIO
-            #   spark.sql.catalog.rest.s3.endpoint   = catalog.s3_endpoint
-            #   spark.sql.catalog.rest.s3.access-key-id =
-            #       catalog.s3_access_key     (redacted from logs — O16)
-            #   spark.sql.catalog.rest.s3.secret-access-key =
-            #       catalog.s3_secret_key     (redacted from logs — O16)
-            #   spark.sql.catalog.rest.client.region = catalog.s3_region
-            #
-            # With that session, every LocalCatalog call in this app maps
-            # 1:1 onto `spark.sql("CREATE NAMESPACE/TABLE ...")` +
-            # `df.writeTo("rest.ns.tbl").append()`, and the MoR delete
-            # writers map onto Iceberg's DELETE FROM / MERGE INTO paths.
+            # fetch it); the config schema keeps the fields so prod
+            # wiring is a jar away (SURVEY §7 M0).  The full config ->
+            # Spark-conf mapping IS implemented (rest_spark_confs below,
+            # unit-tested) — a user with the jar applies it in one
+            # builder loop.  With that session, every LocalCatalog call
+            # in this app maps 1:1 onto `spark.sql("CREATE NAMESPACE/
+            # TABLE ...")` + `df.writeTo("rest.ns.tbl").append()`, and
+            # the MoR delete writers map onto Iceberg's DELETE FROM /
+            # MERGE INTO paths.
+            confs = rest_spark_confs(self.config.catalog)
             raise NotImplementedError(
                 "REST catalog requires iceberg-spark-runtime on the classpath "
                 "(unavailable in this container); use catalog.type='local'. "
-                "The config->Spark-conf mapping is documented above."
+                "Apply rest_spark_confs(config.catalog) to the session builder "
+                f"once the jar is present ({len(confs)} conf keys)."
             )
         self.catalog = LocalCatalog(spark, self.config.catalog.warehouse)
 

@@ -905,3 +905,45 @@ def test_fast_forward_expired_chain_errors(spark, tmp_path):
     t._write_meta()
     with pytest.raises(ValueError, match="no longer exists"):
         t.fast_forward("late")
+
+
+def test_rest_spark_confs_mapping():
+    """The REST catalog config->Spark-conf mapping (reference
+    main.rs:278-299) is a tested pure function: every TOML [catalog]
+    field lands on exactly the documented Spark conf key, S3 keys appear
+    only when S3 is configured, and the blocked runtime path names the
+    function in its error."""
+    import pytest
+
+    from iceberg_data_gen_spark.datagen.app import rest_spark_confs
+    from iceberg_data_gen_spark.datagen.config import CatalogConfig
+
+    cat = CatalogConfig(
+        catalog_type="rest",
+        uri="http://localhost:8181",
+        warehouse="s3://bucket/wh",
+        s3_endpoint="http://localhost:9000",
+        s3_access_key_id="AK",
+        s3_secret_access_key="SK",
+        s3_region="us-east-1",
+    )
+    confs = rest_spark_confs(cat)
+    assert confs["spark.sql.catalog.rest"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert confs["spark.sql.catalog.rest.type"] == "rest"
+    assert confs["spark.sql.catalog.rest.uri"] == "http://localhost:8181"
+    assert confs["spark.sql.catalog.rest.warehouse"] == "s3://bucket/wh"
+    assert confs["spark.sql.catalog.rest.io-impl"] == "org.apache.iceberg.aws.s3.S3FileIO"
+    assert confs["spark.sql.catalog.rest.s3.endpoint"] == "http://localhost:9000"
+    assert confs["spark.sql.catalog.rest.s3.access-key-id"] == "AK"
+    assert confs["spark.sql.catalog.rest.s3.secret-access-key"] == "SK"
+    assert confs["spark.sql.catalog.rest.client.region"] == "us-east-1"
+    assert "IcebergSparkSessionExtensions" in confs["spark.sql.extensions"]
+    # no-S3 config omits the S3 block entirely
+    bare = rest_spark_confs(CatalogConfig(catalog_type="rest", uri="u", warehouse="w"))
+    assert not any(".s3." in k for k in bare)
+    # custom catalog name prefixes every key
+    named = rest_spark_confs(cat, name="prod")
+    assert all(
+        k.startswith(("spark.sql.catalog.prod", "spark.sql.extensions"))
+        for k in named
+    )
