@@ -449,3 +449,14 @@ def test_source_divergence_broadcast_reductions(spark):
     plan = plan_of(q("q_source_divergence", spark))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ann_ivfpq_single_corpus_pass(spark):
+    """IVF+PQ scoring is ONE mapInPandas pass over the corpus scan; the
+    only exchange in the plan is the final per-query top-k window (no
+    join, no second scan, no corpus-sized shuffle)."""
+    tree = plan_of(q("q_ann_ivfpq", spark)).split("\n\n")[0]
+    assert tree.count("MapInPandas") == 1, tree
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree, tree
+    assert "WindowGroupLimit" in tree, tree
