@@ -49,12 +49,18 @@ def rest_spark_confs(cat, name: str = "rest") -> dict[str, str]:
         confs[f"spark.sql.catalog.{name}.io-impl"] = (
             "org.apache.iceberg.aws.s3.S3FileIO"
         )
-        confs[f"spark.sql.catalog.{name}.s3.endpoint"] = cat.s3_endpoint
-        confs[f"spark.sql.catalog.{name}.s3.access-key-id"] = cat.s3_access_key_id
-        confs[f"spark.sql.catalog.{name}.s3.secret-access-key"] = (
-            cat.s3_secret_access_key
-        )
-        confs[f"spark.sql.catalog.{name}.client.region"] = cat.s3_region
+        # unset fields are OMITTED, not emitted as "" — an empty-string
+        # endpoint/region would misconfigure S3FileIO (real AWS configs
+        # leave endpoint blank; MinIO configs may leave region blank)
+        s3 = {
+            f"spark.sql.catalog.{name}.s3.endpoint": cat.s3_endpoint,
+            f"spark.sql.catalog.{name}.s3.access-key-id": cat.s3_access_key_id,
+            f"spark.sql.catalog.{name}.s3.secret-access-key": (
+                cat.s3_secret_access_key
+            ),
+            f"spark.sql.catalog.{name}.client.region": cat.s3_region,
+        }
+        confs.update({k: v for k, v in s3.items() if v})
     return confs
 
 

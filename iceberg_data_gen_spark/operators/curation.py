@@ -88,18 +88,24 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_pii_redact",
     oracle=f"""
-    WITH red AS (
+    WITH r1 AS (
         SELECT doc_id,
-               len(regexp_extract_all(text, '{PII_EMAIL}'))
-               + len(regexp_extract_all(text, '{PII_IPV4}'))
-               + len(regexp_extract_all(text, '{PII_LONG_DIGITS}'))
-                 AS n_redactions,
-               regexp_replace(
-                   regexp_replace(
-                       regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
-                       '{PII_IPV4}', '<IP>', 'g'),
-                   '{PII_LONG_DIGITS}', '<ID>', 'g') AS redacted
+               len(regexp_extract_all(text, '{PII_EMAIL}')) AS n1,
+               regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
         FROM documents
+    ),
+    r2 AS (
+        SELECT doc_id, n1,
+               len(regexp_extract_all(t1, '{PII_IPV4}')) AS n2,
+               regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2
+        FROM r1
+    ),
+    red AS (
+        SELECT doc_id,
+               n1 + n2 + len(regexp_extract_all(t2, '{PII_LONG_DIGITS}'))
+                 AS n_redactions,
+               regexp_replace(t2, '{PII_LONG_DIGITS}', '<ID>', 'g') AS redacted
+        FROM r2
     )
     SELECT doc_id,
            CAST(n_redactions AS BIGINT) AS n_redactions,
@@ -116,6 +122,13 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     2% sample of untouched ones — the md5 makes the oracle compare
     certify byte-identical redacted OUTPUT, not just matching counts.
 
+    Each pattern's occurrence count is taken on the text AS THE CHAINED
+    REWRITE SEES IT (after the earlier replacements), so n_redactions is
+    exactly the number of substitutions performed — counting all three
+    patterns on the original text would double-count overlaps (a
+    ``\\d{{9,}}`` run inside an email's local part matches both patterns
+    but is replaced once).
+
     Pure map: three chained ``regexp_replace`` expressions in one
     projection, no shuffle at all (the filter prunes the audit table,
     not the rewrite).  At 100 TB this is the shape you want — the
@@ -123,26 +136,34 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a side output of the same pass.
     """
     docs = _docs(spark, sf_dir)
-    n_red = (
-        F.regexp_count("text", F.lit(PII_EMAIL))
-        + F.regexp_count("text", F.lit(PII_IPV4))
-        + F.regexp_count("text", F.lit(PII_LONG_DIGITS))
+    t1 = F.regexp_replace("text", PII_EMAIL, "<EMAIL>")
+    staged1 = docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL)).alias("n1"),
+        t1.alias("t1"),
     )
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
-            PII_IPV4,
-            "<IP>",
-        ),
-        PII_LONG_DIGITS,
-        "<ID>",
+    staged2 = staged1.select(
+        "doc_id",
+        "n1",
+        F.regexp_count("t1", F.lit(PII_IPV4)).alias("n2"),
+        F.regexp_replace("t1", PII_IPV4, "<IP>").alias("t2"),
     )
     return (
-        docs.select(
+        staged2.select(
             "doc_id",
-            n_red.cast("long").alias("n_redactions"),
-            F.length(redacted).alias("redacted_len"),
-            F.md5(redacted).alias("redacted_md5"),
+            (
+                F.col("n1")
+                + F.col("n2")
+                + F.regexp_count("t2", F.lit(PII_LONG_DIGITS))
+            )
+            .cast("long")
+            .alias("n_redactions"),
+            F.length(
+                F.regexp_replace("t2", PII_LONG_DIGITS, "<ID>")
+            ).alias("redacted_len"),
+            F.md5(F.regexp_replace("t2", PII_LONG_DIGITS, "<ID>")).alias(
+                "redacted_md5"
+            ),
         )
         .where((F.col("n_redactions") > 0) | (F.col("doc_id") % 50 == 0))
     )
@@ -206,8 +227,6 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.lit(1.0) - F.col("sum_sq_counts").cast("double") / (n * n), 6
         ).alias("simpson_diversity"),
-    ).select(
-        "doc_id", "n_tokens", "sum_sq_counts", "simpson_diversity"
     )
 
 

@@ -42,6 +42,53 @@ def _dot(u: Column, v: Column) -> Column:
     )
 
 
+# DRIVER-side helpers shared by the ANN family.  NOTE: mapInPandas
+# kernels must stay SELF-CONTAINED (numpy + captured arrays only) — a
+# kernel that calls a function from this module pickles it by reference,
+# and the executor Python workers cannot import this package when the
+# session owner added the repo to sys.path at runtime (the driver's
+# vanilla-session contract).  That is why the per-batch normalize /
+# PQ-encode blocks are repeated inside each kernel body.
+
+
+def _query_matrix(e: DataFrame, n_queries: int):
+    """Collect the deterministic query head (``vec_id < n_queries``) and
+    return ``(q_ids, Q_unit, rows)`` — int64 ids, unit-normalized float64
+    matrix, and the raw rows (for callers that also need labels)."""
+    import numpy as np
+
+    rows = sorted(
+        e.where(F.col("vec_id") < n_queries).collect(), key=lambda r: r.vec_id
+    )
+    q_ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    Q = np.array([r.v for r in rows], dtype=np.float64)
+    return q_ids, Q / np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None], rows
+
+
+def _probe_map(Q, C, nprobe: int) -> dict[int, list[int]]:
+    """Inverted file for the query set: cell -> [query rows probing it],
+    from each query's ``nprobe`` closest centroids."""
+    import numpy as np
+
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    cell_to_queries: dict[int, list[int]] = {}
+    for qi in range(Q.shape[0]):
+        for cell in probe[qi]:
+            cell_to_queries.setdefault(int(cell), []).append(qi)
+    return cell_to_queries
+
+
+def _adc_tables(Q, B):
+    """PQ asymmetric-distance lookup tables:
+    ``T[q, j, c] = dot(Q[q] subspace j, B[j, c])``."""
+    import numpy as np
+
+    d = B.shape[2]
+    return np.stack(
+        [Q[:, j * d : (j + 1) * d] @ B[j].T for j in range(B.shape[0])], axis=1
+    )
+
+
 @register(
     "q_embedding_stats",
     oracle="""
@@ -121,12 +168,7 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    qrows = sorted(
-        e.where(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
-    )
-    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
-    Q = np.array([r.v for r in qrows], dtype=np.float64)
-    Q = Q / np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
+    q_ids, Q, _ = _query_matrix(e, N_QUERIES)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -271,21 +313,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", sf_dir, IVF_CENTROIDS, IVF_KMEANS_ITERS),
         lambda: _kmeans_centroids(e, IVF_CENTROIDS),
     )
-    head = sorted(
-        e.where(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
-    )
-    q_ids = np.array([r.vec_id for r in head], dtype=np.int64)
-    Q = np.array([r.v for r in head], dtype=np.float64)
-    Q = Q / np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
+    q_ids, Q, _ = _query_matrix(e, N_QUERIES)
     # per-query probe list: the nprobe closest centroid cells, inverted to
     # a cell -> [query row] lookup (the "inverted file") carried in the
     # kernel closure — probing is then a dict lookup per corpus vector,
     # no join and no second pass over the corpus
-    probe = np.argsort(-(Q @ C.T), axis=1)[:, :IVF_NPROBE]
-    cell_to_queries: dict[int, list[int]] = {}
-    for qi in range(len(q_ids)):
-        for cell in probe[qi]:
-            cell_to_queries.setdefault(int(cell), []).append(qi)
+    cell_to_queries = _probe_map(Q, C, IVF_NPROBE)
 
     def assign_and_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -479,13 +512,8 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    qrows = sorted(
-        e.where(F.col("vec_id") < KNN_QUERIES).collect(), key=lambda r: r.vec_id
-    )
-    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_ids, Q, qrows = _query_matrix(e, KNN_QUERIES)
     q_labels = np.array([r.label for r in qrows], dtype=np.int32)
-    Q = np.array([r.v for r in qrows], dtype=np.float64)
-    Q = Q / np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -640,16 +668,9 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _pq_codebooks(e),
     )  # (subspaces, codes, d)
     d = C.shape[2]
-    qrows = sorted(
-        e.where(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
-    )
-    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
-    Q = np.array([r.v for r in qrows], dtype=np.float64)
-    Q = Q / np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
+    q_ids, Q, _ = _query_matrix(e, N_QUERIES)
     # ADC tables: T[q, j, c] = dot(Q[q] subspace j, C[j, c])
-    T = np.stack(
-        [Q[:, j * d : (j + 1) * d] @ C[j].T for j in range(PQ_SUBSPACES)], axis=1
-    )
+    T = _adc_tables(Q, C)
 
     def encode_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -907,22 +928,11 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _pq_codebooks(e),
     )  # (subspaces, codes, d)
     d = B.shape[2]
-    qrows = sorted(
-        e.where(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
-    )
-    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
-    Q = np.array([r.v for r in qrows], dtype=np.float64)
-    Q = Q / np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
+    q_ids, Q, _ = _query_matrix(e, N_QUERIES)
     # ADC tables: T[q, j, c] = dot(Q[q] subspace j, B[j, c])
-    T = np.stack(
-        [Q[:, j * d : (j + 1) * d] @ B[j].T for j in range(PQ_SUBSPACES)], axis=1
-    )
+    T = _adc_tables(Q, B)
     # inverted file: cell -> [query rows probing it]
-    probe = np.argsort(-(Q @ C.T), axis=1)[:, :IVF_NPROBE]
-    cell_to_queries: dict[int, list[int]] = {}
-    for qi in range(len(q_ids)):
-        for cell in probe[qi]:
-            cell_to_queries.setdefault(int(cell), []).append(qi)
+    cell_to_queries = _probe_map(Q, C, IVF_NPROBE)
 
     def assign_encode_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

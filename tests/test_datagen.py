@@ -941,6 +941,20 @@ def test_rest_spark_confs_mapping():
     # no-S3 config omits the S3 block entirely
     bare = rest_spark_confs(CatalogConfig(catalog_type="rest", uri="u", warehouse="w"))
     assert not any(".s3." in k for k in bare)
+    # partially-set S3 config omits the UNSET keys instead of emitting ""
+    aws = rest_spark_confs(
+        CatalogConfig(
+            catalog_type="rest",
+            uri="u",
+            warehouse="w",
+            s3_access_key_id="AK",
+            s3_secret_access_key="SK",
+            s3_region="eu-west-1",
+        )
+    )
+    assert "spark.sql.catalog.rest.s3.endpoint" not in aws
+    assert aws["spark.sql.catalog.rest.s3.access-key-id"] == "AK"
+    assert "" not in aws.values()
     # custom catalog name prefixes every key
     named = rest_spark_confs(cat, name="prod")
     assert all(
