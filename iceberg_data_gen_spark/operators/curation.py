@@ -148,22 +148,19 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("t1", F.lit(PII_IPV4)).alias("n2"),
         F.regexp_replace("t1", PII_IPV4, "<IP>").alias("t2"),
     )
+    staged3 = staged2.select(
+        "doc_id",
+        (F.col("n1") + F.col("n2") + F.regexp_count("t2", F.lit(PII_LONG_DIGITS)))
+        .cast("long")
+        .alias("n_redactions"),
+        F.regexp_replace("t2", PII_LONG_DIGITS, "<ID>").alias("redacted"),
+    )
     return (
-        staged2.select(
+        staged3.select(
             "doc_id",
-            (
-                F.col("n1")
-                + F.col("n2")
-                + F.regexp_count("t2", F.lit(PII_LONG_DIGITS))
-            )
-            .cast("long")
-            .alias("n_redactions"),
-            F.length(
-                F.regexp_replace("t2", PII_LONG_DIGITS, "<ID>")
-            ).alias("redacted_len"),
-            F.md5(F.regexp_replace("t2", PII_LONG_DIGITS, "<ID>")).alias(
-                "redacted_md5"
-            ),
+            "n_redactions",
+            F.length("redacted").alias("redacted_len"),
+            F.md5("redacted").alias("redacted_md5"),
         )
         .where((F.col("n_redactions") > 0) | (F.col("doc_id") % 50 == 0))
     )
