@@ -215,3 +215,39 @@ def test_mor_stream_checkpoint_restart(spark, tmp_path):
     run_stream()
     second = [b for bs in batches for b in bs]
     assert sorted(second) == list(range(200, 300)), "replayed or skipped rows"
+
+
+def test_stream_partitions_pin_and_restore(spark):
+    """run_to_completion pins the state-store partition count for the
+    bounded run and restores the session conf afterwards — including
+    when the streaming query raises."""
+    import pytest
+
+    from iceberg_data_gen_spark.streaming.events import (
+        run_to_completion,
+        stream_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+
+    seen = {}
+    with stream_partitions(spark, 8):
+        seen["inside"] = spark.conf.get(key)
+    assert seen["inside"] == "8"
+    assert spark.conf.get(key) == before
+
+    # failure path: the conf is restored even when the body raises
+    with pytest.raises(RuntimeError, match="boom"):
+        with stream_partitions(spark, 8):
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
+
+    # end-to-end through a real bounded stream
+    stream = spark.readStream.format("rate").option("rowsPerSecond", "10").load()
+    from pyspark.sql import functions as F
+
+    agg = stream.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    out = run_to_completion(agg)
+    assert spark.conf.get(key) == before
+    assert "n" in out.columns
