@@ -158,3 +158,128 @@ def test_branch_main_interleave_model(spark, ops):
                 assert got_b == fork_rows | branch_rows, (op, ops)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.sampled_from(["main", "branch", "ff", "stage", "publish", "rollback"]),
+        min_size=4,
+        max_size=8,
+    ),
+    pick=st.integers(0, 10**6),
+)
+def test_full_lifecycle_interleave_model(spark, ops, pick):
+    """Differential fuzz over the FULL snapshot lifecycle: main appends,
+    branch appends, fast-forward, WAP stage/publish, and rollback, all
+    replayed against a pure-Python model.  Checked after every op:
+
+    * scan() == model main state
+    * time travel to the main head == scan() (clean parent chain)
+    * incremental_scan(0) == every main-VISIBLE append ever (CDC is
+      append-only: rollback does not rewind it, staged/branch commits
+      enter only on publish/fast-forward)
+    * scan(ref=branch) == fork state + branch appends
+    """
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=10, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    base = tempfile.mkdtemp(prefix="mor-fuzz2-")
+    t = MoRTable.create(spark, base, schema)
+
+    def rows(a, b):
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    nxt = 0
+    main_rows: set[int] = set()
+    inc_rows: set[int] = set()      # appends ever main-visible (CDC view)
+    history: list[tuple[int, set[int]]] = []  # (main head id, main state)
+    staged: list[tuple[int, set[int]]] = []   # (snapshot id, its rows)
+    branch_exists = False
+    fork_rows: set[int] = set()
+    branch_rows: set[int] = set()
+
+    def fresh() -> set[int]:
+        return set(range(nxt - 10, nxt))
+
+    try:
+        for op in ops:
+            if op == "main":
+                t.append(rows(nxt, nxt + 10), single_file=True)
+                nxt += 10
+                main_rows |= fresh()
+                inc_rows |= fresh()
+            elif op == "branch":
+                if not branch_exists:
+                    if not main_rows:
+                        continue
+                    t.create_branch("b")
+                    branch_exists = True
+                    fork_rows = set(main_rows)
+                    branch_rows = set()
+                t.append(rows(nxt, nxt + 10), single_file=True, branch="b")
+                nxt += 10
+                branch_rows |= fresh()
+            elif op == "ff":
+                if not branch_exists or not branch_rows:
+                    continue
+                if main_rows == fork_rows:
+                    t.fast_forward("b")
+                    main_rows |= branch_rows
+                    inc_rows |= branch_rows
+                    fork_rows = set(main_rows)
+                    branch_rows = set()
+                else:
+                    with pytest.raises(ValueError, match="divergent"):
+                        t.fast_forward("b")
+            elif op == "stage":
+                snap = t.append_staged(rows(nxt, nxt + 10), single_file=True)
+                nxt += 10
+                staged.append((snap["id"], fresh()))
+            elif op == "publish":
+                if not staged:
+                    continue
+                sid, srows = staged.pop(pick % (len(staged)))
+                t.publish_snapshot(sid)
+                main_rows |= srows
+                inc_rows |= srows
+            else:  # rollback
+                if not history:
+                    continue
+                sid, state = history[pick % len(history)]
+                t.rollback(sid)
+                main_rows = set(state)
+                # CDC is append-only: inc_rows unchanged by rollback
+            head = t.current_snapshot_id()
+            if head is not None:
+                history.append((head, set(main_rows)))
+            got_main = {r.bar for r in t.scan().collect()}
+            assert got_main == main_rows, (op, ops)
+            if head is not None:
+                tt = {r.bar for r in t.scan(snapshot_id=head).collect()}
+                assert tt == main_rows, (op, ops)
+            inc = {r.bar for r in t.incremental_scan(0).collect()}
+            assert inc == inc_rows, (op, ops)
+            if branch_exists:
+                got_b = {r.bar for r in t.scan(ref="b").collect()}
+                assert got_b == fork_rows | branch_rows, (op, ops)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
