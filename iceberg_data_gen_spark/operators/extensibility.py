@@ -255,6 +255,13 @@ def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cogroup) — the two-sided custom-merge shape (reconciliation,
     interleaving, custom joins Spark lacks).  Aggregates chosen
     order-independent (count/max) so results are partitioning-stable.
+
+    Cost model, stated honestly: cogroup invokes Python ONCE PER KEY
+    (~|keys| Arrow round-trips — the dominant cost at any scale), which
+    is the right price only when the per-key merge logic genuinely
+    cannot be expressed relationally.  THESE aggregates can be: the
+    oracle's two groupBys + full outer join is the production plan, and
+    this query exists to exercise the cogroup API seam itself.
     """
     tables = load_tables(spark, sf_dir, ("orders", "events"))
     orders, events = tables["orders"], tables["events"]
