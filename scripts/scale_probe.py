@@ -1,0 +1,139 @@
+"""Scale probe: does each headline plan scale ~linearly a decade up?
+
+Builds a synthetic corpus at FACTOR× the source SF by unioning FACTOR
+key-shifted copies of every table (foreign keys shifted consistently, so
+join fan-outs stay realistic; document text gets a per-copy marker token
+so copies are near- but not exact duplicates), then times a probe set at
+1× and FACTOR× and prints the per-query scaling ratio.
+
+A plan that is linear in the input should show ratio ≈ FACTOR (minus
+fixed overheads); a super-linear ratio flags a plan that would not
+survive the next decade of scale.  The blocked-quadratic pair ops
+(q_jaccard_pairs / q_ngram_jaccard_pairs) are deliberately NOT probed —
+their documented scale path IS the LSH variant, which is.
+
+Run: python scripts/scale_probe.py            (factor 10, sf0.1 source)
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_SCALE_FACTOR, SPARK_GRAFT_CPUS
+Output: one JSON line {query: {"t1": s, "tN": s, "ratio": r}, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "16")
+DEST = f"/tmp/spark_graft_sfx{FACTOR}"
+KEY_SHIFT = 100_000_000  # far above any real key at any test SF
+
+# table -> integer key columns shifted by copy_index * KEY_SHIFT
+SHIFT_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMENSION_TABLES = ("region", "nation")  # copied once, never multiplied
+
+PROBE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q_rollup",
+    "q_window_topk_per_group",
+    "q_dedup_exact",
+    "q_minhash_lsh",
+    "q_simhash",
+    "q_word_freq",
+    "q_tfidf_top_terms",
+    "q_ann_bruteforce",
+    "q_ann_ivf",
+    "q_sessionize",
+    "q_token_rarity",
+]
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.session import load_table
+
+    if os.path.isdir(DEST) and not os.environ.get("SPARK_GRAFT_SCALE_REBUILD"):
+        return
+    shutil.rmtree(DEST, ignore_errors=True)
+    os.makedirs(DEST)
+    for name in DIMENSION_TABLES:
+        src = os.path.join(SRC, f"{name}.parquet")
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(DEST, f"{name}.parquet"))
+    for name, keys in SHIFT_COLS.items():
+        if not os.path.exists(os.path.join(SRC, f"{name}.parquet")):
+            continue
+        base = load_table(spark, SRC, name)
+        copies = []
+        for i in range(FACTOR):
+            df = base
+            for k in keys:
+                df = df.withColumn(k, F.col(k) + F.lit(i * KEY_SHIFT))
+            if name == "documents":
+                # break exact duplication; copies stay near-duplicates
+                df = df.withColumn("text", F.concat("text", F.lit(f" cp{i}")))
+            copies.append(df)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(os.path.join(DEST, f"{name}.parquet"))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from iceberg_data_gen_spark import operators
+
+    operators.load_all()
+    build(spark)
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.time()
+        operators.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.time() - t0
+
+    report = {}
+    for name in PROBE:
+        run(name, SRC)  # warm both code paths once at 1x
+        t1 = min(run(name, SRC), run(name, SRC))
+        tN = min(run(name, DEST), run(name, DEST))
+        report[name] = {
+            "t1": round(t1, 3),
+            f"t{FACTOR}": round(tN, 3),
+            "ratio": round(tN / t1, 2) if t1 > 0 else None,
+        }
+        print(name, report[name], file=sys.stderr, flush=True)
+    print(json.dumps({"factor": FACTOR, "src": SRC, "probe": report}))
+
+
+if __name__ == "__main__":
+    main()
