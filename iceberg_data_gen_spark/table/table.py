@@ -999,7 +999,11 @@ class MoRTable:
         if from_snapshot_id != 0 and from_snapshot_id not in ids:
             raise ValueError(f"snapshot {from_snapshot_id} does not exist")
         to = to_snapshot_id if to_snapshot_id is not None else self.current_snapshot_id()
-        if to is None or to not in ids:
+        if to is None:
+            # no main-visible snapshot yet (empty table, or only staged/
+            # branch commits): the CDC window is empty, not an error
+            return self.spark.createDataFrame([], self.schema.to_spark())
+        if to not in ids:
             raise ValueError(f"snapshot {to_snapshot_id} does not exist")
         files = [
             f

@@ -64,6 +64,13 @@ PROBE = [
     "q_ann_ivf",
     "q_sessionize",
     "q_token_rarity",
+    "q_pii_redact",
+    "q_simpson_diversity",
+    "q_source_divergence",
+    "q_dedup_incremental",
+    "q_bm25",
+    "q_pack_sequences",
+    "q_stream_tumbling",
 ]
 
 
