@@ -29,12 +29,22 @@ def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, bool]:
     """File-source streams need an explicit schema; events.ts has shipped
     both as TIMESTAMP(NANOS) (only readable as a raw long) and as plain
     TIMESTAMP(MICROS).  Sniff the parquet footer (metadata-only, no data
-    read) and return (schema, ts_is_long)."""
+    read) and return (schema, ts_is_long).  ``events.parquet`` may be a
+    single file (driver testdata) or a directory of part files (any
+    Spark-written dataset, e.g. the scale probe) — footers are uniform
+    within one dataset, so sniffing any one part file suffices."""
+    import glob
     import os
 
     import pyarrow.parquet as pq
 
-    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        path = parts[0]
+    t = pq.read_schema(path).field("ts").type
     ts_is_long = str(t) not in ("timestamp[us]", "timestamp[ms]", "timestamp[s]")
     ts_type = T.LongType() if ts_is_long else T.TimestampNTZType()
     schema = T.StructType(
@@ -54,14 +64,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-source stream with microsecond timestamps,
     normalized to session-zone TimestampType exactly like the batch loader
     (session.load_table) so stream and oracle see identical values."""
+    import os
+
     schema, ts_is_long = _events_raw_schema(sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        # Spark-written dataset: stream the directory's part files
+        raw = spark.readStream.schema(schema).format("parquet").load(path)
+    else:
+        # driver testdata layout: a single flat file next to other tables
+        raw = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
     if ts_is_long:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
