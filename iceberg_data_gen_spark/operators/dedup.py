@@ -286,12 +286,16 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the bucket is preserved exactly (downstream connected-
     components clustering sees the same components), while the pair
     count drops from O(n²) to O(n).  Sub-cap buckets keep full cliques,
-    so pair-level recall at test scale is unchanged.  Measured on the
-    100× scale probe (every doc given 99 near-dup siblings — the
-    adversarial case): 49× → 4.0× wall for 100× rows.
-    """
-    from pyspark.sql.window import Window
+    so pair-level recall at test scale is unchanged.
 
+    Pair generation needs NO self-join: one groupBy collects each
+    bucket's (bounded) sorted member list, and the clique/star pairs are
+    expanded IN-ROW with array HOFs — a single exchange where the
+    band-key self-join paid two, and the cap bounds the per-row work at
+    {LSH_BUCKET_CAP}²/2 pairs.  Measured on the 100× scale probe (every
+    doc given 99 near-dup siblings — the adversarial case): 49× wall
+    (uncapped clique self-join) → 2.3× for 100× rows.
+    """
     sigs = minhash_signatures(_docs(spark, sf_dir)).cache()
     rows_per_band = MINHASH_PERMS // LSH_BANDS
     band_cols = []
@@ -303,31 +307,37 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    w = Window.partitionBy("band", "bh")
-    buckets = buckets.select(
-        "doc_id",
-        "band",
-        "bh",
-        F.count(F.lit(1)).over(w).alias("bsz"),
-        F.min("doc_id").over(w).alias("bmin"),
-    )
 
-    small = buckets.where(F.col("bsz") <= LSH_BUCKET_CAP)
-    a = small.alias("a")
-    b = small.alias("b")
-    clique = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bh") == F.col("b.bh"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    star = (
-        buckets.where(
-            (F.col("bsz") > LSH_BUCKET_CAP) & (F.col("doc_id") != F.col("bmin"))
-        )
-        .select(F.col("bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    grouped = (
+        buckets.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("m"))
+        .where(F.size("m") >= 2)
     )
-    cand = clique.unionByName(star).distinct()
+    n = F.size("m")
+    # clique: for each member i, pair with every later member j > i
+    clique = F.flatten(
+        F.transform(
+            F.col("m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("m"), i + 2, F.size("m")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    # star: every member after the first pairs with m[0] (the min doc_id)
+    star = F.transform(
+        F.slice(F.col("m"), 2, F.size("m")),
+        lambda y: F.struct(F.element_at("m", 1).alias("doc_a"), y.alias("doc_b")),
+    )
+    cand = (
+        grouped.select(
+            F.explode(
+                F.when(n <= LSH_BUCKET_CAP, clique).otherwise(star)
+            ).alias("p")
+        )
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
 
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
