@@ -44,9 +44,30 @@ def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, bool]:
         if not parts:
             raise FileNotFoundError(f"no parquet part files under {path}")
         path = parts[0]
+    # the PHYSICAL type disambiguates what the arrow schema cannot:
+    # INT96 (Spark's default writer output) and INT64-nanos both surface
+    # as arrow timestamp[ns], but INT96 must be read as a native Spark
+    # timestamp while INT64-nanos is only readable as a raw long
+    meta = pq.read_metadata(path).schema
+    physical = {
+        meta.column(i).name: meta.column(i).physical_type
+        for i in range(len(meta))
+    }
+    import pyarrow as pa
+
     t = pq.read_schema(path).field("ts").type
-    ts_is_long = str(t) not in ("timestamp[us]", "timestamp[ms]", "timestamp[s]")
-    ts_type = T.LongType() if ts_is_long else T.TimestampNTZType()
+    if physical.get("ts") == "INT96":
+        ts_is_long = False
+        ts_type: T.DataType = T.TimestampType()
+    elif pa.types.is_timestamp(t) and t.unit in ("us", "ms", "s"):
+        # tz-annotated (isAdjustedToUTC) reads as Spark TimestampType;
+        # naive reads as TimestampNTZType — container TZ is UTC so the
+        # downstream cast to session-zone timestamp is value-identical
+        ts_is_long = False
+        ts_type = T.TimestampType() if t.tz is not None else T.TimestampNTZType()
+    else:  # INT64 nanos: readable only via nanosAsLong
+        ts_is_long = True
+        ts_type = T.LongType()
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),

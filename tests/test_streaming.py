@@ -251,3 +251,29 @@ def test_stream_partitions_pin_and_restore(spark):
     out = run_to_completion(agg)
     assert spark.conf.get(key) == before
     assert "n" in out.columns
+
+
+def test_events_stream_reads_all_physical_layouts(spark, tmp_path):
+    """The events stream source must read every physical layout the
+    column has shipped in: the driver's flat single file, a Spark-written
+    directory with INT96 timestamps (Spark's default writer output), and
+    a directory with (tz-annotated) TIMESTAMP_MICROS — all three must
+    produce identical windowed aggregates."""
+    import os
+
+    from iceberg_data_gen_spark.operators import QUERIES
+    from iceberg_data_gen_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ref = QUERIES["q_stream_tumbling"](spark, sf).count()
+    ev = load_table(spark, sf, "events")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    for label, out_type in (("int96", "INT96"), ("micros", "TIMESTAMP_MICROS")):
+        d = tmp_path / label
+        os.makedirs(d)
+        spark.conf.set("spark.sql.parquet.outputTimestampType", out_type)
+        try:
+            ev.write.mode("overwrite").parquet(str(d / "events.parquet"))
+        finally:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+        assert QUERIES["q_stream_tumbling"](spark, str(d)).count() == ref, label
