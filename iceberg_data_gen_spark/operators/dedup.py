@@ -286,16 +286,29 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the bucket is preserved exactly (downstream connected-
     components clustering sees the same components), while the pair
     count drops from O(n²) to O(n).  Sub-cap buckets keep full cliques,
-    so pair-level recall at test scale is unchanged.
+    so pair-level recall at test scale is unchanged.  Honest caveat:
+    star connectivity holds at the CANDIDATE level — a consumer that
+    threshold-filters the emitted est_jaccard can drop star edges
+    (member↔bmin may score lower than a member↔member pair would have)
+    and split borderline components; if downstream filters pairs, raise
+    the cap or re-verify mega-bucket members against the representative
+    before filtering.
 
-    Pair generation needs NO self-join: one groupBy collects each
-    bucket's (bounded) sorted member list, and the clique/star pairs are
-    expanded IN-ROW with array HOFs — a single exchange where the
-    band-key self-join paid two, and the cap bounds the per-row work at
-    {LSH_BUCKET_CAP}²/2 pairs.  Measured on the 100× scale probe (every
-    doc given 99 near-dup siblings — the adversarial case): 49× wall
-    (uncapped clique self-join) → 2.3× for 100× rows.
+    Pair generation needs NO self-join, and every in-memory structure is
+    BOUNDED: one window over (band, bh) attaches each bucket's size and
+    min doc_id (scalar aggregates — a 10M-member mega-bucket costs two
+    longs, never a 10M-element array); sub-cap buckets are then
+    collect_list'd (bounded at {LSH_BUCKET_CAP} elements by the filter
+    BEFORE the collect) and their cliques expanded IN-ROW with array
+    HOFs, while mega-bucket star pairs stream straight out of the
+    windowed rows with no collection at all.  The window, the bounded
+    groupBy, and the star projection all ride ONE (band, bh) exchange —
+    the band-key self-join paid two.  Measured on the 100× scale probe
+    (every doc given 99 near-dup siblings — the adversarial case): 49×
+    wall (uncapped clique self-join) → 2.3× for 100× rows.
     """
+    from pyspark.sql.window import Window
+
     sigs = minhash_signatures(_docs(spark, sf_dir)).cache()
     rows_per_band = MINHASH_PERMS // LSH_BANDS
     band_cols = []
@@ -307,37 +320,39 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    w = Window.partitionBy("band", "bh")
+    buckets = buckets.select(
+        "doc_id",
+        "band",
+        "bh",
+        F.count(F.lit(1)).over(w).alias("bsz"),
+        F.min("doc_id").over(w).alias("bmin"),
+    ).where(F.col("bsz") >= 2)
 
-    grouped = (
-        buckets.groupBy("band", "bh")
+    # sub-cap buckets: bounded collect (≤ cap elements), in-row clique
+    small = (
+        buckets.where(F.col("bsz") <= LSH_BUCKET_CAP)
+        .groupBy("band", "bh")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("m"))
-        .where(F.size("m") >= 2)
     )
-    n = F.size("m")
-    # clique: for each member i, pair with every later member j > i
-    clique = F.flatten(
-        F.transform(
-            F.col("m"),
-            lambda x, i: F.transform(
-                F.slice(F.col("m"), i + 2, F.size("m")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    # star: every member after the first pairs with m[0] (the min doc_id)
-    star = F.transform(
-        F.slice(F.col("m"), 2, F.size("m")),
-        lambda y: F.struct(F.element_at("m", 1).alias("doc_a"), y.alias("doc_b")),
-    )
-    cand = (
-        grouped.select(
-            F.explode(
-                F.when(n <= LSH_BUCKET_CAP, clique).otherwise(star)
-            ).alias("p")
-        )
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
-    )
+    clique_pairs = small.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("m"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("m"), i + 2, F.size("m")),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+    # mega buckets: star pairs stream from the windowed rows — no collect
+    star_pairs = buckets.where(
+        (F.col("bsz") > LSH_BUCKET_CAP) & (F.col("doc_id") != F.col("bmin"))
+    ).select(F.col("bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    cand = clique_pairs.unionByName(star_pairs).distinct()
 
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")

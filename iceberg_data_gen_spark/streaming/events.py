@@ -48,14 +48,14 @@ def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, bool]:
     # INT96 (Spark's default writer output) and INT64-nanos both surface
     # as arrow timestamp[ns], but INT96 must be read as a native Spark
     # timestamp while INT64-nanos is only readable as a raw long
-    meta = pq.read_metadata(path).schema
+    meta = pq.read_metadata(path).schema  # ONE footer read serves both views
     physical = {
         meta.column(i).name: meta.column(i).physical_type
         for i in range(len(meta))
     }
     import pyarrow as pa
 
-    t = pq.read_schema(path).field("ts").type
+    t = meta.to_arrow_schema().field("ts").type
     if physical.get("ts") == "INT96":
         ts_is_long = False
         ts_type: T.DataType = T.TimestampType()

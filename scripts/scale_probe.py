@@ -79,7 +79,16 @@ def build(spark) -> None:
 
     from iceberg_data_gen_spark.session import load_table
 
-    if os.path.isdir(DEST) and not os.environ.get("SPARK_GRAFT_SCALE_REBUILD"):
+    # _SUCCESS records (src, factor): a crash mid-build leaves no marker
+    # and a changed source/factor invalidates the cache — either way the
+    # corpus is rebuilt instead of silently probing partial/stale data
+    marker = os.path.join(DEST, "_SUCCESS")
+    stamp = f"{SRC}|{FACTOR}"
+    if (
+        os.path.isfile(marker)
+        and Path(marker).read_text() == stamp
+        and not os.environ.get("SPARK_GRAFT_SCALE_REBUILD")
+    ):
         return
     shutil.rmtree(DEST, ignore_errors=True)
     os.makedirs(DEST)
@@ -104,16 +113,20 @@ def build(spark) -> None:
         for c in copies[1:]:
             out = out.unionByName(c)
         out.write.mode("overwrite").parquet(os.path.join(DEST, f"{name}.parquet"))
+    Path(os.path.join(DEST, "_SUCCESS")).write_text(f"{SRC}|{FACTOR}")
 
 
 def main() -> None:
-    from pyspark.sql import SparkSession
+    # the TUNED session the bench uses — probe ratios must be measured
+    # under the same broadcast/AQE/timezone settings as every other
+    # recorded number
+    from iceberg_data_gen_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "8g")
-        .getOrCreate()
+    spark = get_spark(
+        "scale-probe",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=32,
+        extra_conf={"spark.driver.memory": "8g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     from iceberg_data_gen_spark import operators

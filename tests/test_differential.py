@@ -215,6 +215,7 @@ def test_full_lifecycle_interleave_model(spark, ops, pick):
     staged: list[tuple[int, set[int]]] = []   # (snapshot id, its rows)
     branch_exists = False
     fork_rows: set[int] = set()
+    fork_head: int | None = None
     branch_rows: set[int] = set()
 
     def fresh() -> set[int]:
@@ -234,6 +235,7 @@ def test_full_lifecycle_interleave_model(spark, ops, pick):
                     t.create_branch("b")
                     branch_exists = True
                     fork_rows = set(main_rows)
+                    fork_head = t.current_snapshot_id()
                     branch_rows = set()
                 t.append(rows(nxt, nxt + 10), single_file=True, branch="b")
                 nxt += 10
@@ -241,11 +243,16 @@ def test_full_lifecycle_interleave_model(spark, ops, pick):
             elif op == "ff":
                 if not branch_exists or not branch_rows:
                     continue
-                if main_rows == fork_rows:
+                # fast-forward succeeds iff main's HEAD is still the fork
+                # snapshot — ancestry, not row-set equality: a rollback
+                # restores the fork's ROWS under a NEW snapshot id, which
+                # is not in the branch's ancestry and must still diverge
+                if t.current_snapshot_id() == fork_head:
                     t.fast_forward("b")
                     main_rows |= branch_rows
                     inc_rows |= branch_rows
                     fork_rows = set(main_rows)
+                    fork_head = t.current_snapshot_id()
                     branch_rows = set()
                 else:
                     with pytest.raises(ValueError, match="divergent"):
