@@ -290,3 +290,53 @@ def test_full_lifecycle_interleave_model(spark, ops, pick):
                 assert got_b == fork_rows | branch_rows, (op, ops)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+DOC_GRP = ["lang", "source"]
+
+
+def render_docs_sql(grp: str, lang_pred: str, frac: float) -> str:
+    # n_chars spans ~[120, 1200] at every SF (generator-fixed); the
+    # threshold sweeps the observed range
+    thr = int(100 + frac * 1100)
+    return f"""
+    SELECT {grp} AS g,
+           count(*) AS n,
+           CAST(min(n_chars) AS BIGINT) AS mn,
+           CAST(max(n_chars) AS BIGINT) AS mx,
+           CAST(sum(n_chars) AS BIGINT) AS s,
+           CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+                AS BIGINT) AS toks
+    FROM documents
+    WHERE n_chars <= {thr} AND lang {lang_pred}
+    GROUP BY {grp}
+    """
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    grp=st.sampled_from(DOC_GRP),
+    lang_pred=st.sampled_from(
+        ["IN ('en', 'de')", "NOT IN ('zh')", "IN ('fr', 'es', 'zh')", "<> 'xx'"]
+    ),
+    frac=st.floats(0.05, 0.95),
+)
+def test_random_docs_spec_matches_duckdb(spark, grp, lang_pred, frac):
+    """Documents-table twin of the lineitem differential fuzz: random
+    text-corpus filter/group/aggregate specs run as one ANSI SQL string
+    on both engines — integer counts/sums only, so any divergence is an
+    engine-parity bug, not float noise."""
+    sql = render_docs_sql(grp, lang_pred, frac)
+
+    def fn(spark, sf_dir, sql=sql):
+        load_tables(spark, sf_dir, ("documents",))
+        return spark.sql(sql)
+
+    errors = compare(
+        spark, f"docprop[{grp},{lang_pred},{frac:.3f}]", fn, sql, SF_SMALL
+    )
+    assert not errors, errors
