@@ -83,25 +83,22 @@ class IcebergDataGeneratorApp:
         if self.config.catalog.catalog_type not in ("local", "rest"):
             raise ValueError(f"unknown catalog type: {self.config.catalog.catalog_type}")
         if self.config.catalog.catalog_type == "rest":
-            # REST+S3 parity (main.rs:278-299) needs the iceberg-spark
-            # runtime jar, absent from this container (and no network to
-            # fetch it); the config schema keeps the fields so prod
-            # wiring is a jar away (SURVEY §7 M0).  The full config ->
-            # Spark-conf mapping IS implemented (rest_spark_confs below,
-            # unit-tested) — a user with the jar applies it in one
-            # builder loop.  With that session, every LocalCatalog call
-            # in this app maps 1:1 onto `spark.sql("CREATE NAMESPACE/
-            # TABLE ...")` + `df.writeTo("rest.ns.tbl").append()`, and
-            # the MoR delete writers map onto Iceberg's DELETE FROM /
-            # MERGE INTO paths.
-            confs = rest_spark_confs(self.config.catalog)
-            raise NotImplementedError(
-                "REST catalog requires iceberg-spark-runtime on the classpath "
-                "(unavailable in this container); use catalog.type='local'. "
-                "Apply rest_spark_confs(config.catalog) to the session builder "
-                f"once the jar is present ({len(confs)} conf keys)."
+            # REST parity (main.rs:278-299) via the pure-Python client:
+            # namespace/table DDL and every snapshot commit flow through
+            # the Iceberg REST wire contract (table/rest_catalog.py),
+            # with the server performing the commit compare-and-swap.
+            # Data files land under catalog.warehouse (local path here;
+            # an S3FileIO location on a cluster — the S3 fields configure
+            # that tier).  For SQL engines with iceberg-spark-runtime on
+            # the classpath, rest_spark_confs (below, unit-tested) is the
+            # equivalent SparkSession wiring of the same TOML section.
+            from iceberg_data_gen_spark.table.rest_catalog import RestCatalog
+
+            self.catalog = RestCatalog(
+                spark, self.config.catalog.uri, self.config.catalog.warehouse
             )
-        self.catalog = LocalCatalog(spark, self.config.catalog.warehouse)
+        else:
+            self.catalog = LocalCatalog(spark, self.config.catalog.warehouse)
 
     # -- prepare (E1) -------------------------------------------------------
 

@@ -1,0 +1,215 @@
+"""Pure-Python Iceberg REST catalog client (reference O3, the real path).
+
+The reference connects to its catalog over the Iceberg REST protocol
+(``iceberg_catalog_rest::RestCatalog``, ``/root/reference/src/main.rs:
+278-299``) and runs namespace/table DDL plus snapshot-commit
+transactions through it.  This module is that client, speaking the same
+public wire contract (the subset in ``rest_server.RestCatalogServer``'s
+docstring) with nothing but the standard library — no
+``iceberg-spark-runtime`` jar required, so the REST path runs in this
+container against a local fixture server and, unchanged, against any
+spec-compliant service (Polaris, Lakekeeper, ...).
+
+Split of responsibilities, mirroring real Iceberg REST deployments:
+
+- the CATALOG owns table *metadata* and performs the commit
+  compare-and-swap (server-side 409 on a losing racer);
+- the ENGINE owns *data files*, written directly to the warehouse
+  (here a local path; on a cluster an S3FileIO location — the S3 fields
+  of the TOML config configure that tier, not the catalog wire).
+
+``RestCatalog`` is interface-compatible with ``LocalCatalog`` —
+``IcebergDataGeneratorApp`` runs its whole prepare/cleanup pipeline
+through either without a code change.  Tables it returns are ordinary
+``MoRTable`` handles whose ``MetadataIO`` is HTTP-backed
+(``RestMetadataIO``), so every table feature (snapshots, time travel,
+refs, WAP, schema evolution) round-trips through the catalog.
+
+For SQL engines with the Iceberg runtime on the classpath, the
+equivalent SparkSession wiring is ``datagen.app.rest_spark_confs`` —
+that route and this one consume the same ``[catalog]`` TOML section.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from iceberg_data_gen_spark.table.table import (
+    CommitConflictError,
+    MetadataIO,
+    MoRTable,
+    TableSchema,
+)
+
+
+class RestCatalogError(RuntimeError):
+    """Non-conflict catalog error (missing namespace, duplicate table,
+    malformed request), carrying the HTTP status."""
+
+    def __init__(self, status: int, message: str) -> None:
+        super().__init__(f"[{status}] {message}")
+        self.status = status
+
+
+def _call(
+    method: str, url: str, body: dict | None = None
+) -> tuple[int, dict | None]:
+    data = None if body is None else json.dumps(body).encode()
+    req = urllib.request.Request(
+        url, data=data, method=method, headers={"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            raw = resp.read()
+            return resp.status, (json.loads(raw) if raw else None)
+    except urllib.error.HTTPError as e:
+        raw = e.read()
+        try:
+            payload = json.loads(raw) if raw else None
+        except ValueError:
+            payload = {"error": raw.decode(errors="replace")}
+        return e.code, payload
+
+
+def _err(status: int, payload: dict | None) -> str:
+    return (payload or {}).get("error", f"HTTP {status}")
+
+
+class RestMetadataIO(MetadataIO):
+    """HTTP-backed metadata store: ``load`` GETs the table, ``save``
+    POSTs a commit carrying an ``assert-head`` requirement — the linear
+    snapshot head this handle last LOADED.  The server CAS-checks it
+    under its lock; a losing racer gets 409, surfaced as
+    ``CommitConflictError`` so ``MoRTable``'s refresh-and-retry commit
+    loop works identically over REST and local metadata."""
+
+    def __init__(self, base: str, namespace: str, table: str) -> None:
+        self.url = f"{base}/v1/namespaces/{namespace}/tables/{table}"
+        self._based_on: int | None = None
+
+    def load(self) -> dict:
+        status, payload = _call("GET", self.url)
+        if status != 200:
+            raise RestCatalogError(status, _err(status, payload))
+        meta = payload["metadata"]
+        snaps = meta.get("snapshots", [])
+        self._based_on = snaps[-1]["id"] if snaps else None
+        return meta
+
+    def save(self, meta: dict) -> None:
+        body = {
+            "requirements": [{"type": "assert-head", "head": self._based_on}],
+            "metadata": meta,
+        }
+        status, payload = _call("POST", self.url, body)
+        if status == 409:
+            raise CommitConflictError(_err(status, payload))
+        if status != 200:
+            raise RestCatalogError(status, _err(status, payload))
+        # this handle's view is now the committed metadata: subsequent
+        # saves (e.g. tag after branch, no reload in between) assert the
+        # head we just published, not the stale pre-commit one
+        snaps = meta.get("snapshots", [])
+        self._based_on = snaps[-1]["id"] if snaps else None
+
+
+class RestCatalog:
+    """Drop-in for ``LocalCatalog`` over the REST wire.  ``warehouse``
+    is where table DATA lives (the catalog never sees file bytes);
+    table metadata lives exclusively in the catalog service."""
+
+    def __init__(self, spark: SparkSession, uri: str, warehouse: str) -> None:
+        self.spark = spark
+        self.uri = uri.rstrip("/")
+        self.warehouse = Path(warehouse)
+        self.warehouse.mkdir(parents=True, exist_ok=True)
+        status, payload = _call("GET", f"{self.uri}/v1/config")
+        if status != 200:
+            raise RestCatalogError(status, _err(status, payload))
+
+    # -- namespaces ---------------------------------------------------------
+
+    def create_namespace(self, namespace: str, exists_ok: bool = True) -> None:
+        status, payload = _call(
+            "POST", f"{self.uri}/v1/namespaces", {"namespace": [namespace]}
+        )
+        if status == 409 and exists_ok:
+            return
+        if status != 200:
+            raise RestCatalogError(status, _err(status, payload))
+
+    def namespace_exists(self, namespace: str) -> bool:
+        status, _ = _call("GET", f"{self.uri}/v1/namespaces/{namespace}")
+        return status == 200
+
+    def drop_namespace(self, namespace: str, missing_ok: bool = True) -> None:
+        status, payload = _call(
+            "DELETE", f"{self.uri}/v1/namespaces/{namespace}"
+        )
+        if status == 404 and missing_ok:
+            return
+        if status not in (200, 204):
+            raise RestCatalogError(status, _err(status, payload))
+
+    # -- tables -------------------------------------------------------------
+
+    def _table_url(self, namespace: str, name: str) -> str:
+        return f"{self.uri}/v1/namespaces/{namespace}/tables/{name}"
+
+    def _data_path(self, namespace: str, name: str) -> Path:
+        return self.warehouse / namespace / name
+
+    def table_exists(self, namespace: str, name: str) -> bool:
+        status, _ = _call("GET", self._table_url(namespace, name))
+        return status == 200
+
+    def list_tables(self, namespace: str) -> list[str]:
+        status, payload = _call(
+            "GET", f"{self.uri}/v1/namespaces/{namespace}/tables"
+        )
+        if status != 200:
+            raise RestCatalogError(status, _err(status, payload))
+        return [i["name"] for i in payload["identifiers"]]
+
+    def create_table(
+        self,
+        namespace: str,
+        name: str,
+        schema: TableSchema,
+        exists_ok: bool = False,
+    ) -> MoRTable:
+        meta = {"schema": schema.to_json(), "snapshots": []}
+        status, payload = _call(
+            "POST",
+            f"{self.uri}/v1/namespaces/{namespace}/tables",
+            {"name": name, "metadata": meta},
+        )
+        if status == 409 and exists_ok:
+            return self.load_table(namespace, name)
+        if status != 200:
+            raise RestCatalogError(status, _err(status, payload))
+        p = self._data_path(namespace, name)
+        (p / "data").mkdir(parents=True, exist_ok=True)
+        (p / "deletes").mkdir(parents=True, exist_ok=True)
+        return self.load_table(namespace, name)
+
+    def load_table(self, namespace: str, name: str) -> MoRTable:
+        io = RestMetadataIO(self.uri, namespace, name)
+        return MoRTable(self.spark, str(self._data_path(namespace, name)), io=io)
+
+    def drop_table(self, namespace: str, name: str, missing_ok: bool = True) -> None:
+        status, payload = _call("DELETE", self._table_url(namespace, name))
+        if status == 404 and missing_ok:
+            return
+        if status not in (200, 204):
+            raise RestCatalogError(status, _err(status, payload))
+        import shutil
+
+        p = self._data_path(namespace, name)
+        if p.exists():
+            shutil.rmtree(p)

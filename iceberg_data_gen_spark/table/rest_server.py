@@ -1,0 +1,238 @@
+"""In-memory Iceberg-REST-style catalog server (test double).
+
+Implements the subset of the public Iceberg REST catalog OpenAPI
+(https://github.com/apache/iceberg — ``open-api/rest-catalog-open-api.yaml``)
+that the reference exercises through ``iceberg_catalog_rest::RestCatalog``
+(``/root/reference/src/main.rs:278-299``): the config handshake, namespace
+create/head/drop, table create/load/drop/list, and the table COMMIT
+endpoint with an optimistic-concurrency requirement check — the
+server-side compare-and-swap that makes two racing writers safe (one
+gets HTTP 409, mirroring Iceberg's ``CommitFailedException``).
+
+Routes (all JSON):
+
+    GET    /v1/config                              -> {defaults, overrides}
+    POST   /v1/namespaces        {namespace:[ns]}  -> 200 | 409 exists
+    GET    /v1/namespaces/{ns}                     -> 200 | 404
+    DELETE /v1/namespaces/{ns}                     -> 204 | 404 | 409 not empty
+    GET    /v1/namespaces/{ns}/tables              -> {identifiers: [...]}
+    POST   /v1/namespaces/{ns}/tables {name, metadata}
+                                                   -> 200 | 404 ns | 409 exists
+    GET    /v1/namespaces/{ns}/tables/{t}          -> {metadata} | 404
+    POST   /v1/namespaces/{ns}/tables/{t} {requirements, metadata}
+                                                   -> 200 | 409 CAS failure
+    DELETE /v1/namespaces/{ns}/tables/{t}          -> 204 | 404
+
+The commit requirement is ``{"type": "assert-head", "head": <snapshot id
+or null>}`` — the linear snapshot head the client based its update on, a
+single-requirement rendering of the spec's ``assert-ref-snapshot-id``
+for main.  State is held in memory under a lock; metadata documents are
+exactly the ``MoRTable`` metadata model, so everything the local table
+supports (snapshots, refs, schema evolution, partition specs) round-trips
+through the catalog unchanged.
+
+This is intentionally single-process and unauthenticated: it is the
+local stand-in a laptop test runs against, the same role Iceberg's own
+``RESTCatalogServer`` test fixture plays.  Production deployments point
+``RestCatalog`` at a real service (Polaris, Lakekeeper, Tabular, ...)
+speaking the same wire contract.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def _linear_head(meta: dict) -> int | None:
+    snaps = meta.get("snapshots", [])
+    return snaps[-1]["id"] if snaps else None
+
+
+class _CatalogState:
+    """The catalog's authoritative state: namespaces and, per table, the
+    current metadata document.  All mutation happens under one lock —
+    the commit CAS is check-and-swap inside the critical section."""
+
+    def __init__(self) -> None:
+        self.lock = threading.Lock()
+        self.namespaces: set[str] = set()
+        self.tables: dict[tuple[str, str], dict] = {}
+
+    # each handler returns (http_status, body_dict_or_none)
+
+    def create_namespace(self, ns: str) -> tuple[int, dict | None]:
+        with self.lock:
+            if ns in self.namespaces:
+                return 409, {"error": f"namespace exists: {ns}"}
+            self.namespaces.add(ns)
+            return 200, {"namespace": [ns]}
+
+    def head_namespace(self, ns: str) -> tuple[int, dict | None]:
+        with self.lock:
+            if ns in self.namespaces:
+                return 200, {"namespace": [ns]}
+            return 404, {"error": f"no such namespace: {ns}"}
+
+    def drop_namespace(self, ns: str) -> tuple[int, dict | None]:
+        with self.lock:
+            if ns not in self.namespaces:
+                return 404, {"error": f"no such namespace: {ns}"}
+            if any(k[0] == ns for k in self.tables):
+                return 409, {"error": f"namespace not empty: {ns}"}
+            self.namespaces.remove(ns)
+            return 204, None
+
+    def list_tables(self, ns: str) -> tuple[int, dict | None]:
+        with self.lock:
+            if ns not in self.namespaces:
+                return 404, {"error": f"no such namespace: {ns}"}
+            idents = [
+                {"namespace": [n], "name": t} for (n, t) in self.tables if n == ns
+            ]
+            return 200, {"identifiers": idents}
+
+    def create_table(self, ns: str, body: dict) -> tuple[int, dict | None]:
+        name = body.get("name")
+        meta = body.get("metadata")
+        if not name or not isinstance(meta, dict):
+            return 400, {"error": "create needs {name, metadata}"}
+        with self.lock:
+            if ns not in self.namespaces:
+                return 404, {"error": f"no such namespace: {ns}"}
+            if (ns, name) in self.tables:
+                return 409, {"error": f"table exists: {ns}.{name}"}
+            self.tables[(ns, name)] = meta
+            return 200, {"metadata": meta}
+
+    def load_table(self, ns: str, name: str) -> tuple[int, dict | None]:
+        with self.lock:
+            meta = self.tables.get((ns, name))
+            if meta is None:
+                return 404, {"error": f"no such table: {ns}.{name}"}
+            return 200, {"metadata": meta}
+
+    def commit_table(self, ns: str, name: str, body: dict) -> tuple[int, dict | None]:
+        meta = body.get("metadata")
+        reqs = body.get("requirements", [])
+        if not isinstance(meta, dict):
+            return 400, {"error": "commit needs {metadata}"}
+        with self.lock:
+            current = self.tables.get((ns, name))
+            if current is None:
+                return 404, {"error": f"no such table: {ns}.{name}"}
+            for r in reqs:
+                if r.get("type") == "assert-head":
+                    if _linear_head(current) != r.get("head"):
+                        return 409, {
+                            "error": (
+                                f"commit conflict: expected head {r.get('head')}, "
+                                f"current head {_linear_head(current)}"
+                            )
+                        }
+                else:
+                    return 400, {"error": f"unknown requirement: {r.get('type')}"}
+            self.tables[(ns, name)] = meta
+            return 200, {"metadata": meta}
+
+    def drop_table(self, ns: str, name: str) -> tuple[int, dict | None]:
+        with self.lock:
+            if (ns, name) not in self.tables:
+                return 404, {"error": f"no such table: {ns}.{name}"}
+            del self.tables[(ns, name)]
+            return 204, None
+
+
+def _make_handler(state: _CatalogState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet test output
+            pass
+
+        def _reply(self, status: int, body: dict | None) -> None:
+            payload = b"" if body is None else json.dumps(body).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            if payload:
+                self.wfile.write(payload)
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n)) if n else {}
+
+        def _route(self, method: str) -> tuple[int, dict | None]:
+            parts = [p for p in self.path.split("/") if p]
+            if parts[:1] != ["v1"]:
+                return 404, {"error": "unknown route"}
+            parts = parts[1:]
+            if parts == ["config"] and method == "GET":
+                return 200, {"defaults": {}, "overrides": {}}
+            if parts == ["namespaces"] and method == "POST":
+                ns = self._body().get("namespace", [])
+                if len(ns) != 1:
+                    return 400, {"error": "single-level namespaces only"}
+                return state.create_namespace(ns[0])
+            if len(parts) == 2 and parts[0] == "namespaces":
+                if method == "GET":
+                    return state.head_namespace(parts[1])
+                if method == "DELETE":
+                    return state.drop_namespace(parts[1])
+            if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "tables":
+                if method == "GET":
+                    return state.list_tables(parts[1])
+                if method == "POST":
+                    return state.create_table(parts[1], self._body())
+            if len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "tables":
+                ns, name = parts[1], parts[3]
+                if method == "GET":
+                    return state.load_table(ns, name)
+                if method == "POST":
+                    return state.commit_table(ns, name, self._body())
+                if method == "DELETE":
+                    return state.drop_table(ns, name)
+            return 404, {"error": "unknown route"}
+
+        def do_GET(self):
+            self._reply(*self._route("GET"))
+
+        def do_POST(self):
+            self._reply(*self._route("POST"))
+
+        def do_DELETE(self):
+            self._reply(*self._route("DELETE"))
+
+    return Handler
+
+
+class RestCatalogServer:
+    """Run the in-memory catalog on ``127.0.0.1:<port>`` (port 0 picks a
+    free one).  Use as a context manager::
+
+        with RestCatalogServer() as srv:
+            cat = RestCatalog(spark, srv.uri, warehouse)
+    """
+
+    def __init__(self, port: int = 0) -> None:
+        self.state = _CatalogState()
+        self._httpd = ThreadingHTTPServer(
+            ("127.0.0.1", port), _make_handler(self.state)
+        )
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, name="rest-catalog", daemon=True
+        )
+
+    @property
+    def uri(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def __enter__(self) -> "RestCatalogServer":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self._thread.join(timeout=5)

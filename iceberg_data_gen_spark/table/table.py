@@ -157,11 +157,47 @@ class CommitConflictError(RuntimeError):
     loop is catch → ``refresh()`` → re-apply → retry."""
 
 
+class MetadataIO:
+    """Where table metadata lives.  ``MoRTable`` talks to its catalog
+    only through this seam: ``load()`` returns the current metadata doc,
+    ``save(meta)`` publishes a new one atomically (and is where a
+    catalog-side compare-and-swap may reject with
+    ``CommitConflictError``).  The default is a metadata.json next to
+    the data files; a REST catalog substitutes an HTTP-backed store
+    (``table/rest_catalog.py``) with the SAME commit semantics."""
+
+    def load(self) -> dict:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def save(self, meta: dict) -> None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class LocalMetadataIO(MetadataIO):
+    """File-based metadata store: ``<table>/metadata.json``, published
+    with temp-file + ``os.replace`` so readers never observe a torn
+    document (stands in for the catalog's atomic pointer swap)."""
+
+    def __init__(self, table_path: Path) -> None:
+        self.table_path = Path(table_path)
+
+    def load(self) -> dict:
+        return json.loads((self.table_path / "metadata.json").read_text())
+
+    def save(self, meta: dict) -> None:
+        tmp = self.table_path / f"metadata.json.tmp-{uuid.uuid4().hex[:8]}"
+        tmp.write_text(json.dumps(meta, indent=1))
+        os.replace(tmp, self.table_path / "metadata.json")
+
+
 class MoRTable:
-    def __init__(self, spark: SparkSession, path: str) -> None:
+    def __init__(
+        self, spark: SparkSession, path: str, io: MetadataIO | None = None
+    ) -> None:
         self.spark = spark
         self.path = Path(path)
-        self._meta = json.loads((self.path / "metadata.json").read_text())
+        self._io = io if io is not None else LocalMetadataIO(self.path)
+        self._meta = self._io.load()
 
     # -- creation / metadata ------------------------------------------------
 
@@ -203,8 +239,7 @@ class MoRTable:
         torn metadata.json."""
         snaps = self._meta["snapshots"]
         linear_head = snaps[-1]["id"] if snaps else None
-        meta_path = self.path / "metadata.json"
-        on_disk = json.loads(meta_path.read_text())
+        on_disk = self._io.load()
         disk_snaps = on_disk["snapshots"]
         disk_head = disk_snaps[-1]["id"] if disk_snaps else None
         if disk_head != linear_head:
@@ -237,18 +272,15 @@ class MoRTable:
         return snap
 
     def _write_meta(self) -> None:
-        """Atomically publish ``self._meta``: write to a temp file in the
-        same directory, then ``os.replace`` — readers see either the old
-        or the new metadata.json, never a torn one.  (Stands in for the
-        catalog's atomic pointer swap in real Iceberg.)"""
-        tmp = self.path / f"metadata.json.tmp-{uuid.uuid4().hex[:8]}"
-        tmp.write_text(json.dumps(self._meta, indent=1))
-        os.replace(tmp, self.path / "metadata.json")
+        """Atomically publish ``self._meta`` through the metadata store
+        (local file or REST catalog); a catalog-side compare-and-swap
+        may raise ``CommitConflictError`` here."""
+        self._io.save(self._meta)
 
     def refresh(self) -> "MoRTable":
-        """Reload table metadata from disk (the retry step after a
+        """Reload table metadata from the store (the retry step after a
         ``CommitConflictError``)."""
-        self._meta = json.loads((self.path / "metadata.json").read_text())
+        self._meta = self._io.load()
         return self
 
     # -- schema evolution ---------------------------------------------------

@@ -1,0 +1,159 @@
+"""REST catalog end-to-end: the reference's O3 connect path (main.rs:
+278-299) run for real — pure-Python client against the in-process
+fixture server, with the full prepare/cleanup pipeline and the
+commit CAS exercised over the wire."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_data_gen_spark.datagen.app import IcebergDataGeneratorApp
+from iceberg_data_gen_spark.datagen.config import (
+    CatalogConfig,
+    Config,
+    FileConfig,
+    TableConfig,
+)
+from iceberg_data_gen_spark.table.rest_catalog import (
+    RestCatalog,
+    RestCatalogError,
+)
+from iceberg_data_gen_spark.table.rest_server import RestCatalogServer
+from iceberg_data_gen_spark.table.table import (
+    CommitConflictError,
+    Field,
+    MoRTable,
+    TableSchema,
+)
+
+
+@pytest.fixture()
+def server():
+    with RestCatalogServer() as srv:
+        yield srv
+
+
+@pytest.fixture()
+def catalog(spark, server, tmp_path):
+    return RestCatalog(spark, server.uri, str(tmp_path / "wh"))
+
+
+def _schema() -> TableSchema:
+    return TableSchema(
+        fields=[
+            Field(1, "foo", "string"),
+            Field(2, "bar", "int"),
+            Field(3, "baz", "boolean"),
+        ],
+        identifier_field_ids=[1, 2],
+    )
+
+
+def test_namespace_lifecycle(catalog):
+    assert not catalog.namespace_exists("ns1")
+    catalog.create_namespace("ns1")
+    assert catalog.namespace_exists("ns1")
+    # duplicate with exists_ok (the app's guarded default) is a no-op
+    catalog.create_namespace("ns1", exists_ok=True)
+    with pytest.raises(RestCatalogError):
+        catalog.create_namespace("ns1", exists_ok=False)
+    catalog.drop_namespace("ns1")
+    assert not catalog.namespace_exists("ns1")
+    # missing_ok mirrors LocalCatalog's guard
+    catalog.drop_namespace("ns1", missing_ok=True)
+    with pytest.raises(RestCatalogError):
+        catalog.drop_namespace("ns1", missing_ok=False)
+
+
+def test_table_lifecycle_and_scan(spark, catalog):
+    catalog.create_namespace("ns")
+    t = catalog.create_table("ns", "t", _schema())
+    assert catalog.table_exists("ns", "t")
+    assert catalog.list_tables("ns") == ["t"]
+    # non-empty namespace refuses to drop (server-side 409)
+    with pytest.raises(RestCatalogError):
+        catalog.drop_namespace("ns", missing_ok=False)
+
+    df = spark.createDataFrame(
+        [(str(g), g, True) for g in range(100)], "foo string, bar int, baz boolean"
+    )
+    t.append(df, single_file=True)
+    # a FRESH handle sees the commit only through the catalog (no local
+    # metadata.json exists anywhere under the warehouse)
+    t2 = catalog.load_table("ns", "t")
+    assert t2.scan().count() == 100
+    assert not list((t2.path).glob("metadata.json"))
+    assert len(t2.snapshots()) == 1
+
+    catalog.drop_table("ns", "t")
+    assert not catalog.table_exists("ns", "t")
+    catalog.drop_namespace("ns")
+
+
+def test_commit_cas_conflict_and_retry(spark, catalog):
+    """Two handles on one table: the slower writer's commit must get the
+    server's 409 as CommitConflictError, and refresh()+retry must then
+    succeed — Iceberg's commit loop, CAS'd by the catalog service."""
+    catalog.create_namespace("ns")
+    catalog.create_table("ns", "t", _schema())
+    a = catalog.load_table("ns", "t")
+    b = catalog.load_table("ns", "t")
+    df = spark.createDataFrame(
+        [(str(g), g, True) for g in range(10)], "foo string, bar int, baz boolean"
+    )
+    a.append(df, single_file=True)
+    with pytest.raises(CommitConflictError):
+        b.append(df, single_file=True)
+    b.refresh()
+    b.append(df, single_file=True)
+    assert catalog.load_table("ns", "t").scan().count() == 20
+
+
+def test_table_features_roundtrip_over_rest(spark, catalog):
+    """Snapshot-dependent table features (time travel, tags) work
+    unchanged when metadata lives in the catalog service."""
+    catalog.create_namespace("ns")
+    t = catalog.create_table("ns", "t", _schema())
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(str(g), g, True) for g in range(lo, hi)],
+        "foo string, bar int, baz boolean",
+    )
+    t.append(mk(0, 50), single_file=True)
+    t.create_tag("v1")
+    t.append(mk(50, 80), single_file=True)
+    assert t.scan().count() == 80
+    assert t.scan(ref="v1").count() == 50
+    first = t.snapshots()[0]["id"]
+    assert t.scan(snapshot_id=first).count() == 50
+
+
+def test_prepare_cleanup_pipeline_over_rest(spark, server, tmp_path):
+    """The whole reference pipeline (E1 prepare / E2 cleanup) against a
+    REST catalog: 3 snapshots, reference row arithmetic, then a clean
+    drop — config differs from the local run ONLY in [catalog]."""
+    cfg = Config(
+        catalog=CatalogConfig(
+            catalog_type="rest", uri=server.uri, warehouse=str(tmp_path / "wh")
+        ),
+        table=TableConfig(namespace="name1", table_name="test_table"),
+        data_files=FileConfig(rows_per_file=100, file_count=5),
+        pos_delete_files=FileConfig(rows_per_file=100, file_count=2),
+        equality_delete_files=FileConfig(rows_per_file=100, file_count=2),
+    )
+    app = IcebergDataGeneratorApp(spark, cfg)
+    summary = app.prepare()
+    assert summary["derived_total"] == 500 - 200 - 200
+
+    cat = app.catalog
+    t = cat.load_table("name1", "test_table")
+    snaps = t.snapshots()
+    assert [s["operation"] for s in snaps] == [
+        "append",
+        "delete-position",
+        "delete-equality",
+    ]
+    assert t.scan().count() == summary["derived_total"]
+
+    app.cleanup()
+    assert not cat.table_exists("name1", "test_table")
+    assert not cat.namespace_exists("name1")
