@@ -157,3 +157,45 @@ def test_prepare_cleanup_pipeline_over_rest(spark, server, tmp_path):
     app.cleanup()
     assert not cat.table_exists("name1", "test_table")
     assert not cat.namespace_exists("name1")
+
+
+def test_cli_prepare_cleanup_with_rest_toml(spark, server, tmp_path, capsys):
+    """The reference's exact invocation shape (``-c config.toml`` ->
+    prepare -> cleanup, main.rs:401-425) with a ``type = "rest"`` TOML:
+    the CLI talks to the catalog service and prints the derived summary."""
+    import json
+
+    from iceberg_data_gen_spark import cli
+
+    toml = tmp_path / "config.toml"
+    toml.write_text(
+        f"""
+[catalog]
+type = "rest"
+uri = "{server.uri}"
+warehouse = "{tmp_path / 'wh'}"
+
+[table]
+namespace = "name1"
+table_name = "test_table"
+
+[data_files]
+rows_per_file = 50
+file_count = 3
+
+[pos_delete_files]
+rows_per_file = 50
+file_count = 1
+
+[equality_delete_files]
+rows_per_file = 50
+file_count = 1
+"""
+    )
+    assert cli.main(["-c", str(toml), "prepare"]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["derived_total"] == 150 - 50 - 50
+    assert summary["snapshots"] == 3
+    assert cli.main(["-c", str(toml), "cleanup"]) == 0
+    assert ("name1", "test_table") not in server.state.tables
+    assert "name1" not in server.state.namespaces
