@@ -1,14 +1,17 @@
-"""Pure-Python Iceberg REST catalog client (reference O3, the real path).
+"""Pure-Python REST catalog client (reference O3, the real path).
 
 The reference connects to its catalog over the Iceberg REST protocol
 (``iceberg_catalog_rest::RestCatalog``, ``/root/reference/src/main.rs:
 278-299``) and runs namespace/table DDL plus snapshot-commit
-transactions through it.  This module is that client, speaking the same
-public wire contract (the subset in ``rest_server.RestCatalogServer``'s
-docstring) with nothing but the standard library — no
-``iceberg-spark-runtime`` jar required, so the REST path runs in this
-container against a local fixture server and, unchanged, against any
-spec-compliant service (Polaris, Lakekeeper, ...).
+transactions through it.  This module is that client for THIS engine:
+it speaks the wire contract of ``rest_server.RestCatalogServer`` —
+route shapes modeled on the public Iceberg REST catalog OpenAPI, with
+payloads carrying the repo's ``MoRTable`` metadata model and a
+whole-document version CAS in place of the spec's per-field
+requirements.  A spec-complete ``TableMetadata`` mapping for real
+services (Polaris, Lakekeeper, ...) would slot in at this module's
+``_call`` layer; nothing outside it knows HTTP exists.  Standard
+library only — no ``iceberg-spark-runtime`` jar required.
 
 Split of responsibilities, mirroring real Iceberg REST deployments:
 
@@ -34,6 +37,7 @@ from __future__ import annotations
 
 import json
 import urllib.error
+import urllib.parse
 import urllib.request
 from pathlib import Path
 
@@ -49,7 +53,8 @@ from iceberg_data_gen_spark.table.table import (
 
 class RestCatalogError(RuntimeError):
     """Non-conflict catalog error (missing namespace, duplicate table,
-    malformed request), carrying the HTTP status."""
+    malformed request, unreachable service), carrying the HTTP status
+    (0 for connection-level failures that never got a response)."""
 
     def __init__(self, status: int, message: str) -> None:
         super().__init__(f"[{status}] {message}")
@@ -74,36 +79,64 @@ def _call(
         except ValueError:
             payload = {"error": raw.decode(errors="replace")}
         return e.code, payload
+    except urllib.error.URLError as e:
+        # connection-level failure (refused, DNS, timeout): surface as a
+        # catalog error so callers see the documented exception contract
+        raise RestCatalogError(0, f"catalog unreachable: {e.reason}") from e
 
 
 def _err(status: int, payload: dict | None) -> str:
     return (payload or {}).get("error", f"HTTP {status}")
 
 
+def _q(segment: str) -> str:
+    """Percent-encode one path segment (a '/' in a name must not become
+    a route separator; the server decodes after splitting)."""
+    return urllib.parse.quote(segment, safe="")
+
+
 class RestMetadataIO(MetadataIO):
-    """HTTP-backed metadata store: ``load`` GETs the table, ``save``
-    POSTs a commit carrying an ``assert-head`` requirement — the linear
-    snapshot head this handle last LOADED.  The server CAS-checks it
-    under its lock; a losing racer gets 409, surfaced as
-    ``CommitConflictError`` so ``MoRTable``'s refresh-and-retry commit
-    loop works identically over REST and local metadata."""
+    """HTTP-backed metadata store.
+
+    ``load`` GETs the table and records the catalog-side metadata
+    VERSION this handle's view is based on; ``save`` POSTs a commit
+    carrying an ``assert-version`` requirement with that version.  The
+    server CAS-checks it under its lock; a losing racer gets 409,
+    surfaced as ``CommitConflictError`` so ``MoRTable``'s
+    refresh-and-retry commit loop works identically over REST and local
+    metadata.  Because the CAS covers the whole document version (not
+    just the snapshot head), metadata-only racers — tags, refs, schema
+    evolution — conflict too instead of being clobbered by a
+    full-document replacement.
+
+    ``peek`` reads WITHOUT moving the CAS basis: it serves
+    ``MoRTable._commit``'s fail-fast pre-check, which must not let a
+    handle holding stale metadata adopt a fresh version (that would let
+    a later save pass the CAS and erase another writer's commit).
+    """
 
     def __init__(self, base: str, namespace: str, table: str) -> None:
-        self.url = f"{base}/v1/namespaces/{namespace}/tables/{table}"
+        self.url = f"{base}/v1/namespaces/{_q(namespace)}/tables/{_q(table)}"
         self._based_on: int | None = None
 
-    def load(self) -> dict:
+    def _get(self) -> tuple[int, dict]:
         status, payload = _call("GET", self.url)
         if status != 200:
             raise RestCatalogError(status, _err(status, payload))
-        meta = payload["metadata"]
-        snaps = meta.get("snapshots", [])
-        self._based_on = snaps[-1]["id"] if snaps else None
+        return payload["version"], payload["metadata"]
+
+    def load(self) -> dict:
+        self._based_on, meta = self._get()
         return meta
+
+    def peek(self) -> dict:
+        return self._get()[1]
 
     def save(self, meta: dict) -> None:
         body = {
-            "requirements": [{"type": "assert-head", "head": self._based_on}],
+            "requirements": [
+                {"type": "assert-version", "version": self._based_on}
+            ],
             "metadata": meta,
         }
         status, payload = _call("POST", self.url, body)
@@ -111,11 +144,10 @@ class RestMetadataIO(MetadataIO):
             raise CommitConflictError(_err(status, payload))
         if status != 200:
             raise RestCatalogError(status, _err(status, payload))
-        # this handle's view is now the committed metadata: subsequent
+        # this handle's view IS the committed document now: subsequent
         # saves (e.g. tag after branch, no reload in between) assert the
-        # head we just published, not the stale pre-commit one
-        snaps = meta.get("snapshots", [])
-        self._based_on = snaps[-1]["id"] if snaps else None
+        # version we just created, not the stale pre-commit one
+        self._based_on = payload["version"]
 
 
 class RestCatalog:
@@ -144,12 +176,18 @@ class RestCatalog:
             raise RestCatalogError(status, _err(status, payload))
 
     def namespace_exists(self, namespace: str) -> bool:
-        status, _ = _call("GET", f"{self.uri}/v1/namespaces/{namespace}")
-        return status == 200
+        status, payload = _call(
+            "GET", f"{self.uri}/v1/namespaces/{_q(namespace)}"
+        )
+        if status == 200:
+            return True
+        if status == 404:
+            return False
+        raise RestCatalogError(status, _err(status, payload))
 
     def drop_namespace(self, namespace: str, missing_ok: bool = True) -> None:
         status, payload = _call(
-            "DELETE", f"{self.uri}/v1/namespaces/{namespace}"
+            "DELETE", f"{self.uri}/v1/namespaces/{_q(namespace)}"
         )
         if status == 404 and missing_ok:
             return
@@ -159,18 +197,22 @@ class RestCatalog:
     # -- tables -------------------------------------------------------------
 
     def _table_url(self, namespace: str, name: str) -> str:
-        return f"{self.uri}/v1/namespaces/{namespace}/tables/{name}"
+        return f"{self.uri}/v1/namespaces/{_q(namespace)}/tables/{_q(name)}"
 
     def _data_path(self, namespace: str, name: str) -> Path:
         return self.warehouse / namespace / name
 
     def table_exists(self, namespace: str, name: str) -> bool:
-        status, _ = _call("GET", self._table_url(namespace, name))
-        return status == 200
+        status, payload = _call("GET", self._table_url(namespace, name))
+        if status == 200:
+            return True
+        if status == 404:
+            return False
+        raise RestCatalogError(status, _err(status, payload))
 
     def list_tables(self, namespace: str) -> list[str]:
         status, payload = _call(
-            "GET", f"{self.uri}/v1/namespaces/{namespace}/tables"
+            "GET", f"{self.uri}/v1/namespaces/{_q(namespace)}/tables"
         )
         if status != 200:
             raise RestCatalogError(status, _err(status, payload))
@@ -186,21 +228,24 @@ class RestCatalog:
         meta = {"schema": schema.to_json(), "snapshots": []}
         status, payload = _call(
             "POST",
-            f"{self.uri}/v1/namespaces/{namespace}/tables",
+            f"{self.uri}/v1/namespaces/{_q(namespace)}/tables",
             {"name": name, "metadata": meta},
         )
         if status == 409 and exists_ok:
             return self.load_table(namespace, name)
         if status != 200:
             raise RestCatalogError(status, _err(status, payload))
-        p = self._data_path(namespace, name)
-        (p / "data").mkdir(parents=True, exist_ok=True)
-        (p / "deletes").mkdir(parents=True, exist_ok=True)
         return self.load_table(namespace, name)
 
     def load_table(self, namespace: str, name: str) -> MoRTable:
         io = RestMetadataIO(self.uri, namespace, name)
-        return MoRTable(self.spark, str(self._data_path(namespace, name)), io=io)
+        p = self._data_path(namespace, name)
+        # idempotent: a table can exist in the catalog before this
+        # warehouse has ever seen it (fresh checkout, second writer) —
+        # the data dirs must exist before the first append
+        (p / "data").mkdir(parents=True, exist_ok=True)
+        (p / "deletes").mkdir(parents=True, exist_ok=True)
+        return MoRTable(self.spark, str(p), io=io)
 
     def drop_table(self, namespace: str, name: str, missing_ok: bool = True) -> None:
         status, payload = _call("DELETE", self._table_url(namespace, name))

@@ -1,13 +1,18 @@
 """In-memory Iceberg-REST-style catalog server (test double).
 
-Implements the subset of the public Iceberg REST catalog OpenAPI
-(https://github.com/apache/iceberg — ``open-api/rest-catalog-open-api.yaml``)
-that the reference exercises through ``iceberg_catalog_rest::RestCatalog``
-(``/root/reference/src/main.rs:278-299``): the config handshake, namespace
-create/head/drop, table create/load/drop/list, and the table COMMIT
-endpoint with an optimistic-concurrency requirement check — the
+Implements a REST catalog wire contract MODELED ON the public Iceberg
+REST catalog OpenAPI (https://github.com/apache/iceberg —
+``open-api/rest-catalog-open-api.yaml``), covering the operations the
+reference exercises through ``iceberg_catalog_rest::RestCatalog``
+(``/root/reference/src/main.rs:278-299``): the config handshake,
+namespace create/head/drop, table create/load/drop/list, and the table
+COMMIT endpoint with an optimistic-concurrency requirement check — the
 server-side compare-and-swap that makes two racing writers safe (one
-gets HTTP 409, mirroring Iceberg's ``CommitFailedException``).
+gets HTTP 409, mirroring Iceberg's ``CommitFailedException``).  The
+route shapes follow the spec; the payloads carry this repo's
+``MoRTable`` metadata model rather than Iceberg ``TableMetadata``, so
+this is the catalog for THIS engine's tables, not a drop-in for
+Polaris/Lakekeeper (see ``rest_catalog`` module docstring).
 
 Routes (all JSON):
 
@@ -18,15 +23,24 @@ Routes (all JSON):
     GET    /v1/namespaces/{ns}/tables              -> {identifiers: [...]}
     POST   /v1/namespaces/{ns}/tables {name, metadata}
                                                    -> 200 | 404 ns | 409 exists
-    GET    /v1/namespaces/{ns}/tables/{t}          -> {metadata} | 404
+    GET    /v1/namespaces/{ns}/tables/{t}          -> {version, metadata} | 404
     POST   /v1/namespaces/{ns}/tables/{t} {requirements, metadata}
-                                                   -> 200 | 409 CAS failure
+                                                   -> 200 {version, metadata}
+                                                    | 409 CAS failure
     DELETE /v1/namespaces/{ns}/tables/{t}          -> 204 | 404
 
-The commit requirement is ``{"type": "assert-head", "head": <snapshot id
-or null>}`` — the linear snapshot head the client based its update on, a
-single-requirement rendering of the spec's ``assert-ref-snapshot-id``
-for main.  State is held in memory under a lock; metadata documents are
+Path segments are percent-decoded after splitting, so encoded names
+round-trip.
+
+The commit requirement is ``{"type": "assert-version", "version": N}`` —
+the catalog-side metadata VERSION the client based its update on
+(returned by every GET/commit), bumped on every successful commit.
+Versioning the whole document (rather than asserting only the snapshot
+head) makes metadata-only racers safe too: a tag/schema/ref update
+racing a snapshot commit conflicts instead of being silently clobbered
+by the later full-document replacement — the role the spec's
+``assert-ref-snapshot-id`` + finer-grained requirements play in real
+Iceberg.  State is held in memory under a lock; metadata documents are
 exactly the ``MoRTable`` metadata model, so everything the local table
 supports (snapshots, refs, schema evolution, partition specs) round-trips
 through the catalog unchanged.
@@ -42,23 +56,19 @@ from __future__ import annotations
 
 import json
 import threading
+import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
-def _linear_head(meta: dict) -> int | None:
-    snaps = meta.get("snapshots", [])
-    return snaps[-1]["id"] if snaps else None
-
-
 class _CatalogState:
-    """The catalog's authoritative state: namespaces and, per table, the
-    current metadata document.  All mutation happens under one lock —
-    the commit CAS is check-and-swap inside the critical section."""
+    """The catalog's authoritative state: namespaces and, per table,
+    ``(version, metadata)``.  All mutation happens under one lock — the
+    commit CAS is check-and-swap inside the critical section."""
 
     def __init__(self) -> None:
         self.lock = threading.Lock()
         self.namespaces: set[str] = set()
-        self.tables: dict[tuple[str, str], dict] = {}
+        self.tables: dict[tuple[str, str], tuple[int, dict]] = {}
 
     # each handler returns (http_status, body_dict_or_none)
 
@@ -103,15 +113,16 @@ class _CatalogState:
                 return 404, {"error": f"no such namespace: {ns}"}
             if (ns, name) in self.tables:
                 return 409, {"error": f"table exists: {ns}.{name}"}
-            self.tables[(ns, name)] = meta
-            return 200, {"metadata": meta}
+            self.tables[(ns, name)] = (0, meta)
+            return 200, {"version": 0, "metadata": meta}
 
     def load_table(self, ns: str, name: str) -> tuple[int, dict | None]:
         with self.lock:
-            meta = self.tables.get((ns, name))
-            if meta is None:
+            entry = self.tables.get((ns, name))
+            if entry is None:
                 return 404, {"error": f"no such table: {ns}.{name}"}
-            return 200, {"metadata": meta}
+            version, meta = entry
+            return 200, {"version": version, "metadata": meta}
 
     def commit_table(self, ns: str, name: str, body: dict) -> tuple[int, dict | None]:
         meta = body.get("metadata")
@@ -119,22 +130,23 @@ class _CatalogState:
         if not isinstance(meta, dict):
             return 400, {"error": "commit needs {metadata}"}
         with self.lock:
-            current = self.tables.get((ns, name))
-            if current is None:
+            entry = self.tables.get((ns, name))
+            if entry is None:
                 return 404, {"error": f"no such table: {ns}.{name}"}
+            version, _ = entry
             for r in reqs:
-                if r.get("type") == "assert-head":
-                    if _linear_head(current) != r.get("head"):
+                if r.get("type") == "assert-version":
+                    if version != r.get("version"):
                         return 409, {
                             "error": (
-                                f"commit conflict: expected head {r.get('head')}, "
-                                f"current head {_linear_head(current)}"
+                                f"commit conflict: based on version "
+                                f"{r.get('version')}, current version {version}"
                             )
                         }
                 else:
                     return 400, {"error": f"unknown requirement: {r.get('type')}"}
-            self.tables[(ns, name)] = meta
-            return 200, {"metadata": meta}
+            self.tables[(ns, name)] = (version + 1, meta)
+            return 200, {"version": version + 1, "metadata": meta}
 
     def drop_table(self, ns: str, name: str) -> tuple[int, dict | None]:
         with self.lock:
@@ -163,7 +175,11 @@ def _make_handler(state: _CatalogState):
             return json.loads(self.rfile.read(n)) if n else {}
 
         def _route(self, method: str) -> tuple[int, dict | None]:
-            parts = [p for p in self.path.split("/") if p]
+            # split BEFORE unquoting so a %2F inside a name does not
+            # become a path separator
+            parts = [
+                urllib.parse.unquote(p) for p in self.path.split("/") if p
+            ]
             if parts[:1] != ["v1"]:
                 return 404, {"error": "unknown route"}
             parts = parts[1:]

@@ -172,6 +172,16 @@ class MetadataIO:
     def save(self, meta: dict) -> None:  # pragma: no cover - interface
         raise NotImplementedError
 
+    def peek(self) -> dict:
+        """Read the current metadata WITHOUT adopting it as this
+        handle's base version — the fail-fast conflict pre-check in
+        ``MoRTable._commit`` must not move a CAS-tracking store's basis
+        while the handle still holds stale metadata (doing so would let
+        a later ``save`` of the stale document pass the catalog's CAS
+        and erase another writer's commit).  Stores without a tracked
+        basis just read."""
+        return self.load()
+
 
 class LocalMetadataIO(MetadataIO):
     """File-based metadata store: ``<table>/metadata.json``, published
@@ -207,7 +217,7 @@ class MoRTable:
         (p / "data").mkdir(parents=True, exist_ok=True)
         (p / "deletes").mkdir(parents=True, exist_ok=True)
         meta = {"schema": schema.to_json(), "snapshots": []}
-        (p / "metadata.json").write_text(json.dumps(meta, indent=1))
+        LocalMetadataIO(p).save(meta)
         return MoRTable(spark, path)
 
     @property
@@ -239,7 +249,7 @@ class MoRTable:
         torn metadata.json."""
         snaps = self._meta["snapshots"]
         linear_head = snaps[-1]["id"] if snaps else None
-        on_disk = self._io.load()
+        on_disk = self._io.peek()
         disk_snaps = on_disk["snapshots"]
         disk_head = disk_snaps[-1]["id"] if disk_snaps else None
         if disk_head != linear_head:

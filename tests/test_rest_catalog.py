@@ -91,9 +91,9 @@ def test_table_lifecycle_and_scan(spark, catalog):
 
 
 def test_commit_cas_conflict_and_retry(spark, catalog):
-    """Two handles on one table: the slower writer's commit must get the
-    server's 409 as CommitConflictError, and refresh()+retry must then
-    succeed — Iceberg's commit loop, CAS'd by the catalog service."""
+    """Two handles on one table: the slower writer's commit must
+    conflict (here via _commit's fail-fast pre-check over REST), and
+    refresh()+retry must then succeed — Iceberg's commit loop."""
     catalog.create_namespace("ns")
     catalog.create_table("ns", "t", _schema())
     a = catalog.load_table("ns", "t")
@@ -107,6 +107,71 @@ def test_commit_cas_conflict_and_retry(spark, catalog):
     b.refresh()
     b.append(df, single_file=True)
     assert catalog.load_table("ns", "t").scan().count() == 20
+
+
+def test_server_side_cas_rejects_stale_save(spark, catalog):
+    """The WIRE-LEVEL compare-and-swap, bypassing the client pre-check:
+    a save based on a stale catalog version must get the server's 409
+    as CommitConflictError and leave the winner's document intact."""
+    catalog.create_namespace("ns")
+    catalog.create_table("ns", "t", _schema())
+    a = catalog.load_table("ns", "t")
+    b = catalog.load_table("ns", "t")
+    meta_a = a._io.load()
+    meta_b = b._io.load()  # both based on version 0
+    meta_a["snapshots"] = [{"id": 1, "parent": None, "operation": "append",
+                            "sequence_number": 1, "files": []}]
+    a._io.save(meta_a)  # version 0 -> 1
+    meta_b["snapshots"] = [{"id": 99, "parent": None, "operation": "append",
+                            "sequence_number": 1, "files": []}]
+    with pytest.raises(CommitConflictError):
+        b._io.save(meta_b)  # still asserting version 0
+    assert [s["id"] for s in catalog.load_table("ns", "t").snapshots()] == [1]
+
+
+def test_metadata_only_racer_conflicts_not_clobbered(spark, catalog):
+    """A snapshot commit racing a metadata-only commit (tag creation)
+    must CONFLICT — the version CAS covers the whole document, so the
+    later full-document replacement cannot silently erase the tag."""
+    catalog.create_namespace("ns")
+    catalog.create_table("ns", "t", _schema())
+    a = catalog.load_table("ns", "t")
+    b = catalog.load_table("ns", "t")
+    df = spark.createDataFrame(
+        [(str(g), g, True) for g in range(10)], "foo string, bar int, baz boolean"
+    )
+    a.append(df, single_file=True)
+    a.create_tag("v1")  # metadata-only commit: version moves, head doesn't
+    b.refresh()
+    b.append(df, single_file=True)  # b loaded AFTER the tag: clean commit
+    t = catalog.load_table("ns", "t")
+    assert "v1" in t._meta.get("refs", {})
+    assert t.scan().count() == 20
+    # and a STALE handle's metadata-only save conflicts rather than
+    # resurrecting its old view
+    stale = catalog.load_table("ns", "t")
+    a.refresh()
+    a.append(df, single_file=True)
+    stale._meta.setdefault("refs", {})["v2"] = {"type": "tag", "snapshot_id": 1}
+    with pytest.raises(CommitConflictError):
+        stale._write_meta()
+
+
+def test_names_with_url_unsafe_characters(spark, catalog):
+    """Identifiers containing '/' and spaces round-trip: path segments
+    are percent-encoded client-side and decoded after splitting
+    server-side, so they address the same table the create stored."""
+    catalog.create_namespace("ns")
+    t = catalog.create_table("ns", "odd name/v2", _schema())
+    assert catalog.table_exists("ns", "odd name/v2")
+    assert catalog.list_tables("ns") == ["odd name/v2"]
+    df = spark.createDataFrame(
+        [("a", 1, True)], "foo string, bar int, baz boolean"
+    )
+    t.append(df, single_file=True)
+    assert catalog.load_table("ns", "odd name/v2").scan().count() == 1
+    catalog.drop_table("ns", "odd name/v2")
+    assert not catalog.table_exists("ns", "odd name/v2")
 
 
 def test_table_features_roundtrip_over_rest(spark, catalog):
