@@ -1,17 +1,22 @@
 """Multimodal column plumbing: opaque ``binary`` payloads with typed
 metadata, and Pandas-UDF decode / feature-extract / frame-sample stages.
 
-The container has no image/audio libraries, so the *decode* step is
-stubbed (deterministic fake behind a clearly-marked seam; real decode
-raises NotImplementedError until PIL/librosa are on the image).  The
-Spark-side plumbing — schema, partitioning, ``mapInPandas`` batch shape,
-Arrow transfer — is real and tested: swapping the stub for a real codec
-changes one function body.
+The decode stage is REAL for the two public uncompressed formats a
+container without media libraries can still speak: RIFF/WAVE 16-bit PCM
+audio and PPM ``P6`` images.  ``q_multimodal_decode`` synthesizes
+genuine encoded bytes (a 44-byte RIFF header + PCM samples; a ``P6``
+ASCII header + RGB triples), then parses them back header-first with
+numpy alone inside an Arrow-batched ``mapInPandas`` kernel — byte
+payload in, decoded ndarray out, per-item features computed on the
+decoded samples/pixels.  Compressed formats (PNG/JPEG/FLAC) stay behind
+the clearly-marked PIL seam (``HAVE_PIL``): swapping in a real codec
+changes one branch of the kernel, not the pipeline.
 
-The driver testdata has no binary tables, so payloads are synthesized
-deterministically from ``documents`` (utf-8 bytes of ``text`` standing
-in for encoded media) — the same trick both engines can replay, which
-keeps even the metadata query oracle-checkable.
+The driver testdata has no binary tables, so ``media_table`` synthesizes
+payloads deterministically from ``documents`` (utf-8 bytes of ``text``
+standing in for encoded media) — the same trick both engines can
+replay, which keeps the metadata queries oracle-checkable; the decode
+query builds real WAV/PPM bytes instead, also deterministically.
 """
 
 from __future__ import annotations
@@ -132,7 +137,9 @@ def make_decode_batch(have_pil: bool):
 
 @register("q_multimodal_decode")  # mapInPandas stage: rows-only driver check
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract stage over the multimodal table.
+    """Decode/feature-extract stage over the multimodal table (legacy
+    byte-feature path; see ``q_multimodal_codec_roundtrip`` for the
+    real-format decode).
 
     ``mapInPandas`` streams Arrow batches through Python once —
     the only Python hop in the media pipeline — and runs one task per
@@ -143,6 +150,200 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("meta.format").alias("format"), "payload"
     )
     return m.mapInPandas(make_decode_batch(HAVE_PIL), DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs: RIFF/WAVE 16-bit PCM and PPM P6 — encode AND decode, numpy-only
+# ---------------------------------------------------------------------------
+
+MEDIA_DECODE_SCHEMA = (
+    "doc_id long, format string, n_bytes long, width int, height int, "
+    "n_samples long, sample_rate int, duration_ms double, "
+    "mean_value double, rms double"
+)
+
+
+def make_media_encode_batch():
+    """Arrow-batched fixture-encode kernel: (doc_id, n_chars) → genuine
+    encoded media bytes.  Even docs become WAV (RIFF header + int16 PCM
+    of a deterministic integer waveform), odd docs become PPM P6 (ASCII
+    header + RGB bytes of a deterministic gradient).  Self-contained
+    closure (numpy/stdlib only) so executor workers need no repo import.
+
+    At 100 TB real media arrives already encoded; this stage exists so
+    the DECODE below runs against true on-the-wire bytes, not a fake.
+    """
+
+    def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def wav_bytes(doc_id: int) -> bytes:
+            rate = 8000
+            n = 64 + (doc_id % 192)
+            t = _np.arange(n, dtype=_np.int64)
+            # integer "triangle-ish" waveform — deterministic, exact
+            samples = (((t * (7 + doc_id % 13)) % 2048) - 1024).astype("<i2")
+            data = samples.tobytes()
+            hdr = (
+                b"RIFF"
+                + struct.pack("<I", 36 + len(data))
+                + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                + b"data"
+                + struct.pack("<I", len(data))
+            )
+            return hdr + data
+
+        def ppm_bytes(doc_id: int) -> bytes:
+            w = 8 + (doc_id % 24)
+            h = 6 + ((doc_id * 3) % 18)
+            yy, xx = _np.mgrid[0:h, 0:w]
+            rgb = _np.stack(
+                [
+                    (xx * 255 // max(w - 1, 1)),
+                    (yy * 255 // max(h - 1, 1)),
+                    ((xx + yy + doc_id) % 256),
+                ],
+                axis=-1,
+            ).astype(_np.uint8)
+            return f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes()
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                wav_bytes(i) if i % 2 == 0 else ppm_bytes(i) for i in ids
+            ]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "format": ["wav" if i % 2 == 0 else "ppm" for i in ids],
+                    "payload": payloads,
+                }
+            )
+
+    return encode_batch
+
+
+def make_media_decode_batch(have_pil: bool):
+    """Arrow-batched REAL decode kernel: parse the container header,
+    reconstruct the sample/pixel ndarray with ``np.frombuffer``, and
+    compute features ON THE DECODED DATA (duration and RMS from PCM
+    samples; dimensions and channel means from pixels).  Raises on
+    malformed bytes — this is a decoder, not a length-counter.
+    Compressed formats would dispatch to PIL here (``have_pil`` seam).
+    Self-contained closure: numpy/stdlib only."""
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def decode_wav(b: bytes) -> dict:
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            # walk chunks: fmt_ then data (public container layout)
+            pos, rate, bits, channels, data = 12, None, None, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+                body = b[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    _, channels, rate, _, _, bits = struct.unpack(
+                        "<HHIIHH", body[:16]
+                    )
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size % 2)
+            if rate is None or data is None or bits != 16 or channels != 1:
+                raise ValueError("unsupported WAV layout")
+            samples = _np.frombuffer(data, dtype="<i2").astype(_np.float64)
+            return {
+                "width": None,
+                "height": None,
+                "n_samples": len(samples),
+                "sample_rate": rate,
+                "duration_ms": round(1000.0 * len(samples) / rate, 6),
+                "mean_value": round(float(samples.mean()), 6),
+                "rms": round(float(_np.sqrt((samples**2).mean())), 6),
+            }
+
+        def decode_ppm(b: bytes) -> dict:
+            if b[:2] != b"P6":
+                raise ValueError("not a PPM P6 payload")
+            # header = 4 whitespace-separated tokens: P6 w h maxval
+            tokens, pos = [], 2
+            while len(tokens) < 3:
+                while pos < len(b) and b[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while pos < len(b) and not b[pos : pos + 1].isspace():
+                    pos += 1
+                tokens.append(int(b[start:pos]))
+            pos += 1  # single whitespace after maxval, then raster
+            w, h, maxval = tokens
+            if maxval != 255:
+                raise ValueError("only 8-bit PPM supported")
+            px = _np.frombuffer(b, dtype=_np.uint8, count=w * h * 3, offset=pos)
+            rgb = px.reshape(h, w, 3).astype(_np.float64)
+            return {
+                "width": w,
+                "height": h,
+                "n_samples": None,
+                "sample_rate": None,
+                "duration_ms": None,
+                "mean_value": round(float(rgb.mean()), 6),
+                "rms": round(float(_np.sqrt((rgb**2).mean())), 6),
+            }
+
+        for pdf in batches:
+            rows = []
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["format"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                if fmt == "wav":
+                    feats = decode_wav(b)
+                elif fmt == "ppm":
+                    feats = decode_ppm(b)
+                elif have_pil:
+                    raise NotImplementedError(
+                        "compressed formats dispatch to PIL here"
+                    )
+                else:
+                    raise ValueError(f"no decoder for format {fmt!r}")
+                rows.append(
+                    {"doc_id": doc_id, "format": fmt, "n_bytes": len(b), **feats}
+                )
+            yield _pd.DataFrame(rows)
+
+    return decode_batch
+
+
+@register("q_multimodal_codec_roundtrip")  # real codec: rows-only check
+def q_multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end: encode genuine WAV-PCM / PPM-P6
+    bytes (one format per parity of ``doc_id``), ship them through a
+    binary column, and decode them back — header parse, ndarray
+    reconstruction, features on the decoded samples/pixels.
+
+    Two chained ``mapInPandas`` stages (encode fixture → decode), each
+    one task per partition, payload bytes never leaving the executor —
+    the exact topology of a production decode stage reading
+    already-encoded blobs from parquet/tar shards.  Deterministic
+    output; the encode↔decode agreement is asserted row-exactly in
+    ``tests/test_llm_ops.py``."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    src = docs.select("doc_id", "n_chars").repartition(8, "doc_id")
+    encoded = src.mapInPandas(
+        make_media_encode_batch(), "doc_id long, format string, payload binary"
+    )
+    return encoded.mapInPandas(
+        make_media_decode_batch(HAVE_PIL), MEDIA_DECODE_SCHEMA
+    )
 
 
 @register(
