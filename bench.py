@@ -92,6 +92,7 @@ EXTRA = [
     "q_source_divergence",
     "q_zipf_check",
     "q_ann_ivfpq",
+    "q_multimodal_codec_roundtrip",
 ]
 
 
