@@ -340,3 +340,65 @@ def test_random_docs_spec_matches_duckdb(spark, grp, lang_pred, frac):
         spark, f"docprop[{grp},{lang_pred},{frac:.3f}]", fn, sql, SF_SMALL
     )
     assert not errors, errors
+
+
+def render_join_sql(kind: str, grp: str, frac: float) -> str:
+    """One ANSI SQL string both engines run: orders ⋈ lineitem with a
+    pushed-down lineitem predicate, aggregated per group.  LEFT keeps
+    unmatched orders (count(l_orderkey) exposes null-handling), EXISTS /
+    NOT EXISTS are the engine-common semi/anti spellings."""
+    lo, hi = NUM_COLS["l_quantity"]
+    thr = round(lo + frac * (hi - lo), 4)
+    if kind in ("INNER", "LEFT"):
+        return f"""
+        SELECT {grp} AS g,
+               count(*) AS n,
+               count(l_orderkey) AS n_matched,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        FROM orders LEFT JOIN lineitem
+          ON l_orderkey = o_orderkey AND l_quantity <= {thr!r}
+        GROUP BY {grp}
+        """ if kind == "LEFT" else f"""
+        SELECT {grp} AS g,
+               count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        FROM orders JOIN lineitem
+          ON l_orderkey = o_orderkey AND l_quantity <= {thr!r}
+        GROUP BY {grp}
+        """
+    neg = "NOT " if kind == "ANTI" else ""
+    return f"""
+    SELECT {grp} AS g,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+    FROM orders o
+    WHERE {neg}EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_quantity <= {thr!r})
+    GROUP BY {grp}
+    """
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    kind=st.sampled_from(["INNER", "LEFT", "SEMI", "ANTI"]),
+    grp=st.sampled_from(["o_orderpriority", "o_orderstatus"]),
+    frac=st.floats(0.05, 0.95),
+)
+def test_random_join_spec_matches_duckdb(spark, kind, grp, frac):
+    """Differential fuzz of the JOIN surface (inner/left/semi/anti with
+    a non-equi conjunct in the ON clause): any divergence in join-null
+    semantics, ON-vs-WHERE predicate placement, or decimal aggregation
+    across the join fails exactly."""
+    sql = render_join_sql(kind, grp, frac)
+
+    def fn(spark, sf_dir, sql=sql):
+        load_tables(spark, sf_dir, ("orders", "lineitem"))
+        return spark.sql(sql)
+
+    errors = compare(spark, f"propjoin[{kind},{grp},{frac:.3f}]", fn, sql, SF_SMALL)
+    assert not errors, errors
