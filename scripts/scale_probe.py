@@ -71,6 +71,9 @@ PROBE = [
     "q_bm25",
     "q_pack_sequences",
     "q_stream_tumbling",
+    "q_zipf_check",
+    "q_ann_ivfpq",
+    "q_multimodal_codec_roundtrip",
 ]
 
 
