@@ -100,24 +100,24 @@ DECODE_SCHEMA = (
 
 
 def make_decode_batch(have_pil: bool):
-    """Build the per-partition Arrow batch decode function.
+    """Build the per-partition Arrow batch byte-feature function.
 
     Returned as a closure (NOT a module-level function) so cloudpickle
     serializes it by value — Spark's Python workers don't have this repo
     on their sys.path when the driver imports us from elsewhere.
 
-    Real path (``have_pil``) would decode pixels; the stub computes a
-    deterministic byte-level feature so the plumbing (batch shape,
-    schema, partition parallelism) is exercised end-to-end.
+    This stage computes deterministic BYTE-level features regardless of
+    installed codecs (it feeds QA dashboards that must not depend on
+    decodability); actual decoding — including the PIL seam for
+    compressed formats — lives in ``make_media_decode_batch``.
+    ``have_pil`` is accepted for signature stability but unused here.
     """
+    del have_pil  # byte-feature stage: codec availability is irrelevant
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
         for pdf in batches:
-            if have_pil:
-                # real decode would go here (PIL.Image.open over payload bytes)
-                raise NotImplementedError("real decode path not wired in this container")
             payloads = pdf["payload"]
             yield _pd.DataFrame(
                 {
@@ -164,9 +164,9 @@ MEDIA_DECODE_SCHEMA = (
 
 
 def make_media_encode_batch():
-    """Arrow-batched fixture-encode kernel: (doc_id, n_chars) → genuine
-    encoded media bytes.  Even docs become WAV (RIFF header + int16 PCM
-    of a deterministic integer waveform), odd docs become PPM P6 (ASCII
+    """Arrow-batched fixture-encode kernel: doc_id → genuine encoded
+    media bytes.  Even docs become WAV (RIFF header + int16 PCM of a
+    deterministic integer waveform), odd docs become PPM P6 (ASCII
     header + RGB bytes of a deterministic gradient).  Self-contained
     closure (numpy/stdlib only) so executor workers need no repo import.
 
@@ -245,13 +245,22 @@ def make_media_decode_batch(have_pil: bool):
         def decode_wav(b: bytes) -> dict:
             if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
                 raise ValueError("not a RIFF/WAVE payload")
-            # walk chunks: fmt_ then data (public container layout)
+            # walk chunks: fmt_ then data (public container layout);
+            # every declared size is validated against the payload —
+            # a truncated or over-declared chunk raises instead of
+            # silently decoding a prefix
             pos, rate, bits, channels, data = 12, None, None, None, None
             while pos + 8 <= len(b):
                 cid = b[pos : pos + 4]
                 size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+                if pos + 8 + size > len(b):
+                    raise ValueError(
+                        f"truncated {cid!r} chunk: declares {size} bytes"
+                    )
                 body = b[pos + 8 : pos + 8 + size]
                 if cid == b"fmt ":
+                    if size < 16:
+                        raise ValueError("fmt chunk shorter than 16 bytes")
                     _, channels, rate, _, _, bits = struct.unpack(
                         "<HHIIHH", body[:16]
                     )
@@ -260,6 +269,8 @@ def make_media_decode_batch(have_pil: bool):
                 pos += 8 + size + (size % 2)
             if rate is None or data is None or bits != 16 or channels != 1:
                 raise ValueError("unsupported WAV layout")
+            if len(data) == 0 or len(data) % 2:
+                raise ValueError("data chunk empty or odd-sized for 16-bit PCM")
             samples = _np.frombuffer(data, dtype="<i2").astype(_np.float64)
             return {
                 "width": None,
@@ -318,7 +329,16 @@ def make_media_decode_batch(have_pil: bool):
                 rows.append(
                     {"doc_id": doc_id, "format": fmt, "n_bytes": len(b), **feats}
                 )
-            yield _pd.DataFrame(rows)
+            # explicit columns: a 0-row batch must still carry the full
+            # schema or the Arrow serializer rejects the frame
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "format", "n_bytes", "width", "height",
+                    "n_samples", "sample_rate", "duration_ms",
+                    "mean_value", "rms",
+                ],
+            )
 
     return decode_batch
 
@@ -337,7 +357,7 @@ def q_multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     output; the encode↔decode agreement is asserted row-exactly in
     ``tests/test_llm_ops.py``."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    src = docs.select("doc_id", "n_chars").repartition(8, "doc_id")
+    src = docs.select("doc_id").repartition(8, "doc_id")
     encoded = src.mapInPandas(
         make_media_encode_batch(), "doc_id long, format string, payload binary"
     )

@@ -350,19 +350,15 @@ def render_join_sql(kind: str, grp: str, frac: float) -> str:
     lo, hi = NUM_COLS["l_quantity"]
     thr = round(lo + frac * (hi - lo), 4)
     if kind in ("INNER", "LEFT"):
+        # LEFT additionally counts matched rows, exposing null handling
+        extra = "count(l_orderkey) AS n_matched," if kind == "LEFT" else ""
+        join_kw = "LEFT JOIN" if kind == "LEFT" else "JOIN"
         return f"""
         SELECT {grp} AS g,
                count(*) AS n,
-               count(l_orderkey) AS n_matched,
+               {extra}
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
-        FROM orders LEFT JOIN lineitem
-          ON l_orderkey = o_orderkey AND l_quantity <= {thr!r}
-        GROUP BY {grp}
-        """ if kind == "LEFT" else f"""
-        SELECT {grp} AS g,
-               count(*) AS n,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
-        FROM orders JOIN lineitem
+        FROM orders {join_kw} lineitem
           ON l_orderkey = o_orderkey AND l_quantity <= {thr!r}
         GROUP BY {grp}
         """

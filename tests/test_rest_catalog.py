@@ -301,6 +301,7 @@ def test_concurrent_appends_no_lost_updates(spark, catalog):
         th.start()
     for th in threads:
         th.join(timeout=300)
+    assert not any(th.is_alive() for th in threads), "writer thread hung"
     assert not errors, errors
     t = catalog.load_table("ns", "t")
     assert len(t.snapshots()) == N_THREADS * N_APPENDS
