@@ -985,3 +985,98 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).where(
         F.col("rnk") <= TOP_K
     )
+
+
+# Within-cluster cosine above which a later doc is pruned.  Scaled to
+# the synthetic near-uniform test embeddings (within-cluster cosines top
+# out ~0.47 at sf0.01, so 0.4 exercises both verdicts); real text
+# embeddings cluster much tighter — production SemDeDup runs use ~0.95+.
+SEMDEDUP_TAU = 0.4
+
+
+@register("q_semdedup")  # k-means assignment upstream: rows-only check
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the shared
+    k-means coarse quantizer, then WITHIN each cluster greedily prune
+    every vector whose cosine to an already-kept vector is ≥
+    {SEMDEDUP_TAU} — keeping the lowest ``vec_id`` of each semantic
+    duplicate group.  This is the embedding-space complement of the
+    lexical MinHash/SimHash family: it removes paraphrases and
+    re-renderings that share no n-grams.
+
+    Plan: centroids come from the ``_trained`` cache (train once per
+    corpus snapshot, shared with IVF); ONE Arrow pass assigns cells;
+    one ``applyInPandas`` per cluster runs the greedy scan as numpy
+    matrix ops (each candidate row scored against the KEPT matrix in a
+    vectorized sweep — never all-pairs across clusters).  At 100 TB the
+    cluster count scales with the corpus so per-cluster blocks stay
+    bounded (the SemDeDup paper's own cost model); the verdict is an
+    auditable row per vector (cell, kept flag, evidence cosine + the
+    kept vector that triggered the prune), so the survivor set is
+    ``WHERE kept`` and the dedup report is the rest.  Determinism: the
+    greedy order is ``vec_id``, centroids are seeded — byte-stable
+    output across runs (asserted in tests/test_llm_ops.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    C = _trained(
+        ("ivf", sf_dir, IVF_CENTROIDS, IVF_KMEANS_ITERS),
+        lambda: _kmeans_centroids(e, IVF_CENTROIDS),
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            M = np.array(pdf["v"].tolist(), dtype=np.float64)
+            M = M / np.sqrt(np.einsum("ij,ij->i", M, M))[:, None]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": np.argmax(M @ C.T, axis=1).astype(np.int32),
+                    "v": pdf["v"],
+                }
+            )
+
+    assigned = e.mapInPandas(assign, "vec_id long, cell int, v array<double>")
+
+    tau = SEMDEDUP_TAU
+
+    def prune_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        sub = pdf.sort_values("vec_id").reset_index(drop=True)
+        M = np.array(sub["v"].tolist(), dtype=np.float64)
+        M = M / np.sqrt(np.einsum("ij,ij->i", M, M))[:, None]
+        n = len(sub)
+        kept_rows: list[int] = []
+        kept = np.zeros(n, dtype=bool)
+        evidence_cos = np.full(n, -2.0)
+        evidence_id = np.full(n, -1, dtype=np.int64)
+        ids = sub["vec_id"].to_numpy()
+        for i in range(n):
+            if kept_rows:
+                cos = M[kept_rows] @ M[i]  # one vectorized sweep vs KEPT
+                j = int(np.argmax(cos))
+                evidence_cos[i] = cos[j]
+                evidence_id[i] = ids[kept_rows[j]]
+                if cos[j] >= tau:
+                    continue  # pruned: near-duplicate of a kept vector
+            kept[i] = True
+            kept_rows.append(i)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": sub["cell"],
+                "kept": kept,
+                "nearest_kept_id": evidence_id,
+                "nearest_kept_cos": np.round(evidence_cos, 6),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        prune_cluster,
+        "vec_id long, cell int, kept boolean, "
+        "nearest_kept_id long, nearest_kept_cos double",
+    )

@@ -495,3 +495,43 @@ def test_media_decoder_property_roundtrip():
 
     wav_case()
     ppm_case()
+
+
+def test_semdedup_invariants(spark):
+    """SemDeDup correctness properties, checked against the raw vectors:
+    (1) every pruned vector is within TAU of a KEPT vector in its own
+    cluster (the evidence row is accurate), (2) no two kept vectors in a
+    cluster are within TAU of each other (greedy guarantee — the
+    survivor set is an independent set at the threshold), and (3) the
+    verdict is byte-deterministic across runs."""
+    import numpy as np
+
+    from iceberg_data_gen_spark.operators.similarity import SEMDEDUP_TAU
+    from iceberg_data_gen_spark.session import load_tables
+
+    q = operators.QUERIES["q_semdedup"]
+    out = q(spark, SF_DIR).toPandas().sort_values("vec_id").reset_index(drop=True)
+    again = q(spark, SF_DIR).toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert out.equals(again)  # (3)
+    assert out["kept"].any() and (~out["kept"]).any()  # both verdicts occur
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"].toPandas()
+    V = np.array(emb.sort_values("vec_id")["embedding"].tolist(), dtype=np.float64)
+    V = V / np.sqrt((V * V).sum(axis=1))[:, None]
+    idx = {int(v): i for i, v in enumerate(sorted(emb["vec_id"]))}
+
+    kept_by_cell: dict[int, list[int]] = {}
+    for r in out.itertuples():
+        if r.kept:
+            kept_by_cell.setdefault(r.cell, []).append(int(r.vec_id))
+    for r in out.itertuples():
+        if not r.kept:  # (1)
+            assert r.nearest_kept_cos >= SEMDEDUP_TAU
+            assert int(r.nearest_kept_id) in kept_by_cell[r.cell]
+            cos = float(V[idx[int(r.vec_id)]] @ V[idx[int(r.nearest_kept_id)]])
+            assert abs(cos - r.nearest_kept_cos) < 1e-5
+    for cell, ids in kept_by_cell.items():  # (2)
+        K = V[[idx[i] for i in ids]]
+        G = K @ K.T
+        np.fill_diagonal(G, 0.0)
+        assert G.max() < SEMDEDUP_TAU
