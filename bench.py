@@ -93,6 +93,7 @@ EXTRA = [
     "q_zipf_check",
     "q_ann_ivfpq",
     "q_multimodal_codec_roundtrip",
+    "q_semdedup",
 ]
 
 

@@ -74,6 +74,7 @@ PROBE = [
     "q_zipf_check",
     "q_ann_ivfpq",
     "q_multimodal_codec_roundtrip",
+    "q_semdedup",
 ]
 
 
