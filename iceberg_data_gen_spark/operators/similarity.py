@@ -1012,8 +1012,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized sweep — never all-pairs across clusters).  At 100 TB the
     cluster count scales with the corpus so per-cluster blocks stay
     bounded (the SemDeDup paper's own cost model); the verdict is an
-    auditable row per vector (cell, kept flag, evidence cosine + the
-    kept vector that triggered the prune), so the survivor set is
+    auditable row per vector (cell, kept flag, and the EVIDENCE — the
+    best cosine/id among vectors kept BEFORE this one, i.e. what the
+    greedy decision actually saw, not the global nearest survivor), so
+    the survivor set is
     ``WHERE kept`` and the dedup report is the rest.  Determinism: the
     greedy order is ``vec_id``, centroids are seeded — byte-stable
     output across runs (asserted in tests/test_llm_ops.py).
@@ -1050,33 +1052,40 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         M = np.array(sub["v"].tolist(), dtype=np.float64)
         M = M / np.sqrt(np.einsum("ij,ij->i", M, M))[:, None]
         n = len(sub)
-        kept_rows: list[int] = []
+        # kept vectors written once into a preallocated matrix — scoring
+        # slices it instead of fancy-index-copying the kept set per row
+        K = np.empty_like(M)
+        kept_ids: list[int] = []
         kept = np.zeros(n, dtype=bool)
+        # evidence = the kept vector that TRIGGERED the verdict (best
+        # among those kept BEFORE row i — not the global nearest kept)
         evidence_cos = np.full(n, -2.0)
         evidence_id = np.full(n, -1, dtype=np.int64)
         ids = sub["vec_id"].to_numpy()
         for i in range(n):
-            if kept_rows:
-                cos = M[kept_rows] @ M[i]  # one vectorized sweep vs KEPT
+            nk = len(kept_ids)
+            if nk:
+                cos = K[:nk] @ M[i]  # one vectorized sweep vs KEPT
                 j = int(np.argmax(cos))
                 evidence_cos[i] = cos[j]
-                evidence_id[i] = ids[kept_rows[j]]
+                evidence_id[i] = kept_ids[j]
                 if cos[j] >= tau:
                     continue  # pruned: near-duplicate of a kept vector
             kept[i] = True
-            kept_rows.append(i)
+            K[nk] = M[i]
+            kept_ids.append(int(ids[i]))
         return pd.DataFrame(
             {
                 "vec_id": ids,
                 "cell": sub["cell"],
                 "kept": kept,
-                "nearest_kept_id": evidence_id,
-                "nearest_kept_cos": np.round(evidence_cos, 6),
+                "evidence_id": evidence_id,
+                "evidence_cos": np.round(evidence_cos, 6),
             }
         )
 
     return assigned.groupBy("cell").applyInPandas(
         prune_cluster,
         "vec_id long, cell int, kept boolean, "
-        "nearest_kept_id long, nearest_kept_cos double",
+        "evidence_id long, evidence_cos double",
     )
