@@ -62,7 +62,7 @@ def _query_matrix(e: DataFrame, n_queries: int):
     )
     q_ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     Q = np.array([r.v for r in rows], dtype=np.float64)
-    return q_ids, Q / np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None], rows
+    return q_ids, Q / np.maximum(np.sqrt(np.einsum("ij,ij->i", Q, Q)), 1e-12)[:, None], rows
 
 
 def _probe_map(Q, C, nprobe: int) -> dict[int, list[int]]:
@@ -173,7 +173,7 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             M = np.array(pdf["v"].tolist(), dtype=np.float64)
-            M = M / np.sqrt(np.einsum("ij,ij->i", M, M))[:, None]
+            M = M / np.maximum(np.sqrt(np.einsum("ij,ij->i", M, M)), 1e-12)[:, None]
             ids = pdf["vec_id"].to_numpy()
             # queries on the row axis so each (query, candidate) dot is a
             # sequential sum over the vector — same order as the oracle
@@ -197,9 +197,33 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_CENTROIDS = 16
-IVF_NPROBE = 4
+IVF_CENTROIDS = 16  # floor; the effective k is corpus-derived (_ivf_k)
+IVF_NPROBE = 4  # floor; the effective nprobe is sqrt-scaled (_ivf_nprobe)
 IVF_KMEANS_ITERS = 2
+# Target per-cell occupancy.  This is what actually bounds per-cell work
+# at scale: IVF probe-list length and SemDeDup's within-cell greedy
+# sweep (worst-case O(cell_rows²)) both grow with cell size, so the
+# cluster count is DERIVED from the corpus size (k = N / target) rather
+# than fixed — at a constant k the per-cell cost would be O((N/k)²), a
+# latent quadratic at 100 TB.
+IVF_TARGET_ROWS_PER_CELL = 4096
+
+
+def _ivf_k(n_vectors: int) -> int:
+    """Corpus-derived coarse-quantizer size: constant expected rows per
+    cell, floored at {IVF_CENTROIDS} so tiny test corpora keep the
+    recall-asserted 16-cell geometry."""
+    import math
+
+    return max(IVF_CENTROIDS, math.ceil(max(n_vectors, 1) / IVF_TARGET_ROWS_PER_CELL))
+
+
+def _ivf_nprobe(k: int) -> int:
+    """sqrt-scaled probe count: 4 of 16 cells at the floor (the tested
+    recall point), a shrinking FRACTION of cells as k grows — the
+    classic IVF recall/cost curve (probing a fixed fraction would make
+    probe cost linear in k again)."""
+    return max(IVF_NPROBE, int(round(k**0.5)))
 
 # Trained-model cache: at scale you train the IVF centroids / PQ
 # codebooks ONCE per corpus version and reuse them for every query
@@ -214,6 +238,20 @@ def _trained(key: tuple, train):
     if key not in _TRAINED:
         _TRAINED[key] = train()
     return _TRAINED[key]
+
+
+def _corpus_centroids(e: DataFrame, sf_dir: str):
+    """The shared coarse quantizer (IVF / IVF+PQ / SemDeDup) with
+    corpus-DERIVED k: one cached ``count()`` sizes the cluster count so
+    per-cell occupancy stays ~constant as the corpus grows, then the
+    centroids train once per (corpus, k).  Returns ``(C, k)``."""
+    n = _trained(("count", sf_dir), e.count)
+    k = _ivf_k(n)
+    C = _trained(
+        ("ivf", sf_dir, k, IVF_KMEANS_ITERS),
+        lambda: _kmeans_centroids(e, k),
+    )
+    return C, k
 
 
 def _kmeans_centroids(e: DataFrame, k: int, iters: int = IVF_KMEANS_ITERS):
@@ -241,7 +279,7 @@ def _kmeans_centroids(e: DataFrame, k: int, iters: int = IVF_KMEANS_ITERS):
         .collect()
     )
     C = np.array([r.v for r in seed], dtype=np.float64)
-    C = C / np.sqrt(np.einsum("ij,ij->i", C, C))[:, None]
+    C = C / np.maximum(np.sqrt(np.einsum("ij,ij->i", C, C)), 1e-12)[:, None]
 
     dim = C.shape[1]
     for _ in range(iters):
@@ -252,7 +290,7 @@ def _kmeans_centroids(e: DataFrame, k: int, iters: int = IVF_KMEANS_ITERS):
             counts = np.zeros(len(Cb), dtype=np.int64)
             for pdf in batches:
                 M = np.array(pdf["v"].tolist(), dtype=np.float64)
-                M = M / np.sqrt(np.einsum("ij,ij->i", M, M))[:, None]
+                M = M / np.maximum(np.sqrt(np.einsum("ij,ij->i", M, M)), 1e-12)[:, None]
                 cells = np.argmax(M @ Cb.T, axis=1)
                 np.add.at(counts, cells, 1)
                 np.add.at(sums, cells, M)
@@ -277,7 +315,7 @@ def _kmeans_centroids(e: DataFrame, k: int, iters: int = IVF_KMEANS_ITERS):
         for r in rows:
             if r.cnt:
                 vec = np.array([r[f"s{i}"] for i in range(dim)], dtype=np.float64)
-                C[r.cell] = vec / np.linalg.norm(vec)
+                C[r.cell] = vec / max(np.linalg.norm(vec), 1e-12)
     return C
 
 
@@ -309,21 +347,18 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    C = _trained(
-        ("ivf", sf_dir, IVF_CENTROIDS, IVF_KMEANS_ITERS),
-        lambda: _kmeans_centroids(e, IVF_CENTROIDS),
-    )
+    C, k = _corpus_centroids(e, sf_dir)
     q_ids, Q, _ = _query_matrix(e, N_QUERIES)
     # per-query probe list: the nprobe closest centroid cells, inverted to
     # a cell -> [query row] lookup (the "inverted file") carried in the
     # kernel closure — probing is then a dict lookup per corpus vector,
     # no join and no second pass over the corpus
-    cell_to_queries = _probe_map(Q, C, IVF_NPROBE)
+    cell_to_queries = _probe_map(Q, C, _ivf_nprobe(k))
 
     def assign_and_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             M = np.array(pdf["v"].tolist(), dtype=np.float64)
-            M = M / np.sqrt(np.einsum("ij,ij->i", M, M))[:, None]
+            M = M / np.maximum(np.sqrt(np.einsum("ij,ij->i", M, M)), 1e-12)[:, None]
             ids = pdf["vec_id"].to_numpy()
             cells = np.argmax(M @ C.T, axis=1)
             out_q, out_n, out_c = [], [], []
@@ -518,7 +553,7 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             M = np.array(pdf["v"].tolist(), dtype=np.float64)
-            M = M / np.sqrt(np.einsum("ij,ij->i", M, M))[:, None]
+            M = M / np.maximum(np.sqrt(np.einsum("ij,ij->i", M, M)), 1e-12)[:, None]
             ids = pdf["vec_id"].to_numpy()
             labels = pdf["label"].to_numpy()
             cos = np.einsum("qj,cj->qc", Q, M)
@@ -589,7 +624,7 @@ def _pq_codebooks(e: DataFrame):
         .collect()
     )
     S = np.array([r.v for r in seed], dtype=np.float64)
-    S = S / np.sqrt(np.einsum("ij,ij->i", S, S))[:, None]
+    S = S / np.maximum(np.sqrt(np.einsum("ij,ij->i", S, S)), 1e-12)[:, None]
     d = S.shape[1] // PQ_SUBSPACES
     # C[j]: (PQ_CODES, d) codebook for subspace j
     C = np.stack([S[:, j * d : (j + 1) * d] for j in range(PQ_SUBSPACES)])
@@ -602,7 +637,7 @@ def _pq_codebooks(e: DataFrame):
             counts = np.zeros((PQ_SUBSPACES, PQ_CODES), dtype=np.int64)
             for pdf in batches:
                 M = np.array(pdf["v"].tolist(), dtype=np.float64)
-                M = M / np.sqrt(np.einsum("ij,ij->i", M, M))[:, None]
+                M = M / np.maximum(np.sqrt(np.einsum("ij,ij->i", M, M)), 1e-12)[:, None]
                 for j in range(PQ_SUBSPACES):
                     Mj = M[:, j * d : (j + 1) * d]
                     # L2 argmin via the expanded form; -2*dot dominates
@@ -675,7 +710,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     def encode_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             M = np.array(pdf["v"].tolist(), dtype=np.float64)
-            M = M / np.sqrt(np.einsum("ij,ij->i", M, M))[:, None]
+            M = M / np.maximum(np.sqrt(np.einsum("ij,ij->i", M, M)), 1e-12)[:, None]
             ids = pdf["vec_id"].to_numpy()
             codes = np.empty((len(M), PQ_SUBSPACES), dtype=np.int64)
             for j in range(PQ_SUBSPACES):
@@ -919,10 +954,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    C = _trained(
-        ("ivf", sf_dir, IVF_CENTROIDS, IVF_KMEANS_ITERS),
-        lambda: _kmeans_centroids(e, IVF_CENTROIDS),
-    )
+    C, k = _corpus_centroids(e, sf_dir)
     B = _trained(
         ("pq", sf_dir, PQ_SUBSPACES, PQ_CODES, PQ_ITERS),
         lambda: _pq_codebooks(e),
@@ -932,12 +964,12 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ADC tables: T[q, j, c] = dot(Q[q] subspace j, B[j, c])
     T = _adc_tables(Q, B)
     # inverted file: cell -> [query rows probing it]
-    cell_to_queries = _probe_map(Q, C, IVF_NPROBE)
+    cell_to_queries = _probe_map(Q, C, _ivf_nprobe(k))
 
     def assign_encode_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             M = np.array(pdf["v"].tolist(), dtype=np.float64)
-            M = M / np.sqrt(np.einsum("ij,ij->i", M, M))[:, None]
+            M = M / np.maximum(np.sqrt(np.einsum("ij,ij->i", M, M)), 1e-12)[:, None]
             ids = pdf["vec_id"].to_numpy()
             cells = np.argmax(M @ C.T, axis=1)
             # PQ-encode ONLY vectors in probed cells (the IVF prune)
@@ -1026,15 +1058,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    C = _trained(
-        ("ivf", sf_dir, IVF_CENTROIDS, IVF_KMEANS_ITERS),
-        lambda: _kmeans_centroids(e, IVF_CENTROIDS),
-    )
+    C, _k = _corpus_centroids(e, sf_dir)
 
     def assign(batches):
         for pdf in batches:
             M = np.array(pdf["v"].tolist(), dtype=np.float64)
-            M = M / np.sqrt(np.einsum("ij,ij->i", M, M))[:, None]
+            M = M / np.maximum(np.sqrt(np.einsum("ij,ij->i", M, M)), 1e-12)[:, None]
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
@@ -1050,7 +1079,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def prune_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         sub = pdf.sort_values("vec_id").reset_index(drop=True)
         M = np.array(sub["v"].tolist(), dtype=np.float64)
-        M = M / np.sqrt(np.einsum("ij,ij->i", M, M))[:, None]
+        M = M / np.maximum(np.sqrt(np.einsum("ij,ij->i", M, M)), 1e-12)[:, None]
         n = len(sub)
         # kept vectors written once into a preallocated matrix — scoring
         # slices it instead of fancy-index-copying the kept set per row

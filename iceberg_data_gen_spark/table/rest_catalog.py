@@ -36,6 +36,7 @@ that route and this one consume the same ``[catalog]`` TOML section.
 from __future__ import annotations
 
 import json
+import os
 import urllib.error
 import urllib.parse
 import urllib.request
@@ -61,6 +62,12 @@ class RestCatalogError(RuntimeError):
         self.status = status
 
 
+# Per-request ceiling so a stalled catalog service fails loudly through
+# the RestCatalogError contract instead of hanging every table op (and
+# the commit retry loop) forever.  Override for slow links via env.
+CALL_TIMEOUT_S = float(os.environ.get("IDG_REST_TIMEOUT_S", "30"))
+
+
 def _call(
     method: str, url: str, body: dict | None = None
 ) -> tuple[int, dict | None]:
@@ -69,7 +76,7 @@ def _call(
         url, data=data, method=method, headers={"Content-Type": "application/json"}
     )
     try:
-        with urllib.request.urlopen(req) as resp:
+        with urllib.request.urlopen(req, timeout=CALL_TIMEOUT_S) as resp:
             raw = resp.read()
             return resp.status, (json.loads(raw) if raw else None)
     except urllib.error.HTTPError as e:
@@ -80,9 +87,14 @@ def _call(
             payload = {"error": raw.decode(errors="replace")}
         return e.code, payload
     except urllib.error.URLError as e:
-        # connection-level failure (refused, DNS, timeout): surface as a
-        # catalog error so callers see the documented exception contract
+        # connection-level failure (refused, DNS, connect timeout):
+        # surface as a catalog error so callers see the documented
+        # exception contract
         raise RestCatalogError(0, f"catalog unreachable: {e.reason}") from e
+    except TimeoutError as e:
+        # read-side stall after the connection was established (half-dead
+        # service) — same contract as unreachable
+        raise RestCatalogError(0, f"catalog timed out after {CALL_TIMEOUT_S}s") from e
 
 
 def _err(status: int, payload: dict | None) -> str:
@@ -200,7 +212,11 @@ class RestCatalog:
         return f"{self.uri}/v1/namespaces/{_q(namespace)}/tables/{_q(name)}"
 
     def _data_path(self, namespace: str, name: str) -> Path:
-        return self.warehouse / namespace / name
+        # percent-encode the identifiers so filesystem identity matches
+        # catalog identity: the wire layer allows '/' in names, and a raw
+        # join would alias table "a/b" INSIDE table "a"'s directory —
+        # drop_table(ns, "a") would then rmtree "a/b"'s data files
+        return self.warehouse / _q(namespace) / _q(name)
 
     def table_exists(self, namespace: str, name: str) -> bool:
         status, payload = _call("GET", self._table_url(namespace, name))

@@ -264,6 +264,13 @@ class MoRTable:
         # pollute main's parent chain (time travel to the main head
         # would then walk branch-only commits)
         parent = extra.pop("parent", None)
+        # ref advance (branch append) rides in the SAME save as the
+        # snapshot: a two-save publish would let a racing commit between
+        # the saves strand a half-applied document (snapshot committed,
+        # ref never advanced) and let readers observe the intermediate
+        # state; same reason WAP staging passes staged=True here instead
+        # of flag-then-resave
+        advance_ref = extra.pop("_advance_ref", None)
         if parent is None:
             live = [
                 s for s in snaps if not s.get("staged") and not s.get("branch")
@@ -278,6 +285,8 @@ class MoRTable:
             **extra,
         }
         snaps.append(snap)
+        if advance_ref is not None:
+            self._meta["refs"][advance_ref]["snapshot_id"] = snap["id"]
         self._write_meta()
         return snap
 
@@ -409,7 +418,11 @@ class MoRTable:
         return finals
 
     def append(
-        self, df: DataFrame, single_file: bool = False, branch: str | None = None
+        self,
+        df: DataFrame,
+        single_file: bool = False,
+        branch: str | None = None,
+        _snapshot_extra: dict | None = None,
     ) -> dict:
         """Append data files; ONE snapshot per call (main.rs:125-158).
 
@@ -423,29 +436,37 @@ class MoRTable:
         its constant partition tuple + spec id in the snapshot metadata
         (the Iceberg manifest model) so scans can prune at planning time.
         """
+        extra = dict(_snapshot_extra or {})
         spec = self.default_spec
         if spec["fields"]:
             if branch is not None:
                 raise ValueError("branch writes with a partition spec: not supported")
-            return self._append_partitioned(df, spec)
+            return self._append_partitioned(df, spec, extra)
         files = []
         for path in self._write_files(df, self.path / "data", "data", single_file):
             files.append(
                 {"path": path, "kind": "data", "record_count": _footer_row_count(path), "stats": _footer_stats(path)}
             )
         if branch is None:
-            return self._commit("append", files)
+            return self._commit("append", files, **extra)
         ref = self._meta.get("refs", {}).get(branch)
         if ref is None or ref["type"] != "branch":
             raise ValueError(f"no such branch: {branch}")
-        snap = self._commit(
-            "append", files, parent=ref["snapshot_id"], branch=branch
+        # snapshot + ref advance publish in ONE save (see _commit): no
+        # intermediate document where the snapshot exists but the branch
+        # ref still points at the old head
+        return self._commit(
+            "append",
+            files,
+            parent=ref["snapshot_id"],
+            branch=branch,
+            _advance_ref=branch,
+            **extra,
         )
-        ref["snapshot_id"] = snap["id"]
-        self._write_meta()
-        return snap
 
-    def _append_partitioned(self, df: DataFrame, spec: dict) -> dict:
+    def _append_partitioned(
+        self, df: DataFrame, spec: dict, extra: dict | None = None
+    ) -> dict:
         """Partition-aware append: derive the transform columns, let Spark
         hash-cluster the write with ``partitionBy`` (executors write all
         partitions in parallel — the 100 TB path), then lift each output
@@ -485,7 +506,7 @@ class MoRTable:
                 }
             )
         shutil.rmtree(tmp)
-        return self._commit("append", files)
+        return self._commit("append", files, **(extra or {}))
 
     def _write_batches_one_job(
         self, dfs: list[DataFrame], dest: Path, stem: str
@@ -650,11 +671,16 @@ class MoRTable:
         to normal reads and does not advance the table head until
         ``publish_snapshot``.  This is Iceberg's WAP flow
         (``spark.wap.id`` + cherry-pick): bad data is caught while
-        quarantined, with zero rewrite on publish."""
-        snap = self.append(df, single_file=single_file)
-        snap["staged"] = True
-        self._write_meta()
-        return snap
+        quarantined, with zero rewrite on publish.
+
+        The staged flag rides in the SAME atomic commit as the snapshot
+        (not flag-then-resave): a two-save publish would expose an
+        unstaged snapshot on main between the saves — quarantine broken —
+        and a racer committing in the gap would fail the second save,
+        stranding the unflagged snapshot permanently."""
+        return self.append(
+            df, single_file=single_file, _snapshot_extra={"staged": True}
+        )
 
     def publish_snapshot(self, snapshot_id: int) -> dict:
         """Write-Audit-Publish step 2: cherry-pick a staged append onto

@@ -961,3 +961,68 @@ def test_rest_spark_confs_mapping():
         k.startswith(("spark.sql.catalog.prod", "spark.sql.extensions"))
         for k in named
     )
+
+
+def test_staged_and_branch_publish_atomically(spark, tmp_path):
+    """WAP staging and branch appends must publish in ONE metadata save:
+    a two-save publish (commit, then flag/ref mutate + resave) exposes
+    an intermediate document where the staged snapshot is main-visible
+    (quarantine broken) or the branch snapshot exists with its ref not
+    yet advanced — and a racer committing between the saves strands
+    that intermediate state permanently.  Every document the store ever
+    observes must already be consistent."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.table.table import (
+        Field,
+        LocalMetadataIO,
+        MoRTable,
+        TableSchema,
+    )
+
+    saved_docs: list[dict] = []
+
+    class RecordingIO(LocalMetadataIO):
+        def save(self, meta):
+            import copy
+
+            saved_docs.append(copy.deepcopy(meta))
+            super().save(meta)
+
+    schema = TableSchema(
+        fields=[Field(1, "foo", "string"), Field(2, "bar", "int")],
+        identifier_field_ids=[2],
+    )
+    path = tmp_path / "atomic"
+    MoRTable.create(spark, str(path), schema)
+    t = MoRTable(spark, str(path), io=RecordingIO(path))
+    batch = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").cast("string").alias("foo"), F.col("id").cast("int").alias("bar")
+    )
+    t.append(batch(0, 10), single_file=True)
+
+    n_before = len(saved_docs)
+    staged = t.append_staged(batch(10, 20), single_file=True)
+    assert len(saved_docs) == n_before + 1, "staged append must be ONE save"
+    # in every document ever saved, the staged snapshot carries its flag
+    for doc in saved_docs:
+        for s in doc["snapshots"]:
+            if s["id"] == staged["id"]:
+                assert s.get("staged") is True
+
+    t.create_branch("audit")
+    n_before = len(saved_docs)
+    bsnap = t.append(batch(20, 30), single_file=True, branch="audit")
+    assert len(saved_docs) == n_before + 1, "branch append must be ONE save"
+    # in every saved document where the branch snapshot exists, the ref
+    # already points at it — no commit-then-advance gap
+    for doc in saved_docs:
+        ids = {s["id"] for s in doc["snapshots"]}
+        if bsnap["id"] in ids:
+            assert doc["refs"]["audit"]["snapshot_id"] == bsnap["id"]
+
+    # end-state semantics unchanged by the atomicity rework
+    assert t.scan().count() == 10  # staged + branch both invisible on main
+    assert t.scan(ref="audit").count() == 20
+    t.publish_snapshot(staged["id"])
+    assert t.scan().count() == 20

@@ -535,3 +535,67 @@ def test_semdedup_invariants(spark):
         G = K @ K.T
         np.fill_diagonal(G, 0.0)
         assert G.max() < SEMDEDUP_TAU + 1e-5  # float-path tolerance
+
+
+def test_ivf_k_and_nprobe_scale_with_corpus():
+    """The cluster count is DERIVED from corpus size (constant rows per
+    cell) rather than a fixed knob: at a fixed k the per-cell work —
+    IVF probe lists, SemDeDup's within-cell greedy sweep — is O((N/k)²),
+    a latent quadratic at 100 TB.  nprobe sqrt-scales so the probed
+    FRACTION of cells shrinks as k grows."""
+    import math
+
+    from iceberg_data_gen_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        IVF_NPROBE,
+        IVF_TARGET_ROWS_PER_CELL,
+        _ivf_k,
+        _ivf_nprobe,
+    )
+
+    # floor: tiny corpora keep the recall-asserted 16-cell geometry
+    assert _ivf_k(0) == _ivf_k(500) == _ivf_k(2000) == IVF_CENTROIDS
+    assert _ivf_nprobe(IVF_CENTROIDS) == IVF_NPROBE
+    # beyond the floor: expected occupancy stays at the target
+    for n in (100_000, 5_000_000, 1_000_000_000):
+        k = _ivf_k(n)
+        assert k == math.ceil(n / IVF_TARGET_ROWS_PER_CELL)
+        assert n / k <= IVF_TARGET_ROWS_PER_CELL
+        # probed fraction shrinks: sqrt(k)/k -> 0
+        assert _ivf_nprobe(k) / k < _ivf_nprobe(IVF_CENTROIDS) / IVF_CENTROIDS
+    # monotone in n (no oscillation as corpora grow)
+    ks = [_ivf_k(n) for n in (10, 10_000, 100_000, 10_000_000)]
+    assert ks == sorted(ks)
+
+
+def test_zero_norm_embedding_does_not_poison_semdedup(spark, tmp_path):
+    """An all-zero embedding must not propagate NaN through cell
+    assignment / the cosine sweep (ADVICE r4): the norm is clamped, so
+    the zero vector scores cos=0 against everything — deterministically
+    KEPT, never a platform-dependent verdict — and every other verdict
+    matches a corpus without it."""
+    import numpy as np
+
+    from iceberg_data_gen_spark.operators.similarity import DIM, q_semdedup
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (g, [float(x) for x in rng.normal(size=DIM)], g % 3) for g in range(60)
+    ]
+    rows.append((60, [0.0] * DIM, 0))  # the poison row
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    sf_dir = str(tmp_path / "sf-zero")
+    df.write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    out = q_semdedup(spark, sf_dir).collect()
+    assert len(out) == 61
+    by_id = {r.vec_id: r for r in out}
+    z = by_id[60]
+    assert z.kept is True
+    # evidence cosine vs the zero vector is exactly 0 (clamped norm),
+    # and nothing anywhere is NaN
+    for r in out:
+        assert not np.isnan(r.evidence_cos), r
+    # determinism with the poison row present
+    out2 = q_semdedup(spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

@@ -309,3 +309,60 @@ def test_concurrent_appends_no_lost_updates(spark, catalog):
     # parent chain is a clean linear history over all commits
     snaps = t.snapshots()
     assert [s["parent"] for s in snaps] == [None] + [s["id"] for s in snaps[:-1]]
+
+
+def test_slash_names_do_not_alias_on_disk(spark, catalog):
+    """The wire layer allows '/' in table names (percent-encoded); the
+    warehouse path must encode them too, or table "a/b" nests INSIDE
+    table "a"'s directory and drop_table(ns, "a") rmtree's the other
+    table's data files."""
+    catalog.create_namespace("ns")
+    ta = catalog.create_table("ns", "a", _schema())
+    tab = catalog.create_table("ns", "a/b", _schema())
+    df = spark.createDataFrame(
+        [(str(g), g, True) for g in range(10)], "foo string, bar int, baz boolean"
+    )
+    ta.append(df, single_file=True)
+    tab.append(df, single_file=True)
+    # distinct filesystem identities: neither path is inside the other
+    pa, pab = ta.path.resolve(), tab.path.resolve()
+    assert pa != pab and pa not in pab.parents and pab not in pa.parents
+    catalog.drop_table("ns", "a")
+    # "a/b" survives its sibling's drop, data intact
+    assert catalog.table_exists("ns", "a/b")
+    assert catalog.load_table("ns", "a/b").scan().count() == 10
+
+
+def test_stalled_catalog_times_out(monkeypatch):
+    """A half-dead service (accepts connections, never answers) must
+    surface the documented RestCatalogError contract instead of hanging
+    every table operation forever."""
+    import socket
+    import threading
+
+    from iceberg_data_gen_spark.table import rest_catalog as rc
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    held: list[socket.socket] = []
+
+    def hold():
+        try:
+            conn, _ = srv.accept()
+            held.append(conn)  # accept, then stay silent
+        except OSError:
+            pass
+
+    thr = threading.Thread(target=hold, daemon=True)
+    thr.start()
+    monkeypatch.setattr(rc, "CALL_TIMEOUT_S", 0.5)
+    try:
+        with pytest.raises(RestCatalogError) as ei:
+            rc._call("GET", f"http://127.0.0.1:{port}/v1/config")
+        assert ei.value.status == 0
+    finally:
+        for c in held:
+            c.close()
+        srv.close()
