@@ -320,10 +320,28 @@ def make_media_decode_batch(have_pil: bool):
                     feats = decode_wav(b)
                 elif fmt == "ppm":
                     feats = decode_ppm(b)
-                elif have_pil:
-                    raise NotImplementedError(
-                        "compressed formats dispatch to PIL here"
+                elif have_pil and fmt in ("png", "jpeg", "jpg", "bmp", "gif"):
+                    # compressed-format path: PIL does the container/
+                    # entropy decode, features come off the same ndarray
+                    # contract as decode_ppm (lossless formats therefore
+                    # produce bit-identical stats to their source raster)
+                    import io as _io
+
+                    import PIL.Image as _Image
+
+                    rgb = _np.asarray(
+                        _Image.open(_io.BytesIO(b)).convert("RGB"),
+                        dtype=_np.float64,
                     )
+                    feats = {
+                        "width": int(rgb.shape[1]),
+                        "height": int(rgb.shape[0]),
+                        "n_samples": None,
+                        "sample_rate": None,
+                        "duration_ms": None,
+                        "mean_value": round(float(rgb.mean()), 6),
+                        "rms": round(float(_np.sqrt((rgb**2).mean())), 6),
+                    }
                 else:
                     raise ValueError(f"no decoder for format {fmt!r}")
                 rows.append(

@@ -8,10 +8,13 @@ it speaks the wire contract of ``rest_server.RestCatalogServer`` —
 route shapes modeled on the public Iceberg REST catalog OpenAPI, with
 payloads carrying the repo's ``MoRTable`` metadata model and a
 whole-document version CAS in place of the spec's per-field
-requirements.  A spec-complete ``TableMetadata`` mapping for real
-services (Polaris, Lakekeeper, ...) would slot in at this module's
-``_call`` layer; nothing outside it knows HTTP exists.  Standard
-library only — no ``iceberg-spark-runtime`` jar required.
+requirements.  The spec-complete ``TableMetadata`` mapping for real
+services (Polaris, Lakekeeper, ...) lives in ``rest_spec.py`` — pure
+functions translating repo metadata documents into spec
+``TableMetadata`` and field-level ``(updates, requirements)`` commit
+payloads, slotting in at this module's ``_call`` layer; nothing
+outside it knows HTTP exists.  Standard library only — no
+``iceberg-spark-runtime`` jar required.
 
 Split of responsibilities, mirroring real Iceberg REST deployments:
 

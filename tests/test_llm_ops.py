@@ -599,3 +599,57 @@ def test_zero_norm_embedding_does_not_poison_semdedup(spark, tmp_path):
     # determinism with the poison row present
     out2 = q_semdedup(spark, sf_dir).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_png_decode_via_pil_property():
+    """The HAVE_PIL branch, exercised for real when the environment has
+    PIL (auto-skipped otherwise): encode arbitrary RGB rasters to PNG
+    with PIL, decode through the kernel's compressed-format path, and
+    require the EXACT pixel statistics back (PNG is lossless, so the
+    ndarray round-trips bit-identically).  Without PIL the same payload
+    must raise the documented no-decoder error."""
+    import io
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    PIL = pytest.importorskip("PIL.Image")
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_data_gen_spark.operators.multimodal import (
+        make_media_decode_batch,
+    )
+
+    kernel = make_media_decode_batch(True)
+    kernel_no_pil = make_media_decode_batch(False)
+
+    def decode_one(k, fmt, payload):
+        out = list(
+            k(iter([pd.DataFrame({"doc_id": [0], "format": [fmt], "payload": [payload]})]))
+        )[0]
+        return out.iloc[0].to_dict()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=30),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, seed):
+        rgb = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        PIL.fromarray(rgb, mode="RGB").save(buf, format="PNG")
+        png = buf.getvalue()
+        row = decode_one(kernel, "png", png)
+        assert (row["width"], row["height"]) == (w, h)
+        f = rgb.astype(np.float64)
+        assert row["mean_value"] == round(float(f.mean()), 6)
+        assert row["rms"] == round(float(np.sqrt((f**2).mean())), 6)
+        # the same bytes without PIL fail loudly, never silently
+        with pytest.raises(ValueError, match="no decoder"):
+            decode_one(kernel_no_pil, "png", png)
+
+    check()

@@ -366,3 +366,194 @@ def test_stalled_catalog_times_out(monkeypatch):
         for c in held:
             c.close()
         srv.close()
+
+
+# ---------------------------------------------------------------------------
+# Spec-level TableMetadata / UpdateTableRequest mapping (pure, no HTTP)
+# ---------------------------------------------------------------------------
+
+
+def _repo_meta(n_snaps=2, refs=None, staged_ids=(), branch_of=None):
+    """Build a MoRTable-shaped metadata document for mapping tests."""
+    snaps = []
+    for i in range(1, n_snaps + 1):
+        s = {
+            "id": i,
+            "parent": i - 1 if i > 1 else None,
+            "sequence_number": i,
+            "operation": "append",
+            "files": [{"path": f"/wh/t/data/data-{i}.parquet", "kind": "data", "record_count": 10}],
+        }
+        if i in staged_ids:
+            s["staged"] = True
+        if branch_of and i in branch_of:
+            s["branch"] = branch_of[i]
+        snaps.append(s)
+    return {
+        "schema": _schema().to_json(),
+        "snapshots": snaps,
+        **({"refs": refs} if refs else {}),
+    }
+
+
+def test_spec_table_metadata_mapping():
+    """to_table_metadata emits a spec-shape TableMetadata: v2, Iceberg
+    primitive types, identifier-field ids, main ref at the repo's main
+    head (staged/branch snapshots excluded), spec partition-field ids in
+    the 1000+ space."""
+    from iceberg_data_gen_spark.table.rest_spec import (
+        PARTITION_FIELD_ID_START,
+        to_table_metadata,
+    )
+
+    meta = _repo_meta(
+        n_snaps=4,
+        staged_ids=(3,),
+        branch_of={4: "audit"},
+        refs={"audit": {"type": "branch", "snapshot_id": 4},
+              "v1": {"type": "tag", "snapshot_id": 1}},
+    )
+    meta["partition_specs"] = [
+        {"spec_id": 0, "fields": []},
+        {"spec_id": 1, "fields": [
+            {"source": "bar", "transform": "bucket", "n": 8, "name": "bar_bucket"},
+        ]},
+    ]
+    meta["default_spec_id"] = 1
+    tm = to_table_metadata(meta, table_uuid="u-1", location="/wh/t", last_updated_ms=123)
+
+    assert tm["format-version"] == 2
+    assert tm["table-uuid"] == "u-1"
+    assert tm["last-sequence-number"] == 4
+    assert tm["last-column-id"] == 3
+    # main head skips the staged (3) and branch (4) snapshots
+    assert tm["current-snapshot-id"] == 2
+    assert tm["refs"]["main"] == {"snapshot-id": 2, "type": "branch"}
+    assert tm["refs"]["audit"] == {"snapshot-id": 4, "type": "branch"}
+    assert tm["refs"]["v1"] == {"snapshot-id": 1, "type": "tag"}
+    sch = tm["schemas"][0]
+    assert sch["identifier-field-ids"] == [1, 2]
+    assert [f["type"] for f in sch["fields"]] == ["string", "int", "boolean"]
+    # snapshots carry spec fields + engine extras in the open summary map
+    by_id = {s["snapshot-id"]: s for s in tm["snapshots"]}
+    assert by_id[2]["parent-snapshot-id"] == 1
+    assert by_id[3]["summary"]["idg-staged"] == "true"
+    assert by_id[4]["summary"]["idg-branch"] == "audit"
+    assert all(s["summary"]["operation"] == "append" for s in tm["snapshots"])
+    # partition-field ids live in the spec's 1000+ space
+    spec1 = next(s for s in tm["partition-specs"] if s["spec-id"] == 1)
+    assert spec1["fields"][0]["field-id"] == PARTITION_FIELD_ID_START
+    assert spec1["fields"][0]["transform"] == "bucket[8]"
+    assert spec1["fields"][0]["source-id"] == 2
+    assert tm["last-partition-id"] == PARTITION_FIELD_ID_START
+    # unmapped Spark types fail loudly, not as an opaque service 400
+    bad = _repo_meta(n_snaps=0)
+    bad["schema"]["fields"][0]["type"] = "interval"
+    with pytest.raises(ValueError, match="interval"):
+        to_table_metadata(bad, table_uuid="u", location="/wh/t")
+
+
+def test_spec_commit_changes_field_level_requirements():
+    """commit_changes expresses a commit as typed updates guarded by
+    FIELD-level requirements (assert-table-uuid + assert-ref-snapshot-id
+    pinning each moved ref's base position) — the contract real REST
+    services check, replacing the fixture server's whole-document CAS."""
+    from iceberg_data_gen_spark.table.rest_spec import commit_changes
+
+    base = _repo_meta(n_snaps=2)
+    # target: one appended snapshot, a new tag, and a moved branch
+    target = _repo_meta(
+        n_snaps=3,
+        refs={"audit": {"type": "branch", "snapshot_id": 3}},
+    )
+    ups, reqs = commit_changes(base, target, table_uuid="u-1", location="/wh/t")
+
+    actions = [u["action"] for u in ups]
+    assert actions.count("add-snapshot") == 1
+    added = next(u for u in ups if u["action"] == "add-snapshot")
+    assert added["snapshot"]["snapshot-id"] == 3
+    # main moved 2 -> 3: ref update + base-position requirement
+    main_set = [u for u in ups if u["action"] == "set-snapshot-ref" and u["ref-name"] == "main"]
+    assert main_set and main_set[0]["snapshot-id"] == 3
+    main_req = [r for r in reqs if r["type"] == "assert-ref-snapshot-id" and r["ref"] == "main"]
+    assert main_req and main_req[0]["snapshot-id"] == 2
+    # new ref: set + assert-not-exists (snapshot-id null)
+    audit_req = [r for r in reqs if r.get("ref") == "audit"]
+    assert audit_req and audit_req[0]["snapshot-id"] is None
+    assert {"type": "assert-table-uuid", "uuid": "u-1"} in reqs
+
+    # first commit on an empty table asserts main must not exist yet
+    ups0, reqs0 = commit_changes(
+        _repo_meta(n_snaps=0), _repo_meta(n_snaps=1), table_uuid="u", location="/wh/t"
+    )
+    r0 = next(r for r in reqs0 if r.get("ref") == "main")
+    assert r0["snapshot-id"] is None
+    assert [u["action"] for u in ups0].count("add-snapshot") == 1
+
+    # a no-op diff produces no updates and only the uuid guard
+    ups_n, reqs_n = commit_changes(base, base, table_uuid="u", location="/wh/t")
+    assert ups_n == [] and reqs_n == [{"type": "assert-table-uuid", "uuid": "u"}]
+
+    # expiration maps to remove-snapshots; dropped ref to remove-snapshot-ref
+    expired = _repo_meta(n_snaps=2)
+    expired["snapshots"] = expired["snapshots"][1:]
+    ups_e, _ = commit_changes(base, expired, table_uuid="u", location="/wh/t")
+    assert {"action": "remove-snapshots", "snapshot-ids": [1]} in ups_e
+    ups_d, reqs_d = commit_changes(
+        _repo_meta(n_snaps=2, refs={"v1": {"type": "tag", "snapshot_id": 1}}),
+        _repo_meta(n_snaps=2),
+        table_uuid="u", location="/wh/t",
+    )
+    assert {"action": "remove-snapshot-ref", "ref-name": "v1"} in ups_d
+    assert any(r.get("ref") == "v1" and r["snapshot-id"] == 1 for r in reqs_d)
+
+    # schema evolution maps to add-schema + set-current-schema(-1)
+    evolved = _repo_meta(n_snaps=2)
+    evolved["schema"]["fields"].append({"id": 4, "name": "note", "type": "string", "required": False})
+    ups_s, _ = commit_changes(base, evolved, table_uuid="u", location="/wh/t")
+    assert [u["action"] for u in ups_s] == ["add-schema", "set-current-schema"]
+
+
+@pytest.mark.skipif(
+    "IDG_REAL_REST_URI" not in __import__("os").environ,
+    reason="set IDG_REAL_REST_URI to an Iceberg REST service to run",
+)
+def test_spec_commit_against_real_service(spark):
+    """Integration probe for a REAL Iceberg REST catalog (Polaris,
+    Lakekeeper, ...): create a table from the mapped TableMetadata, then
+    POST a commit built by commit_changes and expect the service to
+    accept the typed updates/requirements.  Gated on IDG_REAL_REST_URI;
+    the in-process fixture server intentionally does NOT speak this
+    dialect (it checks whole-document versions)."""
+    import os
+    import uuid as _uuid
+
+    from iceberg_data_gen_spark.table import rest_catalog as rc
+    from iceberg_data_gen_spark.table.rest_spec import (
+        commit_changes,
+        to_table_metadata,
+    )
+
+    uri = os.environ["IDG_REAL_REST_URI"].rstrip("/")
+    ns, name = "idg_spec_it", f"t_{_uuid.uuid4().hex[:8]}"
+    tuid = str(_uuid.uuid4())
+    loc = f"/tmp/idg-spec-it/{name}"
+    base = _repo_meta(n_snaps=0)
+    target = _repo_meta(n_snaps=1)
+
+    status, _ = rc._call("POST", f"{uri}/v1/namespaces", {"namespace": [ns]})
+    assert status in (200, 409)
+    status, payload = rc._call(
+        "POST",
+        f"{uri}/v1/namespaces/{rc._q(ns)}/tables",
+        {"name": name, "metadata": to_table_metadata(base, table_uuid=tuid, location=loc)},
+    )
+    assert status == 200, payload
+    ups, reqs = commit_changes(base, target, table_uuid=tuid, location=loc)
+    status, payload = rc._call(
+        "POST",
+        f"{uri}/v1/namespaces/{rc._q(ns)}/tables/{rc._q(name)}",
+        {"identifier": {"namespace": [ns], "name": name}, "requirements": reqs, "updates": ups},
+    )
+    assert status == 200, payload
+    rc._call("DELETE", f"{uri}/v1/namespaces/{rc._q(ns)}/tables/{rc._q(name)}")
