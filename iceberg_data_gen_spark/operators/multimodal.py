@@ -8,9 +8,11 @@ genuine encoded bytes (a 44-byte RIFF header + PCM samples; a ``P6``
 ASCII header + RGB triples), then parses them back header-first with
 numpy alone inside an Arrow-batched ``mapInPandas`` kernel — byte
 payload in, decoded ndarray out, per-item features computed on the
-decoded samples/pixels.  Compressed formats (PNG/JPEG/FLAC) stay behind
-the clearly-marked PIL seam (``HAVE_PIL``): swapping in a real codec
-changes one branch of the kernel, not the pipeline.
+decoded samples/pixels.  Compressed image formats (PNG/JPEG/BMP/GIF)
+decode for REAL through the ``HAVE_PIL`` branch when PIL is installed
+(same ndarray/feature contract as the PPM path; lossless formats
+round-trip bit-identically — property-tested in tests/test_llm_ops.py,
+auto-skipped where PIL is absent, as in this container).
 
 The driver testdata has no binary tables, so ``media_table`` synthesizes
 payloads deterministically from ``documents`` (utf-8 bytes of ``text``
