@@ -557,3 +557,82 @@ def test_spec_commit_against_real_service(spark):
     )
     assert status == 200, payload
     rc._call("DELETE", f"{uri}/v1/namespaces/{rc._q(ns)}/tables/{rc._q(name)}")
+
+
+def test_spec_mapping_properties_random_histories():
+    """Hypothesis sweep of the spec mapping over randomized table
+    histories (snapshot chains with staged/branch flags, tags/branches):
+    the TableMetadata invariants and the updates/requirements algebra
+    must hold for EVERY document shape the engine can produce, not just
+    the hand-built cases."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_data_gen_spark.table.rest_spec import (
+        commit_changes,
+        to_table_metadata,
+    )
+
+    @st.composite
+    def repo_meta(draw, min_snaps=0, max_snaps=8):
+        n = draw(st.integers(min_value=min_snaps, max_value=max_snaps))
+        snaps, refs = [], {}
+        for i in range(1, n + 1):
+            kind = draw(st.sampled_from(["main", "main", "main", "staged", "branch"]))
+            s = {
+                "id": i,
+                "parent": i - 1 if i > 1 else None,
+                "sequence_number": i,
+                "operation": draw(st.sampled_from(["append", "pos-delete", "eq-delete", "replace", "merge"])),
+                "files": [],
+            }
+            if kind == "staged":
+                s["staged"] = True
+            elif kind == "branch":
+                s["branch"] = "b1"
+                refs["b1"] = {"type": "branch", "snapshot_id": i}
+            snaps.append(s)
+        if n and draw(st.booleans()):
+            refs["v1"] = {"type": "tag", "snapshot_id": draw(st.integers(1, n))}
+        meta = {"schema": _schema().to_json(), "snapshots": snaps}
+        if refs:
+            meta["refs"] = refs
+        return meta
+
+    @settings(max_examples=120, deadline=None)
+    @given(base=repo_meta())
+    def check(base):
+        tm = to_table_metadata(base, table_uuid="u", location="/wh/t")
+        snaps = base["snapshots"]
+        # every snapshot maps exactly once, ids preserved
+        assert [s["snapshot-id"] for s in tm["snapshots"]] == [s["id"] for s in snaps]
+        assert tm["last-sequence-number"] == (snaps[-1]["sequence_number"] if snaps else 0)
+        # main ref == latest non-staged, non-branch snapshot
+        live = [s["id"] for s in snaps if not s.get("staged") and not s.get("branch")]
+        if live:
+            assert tm["refs"]["main"]["snapshot-id"] == live[-1]
+            assert tm["current-snapshot-id"] == live[-1]
+        else:
+            assert "main" not in tm["refs"] and tm["current-snapshot-id"] == -1
+        # self-diff is empty beyond the uuid guard
+        ups, reqs = commit_changes(base, base, table_uuid="u", location="/wh/t")
+        assert ups == [] and reqs == [{"type": "assert-table-uuid", "uuid": "u"}]
+        # extend with one main append: exactly one add-snapshot + a main
+        # requirement pinning the base head
+        import copy
+
+        target = copy.deepcopy(base)
+        nid = len(snaps) + 1
+        target["snapshots"] = snaps + [
+            {"id": nid, "parent": live[-1] if live else None,
+             "sequence_number": nid, "operation": "append", "files": []}
+        ]
+        ups2, reqs2 = commit_changes(base, target, table_uuid="u", location="/wh/t")
+        adds = [u for u in ups2 if u["action"] == "add-snapshot"]
+        assert [u["snapshot"]["snapshot-id"] for u in adds] == [nid]
+        mreq = next(r for r in reqs2 if r.get("ref") == "main")
+        assert mreq["snapshot-id"] == (live[-1] if live else None)
+        mset = next(u for u in ups2 if u["action"] == "set-snapshot-ref" and u["ref-name"] == "main")
+        assert mset["snapshot-id"] == nid
+
+    check()
