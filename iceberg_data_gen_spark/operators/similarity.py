@@ -207,15 +207,25 @@ IVF_KMEANS_ITERS = 2
 # than fixed — at a constant k the per-cell cost would be O((N/k)²), a
 # latent quadratic at 100 TB.
 IVF_TARGET_ROWS_PER_CELL = 4096
+# Ceiling on k: beyond it the broadcast centroid matrix and the per-batch
+# assign matmul (batch × k) become the cost driver instead of the cells
+# (65536 × 64 doubles ≈ 33 MB broadcast — comfortably under Spark's
+# broadcast sweet spot).  Past ~270M vectors occupancy grows past the
+# target again; the documented next step there is a two-level coarse
+# quantizer (IVF over IVF — the billion-vector FAISS layout), not a
+# bigger flat k.
+IVF_MAX_CENTROIDS = 65536
 
 
 def _ivf_k(n_vectors: int) -> int:
     """Corpus-derived coarse-quantizer size: constant expected rows per
     cell, floored at {IVF_CENTROIDS} so tiny test corpora keep the
-    recall-asserted 16-cell geometry."""
+    recall-asserted 16-cell geometry, capped at {IVF_MAX_CENTROIDS}
+    (see note above)."""
     import math
 
-    return max(IVF_CENTROIDS, math.ceil(max(n_vectors, 1) / IVF_TARGET_ROWS_PER_CELL))
+    k = math.ceil(max(n_vectors, 1) / IVF_TARGET_ROWS_PER_CELL)
+    return min(max(IVF_CENTROIDS, k), IVF_MAX_CENTROIDS)
 
 
 def _ivf_nprobe(k: int) -> int:

@@ -547,6 +547,7 @@ def test_ivf_k_and_nprobe_scale_with_corpus():
 
     from iceberg_data_gen_spark.operators.similarity import (
         IVF_CENTROIDS,
+        IVF_MAX_CENTROIDS,
         IVF_NPROBE,
         IVF_TARGET_ROWS_PER_CELL,
         _ivf_k,
@@ -557,14 +558,18 @@ def test_ivf_k_and_nprobe_scale_with_corpus():
     assert _ivf_k(0) == _ivf_k(500) == _ivf_k(2000) == IVF_CENTROIDS
     assert _ivf_nprobe(IVF_CENTROIDS) == IVF_NPROBE
     # beyond the floor: expected occupancy stays at the target
-    for n in (100_000, 5_000_000, 1_000_000_000):
+    for n in (100_000, 5_000_000, 200_000_000):
         k = _ivf_k(n)
         assert k == math.ceil(n / IVF_TARGET_ROWS_PER_CELL)
         assert n / k <= IVF_TARGET_ROWS_PER_CELL
         # probed fraction shrinks: sqrt(k)/k -> 0
         assert _ivf_nprobe(k) / k < _ivf_nprobe(IVF_CENTROIDS) / IVF_CENTROIDS
+    # ceiling: k stops growing where the broadcast matrix / assign matmul
+    # would become the cost driver (two-level quantization is the
+    # documented path past this point)
+    assert _ivf_k(10**12) == IVF_MAX_CENTROIDS
     # monotone in n (no oscillation as corpora grow)
-    ks = [_ivf_k(n) for n in (10, 10_000, 100_000, 10_000_000)]
+    ks = [_ivf_k(n) for n in (10, 10_000, 100_000, 10_000_000, 10**12)]
     assert ks == sorted(ks)
 
 
