@@ -398,3 +398,72 @@ def test_random_join_spec_matches_duckdb(spark, kind, grp, frac):
 
     errors = compare(spark, f"propjoin[{kind},{grp},{frac:.3f}]", fn, sql, SF_SMALL)
     assert not errors, errors
+
+
+def render_window_sql(grp: str, val: str, fn_kind: str, frame: int, frac: float) -> str:
+    """One ANSI SQL string both engines run: a window function over a
+    filtered lineitem, per-group top-20 by a TOTAL order (value, then the
+    unique (l_orderkey, l_linenumber) pair) so every output row is
+    deterministic in both engines.  ``fn_kind`` picks the analytic
+    surface: ranking (rank depends only on strictly-smaller counts, so
+    ties are safe), offset (lag over the total order), or a bounded-frame
+    running DECIMAL sum (exact, order-independent accumulation)."""
+    lo, hi = NUM_COLS["l_quantity"]
+    thr = round(lo + frac * (hi - lo), 4)
+    total_order = f"{val}, l_orderkey, l_linenumber"
+    if fn_kind == "rank":
+        inner = (
+            f"rank() OVER (PARTITION BY {grp} ORDER BY {val}) AS x_bigint"
+        )
+    elif fn_kind == "lag":
+        inner = (
+            f"lag({val}) OVER (PARTITION BY {grp} ORDER BY {total_order}) AS x_val"
+        )
+    else:  # frame-sum
+        inner = (
+            f"CAST(sum(CAST({val} AS DECIMAL(18,2))) OVER ("
+            f"PARTITION BY {grp} ORDER BY {total_order} "
+            f"ROWS BETWEEN {frame} PRECEDING AND CURRENT ROW) AS DOUBLE) AS x_val"
+        )
+    return f"""
+    SELECT g, l_orderkey, l_linenumber, rn, {"x_bigint" if fn_kind == "rank" else "x_val"}
+    FROM (
+        SELECT {grp} AS g, l_orderkey, l_linenumber,
+               row_number() OVER (
+                   PARTITION BY {grp} ORDER BY {total_order}) AS rn,
+               {inner}
+        FROM lineitem
+        WHERE l_quantity <= {thr!r}
+    )
+    WHERE rn <= 20
+    """
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    grp=st.sampled_from(GRP_COLS),
+    val=st.sampled_from(sorted(NUM_COLS)),
+    fn_kind=st.sampled_from(["rank", "lag", "framesum"]),
+    frame=st.integers(min_value=0, max_value=5),
+    frac=st.floats(0.05, 0.95),
+)
+def test_random_window_spec_matches_duckdb(spark, grp, val, fn_kind, frame, frac):
+    """Differential fuzz of the WINDOW surface (ranking / offset /
+    bounded-frame running sums): any divergence in frame semantics,
+    tie handling, lag's leading-null, or decimal accumulation inside a
+    frame fails exactly — the parity gap the hand-written window oracles
+    (fixed specs) cannot probe."""
+    sql = render_window_sql(grp, val, fn_kind, frame, frac)
+
+    def fn(spark, sf_dir, sql=sql):
+        load_tables(spark, sf_dir, ("lineitem",))
+        return spark.sql(sql)
+
+    errors = compare(
+        spark, f"propwin[{fn_kind},{grp},{val},{frame},{frac:.3f}]", fn, sql, SF_SMALL
+    )
+    assert not errors, errors
