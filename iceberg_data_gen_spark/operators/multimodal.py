@@ -233,10 +233,12 @@ def make_media_decode_batch(have_pil: bool):
     """Arrow-batched REAL decode kernel: parse the container header,
     reconstruct the sample/pixel ndarray with ``np.frombuffer``, and
     compute features ON THE DECODED DATA (duration and RMS from PCM
-    samples; dimensions and channel means from pixels).  Raises on
-    malformed bytes — this is a decoder, not a length-counter.
-    Compressed formats would dispatch to PIL here (``have_pil`` seam).
-    Self-contained closure: numpy/stdlib only."""
+    samples; dimensions and channel means from pixels).  Raises
+    ``ValueError`` on malformed bytes — this is a decoder, not a
+    length-counter — for the PIL branch too (PIL's own decode errors
+    are re-raised under the same contract).  Compressed image formats
+    dispatch to PIL when ``have_pil``; without it they fail loudly.
+    Self-contained closure: numpy/stdlib (+ optional PIL) only."""
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -331,10 +333,13 @@ def make_media_decode_batch(have_pil: bool):
 
                     import PIL.Image as _Image
 
-                    rgb = _np.asarray(
-                        _Image.open(_io.BytesIO(b)).convert("RGB"),
-                        dtype=_np.float64,
-                    )
+                    try:
+                        img = _Image.open(_io.BytesIO(b)).convert("RGB")
+                    except Exception as exc:  # PIL raises OSError et al.
+                        # one malformed-bytes contract for every format:
+                        # ValueError, like the wav/ppm paths
+                        raise ValueError(f"undecodable {fmt} payload: {exc}") from exc
+                    rgb = _np.asarray(img, dtype=_np.float64)
                     feats = {
                         "width": int(rgb.shape[1]),
                         "height": int(rgb.shape[0]),

@@ -259,6 +259,11 @@ class RestCatalog:
     def load_table(self, namespace: str, name: str) -> MoRTable:
         io = RestMetadataIO(self.uri, namespace, name)
         p = self._data_path(namespace, name)
+        # Tables written before identifiers were percent-encoded live at
+        # the RAW-name path; their metadata records ABSOLUTE file paths,
+        # so they keep scanning from the old location untouched (moving
+        # the directory would break every recorded path).  New writes go
+        # to the encoded path; drop_table reclaims both (see below).
         # idempotent: a table can exist in the catalog before this
         # warehouse has ever seen it (fresh checkout, second writer) —
         # the data dirs must exist before the first append
@@ -277,3 +282,17 @@ class RestCatalog:
         p = self._data_path(namespace, name)
         if p.exists():
             shutil.rmtree(p)
+        # pre-encoding warehouses used the raw name as the path; reclaim
+        # that directory too — but ONLY when neither identifier contains
+        # a path separator, because with a '/' in the name the raw layout
+        # nests tables inside each other and an rmtree would take a
+        # sibling table's data with it (the aliasing bug the encoding
+        # fixed; such legacy dirs are left for manual cleanup)
+        legacy = self.warehouse / namespace / name
+        if (
+            legacy != p
+            and "/" not in name
+            and "/" not in namespace
+            and legacy.is_dir()
+        ):
+            shutil.rmtree(legacy)

@@ -86,21 +86,44 @@ def _schema_to_spec(schema: dict) -> dict:
     }
 
 
-def _spec_to_partition_spec(spec: dict, schema: dict) -> dict:
-    """Repo partition spec -> Iceberg ``PartitionSpec`` struct."""
+def _transform_name(f: dict) -> str:
+    t = f["transform"]
+    if t in ("bucket", "truncate"):
+        return f"{t}[{f['n']}]"
+    if t == "identity":
+        return "identity"
+    raise ValueError(f"no Iceberg mapping for transform: {t!r}")
+
+
+def _partition_field_ids(specs: list[dict]) -> dict[tuple, int]:
+    """GLOBAL partition-field-id assignment over a document's whole spec
+    history: Iceberg v2 requires partition field ids to be unique across
+    ALL specs and stable for a given (source, transform, name) field —
+    per-spec numbering would let two different fields collide on 1000
+    and give one field two ids across evolved specs."""
+    ids: dict[tuple, int] = {}
+    nxt = PARTITION_FIELD_ID_START
+    for spec in specs:
+        for f in spec["fields"]:
+            key = (f["source"], _transform_name(f), f["name"])
+            if key not in ids:
+                ids[key] = nxt
+                nxt += 1
+    return ids
+
+
+def _spec_to_partition_spec(
+    spec: dict, schema: dict, field_ids: dict[tuple, int]
+) -> dict:
+    """Repo partition spec -> Iceberg ``PartitionSpec`` struct, with
+    field ids drawn from the document-global assignment."""
     by_name = {f["name"]: f["id"] for f in schema["fields"]}
     fields = []
-    for i, f in enumerate(spec["fields"]):
-        t = f["transform"]
-        if t in ("bucket", "truncate"):
-            transform = f"{t}[{f['n']}]"
-        elif t == "identity":
-            transform = "identity"
-        else:
-            raise ValueError(f"no Iceberg mapping for transform: {t!r}")
+    for f in spec["fields"]:
+        transform = _transform_name(f)
         fields.append(
             {
-                "field-id": PARTITION_FIELD_ID_START + i,
+                "field-id": field_ids[(f["source"], transform, f["name"])],
                 "source-id": by_name[f["source"]],
                 "name": f["name"],
                 "transform": transform,
@@ -109,7 +132,7 @@ def _spec_to_partition_spec(spec: dict, schema: dict) -> dict:
     return {"spec-id": spec["spec_id"], "fields": fields}
 
 
-def _snapshot_to_spec(snap: dict, location: str) -> dict:
+def _snapshot_to_spec(snap: dict, location: str, schema_id: int = 1) -> dict:
     """Repo snapshot -> Iceberg ``Snapshot`` struct.
 
     The repo commits file lists inline; the spec transports them as a
@@ -145,7 +168,9 @@ def _snapshot_to_spec(snap: dict, location: str) -> dict:
         "timestamp-ms": snap.get("timestamp_ms", 0),
         "summary": summary,
         "manifest-list": f"{location}/metadata/snap-{snap['id']}.avro",
-        "schema-id": 1,
+        # reference the document's actual schema id — a snapshot pointing
+        # at a schema id absent from the schemas list is invalid metadata
+        "schema-id": schema_id,
     }
     if snap.get("parent") is not None:
         out["parent-snapshot-id"] = snap["parent"]
@@ -185,10 +210,10 @@ def to_table_metadata(
     for name, ref in meta.get("refs", {}).items():
         refs[name] = {"snapshot-id": ref["snapshot_id"], "type": ref["type"]}
 
-    spec_structs = [_spec_to_partition_spec(s, schema) for s in specs]
+    pfield_ids = _partition_field_ids(specs)
+    spec_structs = [_spec_to_partition_spec(s, schema, pfield_ids) for s in specs]
     last_partition_id = max(
-        (f["field-id"] for s in spec_structs for f in s["fields"]),
-        default=PARTITION_FIELD_ID_START - 1,
+        pfield_ids.values(), default=PARTITION_FIELD_ID_START - 1
     )
     return {
         "format-version": 2,
@@ -204,7 +229,10 @@ def to_table_metadata(
         "last-partition-id": last_partition_id,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
-        "snapshots": [_snapshot_to_spec(s, location) for s in snaps],
+        "snapshots": [
+            _snapshot_to_spec(s, location, schema.get("schema_id", 1))
+            for s in snaps
+        ],
         "current-snapshot-id": head if head is not None else -1,
         "refs": refs,
         "properties": {"write.delete.mode": "merge-on-read"},
@@ -233,8 +261,11 @@ def commit_changes(base: dict, target: dict, *, table_uuid: str, location: str):
 
     base_ids = {s["id"] for s in base.get("snapshots", [])}
     target_snaps = target.get("snapshots", [])
+    target_ids = {s["id"] for s in target_snaps}
     added = [s for s in target_snaps if s["id"] not in base_ids]
-    removed = [s["id"] for s in base.get("snapshots", []) if s["id"] not in {t["id"] for t in target_snaps}]
+    removed = [
+        s["id"] for s in base.get("snapshots", []) if s["id"] not in target_ids
+    ]
 
     if base.get("schema") != target.get("schema"):
         updates.append(
@@ -243,17 +274,31 @@ def commit_changes(base: dict, target: dict, *, table_uuid: str, location: str):
         updates.append({"action": "set-current-schema", "schema-id": -1})
 
     base_specs = {s["spec_id"] for s in base.get("partition_specs", [{"spec_id": 0, "fields": []}])}
+    # field ids come from the TARGET document's global assignment so a
+    # spec added on top of evolved history gets fresh, non-colliding ids
+    tgt_pfield_ids = _partition_field_ids(
+        target.get("partition_specs", [{"spec_id": 0, "fields": []}])
+    )
     for s in target.get("partition_specs", []):
         if s["spec_id"] not in base_specs:
             updates.append(
-                {"action": "add-spec", "spec": _spec_to_partition_spec(s, target["schema"])}
+                {
+                    "action": "add-spec",
+                    "spec": _spec_to_partition_spec(
+                        s, target["schema"], tgt_pfield_ids
+                    ),
+                }
             )
     if base.get("default_spec_id", 0) != target.get("default_spec_id", 0):
         updates.append({"action": "set-default-spec", "spec-id": -1})
 
+    tgt_schema_id = target["schema"].get("schema_id", 1)
     for s in added:
         updates.append(
-            {"action": "add-snapshot", "snapshot": _snapshot_to_spec(s, location)}
+            {
+                "action": "add-snapshot",
+                "snapshot": _snapshot_to_spec(s, location, tgt_schema_id),
+            }
         )
     if removed:
         updates.append({"action": "remove-snapshots", "snapshot-ids": sorted(removed)})
@@ -276,6 +321,11 @@ def commit_changes(base: dict, target: dict, *, table_uuid: str, location: str):
                 "snapshot-id": target_head,
             }
         )
+    elif target_head is None and base_head is not None:
+        # main's head vanished (e.g. its snapshot was removed from the
+        # document): drop the ref too, or the service is left pointing
+        # at a snapshot the same commit removes
+        updates.append({"action": "remove-snapshot-ref", "ref-name": MAIN_BRANCH})
 
     base_refs = base.get("refs", {})
     for name, ref in target.get("refs", {}).items():

@@ -636,3 +636,96 @@ def test_spec_mapping_properties_random_histories():
         assert mset["snapshot-id"] == nid
 
     check()
+
+
+def test_spec_partition_field_ids_stable_across_specs():
+    """Iceberg v2 requires partition-field ids unique across ALL specs
+    and stable per (source, transform, name): after two partition
+    evolutions sharing a field, the shared field keeps ONE id everywhere
+    and new fields get fresh ids (per-spec restart at 1000 would collide
+    two different fields on one id)."""
+    from iceberg_data_gen_spark.table.rest_spec import (
+        PARTITION_FIELD_ID_START,
+        to_table_metadata,
+    )
+
+    meta = _repo_meta(n_snaps=1)
+    meta["partition_specs"] = [
+        {"spec_id": 0, "fields": []},
+        {"spec_id": 1, "fields": [
+            {"source": "bar", "transform": "bucket", "n": 8, "name": "bar_bucket"},
+        ]},
+        {"spec_id": 2, "fields": [
+            {"source": "foo", "transform": "identity", "n": None, "name": "foo"},
+            {"source": "bar", "transform": "bucket", "n": 8, "name": "bar_bucket"},
+        ]},
+    ]
+    meta["default_spec_id"] = 2
+    tm = to_table_metadata(meta, table_uuid="u", location="/wh/t")
+    by_spec = {s["spec-id"]: {f["name"]: f["field-id"] for f in s["fields"]}
+               for s in tm["partition-specs"]}
+    assert by_spec[1]["bar_bucket"] == PARTITION_FIELD_ID_START
+    assert by_spec[2]["bar_bucket"] == PARTITION_FIELD_ID_START  # stable
+    assert by_spec[2]["foo"] == PARTITION_FIELD_ID_START + 1  # fresh, no collision
+    # globally unique: no id appears for two different field names
+    all_ids = [(f["name"], f["field-id"]) for s in tm["partition-specs"] for f in s["fields"]]
+    id_to_names = {}
+    for n, i in all_ids:
+        id_to_names.setdefault(i, set()).add(n)
+    assert all(len(v) == 1 for v in id_to_names.values()), id_to_names
+    assert tm["last-partition-id"] == PARTITION_FIELD_ID_START + 1
+
+
+def test_spec_snapshot_schema_id_and_main_ref_removal():
+    """Snapshots reference the document's ACTUAL schema id (a dangling
+    schema-id is invalid metadata), and a commit whose main head
+    vanishes also removes the main ref instead of leaving the service
+    pointing at a snapshot the same commit removes."""
+    from iceberg_data_gen_spark.table.rest_spec import (
+        commit_changes,
+        to_table_metadata,
+    )
+
+    meta = _repo_meta(n_snaps=2)
+    meta["schema"]["schema_id"] = 2
+    tm = to_table_metadata(meta, table_uuid="u", location="/wh/t")
+    assert tm["current-schema-id"] == 2
+    assert all(s["schema-id"] == 2 for s in tm["snapshots"])
+
+    # main head removed, no successor: main ref must be removed too
+    base = _repo_meta(n_snaps=1)
+    target = _repo_meta(n_snaps=0)
+    ups, _ = commit_changes(base, target, table_uuid="u", location="/wh/t")
+    assert {"action": "remove-snapshots", "snapshot-ids": [1]} in ups
+    assert {"action": "remove-snapshot-ref", "ref-name": "main"} in ups
+
+
+def test_drop_table_reclaims_legacy_unencoded_dir(spark, catalog):
+    """Warehouses written before identifier encoding used the raw name
+    as the path; drop_table reclaims that directory too — but never for
+    '/'-containing names, whose raw layout nests tables inside each
+    other (rmtree would take a sibling's data)."""
+    catalog.create_namespace("ns")
+    t = catalog.create_table("ns", "a b", _schema())
+    df = spark.createDataFrame(
+        [(str(g), g, True) for g in range(5)], "foo string, bar int, baz boolean"
+    )
+    t.append(df, single_file=True)
+    legacy = catalog.warehouse / "ns" / "a b"
+    legacy.mkdir(parents=True, exist_ok=True)
+    (legacy / "data-0.parquet").write_bytes(b"legacy")
+    catalog.drop_table("ns", "a b")
+    assert not catalog._data_path("ns", "a b").exists()
+    assert not legacy.exists()  # reclaimed
+
+    # slash-named: legacy raw dir is left alone (nesting hazard)
+    ta = catalog.create_table("ns", "x", _schema())
+    tb = catalog.create_table("ns", "x/y", _schema())
+    ta.append(df, single_file=True)
+    tb.append(df, single_file=True)
+    raw_nested = catalog.warehouse / "ns" / "x" / "y"
+    raw_nested.mkdir(parents=True, exist_ok=True)
+    (raw_nested / "keep.parquet").write_bytes(b"other")
+    catalog.drop_table("ns", "x/y")
+    assert raw_nested.exists()  # untouched: '/' in name
+    assert catalog.load_table("ns", "x").scan().count() == 5
