@@ -467,3 +467,117 @@ def test_random_window_spec_matches_duckdb(spark, grp, val, fn_kind, frame, frac
         spark, f"propwin[{fn_kind},{grp},{val},{frame},{frac:.3f}]", fn, sql, SF_SMALL
     )
     assert not errors, errors
+
+
+def render_setop_sql(op: str, all_kw: str, cols: tuple[str, ...],
+                     fa: float, fb: float) -> str:
+    """One ANSI SQL string both engines run: two filtered projections of
+    lineitem combined with a set operator.  The branches filter on
+    DIFFERENT columns so their row multisets genuinely overlap and
+    differ; the ALL variants keep duplicates, probing bag semantics
+    (multiplicity arithmetic) that the DISTINCT variants cannot."""
+    proj = ", ".join(cols)
+    lo_q, hi_q = NUM_COLS["l_quantity"]
+    lo_p, hi_p = NUM_COLS["l_extendedprice"]
+    thr_a = round(lo_q + fa * (hi_q - lo_q), 4)
+    thr_b = round(lo_p + fb * (hi_p - lo_p), 4)
+    a = f"SELECT {proj} FROM lineitem WHERE l_quantity <= {thr_a!r}"
+    b = f"SELECT {proj} FROM lineitem WHERE l_extendedprice <= {thr_b!r}"
+    return f"({a}) {op} {all_kw} ({b})"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    op=st.sampled_from(["UNION", "INTERSECT", "EXCEPT"]),
+    all_kw=st.sampled_from(["", "ALL"]),
+    cols=st.sampled_from([
+        ("l_returnflag", "l_linestatus"),
+        ("l_returnflag", "l_linenumber"),
+        ("l_linestatus", "l_linenumber", "l_quantity"),
+        ("l_returnflag", "l_linestatus", "l_linenumber", "l_tax"),
+    ]),
+    fa=st.floats(0.05, 0.95),
+    fb=st.floats(0.05, 0.95),
+)
+def test_random_setop_spec_matches_duckdb(spark, op, all_kw, cols, fa, fb):
+    """Differential fuzz of the SET-OP surface (UNION / INTERSECT /
+    EXCEPT, DISTINCT and ALL): any divergence in duplicate-multiplicity
+    arithmetic (EXCEPT ALL subtracts counts; INTERSECT ALL takes the
+    min), distinct-hashing of doubles, or column coercion across the
+    branches fails exactly."""
+    sql = render_setop_sql(op, all_kw, cols, fa, fb)
+
+    def fn(spark, sf_dir, sql=sql):
+        load_tables(spark, sf_dir, ("lineitem",))
+        return spark.sql(sql)
+
+    errors = compare(
+        spark,
+        f"propsetop[{op} {all_kw},{len(cols)}c,{fa:.3f},{fb:.3f}]",
+        fn, sql, SF_SMALL,
+    )
+    assert not errors, errors
+
+
+def render_groupingsets_sql(kind: str, dims: tuple[str, ...], frac: float) -> str:
+    """One ANSI SQL string both engines run: a multi-dimensional aggregate
+    (ROLLUP / CUBE / explicit GROUPING SETS) over filtered lineitem.
+    GROUPING(col) disambiguates the generated-NULL subtotal rows from any
+    genuine NULLs, and the sum accumulates in DECIMAL(18,2) so subtotals
+    are exact and order-independent in both engines."""
+    lo, hi = NUM_COLS["l_quantity"]
+    thr = round(lo + frac * (hi - lo), 4)
+    dim_list = ", ".join(dims)
+    if kind == "rollup":
+        grouping = f"ROLLUP ({dim_list})"
+    elif kind == "cube":
+        grouping = f"CUBE ({dim_list})"
+    else:  # explicit sets: full, each single dim, and grand total
+        singles = ", ".join(f"({d})" for d in dims)
+        grouping = f"GROUPING SETS (({dim_list}), {singles}, ())"
+    gflags = ", ".join(f"grouping({d}) AS g_{d}" for d in dims)
+    return f"""
+    SELECT {dim_list}, {gflags},
+           count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+    FROM lineitem
+    WHERE l_quantity <= {thr!r}
+    GROUP BY {grouping}
+    """
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    kind=st.sampled_from(["rollup", "cube", "sets"]),
+    dims=st.sampled_from([
+        ("l_returnflag", "l_linestatus"),
+        ("l_linestatus", "l_linenumber"),
+        ("l_returnflag", "l_linestatus", "l_linenumber"),
+    ]),
+    frac=st.floats(0.05, 0.95),
+)
+def test_random_groupingsets_spec_matches_duckdb(spark, kind, dims, frac):
+    """Differential fuzz of the multi-dimensional aggregate surface
+    (ROLLUP / CUBE / GROUPING SETS with GROUPING() flags): any divergence
+    in subtotal-row generation, grouping-flag encoding, or exact DECIMAL
+    subtotals fails exactly — the hand-written q_rollup/q_cube/
+    q_grouping_sets oracles pin one spec each; this probes the space
+    between them."""
+    sql = render_groupingsets_sql(kind, dims, frac)
+
+    def fn(spark, sf_dir, sql=sql):
+        load_tables(spark, sf_dir, ("lineitem",))
+        return spark.sql(sql)
+
+    errors = compare(
+        spark, f"propgsets[{kind},{len(dims)}d,{frac:.3f}]", fn, sql, SF_SMALL
+    )
+    assert not errors, errors
