@@ -160,46 +160,16 @@ def test_branch_main_interleave_model(spark, ops):
         shutil.rmtree(base, ignore_errors=True)
 
 
-@settings(
-    max_examples=5,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
-@given(
-    ops=st.lists(
-        st.sampled_from(["main", "branch", "ff", "stage", "publish", "rollback"]),
-        min_size=4,
-        max_size=8,
-    ),
-    pick=st.integers(0, 10**6),
-)
-def test_full_lifecycle_interleave_model(spark, ops, pick):
-    """Differential fuzz over the FULL snapshot lifecycle: main appends,
-    branch appends, fast-forward, WAP stage/publish, and rollback, all
-    replayed against a pure-Python model.  Checked after every op:
 
-    * scan() == model main state
-    * time travel to the main head == scan() (clean parent chain)
-    * incremental_scan(0) == every main-VISIBLE append ever (CDC is
-      append-only: rollback does not rewind it, staged/branch commits
-      enter only on publish/fast-forward)
-    * scan(ref=branch) == fork state + branch appends
-    """
-    import shutil
-    import tempfile
-
+def _run_full_lifecycle_model(spark, t, ops, pick):
+    """Replay a random lifecycle interleave against the pure-Python
+    visibility model on an already-created table ``t``.  Shared by the
+    local-catalog and REST-catalog lifecycle fuzz tests so BOTH metadata
+    paths (LocalMetadataIO file writes vs RestMetadataIO version-CAS
+    commits) are proven to produce identical snapshot semantics."""
     import pytest
 
     from pyspark.sql import functions as F
-
-    from iceberg_data_gen_spark.datagen.config import FileConfig
-    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
-    from iceberg_data_gen_spark.table.table import MoRTable
-
-    fc = FileConfig(rows_per_file=10, file_count=1)
-    schema = FixSchemaGenerator(fc, fc, fc).schema()
-    base = tempfile.mkdtemp(prefix="mor-fuzz2-")
-    t = MoRTable.create(spark, base, schema)
 
     def rows(a, b):
         return spark.range(a, b).select(
@@ -221,75 +191,149 @@ def test_full_lifecycle_interleave_model(spark, ops, pick):
     def fresh() -> set[int]:
         return set(range(nxt - 10, nxt))
 
-    try:
-        for op in ops:
-            if op == "main":
-                t.append(rows(nxt, nxt + 10), single_file=True)
-                nxt += 10
-                main_rows |= fresh()
-                inc_rows |= fresh()
-            elif op == "branch":
-                if not branch_exists:
-                    if not main_rows:
-                        continue
-                    t.create_branch("b")
-                    branch_exists = True
-                    fork_rows = set(main_rows)
-                    fork_head = t.current_snapshot_id()
-                    branch_rows = set()
-                t.append(rows(nxt, nxt + 10), single_file=True, branch="b")
-                nxt += 10
-                branch_rows |= fresh()
-            elif op == "ff":
-                if not branch_exists or not branch_rows:
+    for op in ops:
+        if op == "main":
+            t.append(rows(nxt, nxt + 10), single_file=True)
+            nxt += 10
+            main_rows |= fresh()
+            inc_rows |= fresh()
+        elif op == "branch":
+            if not branch_exists:
+                if not main_rows:
                     continue
-                # fast-forward succeeds iff main's HEAD is still the fork
-                # snapshot — ancestry, not row-set equality: a rollback
-                # restores the fork's ROWS under a NEW snapshot id, which
-                # is not in the branch's ancestry and must still diverge
-                if t.current_snapshot_id() == fork_head:
+                t.create_branch("b")
+                branch_exists = True
+                fork_rows = set(main_rows)
+                fork_head = t.current_snapshot_id()
+                branch_rows = set()
+            t.append(rows(nxt, nxt + 10), single_file=True, branch="b")
+            nxt += 10
+            branch_rows |= fresh()
+        elif op == "ff":
+            if not branch_exists or not branch_rows:
+                continue
+            # fast-forward succeeds iff main's HEAD is still the fork
+            # snapshot — ancestry, not row-set equality: a rollback
+            # restores the fork's ROWS under a NEW snapshot id, which
+            # is not in the branch's ancestry and must still diverge
+            if t.current_snapshot_id() == fork_head:
+                t.fast_forward("b")
+                main_rows |= branch_rows
+                inc_rows |= branch_rows
+                fork_rows = set(main_rows)
+                fork_head = t.current_snapshot_id()
+                branch_rows = set()
+            else:
+                with pytest.raises(ValueError, match="divergent"):
                     t.fast_forward("b")
-                    main_rows |= branch_rows
-                    inc_rows |= branch_rows
-                    fork_rows = set(main_rows)
-                    fork_head = t.current_snapshot_id()
-                    branch_rows = set()
-                else:
-                    with pytest.raises(ValueError, match="divergent"):
-                        t.fast_forward("b")
-            elif op == "stage":
-                snap = t.append_staged(rows(nxt, nxt + 10), single_file=True)
-                nxt += 10
-                staged.append((snap["id"], fresh()))
-            elif op == "publish":
-                if not staged:
-                    continue
-                sid, srows = staged.pop(pick % (len(staged)))
-                t.publish_snapshot(sid)
-                main_rows |= srows
-                inc_rows |= srows
-            else:  # rollback
-                if not history:
-                    continue
-                sid, state = history[pick % len(history)]
-                t.rollback(sid)
-                main_rows = set(state)
-                # CDC is append-only: inc_rows unchanged by rollback
-            head = t.current_snapshot_id()
-            if head is not None:
-                history.append((head, set(main_rows)))
-            got_main = {r.bar for r in t.scan().collect()}
-            assert got_main == main_rows, (op, ops)
-            if head is not None:
-                tt = {r.bar for r in t.scan(snapshot_id=head).collect()}
-                assert tt == main_rows, (op, ops)
-            inc = {r.bar for r in t.incremental_scan(0).collect()}
-            assert inc == inc_rows, (op, ops)
-            if branch_exists:
-                got_b = {r.bar for r in t.scan(ref="b").collect()}
-                assert got_b == fork_rows | branch_rows, (op, ops)
+        elif op == "stage":
+            snap = t.append_staged(rows(nxt, nxt + 10), single_file=True)
+            nxt += 10
+            staged.append((snap["id"], fresh()))
+        elif op == "publish":
+            if not staged:
+                continue
+            sid, srows = staged.pop(pick % (len(staged)))
+            t.publish_snapshot(sid)
+            main_rows |= srows
+            inc_rows |= srows
+        else:  # rollback
+            if not history:
+                continue
+            sid, state = history[pick % len(history)]
+            t.rollback(sid)
+            main_rows = set(state)
+            # CDC is append-only: inc_rows unchanged by rollback
+        head = t.current_snapshot_id()
+        if head is not None:
+            history.append((head, set(main_rows)))
+        got_main = {r.bar for r in t.scan().collect()}
+        assert got_main == main_rows, (op, ops)
+        if head is not None:
+            tt = {r.bar for r in t.scan(snapshot_id=head).collect()}
+            assert tt == main_rows, (op, ops)
+        inc = {r.bar for r in t.incremental_scan(0).collect()}
+        assert inc == inc_rows, (op, ops)
+        if branch_exists:
+            got_b = {r.bar for r in t.scan(ref="b").collect()}
+            assert got_b == fork_rows | branch_rows, (op, ops)
+
+
+_LIFECYCLE_OPS = st.lists(
+    st.sampled_from(["main", "branch", "ff", "stage", "publish", "rollback"]),
+    min_size=4,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_LIFECYCLE_OPS, pick=st.integers(0, 10**6))
+def test_full_lifecycle_interleave_model(spark, ops, pick):
+    """Differential fuzz over the FULL snapshot lifecycle: main appends,
+    branch appends, fast-forward, WAP stage/publish, and rollback, all
+    replayed against a pure-Python model.  Checked after every op:
+
+    * scan() == model main state
+    * time travel to the main head == scan() (clean parent chain)
+    * incremental_scan(0) == every main-VISIBLE append ever (CDC is
+      append-only: rollback does not rewind it, staged/branch commits
+      enter only on publish/fast-forward)
+    * scan(ref=branch) == fork state + branch appends
+    """
+    import shutil
+    import tempfile
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=10, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    base = tempfile.mkdtemp(prefix="mor-fuzz2-")
+    t = MoRTable.create(spark, base, schema)
+    try:
+        _run_full_lifecycle_model(spark, t, ops, pick)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_LIFECYCLE_OPS, pick=st.integers(0, 10**6))
+def test_full_lifecycle_interleave_model_rest(spark, ops, pick):
+    """The SAME lifecycle interleave model, but on a table whose metadata
+    lives behind the Iceberg-REST client: every append, branch-ref
+    advance, WAP stage/publish (one atomic commit each), and rollback
+    goes through RestMetadataIO's version-CAS commit path against the
+    in-process fixture server instead of local metadata files.  Any
+    divergence from the local-catalog run of the identical model means
+    the two metadata paths disagree on snapshot semantics."""
+    import shutil
+    import tempfile
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.rest_catalog import RestCatalog
+    from iceberg_data_gen_spark.table.rest_server import RestCatalogServer
+
+    fc = FileConfig(rows_per_file=10, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    wh = tempfile.mkdtemp(prefix="mor-fuzz-rest-")
+    try:
+        with RestCatalogServer() as srv:
+            cat = RestCatalog(spark, srv.uri, wh)
+            cat.create_namespace("fuzz")
+            t = cat.create_table("fuzz", "t", schema)
+            _run_full_lifecycle_model(spark, t, ops, pick)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
 
 
 DOC_GRP = ["lang", "source"]
