@@ -336,6 +336,111 @@ def test_full_lifecycle_interleave_model_rest(spark, ops, pick):
         shutil.rmtree(wh, ignore_errors=True)
 
 
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "posdel", "eqdel"]),
+            st.integers(0, 10**6),
+        ),
+        min_size=4,
+        max_size=10,
+    )
+)
+def test_delete_interleave_model(spark, ops):
+    """Differential fuzz of the MoR DELETE surface: a random interleaving
+    of appends (values drawn from a small overlapping domain), position
+    deletes (random (file, pos) targets), and equality deletes (random
+    values) is replayed against a pure-Python model of Iceberg's
+    sequence-number semantics — a position delete kills exactly the
+    named row of the named file; an equality delete kills matching rows
+    only in data files with a STRICTLY OLDER sequence number, so a
+    re-append of a deleted value survives.  After every op the live
+    multiset must match scan(); at the end, time travel to every
+    intermediate snapshot must reproduce the model state recorded there
+    (deletes must not rewrite history)."""
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=10, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    base = tempfile.mkdtemp(prefix="mor-delfuzz-")
+    t = MoRTable.create(spark, base, schema)
+
+    files: list[dict] = []  # {"path", "seq", "rows": [[foo, bar, alive]]}
+    seq = 0
+    history: list[tuple[int, Counter]] = []  # (snapshot id, model multiset)
+
+    def model_live() -> Counter:
+        return Counter(
+            (r[0], r[1]) for f in files for r in f["rows"] if r[2]
+        )
+
+    try:
+        for kind, r in ops:
+            if kind == "append":
+                seq += 1
+                vals = [(r + i * 3) % 10 for i in range(6)]
+                df = spark.createDataFrame(
+                    [(str(v), v, True) for v in vals],
+                    "foo string, bar int, baz boolean",
+                )
+                snap = t.append(df, single_file=True)
+                files.append({
+                    "path": snap["files"][0]["path"],
+                    "seq": seq,
+                    "rows": [[str(v), v, True] for v in vals],
+                })
+            elif kind == "posdel":
+                if not files:
+                    continue
+                seq += 1
+                f = files[r % len(files)]
+                pos = (r // 13) % len(f["rows"])
+                t.add_position_deletes(
+                    spark.createDataFrame(
+                        [(f["path"], pos)], "file_path string, pos long"
+                    )
+                )
+                f["rows"][pos][2] = False
+            else:  # eqdel
+                if not files:
+                    continue
+                seq += 1
+                v = r % 10
+                t.add_equality_deletes(
+                    spark.createDataFrame([(str(v), v)], "foo string, bar int"),
+                    [1, 2],
+                )
+                for f in files:
+                    if f["seq"] < seq:
+                        for row in f["rows"]:
+                            if row[1] == v:
+                                row[2] = False
+            got = Counter((r2.foo, r2.bar) for r2 in t.scan().collect())
+            assert got == model_live(), (kind, ops)
+            head = t.current_snapshot_id()
+            if head is not None:
+                history.append((head, model_live()))
+        # deletes are snapshots too: every intermediate state must replay
+        for sid, state in history:
+            tt = Counter(
+                (r2.foo, r2.bar) for r2 in t.scan(snapshot_id=sid).collect()
+            )
+            assert tt == state, (sid, ops)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 DOC_GRP = ["lang", "source"]
 
 
