@@ -441,6 +441,123 @@ def test_delete_interleave_model(spark, ops):
         shutil.rmtree(base, ignore_errors=True)
 
 
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "eqdel", "merge", "compact"]),
+            st.integers(0, 10**6),
+        ),
+        min_size=4,
+        max_size=9,
+    )
+)
+def test_mutation_interleave_model(spark, ops):
+    """Differential fuzz of the MUTATION surface: random interleavings of
+    appends, standalone equality deletes, MERGE upserts (one overwrite
+    snapshot = eq-delete of the source keys + the source data files,
+    where the sequence-number rule keeps the merge's own files out of
+    its own delete's reach), and compaction (materialize-and-replace
+    baseline) against a pure-Python model.  After every op scan() must
+    equal the model multiset; at the end, time travel to every recorded
+    snapshot must reproduce the state recorded there — maintenance must
+    never rewrite history."""
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=10, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    base = tempfile.mkdtemp(prefix="mor-mutfuzz-")
+    t = MoRTable.create(spark, base, schema)
+
+    files: list[dict] = []  # {"seq", "rows": [[foo, bar, baz, alive]]}
+    seq = 0
+    history: list[tuple[int, Counter]] = []
+
+    def model_live() -> Counter:
+        return Counter(
+            (r[0], r[1], r[2]) for f in files for r in f["rows"] if r[3]
+        )
+
+    try:
+        for kind, r in ops:
+            seq += 1
+            if kind == "append":
+                vals = [(r + i * 3) % 10 for i in range(5)]
+                t.append(
+                    spark.createDataFrame(
+                        [(str(v), v, True) for v in vals],
+                        "foo string, bar int, baz boolean",
+                    ),
+                    single_file=True,
+                )
+                files.append(
+                    {"seq": seq, "rows": [[str(v), v, True, True] for v in vals]}
+                )
+            elif kind == "eqdel":
+                v = r % 10
+                t.add_equality_deletes(
+                    spark.createDataFrame([(str(v), v)], "foo string, bar int"),
+                    [1, 2],
+                )
+                for f in files:
+                    if f["seq"] < seq:
+                        for row in f["rows"]:
+                            if row[1] == v:
+                                row[3] = False
+            elif kind == "merge":
+                keys = sorted({(r + i * 7) % 10 for i in range(3)})
+                bz = bool(r % 2)
+                t.merge(
+                    spark.createDataFrame(
+                        [(str(v), v, bz) for v in keys],
+                        "foo string, bar int, baz boolean",
+                    ),
+                    on_ids=[1, 2],
+                )
+                for f in files:
+                    if f["seq"] < seq:
+                        for row in f["rows"]:
+                            if row[1] in keys:
+                                row[3] = False
+                files.append(
+                    {"seq": seq, "rows": [[str(v), v, bz, True] for v in keys]}
+                )
+            else:  # compact
+                t.compact()
+                live = [
+                    [r2[0], r2[1], r2[2], True]
+                    for f in files
+                    for r2 in f["rows"]
+                    if r2[3]
+                ]
+                files = [{"seq": seq, "rows": live}]
+            got = Counter(
+                (r2.foo, r2.bar, r2.baz) for r2 in t.scan().collect()
+            )
+            assert got == model_live(), (kind, ops)
+            head = t.current_snapshot_id()
+            if head is not None:
+                history.append((head, model_live()))
+        for sid, state in history:
+            tt = Counter(
+                (r2.foo, r2.bar, r2.baz)
+                for r2 in t.scan(snapshot_id=sid).collect()
+            )
+            assert tt == state, (sid, ops)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 DOC_GRP = ["lang", "source"]
 
 
