@@ -558,6 +558,153 @@ def test_mutation_interleave_model(spark, ops):
         shutil.rmtree(base, ignore_errors=True)
 
 
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "addcol", "eqdel", "merge"]),
+            st.integers(0, 10**6),
+        ),
+        min_size=4,
+        max_size=8,
+    )
+)
+def test_schema_evolution_interleave_model(spark, ops):
+    """Differential fuzz of SCHEMA EVOLUTION: random interleavings of
+    appends, add_column (metadata-only — files written before the column
+    existed must read as NULL), equality deletes, and MERGE upserts on
+    the evolved schema, replayed against a pure-Python model whose rows
+    are dicts (absent key == NULL).  After every op scan() must match
+    the model under the CURRENT schema; at the end, time travel to every
+    intermediate snapshot must reproduce the state recorded there, read
+    through the final schema (old snapshots gain NULL columns, never
+    lose data)."""
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=10, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    base = tempfile.mkdtemp(prefix="mor-evofuzz-")
+    t = MoRTable.create(spark, base, schema)
+
+    extra: list[str] = []          # evolution-added double columns
+    files: list[dict] = []         # {"seq", "rows": [dict]}; dict has _alive
+    seq = 0
+    history: list[tuple[int, Counter]] = []
+
+    def ddl() -> str:
+        return "foo string, bar int, baz boolean" + "".join(
+            f", {c} double" for c in extra
+        )
+
+    def cols() -> list[str]:
+        return ["foo", "bar", "baz", *extra]
+
+    def model_live() -> Counter:
+        return Counter(
+            tuple(r.get(c) for c in cols())
+            for f in files
+            for r in f["rows"]
+            if r["_alive"]
+        )
+
+    try:
+        for kind, r in ops:
+            if kind == "addcol":
+                if len(extra) >= 2:
+                    continue
+                name = f"c{len(extra) + 1}"
+                t.add_column(name, "double")
+                extra.append(name)
+                continue  # metadata-only: no snapshot, no scan change
+            seq += 1
+            if kind == "append":
+                vals = [(r + i * 3) % 10 for i in range(5)]
+                x = float(r % 7)
+                t.append(
+                    spark.createDataFrame(
+                        [(str(v), v, True) + (x,) * len(extra) for v in vals],
+                        ddl(),
+                    ),
+                    single_file=True,
+                )
+                files.append({
+                    "seq": seq,
+                    "rows": [
+                        {"foo": str(v), "bar": v, "baz": True, "_alive": True,
+                         **{c: x for c in extra}}
+                        for v in vals
+                    ],
+                })
+            elif kind == "eqdel":
+                v = r % 10
+                t.add_equality_deletes(
+                    spark.createDataFrame([(str(v), v)], "foo string, bar int"),
+                    [1, 2],
+                )
+                for f in files:
+                    if f["seq"] < seq:
+                        for row in f["rows"]:
+                            if row["bar"] == v:
+                                row["_alive"] = False
+            else:  # merge
+                keys = sorted({(r + i * 7) % 10 for i in range(3)})
+                x = float(r % 5)
+                t.merge(
+                    spark.createDataFrame(
+                        [(str(v), v, False) + (x,) * len(extra) for v in keys],
+                        ddl(),
+                    ),
+                    on_ids=[1, 2],
+                )
+                for f in files:
+                    if f["seq"] < seq:
+                        for row in f["rows"]:
+                            if row["bar"] in keys:
+                                row["_alive"] = False
+                files.append({
+                    "seq": seq,
+                    "rows": [
+                        {"foo": str(v), "bar": v, "baz": False, "_alive": True,
+                         **{c: x for c in extra}}
+                        for v in keys
+                    ],
+                })
+            got = Counter(
+                tuple(getattr(r2, c) for c in cols())
+                for r2 in t.scan().collect()
+            )
+            assert got == model_live(), (kind, ops)
+            head = t.current_snapshot_id()
+            if head is not None:
+                # record through the FINAL schema: re-counted at the end
+                history.append((head, [
+                    {k: v2 for k, v2 in row.items()}
+                    for f in files for row in f["rows"] if row["_alive"]
+                ]))
+        final = cols()
+        for sid, rows_then in history:
+            want = Counter(
+                tuple(row.get(c) for c in final) for row in rows_then
+            )
+            tt = Counter(
+                tuple(getattr(r2, c) for c in final)
+                for r2 in t.scan(snapshot_id=sid).collect()
+            )
+            assert tt == want, (sid, ops)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 DOC_GRP = ["lang", "source"]
 
 
