@@ -449,7 +449,7 @@ def test_delete_interleave_model(spark, ops):
 @given(
     ops=st.lists(
         st.tuples(
-            st.sampled_from(["append", "eqdel", "merge", "compact"]),
+            st.sampled_from(["append", "eqdel", "merge", "compact", "expire"]),
             st.integers(0, 10**6),
         ),
         min_size=4,
@@ -461,11 +461,13 @@ def test_mutation_interleave_model(spark, ops):
     appends, standalone equality deletes, MERGE upserts (one overwrite
     snapshot = eq-delete of the source keys + the source data files,
     where the sequence-number rule keeps the merge's own files out of
-    its own delete's reach), and compaction (materialize-and-replace
-    baseline) against a pure-Python model.  After every op scan() must
-    equal the model multiset; at the end, time travel to every recorded
-    snapshot must reproduce the state recorded there — maintenance must
-    never rewrite history."""
+    its own delete's reach), compaction (materialize-and-replace
+    baseline), and snapshot expiration against a pure-Python model.
+    After every op scan() must equal the model multiset; at the end,
+    time travel to every recorded snapshot must either reproduce the
+    state recorded there or (if expired) raise — never return wrong
+    data — and survival must be a suffix of commit order (expire drops
+    oldest-first, and the current head always survives)."""
     import shutil
     import tempfile
     from collections import Counter
@@ -490,6 +492,16 @@ def test_mutation_interleave_model(spark, ops):
 
     try:
         for kind, r in ops:
+            if kind == "expire":
+                # metadata-only: current state and future commits are
+                # untouched; only old history (and its orphaned files)
+                # goes away.  The end-of-run replay checks which.
+                t.expire_snapshots(keep_last=1 + r % 3)
+                got = Counter(
+                    (r2.foo, r2.bar, r2.baz) for r2 in t.scan().collect()
+                )
+                assert got == model_live(), (kind, ops)
+                continue
             seq += 1
             if kind == "append":
                 vals = [(r + i * 3) % 10 for i in range(5)]
@@ -548,12 +560,29 @@ def test_mutation_interleave_model(spark, ops):
             head = t.current_snapshot_id()
             if head is not None:
                 history.append((head, model_live()))
+        import pytest
+
+        survived: list[bool] = []
         for sid, state in history:
-            tt = Counter(
-                (r2.foo, r2.bar, r2.baz)
-                for r2 in t.scan(snapshot_id=sid).collect()
-            )
+            try:
+                tt = Counter(
+                    (r2.foo, r2.bar, r2.baz)
+                    for r2 in t.scan(snapshot_id=sid).collect()
+                )
+            except ValueError:
+                survived.append(False)
+                continue
             assert tt == state, (sid, ops)
+            survived.append(True)
+        # expiration drops oldest-first: once a snapshot survives, every
+        # later one must too, and the current head always survives
+        assert survived == sorted(survived), (survived, ops)
+        if history:
+            head = t.current_snapshot_id()
+            if head is not None:
+                assert survived[-1], (survived, ops)
+                with pytest.raises(ValueError):
+                    t.scan(snapshot_id=-1)  # never-existed id still errors
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
