@@ -734,6 +734,103 @@ def test_schema_evolution_interleave_model(spark, ops):
         shutil.rmtree(base, ignore_errors=True)
 
 
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "eqdel", "cluster", "compact"]),
+            st.integers(0, 10**6),
+        ),
+        min_size=3,
+        max_size=7,
+    ),
+    probes=st.lists(st.integers(0, 10**6), min_size=3, max_size=3),
+)
+def test_pruning_exactness_model(spark, ops, probes):
+    """Differential fuzz of the FILE-SKIPPING layer: random appends (each
+    file covering a random value range), equality deletes, z-order
+    rewrites, and compaction, then random ``scan(where=...)`` range
+    probes — including half-open ranges — checked against a pure-Python
+    filter of the model multiset.  Stats pruning is planning-time only,
+    so no layout (fresh, clustered, compacted) and no stats coarseness
+    may ever change WHAT a range scan returns, only how many files it
+    touches."""
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=10, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    base = tempfile.mkdtemp(prefix="mor-prunefuzz-")
+    t = MoRTable.create(spark, base, schema)
+
+    rows: list[tuple[str, int, bool]] = []  # live multiset (model)
+    seq = 0
+    file_vals: list[dict] = []  # {"seq", "vals": [int]} for eqdel model
+
+    def check_range(r: int) -> None:
+        span = 50
+        lo = r % span
+        hi = lo + (r // span) % (span - lo + 1)
+        for w in ((lo, hi), (lo, None), (None, hi)):
+            want = Counter(
+                x for x in rows
+                if (w[0] is None or x[1] >= w[0])
+                and (w[1] is None or x[1] <= w[1])
+            )
+            got = Counter(
+                (r2.foo, r2.bar, r2.baz)
+                for r2 in t.scan(where={"bar": w}).collect()
+            )
+            assert got == want, (w, ops)
+
+    try:
+        for kind, r in ops:
+            seq += 1
+            if kind == "append":
+                lo = r % 40
+                vals = [lo + (r >> (i + 2)) % 10 for i in range(8)]
+                t.append(
+                    spark.createDataFrame(
+                        [(str(v), v, True) for v in vals],
+                        "foo string, bar int, baz boolean",
+                    ),
+                    single_file=True,
+                )
+                rows.extend((str(v), v, True) for v in vals)
+                file_vals.append({"seq": seq, "vals": list(vals)})
+            elif kind == "eqdel":
+                if not rows:
+                    continue
+                v = r % 50
+                t.add_equality_deletes(
+                    spark.createDataFrame([(str(v), v)], "foo string, bar int"),
+                    [1, 2],
+                )
+                # eq-delete hits all strictly-older files; every current
+                # file IS older, so drop every live row with that value
+                rows = [x for x in rows if x[1] != v]
+            elif kind == "cluster":
+                if not rows:
+                    continue
+                t.cluster_by(["bar"], target_files=3)
+            else:  # compact
+                t.compact()
+            check_range(r)
+        for pr in probes:
+            check_range(pr)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 DOC_GRP = ["lang", "source"]
 
 
