@@ -831,6 +831,103 @@ def test_pruning_exactness_model(spark, ops, probes):
         shutil.rmtree(base, ignore_errors=True)
 
 
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "eqdel", "merge", "compact"]),
+            st.integers(0, 10**6),
+        ),
+        min_size=3,
+        max_size=8,
+    ),
+    windows=st.lists(st.integers(0, 10**6), min_size=4, max_size=4),
+)
+def test_incremental_scan_window_model(spark, ops, windows):
+    """Differential fuzz of the CDC WINDOW contract: after a random
+    commit history (appends, equality deletes, MERGE overwrites,
+    compaction), every random ``incremental_scan(from, to]`` window must
+    return exactly the rows of the APPEND commits inside the window —
+    deletes are not applied (the consumer sees what was appended),
+    merge/overwrite and compaction/replace commits contribute nothing
+    (rewritten rows are not new data), and window endpoints may be any
+    snapshot id, not just append commits."""
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=10, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    base = tempfile.mkdtemp(prefix="mor-incfuzz-")
+    t = MoRTable.create(spark, base, schema)
+
+    commits: list[tuple[int, list[tuple[str, int, bool]]]] = []
+
+    try:
+        for kind, r in ops:
+            if kind == "append":
+                vals = [(r + i * 3) % 10 for i in range(5)]
+                snap = t.append(
+                    spark.createDataFrame(
+                        [(str(v), v, True) for v in vals],
+                        "foo string, bar int, baz boolean",
+                    ),
+                    single_file=True,
+                )
+                commits.append(
+                    (snap["id"], [(str(v), v, True) for v in vals])
+                )
+            elif kind == "eqdel":
+                v = r % 10
+                snap = t.add_equality_deletes(
+                    spark.createDataFrame([(str(v), v)], "foo string, bar int"),
+                    [1, 2],
+                )
+                commits.append((snap["id"], []))
+            elif kind == "merge":
+                keys = sorted({(r + i * 7) % 10 for i in range(3)})
+                snap = t.merge(
+                    spark.createDataFrame(
+                        [(str(v), v, False) for v in keys],
+                        "foo string, bar int, baz boolean",
+                    ),
+                    on_ids=[1, 2],
+                )
+                commits.append((snap["id"], []))  # overwrite: not CDC
+            else:  # compact
+                snap = t.compact()
+                commits.append((snap["id"], []))  # replace: not CDC
+
+        if not commits:
+            return
+        endpoints = [0] + [sid for sid, _ in commits]
+        for w in windows:
+            frm = endpoints[w % len(endpoints)]
+            to_choices = [sid for sid in endpoints[1:] if sid > frm] or [None]
+            to = to_choices[(w // 97) % len(to_choices)]
+            want = Counter(
+                row
+                for sid, rws in commits
+                if frm < sid and (to is None or sid <= to)
+                for row in rws
+            )
+            got = Counter(
+                (r2.foo, r2.bar, r2.baz)
+                for r2 in t.incremental_scan(frm, to).collect()
+            )
+            assert got == want, (frm, to, ops)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 DOC_GRP = ["lang", "source"]
 
 
