@@ -1217,3 +1217,124 @@ def test_random_groupingsets_spec_matches_duckdb(spark, kind, dims, frac):
         spark, f"propgsets[{kind},{len(dims)}d,{frac:.3f}]", fn, sql, SF_SMALL
     )
     assert not errors, errors
+
+
+def render_scalar_sql(kind: str, i: int, n: int, k: int) -> str:
+    """One ANSI SQL string both engines run: a scalar-expression grouping
+    over orders, confined to the engine-common surface (substr is
+    1-based in both; replace/concat/length/abs/extract/CASE agree
+    exactly; round() and division are deliberately excluded — their
+    tie-breaking differs)."""
+    if kind == "substr":
+        e = f"upper(substr(o_orderpriority, {1 + i % 3}, {1 + n % 5}))"
+    elif kind == "concat":
+        e = f"concat(o_orderstatus, '-', substr(o_orderpriority, 1, {1 + n % 4}))"
+    elif kind == "replace":
+        e = f"replace(o_orderpriority, '-', '{'_' * (n % 3)}')"
+    elif kind == "length":
+        e = f"length(o_orderpriority) + {k % 7}"
+    elif kind == "mod_abs":
+        e = f"abs(CAST(o_orderkey % 13 AS INT) - {k % 13})"
+    elif kind == "extract":
+        part = ("year", "month", "day")[n % 3]
+        e = f"CAST(extract({part} FROM o_orderdate) AS BIGINT)"
+    else:  # case
+        thr = 1000 + (k % 400) * 100
+        e = (
+            f"CASE WHEN o_totalprice < {thr} THEN 'lo' "
+            f"WHEN o_totalprice < {thr * 3} THEN 'mid' ELSE 'hi' END"
+        )
+    return f"SELECT {e} AS e, count(*) AS n FROM orders GROUP BY 1"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    kind=st.sampled_from(
+        ["substr", "concat", "replace", "length", "mod_abs", "extract", "case"]
+    ),
+    i=st.integers(0, 10**6),
+    n=st.integers(0, 10**6),
+    k=st.integers(0, 10**6),
+)
+def test_random_scalar_expr_matches_duckdb(spark, kind, i, n, k):
+    """Differential fuzz of the SCALAR-FUNCTION surface (string slicing /
+    concat / replace, integer arithmetic, date-part extraction, CASE
+    laddering) grouped and counted: any divergence in 1-based substring
+    indexing, empty-string handling, modulo sign, or date-part values
+    fails exactly — the fixed q_scalar_* oracles pin a handful of
+    expressions; this probes the space between them."""
+    sql = render_scalar_sql(kind, i, n, k)
+
+    def fn(spark, sf_dir, sql=sql):
+        load_tables(spark, sf_dir, ("orders",))
+        return spark.sql(sql)
+
+    errors = compare(
+        spark, f"propscalar[{kind},{i % 97},{n % 97},{k % 97}]", fn, sql, SF_SMALL
+    )
+    assert not errors, errors
+
+
+def render_null_semantics_sql(v: int, v2: int, c: str) -> str:
+    """One ANSI SQL string both engines run: nullif() manufactures NULLs
+    in the otherwise NULL-free TPC-H data, then the aggregate surface
+    must agree on every NULL rule at once — the NULL group in GROUP BY,
+    count(*) vs count(col), DISTINCT ignoring NULLs, and min() skipping
+    NULLs (returning NULL for an all-NULL group)."""
+    return f"""
+    SELECT nullif(l_linenumber, {v}) AS g,
+           count(*) AS n_rows,
+           count(nullif(l_linenumber, {v})) AS n_nonnull,
+           CAST(count(DISTINCT nullif(l_linenumber, {v2})) AS BIGINT) AS n_distinct,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s,
+           min(nullif(l_returnflag, '{c}')) AS mn
+    FROM lineitem
+    GROUP BY 1
+    """
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    v=st.integers(1, 7),
+    v2=st.integers(1, 7),
+    c=st.sampled_from(["A", "N", "R"]),
+    jv=st.integers(0, 6),
+)
+def test_random_null_semantics_matches_duckdb(spark, v, v2, c, jv):
+    """Differential fuzz of NULL semantics: grouping by a NULL-bearing
+    key, the count(*)/count(col)/count(DISTINCT) triple, NULL-skipping
+    min(), and a LEFT JOIN on nullable keys where NULL never matches
+    NULL — all rules the hand-written oracles exercise only implicitly
+    because the TPC-H tables carry no NULLs."""
+    sql = render_null_semantics_sql(v, v2, c)
+
+    def fn(spark, sf_dir, sql=sql):
+        load_tables(spark, sf_dir, ("lineitem",))
+        return spark.sql(sql)
+
+    errors = compare(spark, f"propnull[{v},{v2},{c}]", fn, sql, SF_SMALL)
+    assert not errors, errors
+
+    join_sql = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_left,
+           CAST(sum(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unmatched
+    FROM (SELECT nullif(l_linenumber, {jv}) AS k FROM lineitem) a
+    LEFT JOIN (SELECT DISTINCT nullif(o_orderkey % 7, {jv}) AS k FROM orders) b
+      ON a.k = b.k
+    """
+
+    def fn2(spark, sf_dir, sql=join_sql):
+        load_tables(spark, sf_dir, ("lineitem", "orders"))
+        return spark.sql(sql)
+
+    errors = compare(spark, f"propnulljoin[{jv}]", fn2, join_sql, SF_SMALL)
+    assert not errors, errors
