@@ -441,21 +441,135 @@ def test_delete_interleave_model(spark, ops):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _run_mutation_model(spark, t, ops):
+    """Replay a random mutation interleave (append / eq-delete / MERGE /
+    compact / expire) against the pure-Python model on an
+    already-created table ``t``.  Shared by the local-catalog and
+    REST-catalog mutation fuzz tests: merge and compaction are
+    multi-file commits and expiration is a metadata rewrite — exactly
+    the op class where a non-atomic (two-save) publish over the REST
+    CAS would strand half-applied documents."""
+    from collections import Counter
+
+    files: list[dict] = []  # {"seq", "rows": [[foo, bar, baz, alive]]}
+    seq = 0
+    history: list[tuple[int, Counter]] = []
+
+    def model_live() -> Counter:
+        return Counter(
+            (r[0], r[1], r[2]) for f in files for r in f["rows"] if r[3]
+        )
+
+    for kind, r in ops:
+        if kind == "expire":
+            # metadata-only: current state and future commits are
+            # untouched; only old history (and its orphaned files)
+            # goes away.  The end-of-run replay checks which.
+            t.expire_snapshots(keep_last=1 + r % 3)
+            got = Counter(
+                (r2.foo, r2.bar, r2.baz) for r2 in t.scan().collect()
+            )
+            assert got == model_live(), (kind, ops)
+            continue
+        seq += 1
+        if kind == "append":
+            vals = [(r + i * 3) % 10 for i in range(5)]
+            t.append(
+                spark.createDataFrame(
+                    [(str(v), v, True) for v in vals],
+                    "foo string, bar int, baz boolean",
+                ),
+                single_file=True,
+            )
+            files.append(
+                {"seq": seq, "rows": [[str(v), v, True, True] for v in vals]}
+            )
+        elif kind == "eqdel":
+            v = r % 10
+            t.add_equality_deletes(
+                spark.createDataFrame([(str(v), v)], "foo string, bar int"),
+                [1, 2],
+            )
+            for f in files:
+                if f["seq"] < seq:
+                    for row in f["rows"]:
+                        if row[1] == v:
+                            row[3] = False
+        elif kind == "merge":
+            keys = sorted({(r + i * 7) % 10 for i in range(3)})
+            bz = bool(r % 2)
+            t.merge(
+                spark.createDataFrame(
+                    [(str(v), v, bz) for v in keys],
+                    "foo string, bar int, baz boolean",
+                ),
+                on_ids=[1, 2],
+            )
+            for f in files:
+                if f["seq"] < seq:
+                    for row in f["rows"]:
+                        if row[1] in keys:
+                            row[3] = False
+            files.append(
+                {"seq": seq, "rows": [[str(v), v, bz, True] for v in keys]}
+            )
+        else:  # compact
+            t.compact()
+            live = [
+                [r2[0], r2[1], r2[2], True]
+                for f in files
+                for r2 in f["rows"]
+                if r2[3]
+            ]
+            files = [{"seq": seq, "rows": live}]
+        got = Counter(
+            (r2.foo, r2.bar, r2.baz) for r2 in t.scan().collect()
+        )
+        assert got == model_live(), (kind, ops)
+        head = t.current_snapshot_id()
+        if head is not None:
+            history.append((head, model_live()))
+    import pytest
+
+    survived: list[bool] = []
+    for sid, state in history:
+        try:
+            tt = Counter(
+                (r2.foo, r2.bar, r2.baz)
+                for r2 in t.scan(snapshot_id=sid).collect()
+            )
+        except ValueError:
+            survived.append(False)
+            continue
+        assert tt == state, (sid, ops)
+        survived.append(True)
+    # expiration drops oldest-first: once a snapshot survives, every
+    # later one must too, and the current head always survives
+    assert survived == sorted(survived), (survived, ops)
+    if history:
+        head = t.current_snapshot_id()
+        if head is not None:
+            assert survived[-1], (survived, ops)
+            with pytest.raises(ValueError):
+                t.scan(snapshot_id=-1)  # never-existed id still errors
+
+
+_MUTATION_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "eqdel", "merge", "compact", "expire"]),
+        st.integers(0, 10**6),
+    ),
+    min_size=4,
+    max_size=9,
+)
+
+
 @settings(
-    max_examples=5,
+    max_examples=4,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(
-    ops=st.lists(
-        st.tuples(
-            st.sampled_from(["append", "eqdel", "merge", "compact", "expire"]),
-            st.integers(0, 10**6),
-        ),
-        min_size=4,
-        max_size=9,
-    )
-)
+@given(ops=_MUTATION_OPS)
 def test_mutation_interleave_model(spark, ops):
     """Differential fuzz of the MUTATION surface: random interleavings of
     appends, standalone equality deletes, MERGE upserts (one overwrite
@@ -470,7 +584,6 @@ def test_mutation_interleave_model(spark, ops):
     oldest-first, and the current head always survives)."""
     import shutil
     import tempfile
-    from collections import Counter
 
     from iceberg_data_gen_spark.datagen.config import FileConfig
     from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
@@ -480,111 +593,45 @@ def test_mutation_interleave_model(spark, ops):
     schema = FixSchemaGenerator(fc, fc, fc).schema()
     base = tempfile.mkdtemp(prefix="mor-mutfuzz-")
     t = MoRTable.create(spark, base, schema)
-
-    files: list[dict] = []  # {"seq", "rows": [[foo, bar, baz, alive]]}
-    seq = 0
-    history: list[tuple[int, Counter]] = []
-
-    def model_live() -> Counter:
-        return Counter(
-            (r[0], r[1], r[2]) for f in files for r in f["rows"] if r[3]
-        )
-
     try:
-        for kind, r in ops:
-            if kind == "expire":
-                # metadata-only: current state and future commits are
-                # untouched; only old history (and its orphaned files)
-                # goes away.  The end-of-run replay checks which.
-                t.expire_snapshots(keep_last=1 + r % 3)
-                got = Counter(
-                    (r2.foo, r2.bar, r2.baz) for r2 in t.scan().collect()
-                )
-                assert got == model_live(), (kind, ops)
-                continue
-            seq += 1
-            if kind == "append":
-                vals = [(r + i * 3) % 10 for i in range(5)]
-                t.append(
-                    spark.createDataFrame(
-                        [(str(v), v, True) for v in vals],
-                        "foo string, bar int, baz boolean",
-                    ),
-                    single_file=True,
-                )
-                files.append(
-                    {"seq": seq, "rows": [[str(v), v, True, True] for v in vals]}
-                )
-            elif kind == "eqdel":
-                v = r % 10
-                t.add_equality_deletes(
-                    spark.createDataFrame([(str(v), v)], "foo string, bar int"),
-                    [1, 2],
-                )
-                for f in files:
-                    if f["seq"] < seq:
-                        for row in f["rows"]:
-                            if row[1] == v:
-                                row[3] = False
-            elif kind == "merge":
-                keys = sorted({(r + i * 7) % 10 for i in range(3)})
-                bz = bool(r % 2)
-                t.merge(
-                    spark.createDataFrame(
-                        [(str(v), v, bz) for v in keys],
-                        "foo string, bar int, baz boolean",
-                    ),
-                    on_ids=[1, 2],
-                )
-                for f in files:
-                    if f["seq"] < seq:
-                        for row in f["rows"]:
-                            if row[1] in keys:
-                                row[3] = False
-                files.append(
-                    {"seq": seq, "rows": [[str(v), v, bz, True] for v in keys]}
-                )
-            else:  # compact
-                t.compact()
-                live = [
-                    [r2[0], r2[1], r2[2], True]
-                    for f in files
-                    for r2 in f["rows"]
-                    if r2[3]
-                ]
-                files = [{"seq": seq, "rows": live}]
-            got = Counter(
-                (r2.foo, r2.bar, r2.baz) for r2 in t.scan().collect()
-            )
-            assert got == model_live(), (kind, ops)
-            head = t.current_snapshot_id()
-            if head is not None:
-                history.append((head, model_live()))
-        import pytest
-
-        survived: list[bool] = []
-        for sid, state in history:
-            try:
-                tt = Counter(
-                    (r2.foo, r2.bar, r2.baz)
-                    for r2 in t.scan(snapshot_id=sid).collect()
-                )
-            except ValueError:
-                survived.append(False)
-                continue
-            assert tt == state, (sid, ops)
-            survived.append(True)
-        # expiration drops oldest-first: once a snapshot survives, every
-        # later one must too, and the current head always survives
-        assert survived == sorted(survived), (survived, ops)
-        if history:
-            head = t.current_snapshot_id()
-            if head is not None:
-                assert survived[-1], (survived, ops)
-                with pytest.raises(ValueError):
-                    t.scan(snapshot_id=-1)  # never-existed id still errors
+        _run_mutation_model(spark, t, ops)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_MUTATION_OPS)
+def test_mutation_interleave_model_rest(spark, ops):
+    """The SAME mutation interleave model on a REST-backed table: merge's
+    multi-file overwrite commit, compaction's baseline replace, and
+    expiration's history rewrite all go through RestMetadataIO's
+    version-CAS commit path against the in-process fixture server.  Any
+    divergence from the local-catalog run means the metadata paths
+    disagree on mutation semantics."""
+    import shutil
+    import tempfile
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.rest_catalog import RestCatalog
+    from iceberg_data_gen_spark.table.rest_server import RestCatalogServer
+
+    fc = FileConfig(rows_per_file=10, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    wh = tempfile.mkdtemp(prefix="mor-mutfuzz-rest-")
+    try:
+        with RestCatalogServer() as srv:
+            cat = RestCatalog(spark, srv.uri, wh)
+            cat.create_namespace("fuzz")
+            t = cat.create_table("fuzz", "t", schema)
+            _run_mutation_model(spark, t, ops)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
 
 
 @settings(
