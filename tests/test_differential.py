@@ -1089,8 +1089,10 @@ def render_window_sql(grp: str, val: str, fn_kind: str, frame: int, frac: float)
     unique (l_orderkey, l_linenumber) pair) so every output row is
     deterministic in both engines.  ``fn_kind`` picks the analytic
     surface: ranking (rank depends only on strictly-smaller counts, so
-    ties are safe), offset (lag over the total order), or a bounded-frame
-    running DECIMAL sum (exact, order-independent accumulation)."""
+    ties are safe), offset (lag over the total order), a bounded-frame
+    running DECIMAL sum (exact, order-independent accumulation), or a
+    numeric RANGE frame (value-distance window — tie-insensitive by
+    construction, since every peer row sees the same frame)."""
     lo, hi = NUM_COLS["l_quantity"]
     thr = round(lo + frac * (hi - lo), 4)
     total_order = f"{val}, l_orderkey, l_linenumber"
@@ -1102,11 +1104,17 @@ def render_window_sql(grp: str, val: str, fn_kind: str, frame: int, frac: float)
         inner = (
             f"lag({val}) OVER (PARTITION BY {grp} ORDER BY {total_order}) AS x_val"
         )
-    else:  # frame-sum
+    elif fn_kind == "framesum":
         inner = (
             f"CAST(sum(CAST({val} AS DECIMAL(18,2))) OVER ("
             f"PARTITION BY {grp} ORDER BY {total_order} "
             f"ROWS BETWEEN {frame} PRECEDING AND CURRENT ROW) AS DOUBLE) AS x_val"
+        )
+    else:  # range-sum: single numeric ordering key, value-based frame
+        inner = (
+            f"CAST(sum(CAST({val} AS DECIMAL(18,2))) OVER ("
+            f"PARTITION BY {grp} ORDER BY {val} "
+            f"RANGE BETWEEN {frame} PRECEDING AND CURRENT ROW) AS DOUBLE) AS x_val"
         )
     return f"""
     SELECT g, l_orderkey, l_linenumber, rn, {"x_bigint" if fn_kind == "rank" else "x_val"}
@@ -1130,7 +1138,7 @@ def render_window_sql(grp: str, val: str, fn_kind: str, frame: int, frac: float)
 @given(
     grp=st.sampled_from(GRP_COLS),
     val=st.sampled_from(sorted(NUM_COLS)),
-    fn_kind=st.sampled_from(["rank", "lag", "framesum"]),
+    fn_kind=st.sampled_from(["rank", "lag", "framesum", "rangesum"]),
     frame=st.integers(min_value=0, max_value=5),
     frac=st.floats(0.05, 0.95),
 )
