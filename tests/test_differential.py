@@ -1393,3 +1393,98 @@ def test_random_null_semantics_matches_duckdb(spark, v, v2, c, jv):
 
     errors = compare(spark, f"propnulljoin[{jv}]", fn2, join_sql, SF_SMALL)
     assert not errors, errors
+
+
+def render_subquery_sql(kind: str, frac: float, v: int) -> str:
+    """One ANSI SQL string both engines run: a subquery spec over
+    orders × lineitem.  ``kind`` picks the surface: IN / NOT IN
+    (including NOT IN against a NULL-bearing list, where three-valued
+    logic empties the result for any NULL — both engines follow the
+    standard), EXISTS / NOT EXISTS with a correlated predicate, and a
+    correlated scalar aggregate in WHERE (empty subquery -> NULL ->
+    comparison false).  These decorrelate to joins/aggregations inside
+    Spark — the optimizer surface the fixed q_*_subquery oracles pin at
+    one point each."""
+    lo, hi = 900.0, 105000.0
+    thr = round(lo + frac * (hi - lo), 2)
+    if kind == "in":
+        return f"""
+        SELECT o_orderpriority AS g, count(*) AS n FROM orders
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem WHERE l_extendedprice <= {thr!r})
+        GROUP BY 1
+        """
+    if kind == "not_in":
+        return f"""
+        SELECT o_orderstatus AS g, count(*) AS n FROM orders
+        WHERE o_orderkey NOT IN (
+            SELECT l_orderkey FROM lineitem WHERE l_extendedprice <= {thr!r})
+        GROUP BY 1
+        """
+    if kind == "not_in_null":
+        # one NULL in the list -> NOT IN is never TRUE -> empty result
+        return f"""
+        SELECT o_orderstatus AS g, count(*) AS n FROM orders
+        WHERE o_orderkey NOT IN (
+            SELECT nullif(l_orderkey, l_orderkey) FROM lineitem
+            WHERE l_extendedprice <= {thr!r})
+        GROUP BY 1
+        """
+    if kind == "exists":
+        return f"""
+        SELECT o_orderpriority AS g, count(*) AS n FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_extendedprice <= {thr!r}
+              AND l.l_linenumber <= {1 + v % 7})
+        GROUP BY 1
+        """
+    if kind == "not_exists":
+        return f"""
+        SELECT o_orderstatus AS g, count(*) AS n FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_extendedprice <= {thr!r})
+        GROUP BY 1
+        """
+    # corr_scalar: correlated aggregate compared in WHERE
+    return f"""
+    SELECT o_orderpriority AS g, count(*) AS n FROM orders o
+    WHERE o_totalprice <= (
+        SELECT max(l_extendedprice) FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_linenumber <= {1 + v % 7})
+    GROUP BY 1
+    """
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    kind=st.sampled_from(
+        ["in", "not_in", "not_in_null", "exists", "not_exists", "corr_scalar"]
+    ),
+    frac=st.floats(0.05, 0.95),
+    v=st.integers(0, 10**6),
+)
+def test_random_subquery_spec_matches_duckdb(spark, kind, frac, v):
+    """Differential fuzz of the SUBQUERY surface (IN / NOT IN incl. the
+    NULL-list three-valued-logic trap / EXISTS / NOT EXISTS / correlated
+    scalar aggregate): each decorrelates to a different join/aggregate
+    shape inside Spark, so any divergence in decorrelation, null-aware
+    anti-join semantics, or empty-subquery NULL handling fails exactly."""
+    sql = render_subquery_sql(kind, frac, v)
+
+    def fn(spark, sf_dir, sql=sql):
+        load_tables(spark, sf_dir, ("orders", "lineitem"))
+        return spark.sql(sql)
+
+    errors = compare(
+        spark, f"propsubq[{kind},{frac:.3f},{v % 7}]", fn, sql, SF_SMALL
+    )
+    assert not errors, errors
