@@ -279,7 +279,11 @@ class MoRTable:
         snap = {
             "id": (snaps[-1]["id"] + 1) if snaps else 1,
             "parent": parent,
-            "sequence_number": len(snaps) + 1,
+            # NEVER len(snaps)+1: expire_snapshots shrinks the list, and a
+            # reused sequence number lets a later equality delete collide
+            # with a surviving data file's sequence — the strictly-older
+            # rule would then wrongly exempt that file from the delete
+            "sequence_number": (snaps[-1]["sequence_number"] + 1) if snaps else 1,
             "operation": operation,
             "files": files,
             **extra,

@@ -28,21 +28,18 @@ _REPO = str(Path(__file__).resolve().parent.parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-import duckdb  # noqa: E402
-
 from scripts.driver_twin import compare  # noqa: E402
-from tests.oracle import TABLES  # noqa: E402
+from tests.oracle import duckdb_conn  # noqa: E402
 
 
 def main() -> int:
-    slots = 50
-    sf_dir = "/root/testdata/sf0.01"
-    argv = sys.argv[1:]
-    for i, a in enumerate(argv):
-        if a == "--slots":
-            slots = int(argv[i + 1])
-        elif a == "--sf-dir":
-            sf_dir = argv[i + 1]
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--slots", type=int, default=50)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+    slots, sf_dir = args.slots, args.sf_dir
 
     from pyspark.sql import SparkSession
 
@@ -63,11 +60,7 @@ def main() -> int:
     ordered = list(entry_mod.queries())
     picked = ordered[:slots]
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = duckdb_conn(sf_dir)
     bad = 0
     for n in picked:
         t0 = time.monotonic()

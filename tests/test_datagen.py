@@ -1026,3 +1026,37 @@ def test_staged_and_branch_publish_atomically(spark, tmp_path):
     assert t.scan(ref="audit").count() == 20
     t.publish_snapshot(staged["id"])
     assert t.scan().count() == 20
+
+
+def test_sequence_numbers_never_reused_after_expire(spark, tmp_path):
+    """Sequence numbers must stay monotonic across expire_snapshots.
+
+    Regression: _commit derived the sequence number from len(snapshots),
+    so expiring history let a later equality-delete commit reuse a
+    surviving data file's sequence number — the strictly-older rule
+    (data_seq < delete_seq) then wrongly exempted that file and a
+    deleted row survived the scan."""
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=10, file_count=1)
+    t = MoRTable.create(
+        spark, str(tmp_path / "seq"), FixSchemaGenerator(fc, fc, fc).schema()
+    )
+
+    def df(vals):
+        return spark.createDataFrame(
+            [(str(v), v, True) for v in vals], "foo string, bar int, baz boolean"
+        )
+
+    t.append(df([0, 3, 6, 9, 2]), single_file=True)   # seq 1
+    t.compact()                                        # seq 2, baseline
+    t.append(df([3, 6, 9, 2, 5]), single_file=True)   # seq 3
+    t.expire_snapshots(keep_last=1)                    # drops seq-1 snapshot
+    t.add_equality_deletes(df([3]).select("foo", "bar"), [1, 2])
+    seqs = [s["sequence_number"] for s in t._meta["snapshots"]]
+    assert seqs == sorted(set(seqs)), seqs  # strictly increasing, no reuse
+    got = sorted(r.bar for r in t.scan().collect())
+    assert 3 not in got, got
+    assert got == sorted([0, 6, 9, 2] + [6, 9, 2, 5]), got

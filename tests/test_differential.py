@@ -820,8 +820,6 @@ def test_pruning_exactness_model(spark, ops, probes):
     t = MoRTable.create(spark, base, schema)
 
     rows: list[tuple[str, int, bool]] = []  # live multiset (model)
-    seq = 0
-    file_vals: list[dict] = []  # {"seq", "vals": [int]} for eqdel model
 
     def check_range(r: int) -> None:
         span = 50
@@ -841,7 +839,6 @@ def test_pruning_exactness_model(spark, ops, probes):
 
     try:
         for kind, r in ops:
-            seq += 1
             if kind == "append":
                 lo = r % 40
                 vals = [lo + (r >> (i + 2)) % 10 for i in range(8)]
@@ -853,7 +850,6 @@ def test_pruning_exactness_model(spark, ops, probes):
                     single_file=True,
                 )
                 rows.extend((str(v), v, True) for v in vals)
-                file_vals.append({"seq": seq, "vals": list(vals)})
             elif kind == "eqdel":
                 if not rows:
                     continue
@@ -1405,7 +1401,7 @@ def render_subquery_sql(kind: str, frac: float, v: int) -> str:
     comparison false).  These decorrelate to joins/aggregations inside
     Spark — the optimizer surface the fixed q_*_subquery oracles pin at
     one point each."""
-    lo, hi = 900.0, 105000.0
+    lo, hi = NUM_COLS["l_extendedprice"]
     thr = round(lo + frac * (hi - lo), 2)
     if kind == "in":
         return f"""
