@@ -473,8 +473,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from iceberg_data_gen_spark.operators.dedup import normalized_vectors
 
-    e = normalized_vectors(_emb(spark, sf_dir)).select("vec_id", "nv")
-    bucketed = e.withColumn("bucket", lsh_bucket_col(F.col("nv"))).cache()
+    # ONE cached bucketed corpus per (corpus, process) via the shared
+    # train-once cache: a per-call .cache() would pin a fresh corpus-sized
+    # copy in executor storage memory on every invocation (q_ann_recall
+    # re-invokes this query) and never release any of them
+    bucketed = _trained(
+        ("lsh_bucketed", sf_dir),
+        lambda: normalized_vectors(_emb(spark, sf_dir))
+        .select("vec_id", "nv")
+        .withColumn("bucket", lsh_bucket_col(F.col("nv")))
+        .cache(),
+    )
     q = bucketed.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("nv").alias("qv"), F.col("bucket").alias("qb")
     )
@@ -612,8 +621,8 @@ PQ_ITERS = 3
 
 
 def _pq_codebooks(e: DataFrame):
-    """Deterministic product-quantization codebooks: per subspace, k=16
-    L2 k-means over the slices of unit-normalized vectors.
+    """Deterministic product-quantization codebooks: per subspace,
+    k={PQ_CODES} L2 k-means over the slices of unit-normalized vectors.
     (16 subspaces x 32 codes x 3 Lloyd passes: measured mean recall@10
     0.58 vs brute force at sf0.01 on the near-uniform synthetic
     embeddings — the hard case; 8x16x2 gave 0.26.)
@@ -689,14 +698,14 @@ def _pq_codebooks(e: DataFrame):
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-{K} via PRODUCT QUANTIZATION with asymmetric
     distance computation (ADC) — the memory-compression ANN path: each
-    corpus vector is 8 one-byte codes (64x smaller than float64), and a
-    query scores a candidate by summing 8 table lookups instead of a
-    64-dim dot product.
+    corpus vector is {PQ_SUBSPACES} one-byte codes (32x smaller than
+    64 float64s), and a query scores a candidate by summing
+    {PQ_SUBSPACES} table lookups instead of a 64-dim dot product.
 
     One corpus pass encodes AND scores: the kernel assigns codes per
     batch, then scores every candidate against all queries from the
     per-query subspaces x codes lookup tables (numpy fancy indexing — no per-pair
-    loop).  At 100 TB the codes column (8 bytes/vector) is what sits in
+    loop).  At 100 TB the codes column (16 bytes/vector) is what sits in
     memory; exact re-ranking of the top candidates would add one fetch
     of the survivors' full vectors.  Recall@10 vs q_ann_bruteforce is
     asserted >= a floor in tests/test_llm_ops.py.
@@ -1005,11 +1014,11 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 lut = T[qis]  # (len(qis), subspaces, codes)
                 sc = lut[:, sub, codes[in_cell]].sum(axis=2)  # (qis, in_cell)
-                for k, qi in enumerate(qis):
+                for qrow, qi in enumerate(qis):
                     keep = ids_s[in_cell] != q_ids[qi]
                     out_q.append(np.full(keep.sum(), q_ids[qi]))
                     out_n.append(ids_s[in_cell][keep])
-                    out_s.append(np.round(sc[k][keep], 6))
+                    out_s.append(np.round(sc[qrow][keep], 6))
             if not out_q:
                 continue
             yield pd.DataFrame(

@@ -110,6 +110,18 @@ def _q(segment: str) -> str:
     return urllib.parse.quote(segment, safe="")
 
 
+def _fs_seg(segment: str) -> str:
+    """Filesystem-safe warehouse path segment.  Percent-encoding alone is
+    not enough: quote() leaves '.' alone, so a table or namespace named
+    '.' or '..' would resolve OUT of the warehouse and drop_table's
+    rmtree would take the namespace — or the whole warehouse — with it.
+    Pure-dot names get their dots encoded too; identity stays 1:1."""
+    if not segment:
+        raise ValueError("empty identifier")
+    q = _q(segment)
+    return q.replace(".", "%2E") if q.strip(".") == "" else q
+
+
 class RestMetadataIO(MetadataIO):
     """HTTP-backed metadata store.
 
@@ -219,7 +231,8 @@ class RestCatalog:
         # catalog identity: the wire layer allows '/' in names, and a raw
         # join would alias table "a/b" INSIDE table "a"'s directory —
         # drop_table(ns, "a") would then rmtree "a/b"'s data files
-        return self.warehouse / _q(namespace) / _q(name)
+        # (and _fs_seg additionally defuses '.'/'..' traversal)
+        return self.warehouse / _fs_seg(namespace) / _fs_seg(name)
 
     def table_exists(self, namespace: str, name: str) -> bool:
         status, payload = _call("GET", self._table_url(namespace, name))
@@ -251,12 +264,21 @@ class RestCatalog:
             {"name": name, "metadata": meta},
         )
         if status == 409 and exists_ok:
-            return self.load_table(namespace, name)
+            return self._open(namespace, name)
         if status != 200:
             raise RestCatalogError(status, _err(status, payload))
-        return self.load_table(namespace, name)
+        # existence is known from the create/409 response: skip
+        # load_table's probe and its extra GET
+        return self._open(namespace, name)
 
     def load_table(self, namespace: str, name: str) -> MoRTable:
+        # probe the catalog BEFORE touching the warehouse: a miss must
+        # surface as the 404 error, not litter phantom <ns>/<table>/data
+        # dirs for tables the catalog has never had
+        RestMetadataIO(self.uri, namespace, name).load()
+        return self._open(namespace, name)
+
+    def _open(self, namespace: str, name: str) -> MoRTable:
         io = RestMetadataIO(self.uri, namespace, name)
         p = self._data_path(namespace, name)
         # Tables written before identifiers were percent-encoded live at
@@ -289,10 +311,15 @@ class RestCatalog:
         # sibling table's data with it (the aliasing bug the encoding
         # fixed; such legacy dirs are left for manual cleanup)
         legacy = self.warehouse / namespace / name
+        wh = self.warehouse.resolve()
         if (
             legacy != p
             and "/" not in name
             and "/" not in namespace
+            # containment: a '.'/'..' identifier resolves the legacy path
+            # out of the warehouse (or up to the namespace) — never
+            # rmtree anything that is not strictly a depth-2 child
+            and legacy.resolve().parent.parent == wh
             and legacy.is_dir()
         ):
             shutil.rmtree(legacy)

@@ -289,8 +289,22 @@ def commit_changes(base: dict, target: dict, *, table_uuid: str, location: str):
                     ),
                 }
             )
-    if base.get("default_spec_id", 0) != target.get("default_spec_id", 0):
-        updates.append({"action": "set-default-spec", "spec-id": -1})
+    tgt_default = target.get("default_spec_id", 0)
+    if base.get("default_spec_id", 0) != tgt_default:
+        # -1 ("the spec added in this commit") is only valid when the new
+        # default IS newly added; reverting to a pre-existing spec must
+        # name it explicitly or a conforming service fails the commit
+        newly_added = {
+            s["spec_id"]
+            for s in target.get("partition_specs", [])
+            if s["spec_id"] not in base_specs
+        }
+        updates.append(
+            {
+                "action": "set-default-spec",
+                "spec-id": -1 if tgt_default in newly_added else tgt_default,
+            }
+        )
 
     tgt_schema_id = target["schema"].get("schema_id", 1)
     for s in added:

@@ -323,6 +323,11 @@ class MoRTable:
             raise ValueError(f"column exists: {name}")
         next_id = max(f.field_id for f in schema.fields) + 1
         schema.fields.append(Field(next_id, name, type_, required=False))
+        # a changed schema is a NEW schema id (Iceberg rule): the REST
+        # spec mapping emits add-schema/set-current-schema from it, and
+        # a real service would otherwise see the old id reused with
+        # different fields and later snapshots pinned to the stale one
+        schema.schema_id += 1
         self._meta["schema"] = schema.to_json()
         self._write_meta()
         return schema

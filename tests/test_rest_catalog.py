@@ -729,3 +729,68 @@ def test_drop_table_reclaims_legacy_unencoded_dir(spark, catalog):
     catalog.drop_table("ns", "x/y")
     assert raw_nested.exists()  # untouched: '/' in name
     assert catalog.load_table("ns", "x").scan().count() == 5
+
+
+def test_dot_segment_names_cannot_escape_the_warehouse(spark, catalog):
+    """Regression: quote() leaves '.' alone, so a table named '..' (or
+    '.') used to resolve its warehouse path OUT of the table tree —
+    drop_table's rmtree would then delete the namespace or the whole
+    warehouse.  Dot-only identifiers now map to encoded directories and
+    dropping them must leave sibling tables untouched."""
+    catalog.create_namespace("ns")
+    victim = catalog.create_table("ns", "victim", _schema())
+    victim.append(
+        spark.createDataFrame([("a", 1, True)], "foo string, bar int, baz boolean"),
+        single_file=True,
+    )
+    for evil in ("..", "."):
+        catalog.create_table("ns", evil, _schema())
+        p = catalog._data_path("ns", evil)
+        assert catalog.warehouse.resolve() in p.resolve().parents, p
+        assert p.resolve() != catalog.warehouse.resolve()
+        catalog.drop_table("ns", evil)
+    # the victim's data must still be there and scannable
+    assert catalog.table_exists("ns", "victim")
+    assert len(catalog.load_table("ns", "victim").scan().collect()) == 1
+
+
+def test_load_table_miss_is_clean(catalog):
+    """Regression: load_table used to mkdir the warehouse data dirs
+    BEFORE discovering the table does not exist, littering phantom
+    table directories on every miss."""
+    catalog.create_namespace("ns")
+    with pytest.raises(RestCatalogError):
+        catalog.load_table("ns", "nope")
+    assert not catalog._data_path("ns", "nope").exists()
+
+
+def test_commit_changes_set_default_spec_revert_names_the_spec():
+    """Regression: set-default-spec rode on spec-id -1 ('the spec added
+    in this commit') even when the commit added none — reverting the
+    default to a pre-existing spec must name it explicitly."""
+    from iceberg_data_gen_spark.table.rest_spec import commit_changes
+
+    specs = [
+        {"spec_id": 0, "fields": []},
+        {"spec_id": 1, "fields": [{"name": "bar_bucket", "transform": "bucket",
+                                   "source": "bar", "n": 4}]},
+    ]
+    base = _repo_meta(n_snaps=1)
+    base["partition_specs"] = specs
+    base["default_spec_id"] = 1
+    target = _repo_meta(n_snaps=1)
+    target["partition_specs"] = specs
+    target["default_spec_id"] = 0
+    ups, _ = commit_changes(base, target, table_uuid="u", location="/wh/t")
+    assert {"action": "set-default-spec", "spec-id": 0} in ups
+    assert {"action": "set-default-spec", "spec-id": -1} not in ups
+
+
+def test_add_column_bumps_schema_id(spark, tmp_path):
+    """Regression: schema evolution kept schema_id unchanged, so the REST
+    mapping emitted add-schema reusing the old id with different fields
+    and pinned post-evolution snapshots to the stale schema."""
+    t = MoRTable.create(spark, str(tmp_path / "evo"), _schema())
+    before = t.schema.schema_id
+    t.add_column("score", "double")
+    assert t.schema.schema_id == before + 1
