@@ -219,13 +219,22 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id → exploded distinct word n-gram shingles (built-ins only)."""
-    with_words = df.select("doc_id", F.split("text", " ").alias("w"))
-    expr = (
+def _shingle_expr(n: int) -> str:
+    """The word n-gram shingle SQL expression over a words array ``w`` —
+    the ONE definition every shingle consumer (shingles(),
+    minhash_signatures(), q_ngram_jaccard_pairs) must share: the
+    LSH-estimate vs exact-Jaccard correspondence and the DuckDB oracle
+    parity both assume bit-identical shingle strings."""
+    return (
         f"transform(sequence(0, size(w) - {n}), "
         f"i -> concat_ws(' ', {', '.join(f'w[i + {k}]' for k in range(n))}))"
     )
+
+
+def shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → exploded distinct word n-gram shingles (built-ins only)."""
+    with_words = df.select("doc_id", F.split("text", " ").alias("w"))
+    expr = _shingle_expr(n)
     return (
         with_words.where(F.size("w") >= n)
         .select("doc_id", F.explode(F.array_distinct(F.expr(expr))).alias("shingle"))
@@ -245,10 +254,7 @@ def minhash_signatures(df: DataFrame, perms: int = MINHASH_PERMS, n: int = 3) ->
     same shingle strings.
     """
     with_words = df.select("doc_id", F.split("text", " ").alias("w"))
-    expr = (
-        f"transform(sequence(0, size(w) - {n}), "
-        f"i -> concat_ws(' ', {', '.join(f'w[i + {k}]' for k in range(n))}))"
-    )
+    expr = _shingle_expr(n)
     # repartition the RAW rows first: the source may be one parquet split,
     # and perms × |shingles| hashes per doc is the pipeline's CPU hot spot
     # — it must run on every core, not one
@@ -420,10 +426,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     with_words = docs.select("doc_id", "lang", F.split("text", " ").alias("w"))
-    gram = (
-        "transform(sequence(0, size(w) - 3), "
-        "i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))"
-    )
+    gram = _shingle_expr(3)
     tokens = F.array_sort(
         F.transform(F.array_distinct(F.expr(gram)), lambda x: F.xxhash64(x))
     )
@@ -785,27 +788,56 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("doc_id"), F.col("src").alias("cluster_rep"))
         .localCheckpoint()
     )
-    for _ in range(20):
+    # Each round: one hop of neighbor-min propagation PLUS a
+    # pointer-doubling shortcut (rep <- rep(rep)), so the un-propagated
+    # distance halves per round and 24 rounds cover component diameters
+    # up to ~2^24 — a plain one-hop loop capped at N rounds silently
+    # splits any duplicate chain longer than N+1 documents.
+    for _ in range(24):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["doc_id"])
             .groupBy(F.col("dst").alias("n_doc"))
             .agg(F.min("cluster_rep").alias("nbr_rep"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, labels["doc_id"] == F.col("n_doc"), "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("cluster_rep"), F.coalesce("nbr_rep", F.col("cluster_rep"))
                 ).alias("cluster_rep"),
-                (F.col("nbr_rep") < F.col("cluster_rep")).alias("__changed"),
+            )
+        )
+        reps = stepped.select(
+            F.col("doc_id").alias("r_doc"), F.col("cluster_rep").alias("r_rep")
+        )
+        new_labels = (
+            stepped.join(reps, stepped["cluster_rep"] == reps["r_doc"], "left")
+            .select(
+                stepped["doc_id"].alias("doc_id"),
+                F.least(
+                    stepped["cluster_rep"],
+                    F.coalesce(F.col("r_rep"), stepped["cluster_rep"]),
+                ).alias("cluster_rep"),
             )
             .localCheckpoint()
         )
-        changed = new_labels.where(F.col("__changed")).limit(1).count()
-        labels = new_labels.drop("__changed")
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "doc_id")
+            .where(F.col("o.cluster_rep") != F.col("n.cluster_rep"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            "cluster label propagation did not converge in 24 doubling "
+            "rounds (component diameter > ~2^24) — refusing to return "
+            "silently split clusters"
+        )
     return _labels_to_clusters(spark, sf_dir, labels)
 
 

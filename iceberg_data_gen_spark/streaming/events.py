@@ -19,7 +19,7 @@ from __future__ import annotations
 import uuid
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -81,6 +81,13 @@ def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, bool]:
     return schema, ts_is_long
 
 
+# Files per micro-batch for the events file source.  None = source
+# default (everything available in one trigger).  Set to a small number
+# to replay a directory as many micro-batches — bounded-memory replay in
+# production, and the seam the multi-batch regression tests use.
+STREAM_MAX_FILES_PER_TRIGGER: int | None = None
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-source stream with microsecond timestamps,
     normalized to session-zone TimestampType exactly like the batch loader
@@ -88,19 +95,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     schema, ts_is_long = _events_raw_schema(sf_dir)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if ts_is_long:
+        # needed for the TIMESTAMP(NANOS) layout, and it must stay set
+        # while the stream runs; only set it when that layout is actually
+        # present so the common micros/INT96 case doesn't leak a conf
+        # that changes later batch reads of nanos parquet in this session
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
+    reader = spark.readStream.schema(schema).format("parquet")
+    if STREAM_MAX_FILES_PER_TRIGGER:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(STREAM_MAX_FILES_PER_TRIGGER)
+        )
     if os.path.isdir(path):
         # Spark-written dataset: stream the directory's part files
-        raw = spark.readStream.schema(schema).format("parquet").load(path)
+        raw = reader.load(path)
     else:
         # driver testdata layout: a single flat file next to other tables
-        raw = (
-            spark.readStream.schema(schema)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
-        )
+        raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     if ts_is_long:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -219,7 +231,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH gaps AS (
         SELECT user_id, ts, value,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         > INTERVAL 30 MINUTE
+                         >= INTERVAL 30 MINUTE
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
@@ -312,13 +324,22 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf="NoTimeout",
     )
     out = run_to_completion(stateful, output_mode="update")
-    # one row per user per update; keep the final state per user
-    w_latest = out.groupBy("user_id").agg(
-        F.max("n_events").alias("n_events"),
-        F.round(F.max("total_value"), 4).alias("total_value"),
-        F.max("n_batches").alias("n_batches"),
+    # one row per user per update; the update with the highest batch
+    # count IS the final state.  (Not independent max() per column: with
+    # a non-monotonic total — any negative event value — max(total)
+    # returns an intermediate state, and the three maxes could even come
+    # from different updates.)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_batches"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+            "n_batches",
+        )
     )
-    return w_latest
 
 
 @register(

@@ -306,6 +306,24 @@ class MoRTable:
         self._meta = self._io.load()
         return self
 
+    def _assert_based_on_current(self) -> None:
+        """Fail-fast guard for METADATA-ONLY mutations (schema/spec
+        evolution, refs, fast-forward, expiration): they republish the
+        whole document via ``_write_meta`` without ``_commit``'s head
+        check, so under the no-CAS ``LocalMetadataIO`` a handle holding
+        stale metadata would silently erase another writer's commits.
+        Same peek-based comparison ``_commit`` performs; the REST
+        store's version CAS still backstops the save itself."""
+        snaps = self._meta["snapshots"]
+        head = snaps[-1]["id"] if snaps else None
+        disk_snaps = self._io.peek()["snapshots"]
+        disk_head = disk_snaps[-1]["id"] if disk_snaps else None
+        if disk_head != head:
+            raise CommitConflictError(
+                f"concurrent commit detected: expected head {head}, "
+                f"found {disk_head} — refresh() and retry"
+            )
+
     # -- schema evolution ---------------------------------------------------
 
     def add_column(self, name: str, type_: str) -> TableSchema:
@@ -318,6 +336,7 @@ class MoRTable:
         values.  (Only optional columns can be added — a required column
         would make every existing row invalid, same rule as Iceberg.)
         """
+        self._assert_based_on_current()
         schema = self.schema
         if any(f.name == name for f in schema.fields):
             raise ValueError(f"column exists: {name}")
@@ -356,6 +375,7 @@ class MoRTable:
         needs n).  The derived partition-field name follows Iceberg's
         convention: ``col`` / ``col_bucket`` / ``col_trunc``.
         """
+        self._assert_based_on_current()
         known = {f.name for f in self.schema.fields}
         norm = []
         for f in fields:
@@ -398,10 +418,15 @@ class MoRTable:
         return (F.floor(col.cast("long") / field["n"]) * field["n"]).cast("long")
 
     def _spec_field(self, name: str) -> dict:
+        return self._spec_field_with_spec(name)[0]
+
+    def _spec_field_with_spec(self, name: str) -> tuple[dict, int]:
+        """The NEWEST spec's definition of partition field ``name`` and
+        that spec's id — the definition the scan residual uses."""
         for spec in reversed(self.partition_specs):
             for f in spec["fields"]:
                 if f["name"] == name:
-                    return f
+                    return f, spec["spec_id"]
         raise ValueError(f"unknown partition field: {name}")
 
     # -- writes -------------------------------------------------------------
@@ -804,6 +829,7 @@ class MoRTable:
         """Named immutable ref to a snapshot (Iceberg tag): a retention
         anchor and a stable name for time travel (``scan(ref=...)``).
         Metadata-only."""
+        self._assert_based_on_current()
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if sid is None or sid not in {s["id"] for s in self._meta["snapshots"]}:
             raise ValueError(f"snapshot {snapshot_id} does not exist")
@@ -819,6 +845,7 @@ class MoRTable:
         (default: current main head).  ``append(..., branch=name)``
         advances it; ``scan(ref=name)`` reads its head via the parent
         chain; ``fast_forward`` lands it on main.  Metadata-only."""
+        self._assert_based_on_current()
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if sid is None:
             raise ValueError(
@@ -841,6 +868,7 @@ class MoRTable:
         the branch's commits simply become main-visible.  The ref stays,
         now pointing at the shared head.  Metadata-only: no file is
         read, copied, or rewritten."""
+        self._assert_based_on_current()
         refs = self._meta.get("refs", {})
         ref = refs.get(name)
         if ref is None or ref["type"] != "branch":
@@ -871,6 +899,7 @@ class MoRTable:
         return head
 
     def drop_tag(self, name: str) -> None:
+        self._assert_based_on_current()
         refs = self._meta.get("refs", {})
         if name not in refs:
             raise ValueError(f"no such ref: {name}")
@@ -1028,6 +1057,7 @@ class MoRTable:
         expired set — no table scan, no Spark job; at scale the unlink
         loop becomes the storage-API batch delete Iceberg's action runs.
         """
+        self._assert_based_on_current()
         snaps = self._meta["snapshots"]
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
@@ -1037,15 +1067,44 @@ class MoRTable:
         # extend to the governing baseline of the oldest kept snapshot
         while start > 0 and not snaps[start].get("baseline"):
             start -= 1
-        kept, expired = snaps[start:], snaps[:start]
+        # ANCESTRY closure of the kept suffix: scan(ref=...)/time travel
+        # walk parent chains and would otherwise stop silently at a
+        # missing parent, returning PARTIAL data (e.g. a branch head in
+        # the suffix whose pre-fork parents fall before it).  The walk
+        # stops at a kept BASELINE: a replace supersedes every older
+        # file, so the chain below it is not needed for state resolution
+        # (time travel to those ids raises cleanly once they're gone).
+        by_id = {s["id"]: s for s in snaps}
+        needed: set[int] = set()
+        stack = [s["id"] for s in snaps[start:]]
+        while stack:
+            sid = stack.pop()
+            if sid in needed or sid not in by_id:
+                continue
+            needed.add(sid)
+            if by_id[sid].get("baseline"):
+                continue
+            parent = by_id[sid].get("parent")
+            if parent is not None:
+                stack.append(parent)
         # refs are retention anchors (Iceberg semantics): refuse to expire
-        # a tagged snapshot rather than silently breaking the ref
+        # a ref'd snapshot rather than silently breaking the ref.  A ref
+        # head inside the closure is simply kept (with its ancestry).
         tagged = {r["snapshot_id"] for r in self._meta.get("refs", {}).values()}
-        hit = tagged & {s["id"] for s in expired}
+        hit = tagged - needed
         if hit:
             raise ValueError(
                 f"snapshots {sorted(hit)} are referenced by tags; drop the tags first"
             )
+        kept = [s for s in snaps if s["id"] in needed]
+        expired = [s for s in snaps if s["id"] not in needed]
+        if not expired:
+            return {"expired": 0, "removed_files": 0}
+        # PUBLISH the shrunken metadata FIRST, unlink after: in the other
+        # order a failed/conflicting save leaves committed metadata
+        # pointing at files this handle already deleted — unrecoverable
+        self._meta["snapshots"] = kept
+        self._write_meta()
         keep_paths = {_canon_path(f["path"]) for s in kept for f in s["files"]}
         removed = 0
         for s in expired:
@@ -1053,8 +1112,6 @@ class MoRTable:
                 if _canon_path(f["path"]) not in keep_paths:
                     Path(f["path"]).unlink(missing_ok=True)
                     removed += 1
-        self._meta["snapshots"] = kept
-        self._write_meta()
         return {"expired": len(expired), "removed_files": removed}
 
     def incremental_scan(
@@ -1170,11 +1227,22 @@ class MoRTable:
                 f for f in data_files if _stats_overlap(f.get("stats"), where)
             ]
         if partition_filter:
+            # prune ONLY files written under the spec whose definition of
+            # the field the residual predicate uses (the newest): after
+            # partition evolution reuses a field NAME with different
+            # parameters (bucket n=8 -> n=4), an old file's stored value
+            # is in a different domain and comparing it against the new
+            # transform's value would silently drop matching rows — such
+            # files are kept and pay the row-level residual instead
+            field_spec = {
+                k: self._spec_field_with_spec(k)[1] for k in partition_filter
+            }
             data_files = [
                 f
                 for f in data_files
                 if all(
                     k not in (f.get("partition") or {})
+                    or f.get("spec_id") != field_spec[k]
                     or (f.get("partition") or {})[k] == str(v)
                     for k, v in partition_filter.items()
                 )

@@ -1060,3 +1060,118 @@ def test_sequence_numbers_never_reused_after_expire(spark, tmp_path):
     got = sorted(r.bar for r in t.scan().collect())
     assert 3 not in got, got
     assert got == sorted([0, 6, 9, 2] + [6, 9, 2, 5]), got
+
+
+def _mk(spark, tmp_path, sub):
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=10, file_count=1)
+    return MoRTable.create(
+        spark, str(tmp_path / sub), FixSchemaGenerator(fc, fc, fc).schema()
+    )
+
+
+def _rows(spark, a, b):
+    from pyspark.sql import functions as F
+
+    return spark.range(a, b).select(
+        F.col("id").cast("string").alias("foo"),
+        F.col("id").cast("int").alias("bar"),
+        F.lit(True).alias("baz"),
+    )
+
+
+def test_metadata_only_mutations_detect_concurrent_commits(spark, tmp_path):
+    """Regression: add_column/create_tag/expire republish the whole
+    metadata document; a handle holding stale metadata used to silently
+    erase another writer's commit under LocalMetadataIO."""
+    import pytest
+
+    from iceberg_data_gen_spark.table.table import CommitConflictError, MoRTable
+
+    t = _mk(spark, tmp_path, "guard")
+    t.append(_rows(spark, 0, 5), single_file=True)
+    other = MoRTable(spark, str(tmp_path / "guard"))  # second handle
+    other.append(_rows(spark, 5, 10), single_file=True)
+    for mutate in (
+        lambda: t.add_column("c1", "double"),
+        lambda: t.create_tag("tag1"),
+        lambda: t.create_branch("b1"),
+        lambda: t.update_spec([{"source": "bar", "transform": "bucket", "n": 4}]),
+        lambda: t.expire_snapshots(keep_last=1),
+    ):
+        with pytest.raises(CommitConflictError):
+            mutate()
+    # the second writer's commit is intact
+    t.refresh()
+    assert {r.bar for r in t.scan().collect()} == set(range(10))
+
+
+def test_expire_keeps_branch_ancestry(spark, tmp_path):
+    """Regression: expire protected only ref HEAD snapshots; a branch
+    head whose pre-fork parents were expired made scan(ref=...) walk
+    into a missing parent and silently return partial data."""
+    t = _mk(spark, tmp_path, "anc")
+    t.append(_rows(spark, 0, 5), single_file=True)    # s1
+    t.compact()                                       # s2 baseline
+    t.append(_rows(spark, 5, 10), single_file=True)   # s3
+    t.create_branch("b")                              # fork at s3
+    t.append(_rows(spark, 10, 15), single_file=True, branch="b")  # s4
+    t.append(_rows(spark, 15, 20), single_file=True)  # s5 (main)
+    res = t.expire_snapshots(keep_last=2)
+    # s1 (superseded by the s2 baseline) expires; the branch head s4 sits
+    # in the kept suffix and its chain s4 -> s3 -> s2 must survive intact
+    assert res["expired"] == 1, res
+    got_b = {r.bar for r in t.scan(ref="b").collect()}
+    assert got_b == set(range(15)), got_b  # pre-fork rows survived
+    got_main = {r.bar for r in t.scan().collect()}
+    assert got_main == (set(range(10)) | set(range(15, 20))), got_main
+
+
+def test_expire_publishes_metadata_before_unlinking(spark, tmp_path):
+    """Regression: expire unlinked data files BEFORE saving the shrunken
+    metadata, so a failed/conflicting save left committed metadata
+    pointing at deleted files.  With a failing store, no file may be
+    touched."""
+    import pytest
+
+    from iceberg_data_gen_spark.table.table import LocalMetadataIO, MoRTable
+
+    t = _mk(spark, tmp_path, "ord")
+    t.append(_rows(spark, 0, 5), single_file=True)
+    t.compact()
+    t.append(_rows(spark, 5, 10), single_file=True)
+    all_files = [
+        f["path"] for s in t.snapshots() for f in s["files"]
+    ]
+
+    class FailingIO(LocalMetadataIO):
+        def save(self, meta):
+            raise RuntimeError("save blew up")
+
+    t._io = FailingIO(t.path)
+    with pytest.raises(RuntimeError, match="save blew up"):
+        t.expire_snapshots(keep_last=1)
+    from pathlib import Path
+
+    assert all(Path(p).exists() for p in all_files)
+    # the on-disk document still resolves every file
+    t2 = MoRTable(spark, str(tmp_path / "ord"))
+    assert {r.bar for r in t2.scan().collect()} == set(range(10))
+
+
+def test_partition_filter_spec_aware_after_name_reuse(spark, tmp_path):
+    """Regression: partition_filter pruned files by stored value without
+    checking spec_id; after evolution reuses a field NAME with different
+    parameters (bucket n=8 -> n=4), old-spec files whose stored value
+    differed were wrongly pruned and matching rows silently vanished."""
+    t = _mk(spark, tmp_path, "specs")
+    t.update_spec([{"source": "bar", "transform": "bucket", "n": 8}])
+    t.append(_rows(spark, 0, 16))   # old spec: stores bar % 8
+    t.update_spec([{"source": "bar", "transform": "bucket", "n": 4}])
+    t.append(_rows(spark, 16, 32))  # new spec: stores bar % 4
+    got = {r.bar for r in t.scan(partition_filter={"bar_bucket": 1}).collect()}
+    want = {v for v in range(32) if v % 4 == 1}
+    assert got == want, (sorted(got), sorted(want))

@@ -277,3 +277,42 @@ def test_events_stream_reads_all_physical_layouts(spark, tmp_path):
         finally:
             spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
         assert QUERIES["q_stream_tumbling"](spark, str(d)).count() == ref, label
+
+
+def test_stateful_final_state_with_negative_values(spark, tmp_path):
+    """Regression: the stateful query's final-state extraction took an
+    independent max() over each column, which returns an intermediate
+    (or never-existed) state whenever total_value is not monotonic —
+    i.e. any negative event value.  The row with the highest batch
+    count is the final state."""
+    import datetime as dt
+
+    from iceberg_data_gen_spark.streaming import events as ev_mod
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # TWO files -> (with maxFilesPerTrigger=1) two micro-batches, so the
+    # memory sink holds two update rows per user.  User 1's total goes
+    # DOWN in batch 2; max(total_value) would report the intermediate 3.0.
+    batches = [
+        [(1, base, 3.0), (2, base, 1.0)],
+        [(1, base + dt.timedelta(minutes=1), -2.5),
+         (2, base + dt.timedelta(minutes=1), 2.0)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(str(tmp_path / "events.parquet"))
+
+    old_trigger = ev_mod.STREAM_MAX_FILES_PER_TRIGGER
+    ev_mod.STREAM_MAX_FILES_PER_TRIGGER = 1
+    try:
+        got = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in operators.QUERIES["q_stream_stateful"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+    finally:
+        ev_mod.STREAM_MAX_FILES_PER_TRIGGER = old_trigger
+    assert got[1] == (2, 0.5), got
+    assert got[2] == (2, 3.0), got
