@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_data_gen_spark.operators import register
-from iceberg_data_gen_spark.session import load_tables
+from iceberg_data_gen_spark.operators.common import docs_table as _docs
 
 # PII patterns, chosen from the RE2 ∩ java.util.regex common syntax so
 # Spark (Java regex) and DuckDB (RE2) match identically: no lookarounds,
@@ -29,10 +29,6 @@ from iceberg_data_gen_spark.session import load_tables
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_LONG_DIGITS = r"\d{9,}"  # SSN/phone/account-number-shaped runs
-
-
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir, ("documents",))["documents"]
 
 
 @register(
@@ -126,7 +122,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     REWRITE SEES IT (after the earlier replacements), so n_redactions is
     exactly the number of substitutions performed — counting all three
     patterns on the original text would double-count overlaps (a
-    ``\\d{{9,}}`` run inside an email's local part matches both patterns
+    ``\\d{9,}`` run inside an email's local part matches both patterns
     but is replaced once).
 
     Pure map: three chained ``regexp_replace`` expressions in one
@@ -314,14 +310,14 @@ ZIPF_TOP = 10
     """,
 )
 def q_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus rank-frequency (Zipf) sanity check: the top-{ZIPF_TOP}
+    """Corpus rank-frequency (Zipf) sanity check: the top-ZIPF_TOP (10)
     words with ``freq × rank`` (≈ constant under Zipf's law) and the
     ratio of the top word's frequency to each — a one-glance corpus
     health panel that catches degenerate generations / boilerplate
     floods (the curve goes flat) without any logarithms (integer
     products + one division, engine-exact).
 
-    Plan: explode → map-side-combined word count → top-{ZIPF_TOP} via a
+    Plan: explode → map-side-combined word count → top-ZIPF_TOP via a
     rank window over the vocabulary-sized aggregate (WindowGroupLimit
     keeps it a partial top-k at scale); the 1-row top frequency is a
     broadcast.

@@ -289,11 +289,19 @@ def make_media_decode_batch(have_pil: bool):
         def decode_ppm(b: bytes) -> dict:
             if b[:2] != b"P6":
                 raise ValueError("not a PPM P6 payload")
-            # header = 4 whitespace-separated tokens: P6 w h maxval
+            # header = 4 whitespace-separated tokens: P6 w h maxval;
+            # '#' starts a comment running to end-of-line (netpbm spec) —
+            # a spec-valid file from another tool must not be rejected
             tokens, pos = [], 2
             while len(tokens) < 3:
-                while pos < len(b) and b[pos : pos + 1].isspace():
-                    pos += 1
+                while pos < len(b) and (
+                    b[pos : pos + 1].isspace() or b[pos : pos + 1] == b"#"
+                ):
+                    if b[pos : pos + 1] == b"#":
+                        while pos < len(b) and b[pos : pos + 1] != b"\n":
+                            pos += 1
+                    else:
+                        pos += 1
                 start = pos
                 while pos < len(b) and not b[pos : pos + 1].isspace():
                     pos += 1

@@ -30,17 +30,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from iceberg_data_gen_spark.operators import register
-from iceberg_data_gen_spark.session import load_tables
+from iceberg_data_gen_spark.operators.common import doc_order_key
+from iceberg_data_gen_spark.operators.common import docs_table as _docs
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir, ("documents",))["documents"]
+def _shard_of(h: F.Column) -> F.Column:
+    # hex digit -> 0..15: portable across Spark (instr) and DuckDB (strpos)
+    return F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
 
 
 def _shard_col() -> F.Column:
-    # hex digit -> 0..15: portable across Spark (instr) and DuckDB (strpos)
-    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    return F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    return _shard_of(doc_order_key())
 
 
 @register(
@@ -67,8 +67,9 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus embarrassingly parallel local sorts.
     """
     docs = _docs(spark, sf_dir)
-    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    sharded = docs.select("doc_id", "source", _shard_col().alias("shard"), h.alias("h"))
+    sharded = docs.select(
+        "doc_id", "source", doc_order_key().alias("h")
+    ).withColumn("shard", _shard_of(F.col("h")))
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
     return sharded.select(
         "doc_id", "source", "shard", F.row_number().over(w).alias("position")
@@ -110,7 +111,7 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     same plan shape with the cap joined by source.
     """
     docs = _docs(spark, sf_dir)
-    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    h = doc_order_key()
     w = Window.partitionBy("source").orderBy("h", "doc_id")
     ranked = docs.select("doc_id", "source", h.alias("h")).withColumn(
         "rk", F.row_number().over(w)

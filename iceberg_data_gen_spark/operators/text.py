@@ -15,7 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_data_gen_spark.operators import register
-from iceberg_data_gen_spark.session import load_tables
+from iceberg_data_gen_spark.operators.common import doc_order_key
+from iceberg_data_gen_spark.operators.common import docs_table as _docs
 
 # language-marker stopword lists for the n-gram/stopword language-ID
 # heuristic; priority order breaks score ties deterministically
@@ -27,10 +28,6 @@ LANG_MARKERS: dict[str, list[str]] = {
     "zh": ["de", "shi", "le", "zai", "you", "he", "wo"],
 }
 _LANG_ORDER = ["en", "de", "fr", "es", "zh"]
-
-
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir, ("documents",))["documents"]
 
 
 def _sql_marker_count(lang: str) -> str:
@@ -105,6 +102,28 @@ def _lang_scores_spark(df: DataFrame) -> DataFrame:
     return df
 
 
+# The argmax-with-fixed-tie-order classifier shared by q_lang_id and
+# q_lang_confusion_matrix — ONE definition each for the SQL CASE and the
+# Spark expression, so the confusion matrix can never desynchronize from
+# the classifier it evaluates.
+_PRED_LANG_SQL = """CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+                WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+                WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+                WHEN s_es >= s_zh THEN 'es'
+                ELSE 'zh' END"""
+
+
+def _pred_lang_col() -> F.Column:
+    s = {lang: F.col(f"s_{lang}") for lang in _LANG_ORDER}
+    return (
+        F.when(s["en"] >= F.greatest(s["de"], s["fr"], s["es"], s["zh"]), "en")
+        .when(s["de"] >= F.greatest(s["fr"], s["es"], s["zh"]), "de")
+        .when(s["fr"] >= F.greatest(s["es"], s["zh"]), "fr")
+        .when(s["es"] >= s["zh"], "es")
+        .otherwise("zh")
+    )
+
+
 @register(
     "q_lang_id",
     oracle=f"""
@@ -118,11 +137,7 @@ def _lang_scores_spark(df: DataFrame) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, lang AS labeled_lang, s_en, s_de, s_fr, s_es, s_zh,
-           CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
-                WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
-                WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
-                WHEN s_es >= s_zh THEN 'es'
-                ELSE 'zh' END AS pred_lang
+           {_PRED_LANG_SQL} AS pred_lang
     FROM scored
     """,
 )
@@ -130,14 +145,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language identification (deterministic argmax with
     fixed priority order en>de>fr>es>zh on ties)."""
     docs = _lang_scores_spark(_docs(spark, sf_dir))
-    s = {lang: F.col(f"s_{lang}") for lang in _LANG_ORDER}
-    pred = (
-        F.when(s["en"] >= F.greatest(s["de"], s["fr"], s["es"], s["zh"]), "en")
-        .when(s["de"] >= F.greatest(s["fr"], s["es"], s["zh"]), "de")
-        .when(s["fr"] >= F.greatest(s["es"], s["zh"]), "fr")
-        .when(s["es"] >= s["zh"], "es")
-        .otherwise("zh")
-    )
+    pred = _pred_lang_col()
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -423,7 +431,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     from pyspark.sql.window import Window
 
-    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    h = doc_order_key()
     w = Window.partitionBy("lang").orderBy(h, "doc_id")
     return (
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
@@ -563,7 +571,7 @@ PACK_BUDGET = 2048  # tokens per packed training sequence
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing for LLM pre-training: concatenate documents
     (per language, in deterministic doc_id order) and cut every
-    {PACK_BUDGET} tokens; report how many docs and tokens land in each
+    PACK_BUDGET (2048) tokens; report how many docs and tokens land in each
     packed sequence.  A doc's sequence is determined by its cumulative
     start offset — the standard "pack then split at budget boundaries"
     layout a training-data writer uses to build fixed-length examples.
@@ -643,7 +651,7 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     mn = counts.agg(F.min("n").alias("mn"))
     h32 = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        F.substring(doc_order_key(), 1, 8),
         16,
         10,
     ).cast("long")
@@ -707,29 +715,35 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines, which a log-based idf cannot
     guarantee near ties.
 
-    Plan shape: one explode + two hash aggregations (doc lengths, term
-    frequencies pre-filtered to the broadcast query terms), a broadcast
-    join of tiny df/avgdl sides, one final per-doc sum, and a global
-    top-20 (TakeOrderedAndProject).
+    Plan shape: ONE corpus explode + one (doc, term) hash aggregation,
+    materialized once (localCheckpoint) and reused by all downstream
+    sides — doc lengths, query-term selection, and term frequencies all
+    derive from it, so the corpus is scanned and exploded exactly once
+    (three independent derivations would re-scan it three times) —
+    then a broadcast join of tiny df/avgdl sides, one final per-doc
+    sum, and a global top-20 (TakeOrderedAndProject).
     """
     docs = _docs(spark, sf_dir)
-    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    tc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tc.groupBy("doc_id").agg(F.sum("tc").alias("dlen"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.col("dlen").cast("double")).alias("avgdl"),
     )
     q = (
-        words.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("qn"))
+        tc.groupBy("term")
+        .agg(F.sum("tc").alias("qn"))
         .orderBy(F.desc("qn"), "term")
         .limit(3)
         .select("term")
     )
-    tf = (
-        words.join(F.broadcast(q), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    tf = tc.join(F.broadcast(q), "term").select(
+        "doc_id", "term", F.col("tc").alias("tf")
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5)) / (
@@ -915,6 +929,34 @@ def q_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chunk_slices(docs: DataFrame, width: int) -> DataFrame:
+    """Shuffle-free fixed-width chunking core shared by q_doc_chunking
+    and q_chunk_dedup (ONE definition of the slice arithmetic): one
+    split + explode(sequence) per row; ``cw`` is the chunk's word-array
+    slice, last chunk ragged."""
+    w = F.split("text", " ")
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    (F.ceil(F.size("w") / float(width))) - 1,
+                )
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.slice(
+                "w", (F.col("chunk_id") * width + 1).cast("int"), width
+            ).alias("cw"),
+        )
+    )
+
+
 @register(
     "q_doc_chunking",
     oracle="""
@@ -940,27 +982,11 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     start multiplied by the stride instead of the width.  At 100 TB this
     is a pure map stage: output partitioning inherits input file splits.
     """
-    docs = _docs(spark, sf_dir)
-    w = F.split("text", " ")
-    return (
-        docs.select("doc_id", w.alias("w"))
-        .select(
-            "doc_id",
-            "w",
-            F.explode(
-                F.sequence(F.lit(0).cast("long"), (F.ceil(F.size("w") / 64.0)) - 1)
-            ).alias("chunk_id"),
-        )
-        .select(
-            "doc_id",
-            "chunk_id",
-            F.concat_ws(
-                " ", F.slice("w", (F.col("chunk_id") * 64 + 1).cast("int"), 64)
-            ).alias("chunk_text"),
-            F.size(F.slice("w", (F.col("chunk_id") * 64 + 1).cast("int"), 64))
-            .cast("long")
-            .alias("chunk_words"),
-        )
+    return _chunk_slices(_docs(spark, sf_dir), 64).select(
+        "doc_id",
+        "chunk_id",
+        F.concat_ws(" ", "cw").alias("chunk_text"),
+        F.size("cw").cast("long").alias("chunk_words"),
     )
 
 
@@ -1045,21 +1071,8 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same plan.  Integer counts + one final division keep both engines
     bit-equal.
     """
-    docs = _docs(spark, sf_dir)
-    w = F.split("text", " ")
     chunks = (
-        docs.select("doc_id", w.alias("w"))
-        .select(
-            "doc_id",
-            "w",
-            F.explode(
-                F.sequence(F.lit(0).cast("long"), (F.ceil(F.size("w") / 32.0)) - 1)
-            ).alias("chunk_id"),
-        )
-        .select(
-            "doc_id",
-            F.slice("w", (F.col("chunk_id") * 32 + 1).cast("int"), 32).alias("cw"),
-        )
+        _chunk_slices(_docs(spark, sf_dir), 32)
         .where(F.size("cw") == 32)
         .select("doc_id", F.md5(F.concat_ws(" ", "cw")).alias("h"))
     )
@@ -1181,7 +1194,7 @@ def _bpe_train_oracle() -> str:
     WITH wf AS (
         SELECT w, count(*) AS wf
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        WHERE length(w) >= 1
+        WHERE length(w) >= 1 AND w NOT LIKE '%|%'
         GROUP BY w
     ),
     s0 AS (
@@ -1242,7 +1255,11 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     wf = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .where(F.length("w") >= 1)
+        # '|' is the sentinel byte of the symbol encoding below; a word
+        # containing a literal pipe would make the encoding ambiguous
+        # and the merges silently wrong, so such words are excluded from
+        # training IN BOTH ENGINES (none exist in the synthetic corpus)
+        .where((F.length("w") >= 1) & (~F.col("w").contains("|")))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wf"))
     )
@@ -1270,7 +1287,13 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("pair")
             .agg(F.sum("wf").alias("n"))
         )
-        best = pairs.orderBy(F.desc("n"), F.asc("pair")).limit(1).collect()[0]
+        top = pairs.orderBy(F.desc("n"), F.asc("pair")).limit(1).collect()
+        if not top:
+            # no adjacent pairs left (all words single-symbol): the
+            # oracle's argmax CTE goes empty here too, so training just
+            # stops with the rules found so far
+            break
+        best = top[0]
         left, right = best["pair"].split(" ")
         merged = left + right
         rules.append((it, best["pair"], merged, int(best["n"])))
@@ -1359,11 +1382,7 @@ def q_ols_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pred AS (
         SELECT lang AS labeled_lang,
-               CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
-                    WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
-                    WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
-                    WHEN s_es >= s_zh THEN 'es'
-                    ELSE 'zh' END AS pred_lang
+               {_PRED_LANG_SQL} AS pred_lang
         FROM scored
     )
     SELECT labeled_lang, pred_lang,
@@ -1384,14 +1403,7 @@ def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tie order); one aggregation plus a per-label total
     window, integer counts, one exact division."""
     docs = _lang_scores_spark(_docs(spark, sf_dir))
-    s = {lang: F.col(f"s_{lang}") for lang in _LANG_ORDER}
-    pred = (
-        F.when(s["en"] >= F.greatest(s["de"], s["fr"], s["es"], s["zh"]), "en")
-        .when(s["de"] >= F.greatest(s["fr"], s["es"], s["zh"]), "de")
-        .when(s["fr"] >= F.greatest(s["es"], s["zh"]), "fr")
-        .when(s["es"] >= s["zh"], "es")
-        .otherwise("zh")
-    )
+    pred = _pred_lang_col()
     from pyspark.sql.window import Window
 
     counts = (

@@ -478,14 +478,17 @@ def test_media_decoder_property_roundtrip():
         h=st.integers(min_value=1, max_value=40),
         seed=st.integers(min_value=0, max_value=2**31 - 1),
         comment_ws=st.sampled_from([b"\n", b" ", b"\t", b"\r\n"]),
+        comment=st.sampled_from([b"", b"# made by gimp\n", b"#x\n# y z\n"]),
     )
     @settings(max_examples=40, deadline=None)
-    def ppm_case(w, h, seed, comment_ws):
+    def ppm_case(w, h, seed, comment_ws, comment):
         rng = np.random.default_rng(seed)
         rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        # '#' comments are spec-valid anywhere whitespace is (netpbm);
+        # a decoder rejecting them rejects files other tools produce
         payload = (
-            b"P6" + comment_ws + f"{w}".encode() + comment_ws + f"{h}".encode()
-            + comment_ws + b"255\n" + rgb.tobytes()
+            b"P6" + comment_ws + comment + f"{w}".encode() + comment_ws
+            + f"{h}".encode() + comment_ws + b"255\n" + rgb.tobytes()
         )
         r = decode_one("ppm", payload)
         f = rgb.astype(np.float64)
@@ -658,3 +661,19 @@ def test_png_decode_via_pil_property():
             decode_one(kernel_no_pil, "png", png)
 
     check()
+
+
+def test_bpe_train_stops_on_single_symbol_corpus(spark, tmp_path):
+    """Regression: a corpus whose words are all single characters yields
+    an empty pair table and q_bpe_train crashed with IndexError on the
+    argmax collect; it must stop cleanly with the rules found so far
+    (zero here), matching the oracle's empty argmax CTE."""
+    docs = spark.createDataFrame(
+        [(i, "a b c", "en", "web", 5) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from iceberg_data_gen_spark.operators import QUERIES
+
+    out = QUERIES["q_bpe_train"](spark, str(tmp_path)).collect()
+    assert out == []
