@@ -45,7 +45,9 @@ def rest_spark_confs(cat, name: str = "rest") -> dict[str, str]:
         f"spark.sql.catalog.{name}.uri": cat.uri,
         f"spark.sql.catalog.{name}.warehouse": cat.warehouse,
     }
-    if cat.s3_endpoint or cat.s3_access_key_id:
+    if cat.s3_endpoint or cat.s3_access_key_id or cat.s3_region:
+        # any S3 field (including region ALONE — IAM-role AWS configs set
+        # nothing else) selects S3FileIO; unset fields stay omitted below
         confs[f"spark.sql.catalog.{name}.io-impl"] = (
             "org.apache.iceberg.aws.s3.S3FileIO"
         )
@@ -107,6 +109,15 @@ class IcebergDataGeneratorApp:
         ns, name = self.config.table.namespace, self.config.table.table_name
         self.catalog.create_namespace(ns, exists_ok=True)
         table = self.catalog.create_table(ns, name, self.generator.schema(), exists_ok=True)
+        if table.snapshots():
+            # re-running prepare into a populated table would silently
+            # append duplicate data and aim the delete phases at the
+            # wrong global rows — fail loudly instead
+            raise ValueError(
+                f"table {ns}.{name} already contains data; run cleanup "
+                "before re-running prepare"
+            )
+        self.generator.reset()
 
         # phase 1: data files — one snapshot for all (main.rs:125-158)
         batches = []

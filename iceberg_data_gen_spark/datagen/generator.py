@@ -115,18 +115,25 @@ class FixSchemaGenerator(DataGenerator):
     def register_data_file(self, files: list[RegisteredDataFile]) -> None:
         self._data_files.extend(files)
 
+    def reset(self) -> None:
+        """Fresh cursor + file registry: prepare() calls this so a reused
+        app instance generates the same deletes as a fresh one instead of
+        compounding carried-over state."""
+        self._data_files = []
+        self._cursor = 0
+
     # -- deletes (shared cursor over registered files in commit order) ------
 
     @property
     def _total_rows(self) -> int:
         return sum(f.record_count for f in self._data_files)
 
-    def _file_of_global_row(self, g: int) -> tuple[str, int]:
-        """(file_path, position-within-file) for global row ``g``."""
+    def _file_of_global_row(self, g: int) -> tuple["RegisteredDataFile", int]:
+        """(owning file, position-within-file) for global row ``g``."""
         off = 0
         for f in self._data_files:
             if g < off + f.record_count:
-                return f.file_path, g - off
+                return f, g - off
             off += f.record_count
         raise IndexError(g)
 
@@ -147,10 +154,9 @@ class FixSchemaGenerator(DataGenerator):
         g = self._cursor
         remaining = n
         while remaining > 0:
-            path, pos = self._file_of_global_row(g)
-            f = next(f for f in self._data_files if f.file_path == path)
+            f, pos = self._file_of_global_row(g)
             take = min(remaining, f.record_count - pos)
-            spans.append((path, pos, pos + take))
+            spans.append((f.file_path, pos, pos + take))
             g += take
             remaining -= take
         self._cursor += n

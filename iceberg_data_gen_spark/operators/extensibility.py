@@ -54,11 +54,19 @@ def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         out = []
         for text in s:
-            b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
-            alpha = b - ord("a") + 1
+            if text is None:
+                out.append(None)
+                continue
+            # CODE-POINT positions (utf-32), not UTF-8 byte positions:
+            # the oracle's s[i+1]/len(s) index characters, and one
+            # multi-byte character would shift every later byte's weight
+            cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            alpha = cp - ord("a") + 1
             alpha[(alpha < 1) | (alpha > 26)] = 0
-            out.append(int((alpha * np.arange(1, len(b) + 1)).sum()))
-        return pd.Series(out)
+            out.append(int((alpha * np.arange(1, len(cp) + 1)).sum()))
+        return pd.Series(out, dtype="object")
 
     (docs,) = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -135,9 +143,34 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fix_rows(spark: SparkSession, a: int, b: int, baz: bool = True) -> DataFrame:
+    """The reference schema's (foo=str(g), bar=g, baz) row range — ONE
+    definition for every q_mor_* fixture build (was 12 hand copies)."""
+    return spark.range(a, b).select(
+        F.col("id").cast("string").alias("foo"),
+        F.col("id").cast("int").alias("bar"),
+        F.lit(baz).alias("baz"),
+    )
+
+
 # one reference-table build per SparkSession: q_mor_scan / time-travel /
-# metadata queries all read the same prepared warehouse
-_MOR_CACHE: dict[int, str] = {}
+# metadata queries all read the same prepared warehouse.  Keyed by the
+# session's applicationId — id(spark) is reusable after GC, which could
+# serve a dead session's (possibly tmp-reaped) warehouse to a new one.
+_MOR_CACHE: dict[str, str] = {}
+
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp + atexit cleanup: every q_mor_* fixture build leaks its
+    warehouse otherwise (the returned scans are lazy, so the dirs cannot
+    be removed inside the query; bounded instead at process exit)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
 
 
 def _reference_table(spark: SparkSession):
@@ -150,9 +183,9 @@ def _reference_table(spark: SparkSession):
         FileConfig,
     )
 
-    key = id(spark)
+    key = spark.sparkContext.applicationId
     if key not in _MOR_CACHE:
-        wh = tempfile.mkdtemp(prefix="mor-scan-")
+        wh = _scratch_dir("mor-scan-")
         cfg = Config(
             catalog=CatalogConfig(warehouse=wh),
             data_files=FileConfig(rows_per_file=1000, file_count=5),
@@ -329,7 +362,7 @@ def q_mor_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         FileConfig,
     )
 
-    wh = tempfile.mkdtemp(prefix="mor-compact-")
+    wh = _scratch_dir("mor-compact-")
     cfg = Config(
         catalog=CatalogConfig(warehouse=wh),
         data_files=FileConfig(rows_per_file=1000, file_count=5),
@@ -369,14 +402,10 @@ def q_mor_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fc = FileConfig(rows_per_file=1000, file_count=1)
     schema = FixSchemaGenerator(fc, fc, fc).schema()
-    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-incr-"), schema)
+    t = MoRTable.create(spark, _scratch_dir("mor-incr-"), schema)
 
     def rows(a: int, b: int) -> DataFrame:
-        return spark.range(a, b).select(
-            F.col("id").cast("string").alias("foo"),
-            F.col("id").cast("int").alias("bar"),
-            F.lit(True).alias("baz"),
-        )
+        return _fix_rows(spark, a, b)
 
     t.append(rows(0, 1000), single_file=True)  # snapshot 1
     t.add_equality_deletes(  # snapshot 2: delete keys 0..99
@@ -414,14 +443,10 @@ def q_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fc = FileConfig(rows_per_file=1000, file_count=1)
     schema = FixSchemaGenerator(fc, fc, fc).schema()
-    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-merge-"), schema)
+    t = MoRTable.create(spark, _scratch_dir("mor-merge-"), schema)
 
     def rows(a: int, b: int, baz: bool) -> DataFrame:
-        return spark.range(a, b).select(
-            F.col("id").cast("string").alias("foo"),
-            F.col("id").cast("int").alias("bar"),
-            F.lit(baz).alias("baz"),
-        )
+        return _fix_rows(spark, a, b, baz)
 
     t.append(rows(0, 1000, True), single_file=True)
     t.merge(rows(500, 1500, False))  # identifier field = bar
@@ -457,14 +482,10 @@ def q_mor_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fc = FileConfig(rows_per_file=1000, file_count=1)
     schema = FixSchemaGenerator(fc, fc, fc).schema()
-    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-evolve-"), schema)
+    t = MoRTable.create(spark, _scratch_dir("mor-evolve-"), schema)
 
     def rows(a: int, b: int) -> DataFrame:
-        return spark.range(a, b).select(
-            F.col("id").cast("string").alias("foo"),
-            F.col("id").cast("int").alias("bar"),
-            F.lit(True).alias("baz"),
-        )
+        return _fix_rows(spark, a, b)
 
     t.append(rows(0, 1000), single_file=True)
     t.add_column("score", "double")
@@ -526,7 +547,7 @@ def q_format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
     )
-    base = tempfile.mkdtemp(prefix="orc-rt-")
+    base = _scratch_dir("orc-rt-")
     sel.write.mode("overwrite").orc(base + "/orc")
     back = spark.read.orc(base + "/orc")
     assert back.exceptAll(sel).isEmpty() and sel.exceptAll(back).isEmpty()
@@ -560,14 +581,10 @@ def q_mor_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fc = FileConfig(rows_per_file=1000, file_count=4)
     schema = FixSchemaGenerator(fc, fc, fc).schema()
-    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-prune-"), schema)
+    t = MoRTable.create(spark, _scratch_dir("mor-prune-"), schema)
 
     def rows(a: int, b: int) -> DataFrame:
-        return spark.range(a, b).select(
-            F.col("id").cast("string").alias("foo"),
-            F.col("id").cast("int").alias("bar"),
-            F.lit(True).alias("baz"),
-        )
+        return _fix_rows(spark, a, b)
 
     t.append_batches([rows(i * 1000, (i + 1) * 1000) for i in range(4)])
     return t.scan(where={"bar": (1500, 2499)})
@@ -598,14 +615,10 @@ def q_mor_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fc = FileConfig(rows_per_file=1000, file_count=1)
     schema = FixSchemaGenerator(fc, fc, fc).schema()
-    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-rb-"), schema)
+    t = MoRTable.create(spark, _scratch_dir("mor-rb-"), schema)
 
     def rows(a: int, b: int) -> DataFrame:
-        return spark.range(a, b).select(
-            F.col("id").cast("string").alias("foo"),
-            F.col("id").cast("int").alias("bar"),
-            F.lit(True).alias("baz"),
-        )
+        return _fix_rows(spark, a, b)
 
     t.append(rows(0, 1000), single_file=True)                       # snap 1
     t.add_equality_deletes(rows(0, 100).select("foo", "bar"), [1, 2])  # snap 2
@@ -645,7 +658,7 @@ def q_mor_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             Field(3, "payload", "string"),
         ]
     )
-    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-zorder-"), schema)
+    t = MoRTable.create(spark, _scratch_dir("mor-zorder-"), schema)
 
     def band(b: int) -> DataFrame:
         # x in [4b, 4b+4) x y in [0, 64): one x-band per file
@@ -689,14 +702,10 @@ def q_mor_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fc = FileConfig(rows_per_file=1000, file_count=1)
     schema = FixSchemaGenerator(fc, fc, fc).schema()
-    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-pspec-"), schema)
+    t = MoRTable.create(spark, _scratch_dir("mor-pspec-"), schema)
 
     def rows(a: int, b: int) -> DataFrame:
-        return spark.range(a, b).select(
-            F.col("id").cast("string").alias("foo"),
-            F.col("id").cast("int").alias("bar"),
-            F.lit(True).alias("baz"),
-        )
+        return _fix_rows(spark, a, b)
 
     t.append(rows(0, 1000), single_file=True)  # spec 0: unpartitioned
     t.update_spec([{"source": "bar", "transform": "bucket", "n": 4}])
@@ -726,7 +735,7 @@ def q_mor_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fc = FileConfig(rows_per_file=1000, file_count=1)
     t = MoRTable.create(
-        spark, tempfile.mkdtemp(prefix="mor-delw-"), FixSchemaGenerator(fc, fc, fc).schema()
+        spark, _scratch_dir("mor-delw-"), FixSchemaGenerator(fc, fc, fc).schema()
     )
     t.append(
         spark.range(0, 1000).select(
@@ -764,15 +773,11 @@ def q_mor_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fc = FileConfig(rows_per_file=1000, file_count=1)
     t = MoRTable.create(
-        spark, tempfile.mkdtemp(prefix="mor-wap-"), FixSchemaGenerator(fc, fc, fc).schema()
+        spark, _scratch_dir("mor-wap-"), FixSchemaGenerator(fc, fc, fc).schema()
     )
 
     def rows(a: int, b: int) -> DataFrame:
-        return spark.range(a, b).select(
-            F.col("id").cast("string").alias("foo"),
-            F.col("id").cast("int").alias("bar"),
-            F.lit(True).alias("baz"),
-        )
+        return _fix_rows(spark, a, b)
 
     t.append(rows(0, 1000), single_file=True)
     staged = t.append_staged(rows(1000, 2000), single_file=True)
@@ -809,15 +814,11 @@ def q_mor_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fc = FileConfig(rows_per_file=1000, file_count=1)
     t = MoRTable.create(
-        spark, tempfile.mkdtemp(prefix="mor-parts-"), FixSchemaGenerator(fc, fc, fc).schema()
+        spark, _scratch_dir("mor-parts-"), FixSchemaGenerator(fc, fc, fc).schema()
     )
 
     def rows(a: int, b: int) -> DataFrame:
-        return spark.range(a, b).select(
-            F.col("id").cast("string").alias("foo"),
-            F.col("id").cast("int").alias("bar"),
-            F.lit(True).alias("baz"),
-        )
+        return _fix_rows(spark, a, b)
 
     t.append(rows(0, 1000), single_file=True)
     t.update_spec([{"source": "bar", "transform": "bucket", "n": 4}])
@@ -849,14 +850,10 @@ def q_mor_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fc = FileConfig(rows_per_file=1000, file_count=1)
     schema = FixSchemaGenerator(fc, fc, fc).schema()
-    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-expire-"), schema)
+    t = MoRTable.create(spark, _scratch_dir("mor-expire-"), schema)
 
     def rows(a: int, b: int) -> DataFrame:
-        return spark.range(a, b).select(
-            F.col("id").cast("string").alias("foo"),
-            F.col("id").cast("int").alias("bar"),
-            F.lit(True).alias("baz"),
-        )
+        return _fix_rows(spark, a, b)
 
     t.append(rows(0, 1000), single_file=True)                          # snap 1
     t.add_equality_deletes(rows(0, 100).select("foo", "bar"), [1, 2])  # snap 2
@@ -888,14 +885,10 @@ def q_mor_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fc = FileConfig(rows_per_file=1000, file_count=1)
     schema = FixSchemaGenerator(fc, fc, fc).schema()
-    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-tag-"), schema)
+    t = MoRTable.create(spark, _scratch_dir("mor-tag-"), schema)
 
     def rows(a: int, b: int) -> DataFrame:
-        return spark.range(a, b).select(
-            F.col("id").cast("string").alias("foo"),
-            F.col("id").cast("int").alias("bar"),
-            F.lit(True).alias("baz"),
-        )
+        return _fix_rows(spark, a, b)
 
     t.append(rows(0, 1000), single_file=True)                          # snap 1
     t.create_tag("v1")
@@ -926,14 +919,10 @@ def q_mor_branch_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fc = FileConfig(rows_per_file=1000, file_count=1)
     schema = FixSchemaGenerator(fc, fc, fc).schema()
-    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-branch-"), schema)
+    t = MoRTable.create(spark, _scratch_dir("mor-branch-"), schema)
 
     def rows(a: int, b: int) -> DataFrame:
-        return spark.range(a, b).select(
-            F.col("id").cast("string").alias("foo"),
-            F.col("id").cast("int").alias("bar"),
-            F.lit(True).alias("baz"),
-        )
+        return _fix_rows(spark, a, b)
 
     t.append(rows(0, 1000), single_file=True)                      # main: snap 1
     t.create_branch("audit")
@@ -987,7 +976,7 @@ def q_mor_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fc = FileConfig(rows_per_file=100, file_count=1)
     schema = FixSchemaGenerator(fc, fc, fc).schema()
-    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-plan-"), schema)
+    t = MoRTable.create(spark, _scratch_dir("mor-plan-"), schema)
     batches, lo = [], 0
     for i in range(16):
         n = 100 * ((i % 5) + 1)
@@ -1097,7 +1086,7 @@ def q_mor_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fc = FileConfig(rows_per_file=100, file_count=1)
     schema = FixSchemaGenerator(fc, fc, fc).schema()
-    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-prune-rep-"), schema)
+    t = MoRTable.create(spark, _scratch_dir("mor-prune-rep-"), schema)
     for i in range(10):
         t.append(
             spark.range(i * 100, (i + 1) * 100).select(

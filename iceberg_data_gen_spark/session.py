@@ -89,7 +89,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from iceberg_data_gen_spark.streaming.events import _events_raw_schema
+
+        # sniff the physical layout and set the legacy conf ONLY when the
+        # nanos layout needs it: flipping it unconditionally changed how
+        # every LATER parquet read of a TIMESTAMP(NANOS) column in this
+        # session decoded (raw longs instead of timestamps)
+        _, ts_is_long = _events_raw_schema(sf_dir)
+        if ts_is_long:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -112,8 +120,14 @@ def load_tables(
     dfs = {}
     for name in names if names is not None else TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            df = load_table(spark, sf_dir, name)
-            df.createOrReplaceTempView(name)
-            dfs[name] = df
+        if not os.path.exists(path):
+            if names is not None:
+                # an EXPLICITLY requested table that does not exist is a
+                # caller bug (typo'd name / wrong sf_dir): failing here
+                # beats the downstream KeyError / missing-view error
+                raise FileNotFoundError(f"no such table: {path}")
+            continue  # the load-everything default skips absent extras
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        dfs[name] = df
     return dfs

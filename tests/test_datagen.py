@@ -118,16 +118,27 @@ def test_eq_delete_with_zero_data_files(spark, tmp_path):
     assert [s["operation"] for s in table.snapshots()] == []
 
 
-def test_prepare_idempotent_and_cleanup(spark, tmp_path):
+def test_prepare_refuses_populated_table_and_cleanup(spark, tmp_path):
+    import pytest
+
     d, p, e = (2, 20), (1, 10), (1, 10)
     app, table, _ = run_prepare(spark, tmp_path, d, p, e)
-    # second prepare on same warehouse: guards hold (no crash on existing
-    # namespace/table), cursor state is fresh per app
+    # second prepare on the same warehouse: the namespace/table guards
+    # hold, but appending into a POPULATED table must fail loudly — it
+    # would silently duplicate data and mis-aim the delete cursors
     app2 = IcebergDataGeneratorApp(spark, make_config(tmp_path, d, p, e))
-    app2.prepare()
+    with pytest.raises(ValueError, match="already contains data"):
+        app2.prepare()
+    n_before = table.scan().count()
     app2.cleanup()
     assert not app2.catalog.table_exists("ns1", "t1")
     # cleanup of absent table is a no-op, not an error (unlike main.rs:393)
+    app2.cleanup()
+    # after cleanup the SAME app instance can prepare again from scratch
+    # (generator state is reset per prepare, not per instance)
+    app2.prepare()
+    t2 = app2.catalog.load_table("ns1", "t1")
+    assert t2.scan().count() == n_before
     app2.cleanup()
 
 
