@@ -35,32 +35,38 @@ def asof_join(
     precedes the left row.  Ties on timestamp resolve to the largest
     value tuple (deterministic)."""
     lcols = left.columns
+    # the matched right row travels as ONE struct: filling each value
+    # column independently with last(ignorenulls) would stitch fields
+    # from DIFFERENT right rows whenever a value column is legitimately
+    # NULL (an older non-null value would resurrect past the match)
     r = right.select(
         F.col(right_key).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(1).alias("__is_right"),
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rv"),
         *[F.lit(None).alias(f"__l_{c}") for c in lcols],
     )
     l = left.select(
         F.col(left_key).alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(0).alias("__is_right"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in value_cols],
+        F.lit(None).cast(r.schema["__rv"].dataType).alias("__rv"),
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
     )
     # right rows sort before left rows at equal timestamps (<= semantics);
-    # among equal-ts right rows the last one wins deterministically
+    # among equal-ts right rows the largest value tuple wins
+    # deterministically (struct ordering is field-lexicographic)
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", F.desc("__is_right"), *[F.asc_nulls_first(c) for c in value_cols])
+        .orderBy("__t", F.desc("__is_right"), F.asc_nulls_first("__rv"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    unioned = r.unionByName(l)
-    for c in value_cols:
-        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    unioned = r.unionByName(l).withColumn(
+        "__rv", F.last("__rv", ignorenulls=True).over(w)
+    )
     return unioned.where(F.col("__is_right") == 0).select(
-        *[F.col(f"__l_{c}").alias(c) for c in lcols], *value_cols
+        *[F.col(f"__l_{c}").alias(c) for c in lcols],
+        *[F.col(f"__rv.{c}").alias(c) for c in value_cols],
     )
 
 

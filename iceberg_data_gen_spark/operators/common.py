@@ -20,6 +20,14 @@ def docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir, ("documents",))["documents"]
 
 
+def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    """Load + view-register the named testdata tables, positionally —
+    the ``lineitem, part = _t(spark, sf_dir, "lineitem", "part")``
+    idiom every relational operator module shares (was four copies)."""
+    dfs = load_tables(spark, sf_dir, names)
+    return [dfs[n] for n in names]
+
+
 def doc_order_key() -> F.Column:
     """The md5-of-doc_id ordering/sampling key (``md5(CAST(doc_id AS
     VARCHAR))`` on the DuckDB side): engine-portable, uniform,
@@ -27,3 +35,17 @@ def doc_order_key() -> F.Column:
     temperature sampling all order by this key, and the per-query
     oracles assume the identical bytes."""
     return F.md5(F.col("doc_id").cast("string").cast("binary"))
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp + atexit cleanup: operators that build throwaway table /
+    parquet fixtures return LAZY scans over them, so the dirs cannot be
+    removed inside the query — registering them for process-exit removal
+    bounds the leak across repeated bench/driver invocations."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d

@@ -22,12 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_data_gen_spark.operators import register
+from iceberg_data_gen_spark.operators.common import tables as _t
 from iceberg_data_gen_spark.session import load_tables
 
 
-def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    dfs = load_tables(spark, sf_dir, names)
-    return [dfs[n] for n in names]
 
 
 @register(
@@ -160,17 +158,7 @@ def _fix_rows(spark: SparkSession, a: int, b: int, baz: bool = True) -> DataFram
 _MOR_CACHE: dict[str, str] = {}
 
 
-def _scratch_dir(prefix: str) -> str:
-    """mkdtemp + atexit cleanup: every q_mor_* fixture build leaks its
-    warehouse otherwise (the returned scans are lazy, so the dirs cannot
-    be removed inside the query; bounded instead at process exit)."""
-    import atexit
-    import shutil
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, d, True)
-    return d
+from iceberg_data_gen_spark.operators.common import scratch_dir as _scratch_dir
 
 
 def _reference_table(spark: SparkSession):

@@ -31,12 +31,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from iceberg_data_gen_spark.operators import register
+from iceberg_data_gen_spark.operators.common import tables as _t
 from iceberg_data_gen_spark.session import load_tables
 
 
-def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    dfs = load_tables(spark, sf_dir, names)
-    return [dfs[n] for n in names]
 
 
 def R2(c: Column) -> Column:
@@ -556,7 +554,9 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_brand, p_partkey, p_size,
            rank()       OVER (PARTITION BY p_brand ORDER BY p_size DESC, p_partkey) AS size_rank,
            dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC)            AS size_dense_rank,
-           round(avg(p_retailprice) OVER (PARTITION BY p_brand), 2)                 AS brand_avg_price
+           round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,4)))
+                          OVER (PARTITION BY p_brand) AS DOUBLE)
+                 / count(*) OVER (PARTITION BY p_brand), 2)                     AS brand_avg_price
     FROM part
     """,
 )
@@ -570,7 +570,14 @@ def q_window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
         F.rank().over(wb.orderBy(F.desc("p_size"), "p_partkey")).alias("size_rank"),
         F.dense_rank().over(wb.orderBy(F.desc("p_size"))).alias("size_dense_rank"),
-        R2(F.avg("p_retailprice").over(wb)).alias("brand_avg_price"),
+        # exact DECIMAL sum / count instead of avg(): float accumulation
+        # order inside a window frame differs across engines and can flip
+        # the 2dp rounding at an exact half-cent mean
+        F.round(
+            F.sum(F.col("p_retailprice").cast("decimal(18,4)")).over(wb).cast("double")
+            / F.count(F.lit(1)).over(wb),
+            2,
+        ).alias("brand_avg_price"),
     )
 
 
@@ -630,7 +637,9 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         big.union(bld).distinct().select("custkey", F.lit("union").alias("src"))
         .unionAll(big.intersect(bld).select("custkey", F.lit("intersect").alias("src")))
-        .unionAll(big.exceptAll(bld).distinct().select("custkey", F.lit("except").alias("src")))
+        # subtract() IS SQL EXCEPT; exceptAll().distinct() only matches it
+        # while both inputs are duplicate-free
+        .unionAll(big.subtract(bld).select("custkey", F.lit("except").alias("src")))
     )
 
 

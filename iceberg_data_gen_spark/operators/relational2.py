@@ -14,12 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_data_gen_spark.operators import register
+from iceberg_data_gen_spark.operators.common import tables as _t
+from iceberg_data_gen_spark.operators.relational import dsum, dsum_sql
 from iceberg_data_gen_spark.session import load_tables
 
 
-def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    dfs = load_tables(spark, sf_dir, names)
-    return [dfs[n] for n in names]
 
 
 def R2(c):
@@ -149,10 +148,11 @@ def q12_line_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     oracle="""
-    SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+    SELECT round(100.00 * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
                                    THEN l_extendedprice * (1 - l_discount)
-                                   ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+                                   ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_revenue
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -170,7 +170,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
         )
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue"))
+        # DECIMAL accumulation (dsum) on both sums: plain double sums are
+        # merge-order-dependent and can flip the 4dp rounding at a
+        # boundary between engines
+        .agg(F.round(100.0 * dsum(promo) / dsum(rev), 4).alias("promo_revenue"))
     )
 
 
@@ -221,7 +224,8 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_predicates",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
            count(*) AS n_lines
     FROM lineitem, part
     WHERE p_partkey = l_partkey
@@ -251,7 +255,9 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .where(cond)
         .agg(
-            R2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.round(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )

@@ -20,13 +20,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from iceberg_data_gen_spark.operators import register
-from iceberg_data_gen_spark.operators.relational import R2, dsum, dsum_sql
+from iceberg_data_gen_spark.operators.common import tables as _t
+from iceberg_data_gen_spark.operators.common import scratch_dir as _scratch
+from iceberg_data_gen_spark.operators.relational import dsum, dsum_sql
 from iceberg_data_gen_spark.session import load_tables
 
 
-def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    dfs = load_tables(spark, sf_dir, names)
-    return [dfs[n] for n in names]
 
 
 # ---------------------------------------------------------------------------
@@ -618,10 +617,9 @@ def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     read (see tests/test_plans.py).  This is the table-layout half of the
     100 TB story: time-partitioned facts make time-bounded queries read
     only their slice."""
-    import tempfile
 
     (orders,) = _t(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="part-orders-")
+    path = _scratch("part-orders-")
     (
         orders.withColumn("o_year", F.year("o_orderdate"))
         .write.mode("overwrite")
@@ -688,13 +686,12 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree with the parquet original, so the aggregate over either equals
     the oracle.  Exercises write → read for the two text formats the
     parquet-native pipeline still meets at its edges (exports, logs)."""
-    import tempfile
 
     (orders,) = _t(spark, sf_dir, "orders")
     sel = orders.where(F.col("o_orderkey") <= 1000).select(
         "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice")
     )
-    base = tempfile.mkdtemp(prefix="fmt-rt-")
+    base = _scratch("fmt-rt-")
     sel.write.mode("overwrite").option("header", True).csv(base + "/csv")
     sel.write.mode("overwrite").json(base + "/json")
     schema = "o_orderkey long, o_orderstatus string, o_totalprice decimal(18,2)"
@@ -765,10 +762,9 @@ def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter and only the 2 'keep' year directories are read.  This is the
     mechanism that keeps star joins from scanning the whole fact table
     when the predicate lives on the dimension (plan-asserted)."""
-    import tempfile
 
     (orders,) = _t(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="dpp-orders-")
+    path = _scratch("dpp-orders-")
     (
         orders.withColumn("o_year", F.year("o_orderdate"))
         .write.mode("overwrite")
@@ -982,12 +978,11 @@ def q_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame
     At scale this is the idempotent-backfill primitive: re-running a
     day/type slice replaces exactly that slice, no table-wide rewrite,
     no read-modify-write of unrelated partitions."""
-    import tempfile
 
     e = load_tables(spark, sf_dir, ("events",))["events"].where(
         F.col("event_id") <= 2000
     )
-    base = tempfile.mkdtemp(prefix="dpo-") + "/events"
+    base = _scratch("dpo-") + "/events"
     e.select("event_id", "value", "event_type").write.partitionBy(
         "event_type"
     ).mode("overwrite").parquet(base)
@@ -1103,7 +1098,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT ps_partkey, part_value
     FROM national
-    WHERE part_value > (SELECT 0.001 * sum(part_value) FROM national)
+    WHERE part_value > (SELECT 0.001 * CAST(sum(CAST(part_value AS DECIMAL(18,4)))
+                                            AS DOUBLE) FROM national)
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1129,7 +1125,16 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("part_value"))
     )
-    threshold = national.agg((F.lit(0.001) * F.sum("part_value")).alias("cutoff"))
+    # the global total ALSO accumulates in DECIMAL: part_value is an
+    # exact 4-decimal double, but a plain double sum of those is
+    # merge-order-dependent and a part at the cutoff's ulp window would
+    # classify differently across engines
+    threshold = national.agg(
+        (
+            F.lit(0.001)
+            * F.sum(F.col("part_value").cast("decimal(18,4)")).cast("double")
+        ).alias("cutoff")
+    )
     return (
         national.join(F.broadcast(threshold))
         .where(F.col("part_value") > F.col("cutoff"))
@@ -1230,10 +1235,9 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercises bucketing rather than broadcasting the (test-scale-small)
     orders side; the only exchange left is the final tiny groupBy.
     """
-    import tempfile
 
     orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
-    base = tempfile.mkdtemp(prefix="bucketed-")
+    base = _scratch("bucketed-")
     sides = (
         ("orders", orders.select("o_orderkey", "o_orderpriority"), "o_orderkey"),
         ("lineitem", lineitem.select("l_orderkey", "l_extendedprice"), "l_orderkey"),
@@ -1749,7 +1753,7 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engines' DECIMAL(38,8)->double conversions of the huge Σrev² can
     differ by one ulp.  Two
     aggregations, both map-side combinable."""
-    (lineitem,), (supplier,) = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     per_supp = (
         lineitem.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))

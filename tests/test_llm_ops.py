@@ -677,3 +677,23 @@ def test_bpe_train_stops_on_single_symbol_corpus(spark, tmp_path):
 
     out = QUERIES["q_bpe_train"](spark, str(tmp_path)).collect()
     assert out == []
+
+
+def test_asof_join_matched_row_travels_whole(spark):
+    """Regression: per-column last(ignorenulls) fills stitched fields
+    from DIFFERENT right rows when a value column is legitimately NULL
+    (an older non-null value resurrected past the match).  The matched
+    right row must arrive as a whole tuple."""
+    from iceberg_data_gen_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 1, 5, None), (1, 2, None, 7)], "k long, t long, a int, b int"
+    )
+    left = spark.createDataFrame([(1, 3)], "k long, t long")
+    out = asof_join(
+        left, right, left_key="k", right_key="k",
+        left_ts="t", right_ts="t", value_cols=["a", "b"],
+    ).collect()
+    assert len(out) == 1
+    # the ts=2 row IS the match: a must be NULL, not the stale 5
+    assert (out[0].a, out[0].b) == (None, 7), out
