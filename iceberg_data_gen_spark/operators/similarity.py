@@ -477,8 +477,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # train-once cache: a per-call .cache() would pin a fresh corpus-sized
     # copy in executor storage memory on every invocation (q_ann_recall
     # re-invokes this query) and never release any of them
+    # keyed on applicationId as well (unlike the numpy-valued entries,
+    # this one holds a LIVE DataFrame, which dies with its SparkSession)
     bucketed = _trained(
-        ("lsh_bucketed", sf_dir),
+        ("lsh_bucketed", spark.sparkContext.applicationId, sf_dir),
         lambda: normalized_vectors(_emb(spark, sf_dir))
         .select("vec_id", "nv")
         .withColumn("bucket", lsh_bucket_col(F.col("nv")))

@@ -274,12 +274,23 @@ class RestCatalog:
     def load_table(self, namespace: str, name: str) -> MoRTable:
         # probe the catalog BEFORE touching the warehouse: a miss must
         # surface as the 404 error, not litter phantom <ns>/<table>/data
-        # dirs for tables the catalog has never had
-        RestMetadataIO(self.uri, namespace, name).load()
-        return self._open(namespace, name)
-
-    def _open(self, namespace: str, name: str) -> MoRTable:
+        # dirs for tables the catalog has never had.  The probed handle
+        # (and its loaded CAS version basis) is REUSED by _open — issuing
+        # a second GET would both double the round-trips and discard the
+        # version this handle's view is based on.
         io = RestMetadataIO(self.uri, namespace, name)
+        meta = io.load()
+        return self._open(namespace, name, io=io, meta=meta)
+
+    def _open(
+        self,
+        namespace: str,
+        name: str,
+        io: RestMetadataIO | None = None,
+        meta: dict | None = None,
+    ) -> MoRTable:
+        if io is None:
+            io = RestMetadataIO(self.uri, namespace, name)
         p = self._data_path(namespace, name)
         # Tables written before identifiers were percent-encoded live at
         # the RAW-name path; their metadata records ABSOLUTE file paths,
@@ -291,7 +302,7 @@ class RestCatalog:
         # the data dirs must exist before the first append
         (p / "data").mkdir(parents=True, exist_ok=True)
         (p / "deletes").mkdir(parents=True, exist_ok=True)
-        return MoRTable(self.spark, str(p), io=io)
+        return MoRTable(self.spark, str(p), io=io, meta=meta)
 
     def drop_table(self, namespace: str, name: str, missing_ok: bool = True) -> None:
         status, payload = _call("DELETE", self._table_url(namespace, name))

@@ -202,12 +202,20 @@ class LocalMetadataIO(MetadataIO):
 
 class MoRTable:
     def __init__(
-        self, spark: SparkSession, path: str, io: MetadataIO | None = None
+        self,
+        spark: SparkSession,
+        path: str,
+        io: MetadataIO | None = None,
+        meta: dict | None = None,
     ) -> None:
         self.spark = spark
         self.path = Path(path)
         self._io = io if io is not None else LocalMetadataIO(self.path)
-        self._meta = self._io.load()
+        # ``meta`` is a caller-supplied result of ``io.load()`` it JUST
+        # performed (e.g. RestCatalog.load_table's existence probe) —
+        # reusing it avoids a second metadata fetch; the io's CAS basis
+        # already reflects that load.
+        self._meta = meta if meta is not None else self._io.load()
 
     # -- creation / metadata ------------------------------------------------
 
@@ -1090,11 +1098,25 @@ class MoRTable:
         # refs are retention anchors (Iceberg semantics): refuse to expire
         # a ref'd snapshot rather than silently breaking the ref.  A ref
         # head inside the closure is simply kept (with its ancestry).
-        tagged = {r["snapshot_id"] for r in self._meta.get("refs", {}).values()}
-        hit = tagged - needed
-        if hit:
+        ref_heads = {
+            name: r["snapshot_id"] for name, r in self._meta.get("refs", {}).items()
+        }
+        # a ref whose snapshot id is absent from the snapshot list is
+        # corrupt metadata, not an expiration conflict — name it as such
+        # instead of blaming the expiration request
+        dangling = {n: sid for n, sid in ref_heads.items() if sid not in by_id}
+        if dangling:
             raise ValueError(
-                f"snapshots {sorted(hit)} are referenced by tags; drop the tags first"
+                f"refs {sorted(dangling)} point at snapshot ids "
+                f"{sorted(set(dangling.values()))} absent from table metadata; "
+                "repair or drop these refs before expiring snapshots"
+            )
+        hit = set(ref_heads.values()) - needed
+        if hit:
+            names = sorted(n for n, sid in ref_heads.items() if sid in hit)
+            raise ValueError(
+                f"snapshots {sorted(hit)} are referenced by refs "
+                f"(tags/branches {names}); drop those refs first"
             )
         kept = [s for s in snaps if s["id"] in needed]
         expired = [s for s in snaps if s["id"] not in needed]

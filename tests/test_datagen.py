@@ -768,7 +768,7 @@ def test_tag_blocks_expiration_until_dropped(spark, tmp_path):
     app, t, _ = run_prepare(spark, tmp_path, d, p, e)
     t.create_tag("pre-compact", snapshot_id=1)
     t.compact()  # baseline
-    with pytest.raises(ValueError, match="referenced by tags"):
+    with pytest.raises(ValueError, match="referenced by refs.*pre-compact"):
         t.expire_snapshots(keep_last=1)
     # the tag still resolves and pins the first append's state
     assert t.scan(ref="pre-compact").count() == 500
@@ -776,6 +776,23 @@ def test_tag_blocks_expiration_until_dropped(spark, tmp_path):
     assert t.expire_snapshots(keep_last=1)["expired"] == 3
     with pytest.raises(ValueError):
         t.resolve_ref("pre-compact")
+
+
+def test_dangling_ref_is_named_as_corruption_not_expire_conflict(
+    spark, tmp_path
+):
+    """A ref pointing at a snapshot id absent from the snapshot list is
+    corrupt metadata; expire_snapshots must say so (naming the ref)
+    instead of blaming the expiration request with a misleading
+    'referenced by tags' error (ADVICE r5)."""
+    import pytest
+
+    d, p, e = (5, 100), (2, 100), (2, 100)
+    _, t, _ = run_prepare(spark, tmp_path, d, p, e)
+    t.create_tag("ghost", snapshot_id=1)
+    t._meta["refs"]["ghost"]["snapshot_id"] = 9999  # simulate corruption
+    with pytest.raises(ValueError, match="ghost.*absent from table metadata"):
+        t.expire_snapshots(keep_last=1)
 
 
 def test_branch_write_read_fast_forward(spark, tmp_path):

@@ -66,7 +66,7 @@ def test_queries_ordering_surfaces_unverified_first():
     entry precedes every rows-only one."""
     import __spark_entry__ as e
 
-    verified = e._driver_verified()
+    verified, _ = e._driver_history()
     names = list(e.queries())
     assert set(names) == set(operators.QUERIES)  # a permutation, no loss
     first_verified = next(
@@ -85,3 +85,24 @@ def test_queries_ordering_surfaces_unverified_first():
     assert last_oracle < first_rowsonly or first_rowsonly == len(prefix), (
         last_oracle, first_rowsonly,
     )
+
+
+def test_queries_verified_tail_rotates_by_staleness():
+    """With the registry fully driver-proven, the verified tail must be
+    ordered by ascending last-driver-checked round (ties by registration
+    order) so the ~50 capped slots cycle the whole registry every ~4
+    rounds instead of re-checking the same oldest registrations forever
+    (VERDICT r5 #1)."""
+    import __spark_entry__ as e
+
+    verified, last_round = e._driver_history()
+    names = list(e.queries())
+    reg_order = {n: i for i, n in enumerate(operators.QUERIES)}
+    tail = [n for n in names if n in verified]
+    keys = [(last_round.get(n, 0), reg_order[n]) for n in tail]
+    assert keys == sorted(keys), "verified tail not sorted by staleness"
+    # the head of the tail must be the most-starved slice: nothing checked
+    # later than round R may precede anything last checked in round < R
+    if tail:
+        head_round = last_round.get(tail[0], 0)
+        assert head_round == min(last_round.get(n, 0) for n in tail)

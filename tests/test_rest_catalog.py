@@ -764,6 +764,31 @@ def test_load_table_miss_is_clean(catalog):
     assert not catalog._data_path("ns", "nope").exists()
 
 
+def test_load_table_issues_one_metadata_get(catalog, monkeypatch):
+    """Regression (ADVICE r5): load_table probed the catalog, discarded
+    the result, then let MoRTable fetch the same metadata again — two
+    GETs per open.  The probe's handle and loaded document must be
+    reused, so an open is exactly ONE metadata fetch."""
+    from iceberg_data_gen_spark.table import rest_catalog as rc
+
+    catalog.create_namespace("ns")
+    catalog.create_table("ns", "t1", _schema())
+
+    calls: list[str] = []
+    real_call = rc._call
+
+    def counting_call(method, url, body=None):
+        if method == "GET":
+            calls.append(url)
+        return real_call(method, url, body)
+
+    monkeypatch.setattr(rc, "_call", counting_call)
+    t = catalog.load_table("ns", "t1")
+    assert len(calls) == 1, calls
+    # the reused basis is live: a commit through this handle still works
+    assert t.snapshots() == []
+
+
 def test_commit_changes_set_default_spec_revert_names_the_spec():
     """Regression: set-default-spec rode on spec-id -1 ('the spec added
     in this commit') even when the commit added none — reverting the
