@@ -33,6 +33,20 @@ SIMHASH_BITS = 32
 MINHASH_PERMS = 32
 LSH_BANDS = 8  # 8 bands × 4 rows
 CC_DRIVER_MAX_EDGES = 2_000_000  # union-find shortcut cap (~32 MB of pairs)
+# Corpus size past which the cluster/survivor chain switches its pair
+# source from exact blocked-Jaccard (quadratic within blocks) to
+# LSH candidates → exact-Jaccard confirm (linear in candidates) — the
+# documented 100 TB dedup pipeline.  Below it (every driver-checked SF)
+# the exact path keeps the oracle-parity results.  IDG_DEDUP_LSH=1
+# forces the LSH path at any scale (tests / scale probes).
+DEDUP_LSH_MIN_DOCS = 1_000_000
+DEDUP_LSH_ENV = "IDG_DEDUP_LSH"
+# Clique cap for the cluster chain's CONFIRM-FILTERED candidates: the
+# downstream exact-Jaccard filter drops star edges whose member↔bmin
+# score dips below threshold (splitting clusters), so this path affords
+# a larger in-bucket clique before star-reducing — ≤ ~32k in-row pairs
+# per bucket, still linear in bucket count at any corpus size.
+DEDUP_CHAIN_BUCKET_CAP = 256
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,14 +277,76 @@ def minhash_signatures(df: DataFrame, perms: int = MINHASH_PERMS, n: int = 3) ->
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select("doc_id", F.array_distinct(F.expr(expr)).alias("sh"))
     )
+    # ONE-parameter callback via a closure factory: pyspark's transform()
+    # dispatches on arity, and a `lambda x, s=s:` (two parameters) would
+    # receive the ARRAY INDEX as s instead of the seed — every signature
+    # column then hashes (element, position) identically, collapsing all
+    # perms to one and making signatures order-dependent (regression-
+    # locked in tests/test_llm_ops.py).
+    def _perm(s: int):
+        return lambda x: F.xxhash64(x, F.lit(s))
+
     cols = [
-        F.array_min(F.transform("sh", lambda x, s=s: F.xxhash64(x, F.lit(s)))).alias(f"h{s}")
+        F.array_min(F.transform("sh", _perm(s))).alias(f"h{s}")
         for s in range(perms)
     ]
     return base.select("doc_id", *cols)
 
 
 LSH_BUCKET_CAP = 64  # clique→star threshold for mega-duplicate buckets
+
+
+def _lsh_candidates(sigs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """Band-bucket candidate pairs ``(doc_a < doc_b)`` from a minhash
+    signature table (``doc_id, h0..h{MINHASH_PERMS-1}``) — the banding,
+    mega-bucket star reduction, and in-row clique expansion described in
+    ``q_minhash_lsh`` (its candidate stage, shared with ``_dup_edges``'s
+    word-level LSH branch)."""
+    from pyspark.sql.window import Window
+
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    band_cols = []
+    for b in range(LSH_BANDS):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
+        )
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    w = Window.partitionBy("band", "bh")
+    buckets = buckets.select(
+        "doc_id",
+        "band",
+        "bh",
+        F.count(F.lit(1)).over(w).alias("bsz"),
+        F.min("doc_id").over(w).alias("bmin"),
+    ).where(F.col("bsz") >= 2)
+
+    # sub-cap buckets: bounded collect (≤ cap elements), in-row clique
+    small = (
+        buckets.where(F.col("bsz") <= bucket_cap)
+        .groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("m"))
+    )
+    clique_pairs = small.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("m"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("m"), i + 2, F.size("m")),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+    # mega buckets: star pairs stream from the windowed rows — no collect
+    star_pairs = buckets.where(
+        (F.col("bsz") > bucket_cap) & (F.col("doc_id") != F.col("bmin"))
+    ).select(F.col("bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return clique_pairs.unionByName(star_pairs).distinct()
 
 
 @register("q_minhash_lsh")  # hash-permutation minhash: not SQL-oracle-expressible
@@ -313,52 +389,8 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every doc given 99 near-dup siblings — the adversarial case): 49×
     wall (uncapped clique self-join) → 2.3× for 100× rows.
     """
-    from pyspark.sql.window import Window
-
     sigs = minhash_signatures(_docs(spark, sf_dir)).cache()
-    rows_per_band = MINHASH_PERMS // LSH_BANDS
-    band_cols = []
-    for b in range(LSH_BANDS):
-        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
-        )
-    buckets = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    w = Window.partitionBy("band", "bh")
-    buckets = buckets.select(
-        "doc_id",
-        "band",
-        "bh",
-        F.count(F.lit(1)).over(w).alias("bsz"),
-        F.min("doc_id").over(w).alias("bmin"),
-    ).where(F.col("bsz") >= 2)
-
-    # sub-cap buckets: bounded collect (≤ cap elements), in-row clique
-    small = (
-        buckets.where(F.col("bsz") <= LSH_BUCKET_CAP)
-        .groupBy("band", "bh")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("m"))
-    )
-    clique_pairs = small.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("m"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("m"), i + 2, F.size("m")),
-                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-    # mega buckets: star pairs stream from the windowed rows — no collect
-    star_pairs = buckets.where(
-        (F.col("bsz") > LSH_BUCKET_CAP) & (F.col("doc_id") != F.col("bmin"))
-    ).select(F.col("bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    cand = clique_pairs.unionByName(star_pairs).distinct()
+    cand = _lsh_candidates(sigs)
 
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
@@ -683,6 +715,56 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-duplicate clustering (connected components over the similarity graph)
 # ---------------------------------------------------------------------------
 
+def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pair source for the cluster → survivor chain,
+    branching by corpus size (``(doc_a, doc_b)`` with doc_a < doc_b):
+
+    * ``<= DEDUP_LSH_MIN_DOCS`` documents (every driver-checked SF):
+      exact blocked-Jaccard (`q_jaccard_pairs`) — oracle-parity, the
+      quadratic confined to language×size-band blocks.
+    * above it, or under ``IDG_DEDUP_LSH=1``: WORD-level MinHash-LSH
+      candidates (``minhash_signatures(n=1)`` — unigram shingles, i.e.
+      the very word sets the confirm step measures, so band recall at
+      J=0.9 is 1-(1-0.9^4)^8 ≈ 0.9998; linear in corpus size,
+      mega-buckets star-reduced) each CONFIRMED by the same exact
+      word-set Jaccard ≥ 0.9 (and same-lang blocking) the small path
+      computes.  Cost is one candidate-sized join against the token
+      sets, so the whole chain tracks the LSH ratio at scale instead of
+      the blocked-quadratic one.  Approximation is one-sided: a missed
+      candidate can only split a borderline cluster, never merge
+      unrelated documents — every emitted edge is exact-verified.
+    """
+    import os
+
+    docs = _docs(spark, sf_dir)
+    forced = os.environ.get(DEDUP_LSH_ENV) == "1"
+    if not forced and docs.count() <= DEDUP_LSH_MIN_DOCS:
+        return QUERIES["q_jaccard_pairs"](spark, sf_dir).select("doc_a", "doc_b")
+    cand = _lsh_candidates(
+        minhash_signatures(docs, n=1), bucket_cap=DEDUP_CHAIN_BUCKET_CAP
+    )
+    toks = docs.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("s")
+    )
+    a = toks.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("la"), F.col("s").alias("sa")
+    )
+    b = toks.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lb"), F.col("s").alias("sb")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    j = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    # same-lang predicate matches the exact path's blocking key — without
+    # it a cross-language candidate could CREATE an edge the exact path
+    # never considers, breaking the one-sided (split-only) guarantee
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where((F.col("la") == F.col("lb")) & (j >= 0.9))
+        .select("doc_a", "doc_b")
+    )
+
+
 _CLUSTER_EDGE_SQL = """
     w AS (
         SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS s
@@ -741,12 +823,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard Spark shape for iterative graph algorithms (cf.
     large-star/small-star).  The oracle computes the same components
     with a recursive CTE.
+
+    Pair source is ``_dup_edges``: exact blocked-Jaccard at
+    driver-checked scale (oracle-parity), LSH candidates → exact-Jaccard
+    confirm past ``DEDUP_LSH_MIN_DOCS`` documents (the linear 100 TB
+    branch; candidate recall < 1 can only SPLIT clusters, never merge
+    unrelated docs, because every surviving edge is exact-confirmed).
     """
-    pairs = (
-        QUERIES["q_jaccard_pairs"](spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
-    )
+    pairs = _dup_edges(spark, sf_dir).localCheckpoint()
     n_pairs = pairs.count()
     if n_pairs <= CC_DRIVER_MAX_EDGES:
         # small-graph fast path (the common case: near-dup pairs are a

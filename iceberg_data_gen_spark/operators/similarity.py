@@ -207,14 +207,26 @@ IVF_KMEANS_ITERS = 2
 # than fixed — at a constant k the per-cell cost would be O((N/k)²), a
 # latent quadratic at 100 TB.
 IVF_TARGET_ROWS_PER_CELL = 4096
-# Ceiling on k: beyond it the broadcast centroid matrix and the per-batch
-# assign matmul (batch × k) become the cost driver instead of the cells
-# (65536 × 64 doubles ≈ 33 MB broadcast — comfortably under Spark's
-# broadcast sweet spot).  Past ~270M vectors occupancy grows past the
-# target again; the documented next step there is a two-level coarse
-# quantizer (IVF over IVF — the billion-vector FAISS layout), not a
-# bigger flat k.
+# Ceiling on FLAT k: beyond it the broadcast centroid matrix and the
+# per-batch assign matmul (batch × k) become the cost driver instead of
+# the cells (65536 × 64 doubles ≈ 33 MB broadcast — comfortably under
+# Spark's broadcast sweet spot).  Past ~270M vectors (_TWO_LEVEL_MIN_N)
+# `_corpus_centroids` switches to the TWO-LEVEL coarse quantizer below
+# instead of growing k further.
 IVF_MAX_CENTROIDS = 65536
+# Two-level coarse quantizer (inverted multi-index, Babenko & Lempitsky
+# CVPR'12 — the billion-vector FAISS/IMI layout): the cell space is the
+# CROSS PRODUCT of two codebooks quantizing the two HALVES of the vector,
+# cell = c1 * k2 + c2.  k = k1 * k2 cells are addressed while only
+# k1 + k2 half-dim centroids are stored, so codebook broadcast is
+# O(sqrt(k) * d) and per-vector assign cost is k1 + k2 half-dots — both
+# O(sqrt(k)) where a flat quantizer is O(k).  At the 65536² ≈ 4.3e9-cell
+# ceiling the broadcast is 2 × 65536 × 32 doubles ≈ 33 MB — the same
+# bound the flat path respects, now covering ~17.6e12 vectors at target
+# occupancy.  Forced on at any scale via IDG_IVF_TWO_LEVEL=1 (tests /
+# scale probes).
+IVF_TWO_LEVEL_ENV = "IDG_IVF_TWO_LEVEL"
+_TWO_LEVEL_MIN_N = IVF_MAX_CENTROIDS * IVF_TARGET_ROWS_PER_CELL
 
 
 def _ivf_k(n_vectors: int) -> int:
@@ -250,22 +262,121 @@ def _trained(key: tuple, train):
     return _TRAINED[key]
 
 
+def _flat_quantizer(C):
+    """Closure-based single-level quantizer over centroid matrix ``C``.
+
+    Returns ``(assign, probe, k)``.  ``assign``/``probe`` are NESTED
+    functions closing over plain numpy arrays only: cloudpickle
+    serializes nested functions BY VALUE, so a mapInPandas kernel that
+    captures ``assign`` stays self-contained on executors that cannot
+    import this package (a class instance would pickle by reference to
+    its class and break under the driver's vanilla session)."""
+    import numpy as np
+
+    def assign(M):
+        return np.argmax(M @ C.T, axis=1).astype(np.int64)
+
+    def probe(Q, nprobe):
+        return _probe_map(Q, C, nprobe)
+
+    return assign, probe, len(C)
+
+
+def _imi_quantizer(C1, C2):
+    """Closure-based two-level quantizer (inverted multi-index): two
+    half-space codebooks whose cross product addresses ``k1 * k2`` cells.
+
+    ``assign`` ranks each half against its own codebook (argmax of the
+    half-dot is scale-invariant, so full-vector normalization upstream
+    suffices); ``probe`` ranks candidate cells by the SUM of the two
+    half scores over the top-w entries of each half — the simplified
+    multi-sequence traversal, exact for the probe depths used here.
+    Same self-contained-closure discipline as ``_flat_quantizer``."""
+    import math
+
+    import numpy as np
+
+    h = C1.shape[1]
+    k2 = len(C2)
+
+    def assign(M):
+        c1 = np.argmax(M[:, :h] @ C1.T, axis=1)
+        c2 = np.argmax(M[:, h:] @ C2.T, axis=1)
+        return (c1 * k2 + c2).astype(np.int64)
+
+    def probe(Q, nprobe):
+        s1 = Q[:, :h] @ C1.T
+        s2 = Q[:, h:] @ C2.T
+        w = max(1, int(math.ceil(math.sqrt(nprobe))) + 1)
+        cell_to_queries: dict[int, list[int]] = {}
+        for qi in range(Q.shape[0]):
+            t1 = np.argsort(-s1[qi])[:w]
+            t2 = np.argsort(-s2[qi])[:w]
+            pairs = sorted(
+                ((s1[qi][a] + s2[qi][b], int(a) * k2 + int(b))
+                 for a in t1 for b in t2),
+                key=lambda t: (-t[0], t[1]),
+            )
+            for _, cell in pairs[:nprobe]:
+                cell_to_queries.setdefault(cell, []).append(qi)
+        return cell_to_queries
+
+    return assign, probe, len(C1) * k2
+
+
 def _corpus_centroids(e: DataFrame, sf_dir: str):
     """The shared coarse quantizer (IVF / IVF+PQ / SemDeDup) with
-    corpus-DERIVED k: one cached ``count()`` sizes the cluster count so
+    corpus-DERIVED size: one cached ``count()`` sizes the cell count so
     per-cell occupancy stays ~constant as the corpus grows, then the
-    centroids train once per (corpus, k).  Returns ``(C, k)``."""
+    codebooks train once per (corpus, params).
+
+    Returns ``(assign, probe, k)`` closures (see ``_flat_quantizer``).
+    Up to ``_TWO_LEVEL_MIN_N`` vectors the quantizer is a flat k-means
+    codebook; past it (or under ``IDG_IVF_TWO_LEVEL=1``) it is the
+    two-level inverted multi-index, which keeps BOTH the codebook
+    broadcast and the per-vector assign cost O(sqrt(k)) — the flat-k
+    ceiling no longer forces occupancy to grow with the corpus."""
+    import math
+    import os
+
     n = _trained(("count", sf_dir), e.count)
-    k = _ivf_k(n)
-    C = _trained(
-        ("ivf", sf_dir, k, IVF_KMEANS_ITERS),
-        lambda: _kmeans_centroids(e, k),
+    want = math.ceil(max(n, 1) / IVF_TARGET_ROWS_PER_CELL)
+    forced = os.environ.get(IVF_TWO_LEVEL_ENV) == "1"
+    if want <= IVF_MAX_CENTROIDS and not forced:
+        k = _ivf_k(n)
+        C = _trained(
+            ("ivf", sf_dir, k, IVF_KMEANS_ITERS),
+            lambda: _kmeans_centroids(e, k),
+        )
+        return _flat_quantizer(C)
+    # two-level: each half-codebook holds ~sqrt(k_wanted) centroids (floor
+    # 4 so forced tiny-corpus runs keep the recall-asserted 16-cell
+    # geometry; cap 65536 per half = the same 33 MB broadcast bound)
+    k1 = min(IVF_MAX_CENTROIDS, max(4, math.ceil(math.sqrt(want))))
+    h = DIM // 2
+    C1 = _trained(
+        ("imi1", sf_dir, k1, IVF_KMEANS_ITERS),
+        lambda: _kmeans_centroids(e, k1, lo=0, hi=h),
     )
-    return C, k
+    C2 = _trained(
+        ("imi2", sf_dir, k1, IVF_KMEANS_ITERS),
+        lambda: _kmeans_centroids(e, k1, lo=h, hi=DIM),
+    )
+    return _imi_quantizer(C1, C2)
 
 
-def _kmeans_centroids(e: DataFrame, k: int, iters: int = IVF_KMEANS_ITERS):
+def _kmeans_centroids(
+    e: DataFrame,
+    k: int,
+    iters: int = IVF_KMEANS_ITERS,
+    lo: int = 0,
+    hi: int | None = None,
+):
     """Deterministic spherical k-means (Lloyd) over the corpus, as Spark jobs.
+
+    ``lo``/``hi`` restrict training to a dimension SLICE of the vectors —
+    the two-level quantizer trains one codebook per vector half; the
+    default full slice is byte-identical to the original behavior.
 
     * Seeded init, no RNG: the ``k`` vectors with the smallest
       ``xxhash64(vec_id)`` — a uniform, reproducible spread (plans stay
@@ -288,18 +399,20 @@ def _kmeans_centroids(e: DataFrame, k: int, iters: int = IVF_KMEANS_ITERS):
         .limit(k)
         .collect()
     )
-    C = np.array([r.v for r in seed], dtype=np.float64)
+    C = np.array([r.v for r in seed], dtype=np.float64)[:, lo:hi]
     C = C / np.maximum(np.sqrt(np.einsum("ij,ij->i", C, C)), 1e-12)[:, None]
 
     dim = C.shape[1]
     for _ in range(iters):
         Cb = C
 
-        def partials(batches: Iterator[pd.DataFrame], Cb=Cb) -> Iterator[pd.DataFrame]:
+        def partials(
+            batches: Iterator[pd.DataFrame], Cb=Cb, lo=lo, hi=hi
+        ) -> Iterator[pd.DataFrame]:
             sums = np.zeros_like(Cb)
             counts = np.zeros(len(Cb), dtype=np.int64)
             for pdf in batches:
-                M = np.array(pdf["v"].tolist(), dtype=np.float64)
+                M = np.array(pdf["v"].tolist(), dtype=np.float64)[:, lo:hi]
                 M = M / np.maximum(np.sqrt(np.einsum("ij,ij->i", M, M)), 1e-12)[:, None]
                 cells = np.argmax(M @ Cb.T, axis=1)
                 np.add.at(counts, cells, 1)
@@ -357,20 +470,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    C, k = _corpus_centroids(e, sf_dir)
+    assign, probe, k = _corpus_centroids(e, sf_dir)
     q_ids, Q, _ = _query_matrix(e, N_QUERIES)
     # per-query probe list: the nprobe closest centroid cells, inverted to
     # a cell -> [query row] lookup (the "inverted file") carried in the
     # kernel closure — probing is then a dict lookup per corpus vector,
     # no join and no second pass over the corpus
-    cell_to_queries = _probe_map(Q, C, _ivf_nprobe(k))
+    cell_to_queries = probe(Q, _ivf_nprobe(k))
 
     def assign_and_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             M = np.array(pdf["v"].tolist(), dtype=np.float64)
             M = M / np.maximum(np.sqrt(np.einsum("ij,ij->i", M, M)), 1e-12)[:, None]
             ids = pdf["vec_id"].to_numpy()
-            cells = np.argmax(M @ C.T, axis=1)
+            cells = assign(M)
             out_q, out_n, out_c = [], [], []
             for cell, qis in cell_to_queries.items():
                 in_cell = np.nonzero(cells == cell)[0]
@@ -975,7 +1088,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    C, k = _corpus_centroids(e, sf_dir)
+    assign, probe, k = _corpus_centroids(e, sf_dir)
     B = _trained(
         ("pq", sf_dir, PQ_SUBSPACES, PQ_CODES, PQ_ITERS),
         lambda: _pq_codebooks(e),
@@ -985,14 +1098,14 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ADC tables: T[q, j, c] = dot(Q[q] subspace j, B[j, c])
     T = _adc_tables(Q, B)
     # inverted file: cell -> [query rows probing it]
-    cell_to_queries = _probe_map(Q, C, _ivf_nprobe(k))
+    cell_to_queries = probe(Q, _ivf_nprobe(k))
 
     def assign_encode_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             M = np.array(pdf["v"].tolist(), dtype=np.float64)
             M = M / np.maximum(np.sqrt(np.einsum("ij,ij->i", M, M)), 1e-12)[:, None]
             ids = pdf["vec_id"].to_numpy()
-            cells = np.argmax(M @ C.T, axis=1)
+            cells = assign(M)
             # PQ-encode ONLY vectors in probed cells (the IVF prune)
             probed_mask = np.isin(cells, list(cell_to_queries))
             if not probed_mask.any():
@@ -1079,7 +1192,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    C, _k = _corpus_centroids(e, sf_dir)
+    cell_of, _probe, _k = _corpus_centroids(e, sf_dir)
 
     def assign(batches):
         for pdf in batches:
@@ -1088,12 +1201,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
-                    "cell": np.argmax(M @ C.T, axis=1).astype(np.int32),
+                    # long, not int: two-level cell ids span k1*k2 > 2^31
+                    "cell": cell_of(M),
                     "v": pdf["v"],
                 }
             )
 
-    assigned = e.mapInPandas(assign, "vec_id long, cell int, v array<double>")
+    assigned = e.mapInPandas(assign, "vec_id long, cell long, v array<double>")
 
     tau = SEMDEDUP_TAU
 
@@ -1136,6 +1250,6 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return assigned.groupBy("cell").applyInPandas(
         prune_cluster,
-        "vec_id long, cell int, kept boolean, "
+        "vec_id long, cell long, kept boolean, "
         "evidence_id long, evidence_cos double",
     )

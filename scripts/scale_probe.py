@@ -75,6 +75,24 @@ PROBE = [
     "q_ann_ivfpq",
     "q_multimodal_codec_roundtrip",
     "q_semdedup",
+    "q_pii_scan",
+    "q_stream_session",
+    "q_stream_stateful",
+    "q_event_pagerank",
+]
+
+# (label, query, env) probes that force a scale-path branch: the forced
+# env var is set for the timing and removed after.  These are the
+# branches whose whole POINT is the large-corpus ratio — the default
+# branch at probe scale would measure the small-corpus path instead.
+ENV_PROBE = [
+    # LSH candidates -> exact-confirm -> union-find: the survivors chain
+    # must track the LSH ratio, not the blocked-quadratic one
+    ("q_dedup_survivors[lsh]", "q_dedup_survivors", "IDG_DEDUP_LSH"),
+    # two-level (inverted multi-index) coarse quantizer: bounded assign
+    # cost past the flat-k cap
+    ("q_ann_ivf[2level]", "q_ann_ivf", "IDG_IVF_TWO_LEVEL"),
+    ("q_semdedup[2level]", "q_semdedup", "IDG_IVF_TWO_LEVEL"),
 ]
 
 
@@ -145,17 +163,27 @@ def main() -> None:
         ).save()
         return time.time() - t0
 
-    report = {}
-    for name in PROBE:
+    def probe_one(name: str) -> dict:
         run(name, SRC)  # warm both code paths once at 1x
         t1 = min(run(name, SRC), run(name, SRC))
         tN = min(run(name, DEST), run(name, DEST))
-        report[name] = {
+        return {
             "t1": round(t1, 3),
             f"t{FACTOR}": round(tN, 3),
             "ratio": round(tN / t1, 2) if t1 > 0 else None,
         }
+
+    report = {}
+    for name in PROBE:
+        report[name] = probe_one(name)
         print(name, report[name], file=sys.stderr, flush=True)
+    for label, name, env in ENV_PROBE:
+        os.environ[env] = "1"
+        try:
+            report[label] = probe_one(name)
+        finally:
+            os.environ.pop(env, None)
+        print(label, report[label], file=sys.stderr, flush=True)
     print(json.dumps({"factor": FACTOR, "src": SRC, "probe": report}))
 
 
