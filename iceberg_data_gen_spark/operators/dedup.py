@@ -47,6 +47,7 @@ DEDUP_LSH_ENV = "IDG_DEDUP_LSH"
 # a larger in-bucket clique before star-reducing — ≤ ~32k in-row pairs
 # per bucket, still linear in bucket count at any corpus size.
 DEDUP_CHAIN_BUCKET_CAP = 256
+_DOC_COUNT: dict[str, int] = {}  # corpus path -> row count (immutable)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,10 +169,13 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in docs.select(F.explode(words).alias("w"))
         .limit(100_000)
         .distinct()
-        .limit(65)
+        .limit(64)
         .collect()
     ]
-    use_bitmask = len(vocab) <= 64
+    # 63, not 64: bit index 63 would need F.lit(1 << 63), which overflows
+    # the signed long literal and raises at expression-build time — the
+    # sign bit is unusable for the mask
+    use_bitmask = len(vocab) <= 63
     if use_bitmask:
         probe_map = F.create_map(
             *[x for wrd in vocab for x in (F.lit(wrd), F.lit(1))]
@@ -614,7 +618,7 @@ _COS_SQL = """
     ),
     n AS (
         SELECT vec_id, label,
-               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+               list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS nv
         FROM e
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -634,7 +638,12 @@ def normalized_vectors(df: DataFrame) -> DataFrame:
     """(vec_id, label, nv): unit-normalized double vectors — computed once
     per row so pairwise stages pay a single dot product per pair."""
     v = F.col("embedding").cast("array<double>")
-    nv = F.transform(v, lambda x: x / F.sqrt(_dot(v, v)))
+    # norm clamped at 1e-12 — the ONE zero-norm convention the whole ANN
+    # family shares (numpy kernels use np.maximum(norm, 1e-12), oracles
+    # use greatest(..., 1e-12)): a zero vector normalizes to zeros and
+    # scores cos=0.0 everywhere, instead of NaN in Spark vs NULL in
+    # DuckDB (which SORT differently and break top-k parity)
+    nv = F.transform(v, lambda x: x / F.greatest(F.sqrt(_dot(v, v)), F.lit(1e-12)))
     return df.select("vec_id", "label", nv.alias("nv"))
 
 
@@ -738,7 +747,12 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     forced = os.environ.get(DEDUP_LSH_ENV) == "1"
-    if not forced and docs.count() <= DEDUP_LSH_MIN_DOCS:
+    # branch decision memoized per corpus path (a plain int, session-
+    # independent): the corpus at a path is immutable in-process, so the
+    # count scan runs once, not on every clusters/survivors invocation
+    if sf_dir not in _DOC_COUNT:
+        _DOC_COUNT[sf_dir] = docs.count()
+    if not forced and _DOC_COUNT[sf_dir] <= DEDUP_LSH_MIN_DOCS:
         return QUERIES["q_jaccard_pairs"](spark, sf_dir).select("doc_a", "doc_b")
     cand = _lsh_candidates(
         minhash_signatures(docs, n=1), bucket_cap=DEDUP_CHAIN_BUCKET_CAP
@@ -852,12 +866,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        comp_min: dict = {}
-        for node in parent:
-            r = find(node)
-            comp_min[r] = min(comp_min.get(r, node), node)
+        # union-by-min: every link points to a SMALLER id, so each
+        # component's root IS its minimum node — find(n) is the label
         labels = spark.createDataFrame(
-            [(n, comp_min[find(n)]) for n in sorted(parent)],
+            [(n, find(n)) for n in sorted(parent)],
             "doc_id long, cluster_rep long",
         )
         return _labels_to_clusters(spark, sf_dir, labels)

@@ -24,6 +24,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from iceberg_data_gen_spark.operators import register
+
+# ONE home for the sequential-dot / unit-normalize helpers: the
+# oracle-parity argument depends on the exact left-to-right fold, so a
+# second copy here would have to stay bit-identical by hand (review r6)
+from iceberg_data_gen_spark.operators.dedup import _dot  # noqa: F401
 from iceberg_data_gen_spark.session import load_tables
 
 DIM = 64
@@ -34,12 +39,6 @@ LSH_PLANES = 8
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-
-
-def _dot(u: Column, v: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
 
 
 # DRIVER-side helpers shared by the ANN family.  NOTE: mapInPandas
@@ -128,7 +127,7 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     ),
     n AS (
-        SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        SELECT vec_id, list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS nv
         FROM e
     ),
     scored AS (
@@ -288,11 +287,14 @@ def _imi_quantizer(C1, C2):
 
     ``assign`` ranks each half against its own codebook (argmax of the
     half-dot is scale-invariant, so full-vector normalization upstream
-    suffices); ``probe`` ranks candidate cells by the SUM of the two
-    half scores over the top-w entries of each half — the simplified
-    multi-sequence traversal, exact for the probe depths used here.
+    suffices); ``probe`` is the EXACT multi-sequence traversal (Babenko
+    & Lempitsky §3.2): a max-heap walk of the sorted-half-score grid
+    that yields the true top-``nprobe`` cells by summed half score in
+    O(nprobe log nprobe) pops — a fixed top-w×top-w grid would miss
+    cells when one half's ranking dominates (e.g. the true #4 cell
+    pairing the best a with the 4th-best b).
     Same self-contained-closure discipline as ``_flat_quantizer``."""
-    import math
+    import heapq
 
     import numpy as np
 
@@ -307,18 +309,26 @@ def _imi_quantizer(C1, C2):
     def probe(Q, nprobe):
         s1 = Q[:, :h] @ C1.T
         s2 = Q[:, h:] @ C2.T
-        w = max(1, int(math.ceil(math.sqrt(nprobe))) + 1)
         cell_to_queries: dict[int, list[int]] = {}
         for qi in range(Q.shape[0]):
-            t1 = np.argsort(-s1[qi])[:w]
-            t2 = np.argsort(-s2[qi])[:w]
-            pairs = sorted(
-                ((s1[qi][a] + s2[qi][b], int(a) * k2 + int(b))
-                 for a in t1 for b in t2),
-                key=lambda t: (-t[0], t[1]),
-            )
-            for _, cell in pairs[:nprobe]:
+            # stable argsort: deterministic tie order across runs/hosts
+            o1 = np.argsort(-s1[qi], kind="stable")
+            o2 = np.argsort(-s2[qi], kind="stable")
+            v1, v2 = s1[qi][o1], s2[qi][o2]
+            heap = [(-(v1[0] + v2[0]), 0, 0)]
+            seen = {(0, 0)}
+            picked = 0
+            while heap and picked < nprobe:
+                _, i, j = heapq.heappop(heap)
+                cell = int(o1[i]) * k2 + int(o2[j])
                 cell_to_queries.setdefault(cell, []).append(qi)
+                picked += 1
+                if i + 1 < len(o1) and (i + 1, j) not in seen:
+                    heapq.heappush(heap, (-(v1[i + 1] + v2[j]), i + 1, j))
+                    seen.add((i + 1, j))
+                if j + 1 < len(o2) and (i, j + 1) not in seen:
+                    heapq.heappush(heap, (-(v1[i] + v2[j + 1]), i, j + 1))
+                    seen.add((i, j + 1))
         return cell_to_queries
 
     return assign, probe, len(C1) * k2
@@ -478,17 +488,29 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no join and no second pass over the corpus
     cell_to_queries = probe(Q, _ivf_nprobe(k))
 
+    # probed cells as a sorted array: per batch, ONE argsort of the
+    # batch's cell ids + two searchsorted calls locate every probed
+    # cell's rows in O(batch log batch + probed) — the per-cell
+    # `cells == cell` scan was O(probed × batch), which becomes the hot
+    # path at two-level scale where a query probes ~sqrt(k) cells
+    probed_cells = np.array(sorted(cell_to_queries), dtype=np.int64)
+
     def assign_and_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             M = np.array(pdf["v"].tolist(), dtype=np.float64)
             M = M / np.maximum(np.sqrt(np.einsum("ij,ij->i", M, M)), 1e-12)[:, None]
             ids = pdf["vec_id"].to_numpy()
             cells = assign(M)
+            order = np.argsort(cells, kind="stable")
+            sorted_cells = cells[order]
+            lo = np.searchsorted(sorted_cells, probed_cells, side="left")
+            hi = np.searchsorted(sorted_cells, probed_cells, side="right")
             out_q, out_n, out_c = [], [], []
-            for cell, qis in cell_to_queries.items():
-                in_cell = np.nonzero(cells == cell)[0]
-                if len(in_cell) == 0:
+            for cell, lo_i, hi_i in zip(probed_cells, lo, hi):
+                if lo_i == hi_i:
                     continue
+                qis = cell_to_queries[int(cell)]
+                in_cell = order[lo_i:hi_i]
                 sub = M[in_cell]
                 for qi in qis:
                     cos = np.einsum("j,ij->i", Q[qi], sub)
@@ -546,7 +568,7 @@ def _lsh_oracle() -> str:
         FROM embeddings
     ),
     n AS (
-        SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        SELECT vec_id, list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS nv
         FROM e
     ),
     b AS (
@@ -633,7 +655,7 @@ KNN_K = 16
     ),
     n AS (
         SELECT vec_id, label,
-               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+               list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS nv
         FROM e
     ),
     scored AS (
@@ -1099,6 +1121,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     T = _adc_tables(Q, B)
     # inverted file: cell -> [query rows probing it]
     cell_to_queries = probe(Q, _ivf_nprobe(k))
+    probed_cells = np.array(sorted(cell_to_queries), dtype=np.int64)
 
     def assign_encode_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1107,7 +1130,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = pdf["vec_id"].to_numpy()
             cells = assign(M)
             # PQ-encode ONLY vectors in probed cells (the IVF prune)
-            probed_mask = np.isin(cells, list(cell_to_queries))
+            probed_mask = np.isin(cells, probed_cells)
             if not probed_mask.any():
                 continue
             sel = np.nonzero(probed_mask)[0]
@@ -1122,11 +1145,18 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 codes[:, j] = np.argmin(d2, axis=1)
             sub = np.arange(PQ_SUBSPACES)[None, :]
+            # sort-based cell lookup (see q_ann_ivf): O(sel log sel +
+            # probed) instead of one full `cells_s == cell` scan per cell
+            order = np.argsort(cells_s, kind="stable")
+            sorted_cells = cells_s[order]
+            los = np.searchsorted(sorted_cells, probed_cells, side="left")
+            his = np.searchsorted(sorted_cells, probed_cells, side="right")
             out_q, out_n, out_s = [], [], []
-            for cell, qis in cell_to_queries.items():
-                in_cell = np.nonzero(cells_s == cell)[0]
-                if len(in_cell) == 0:
+            for cell, lo_i, hi_i in zip(probed_cells, los, his):
+                if lo_i == hi_i:
                     continue
+                qis = cell_to_queries[int(cell)]
+                in_cell = order[lo_i:hi_i]
                 lut = T[qis]  # (len(qis), subspaces, codes)
                 sc = lut[:, sub, codes[in_cell]].sum(axis=2)  # (qis, in_cell)
                 for qrow, qi in enumerate(qis):

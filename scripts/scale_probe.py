@@ -148,7 +148,17 @@ def main() -> None:
         "scale-probe",
         master=f"local[{CPUS}]",
         shuffle_partitions=32,
-        extra_conf={"spark.driver.memory": "8g"},
+        # 16g: the streaming probes run Complete-mode into the harness
+        # MemorySink, which holds the FULL result set on the driver heap
+        # — at 100x events that is millions of session rows (a harness
+        # artifact; real deployments append/update into a real sink)
+        extra_conf={
+            "spark.driver.memory": "16g",
+            # Complete-mode MemorySink collects ~1.4 GiB of session rows
+            # at 100x events — the default 1g result cap is a harness
+            # limit, not an operator one
+            "spark.driver.maxResultSize": "8g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     from iceberg_data_gen_spark import operators

@@ -52,6 +52,28 @@ def test_minhash_estimates_track_exact_shingle_jaccard(spark):
     assert all(0.0 <= v <= 1.0 for v in got.values())
 
 
+def test_jaccard_bitmask_64_word_vocab_boundary(spark, tmp_path):
+    """Regression (review r6): a corpus whose vocabulary is EXACTLY 64
+    distinct words passed the old `len(vocab) <= 64` bitmask guard, and
+    bit index 63 then built F.lit(1 << 63) — overflowing the signed long
+    literal and raising at expression-build time.  The guard is now 63
+    bits; a 64-word corpus must fall back to the token path and still
+    return exact pairs."""
+    words = [f"w{i:02d}" for i in range(64)]
+    text = " ".join(words)
+    rows = [
+        (1, text, "en", "s", len(text)),
+        (2, " ".join(words[:40]), "en", "s", 1),  # J = 40/64, size-banded out
+        (3, text, "en", "s", len(text)),          # J = 1.0 with doc 1
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = operators.QUERIES["q_jaccard_pairs"](spark, str(tmp_path)).collect()
+    assert {(r.doc_a, r.doc_b) for r in got} == {(1, 3)}
+    assert got[0].jaccard == 1.0
+
+
 def test_minhash_signature_is_order_independent_and_perms_differ(spark):
     """Regression: the per-permutation seed was passed via a TWO-parameter
     lambda default (``lambda x, s=s``) and pyspark's ``transform``
@@ -233,6 +255,7 @@ def test_imi_quantizer_geometry():
     probe map ranks by summed half-scores, and assign agrees with a
     brute-force two-half argmax."""
     import numpy as np
+    import pytest
 
     from iceberg_data_gen_spark.operators.similarity import _imi_quantizer
 
@@ -257,6 +280,29 @@ def test_imi_quantizer_geometry():
     for qi in range(3):
         assert len(per_q[qi]) == 4
         assert int(cells[qi]) in per_q[qi]
+        # EXACT top-nprobe by summed half score (the multi-sequence
+        # traversal contract): matches a brute-force all-cell ranking
+        sums = {
+            a * 5 + b: M[qi, :3] @ C1[a] + M[qi, 3:] @ C2[b]
+            for a in range(4)
+            for b in range(5)
+        }
+        brute = sorted(sums, key=lambda cell: -sums[cell])[:4]
+        assert sorted(sums[c] for c in per_q[qi]) == pytest.approx(
+            sorted(sums[c] for c in brute)
+        )
+    # the review's counterexample: one half dominant, the other graded —
+    # the true top-4 pairs the best a with the 4 best b's (a fixed 3×3
+    # grid would return (a2,b1) instead of (a1,b4))
+    from iceberg_data_gen_spark.operators.similarity import _imi_quantizer as imi
+
+    a_dom, p_dom, _ = imi(np.array([[10.0, 0, 0], [0, 1.0, 0]]),
+                          np.array([[1.0, 0, 0], [0.99, 0.1, 0],
+                                    [0.98, 0.1, 0.1], [0.97, 0.2, 0]]))
+    q = np.array([[1.0, 0, 0, 1.0, 0, 0]])
+    pm = p_dom(q, nprobe=4)
+    got = sorted(pm)  # all 4 cells must pair a1 (index 0) with b1..b4
+    assert got == [0, 1, 2, 3], got
 
 
 def test_kmeans_centroids_deterministic_and_balanced(spark):
