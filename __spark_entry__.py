@@ -34,31 +34,51 @@ def entry(spark: SparkSession) -> DataFrame:
 def _driver_history() -> tuple[set[str], dict[str, int]]:
     """Driver-proof history parsed from the CORRECTNESS_r*.json files.
 
-    Returns ``(verified, last_round)`` where *verified* holds every name
-    with a green (or rows-only-by-design) row in any prior round, and
-    *last_round* maps each name to the LATEST round in which the driver
-    recorded any row for it (pass or fail).  The driver checks only the
-    first ~50 ``queries()`` entries per round, so the ordering built from
-    this history decides which slice of the registry gets re-proven.
+    Returns ``(verified, last_round)`` where *last_round* maps each name to
+    the LATEST round in which the driver recorded any row for it (pass or
+    fail), and *verified* holds only the names whose LATEST recorded row was
+    green (or rows-only-by-design).  A name that passed once but failed in a
+    later round is therefore NOT verified — it sorts back into the
+    unverified head so the driver re-surfaces the regression immediately
+    instead of treating the failure row as a fresh check.  The driver checks
+    only the first ~50 ``queries()`` entries per round, so the ordering
+    built from this history decides which slice of the registry gets
+    re-proven.
     """
     import json
     import re
 
-    verified: set[str] = set()
-    last_round: dict[str, int] = {}
+    history = []
     for path in sorted(Path(_REPO).glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)", path.name)
         rnd = int(m.group(1)) if m else 0
         try:
-            rows = json.loads(path.read_text())
+            history.append((rnd, json.loads(path.read_text())))
         except (OSError, ValueError):
             continue
+    return _fold_history(history)
+
+
+def _fold_history(
+    history: list[tuple[int, dict]],
+) -> tuple[set[str], dict[str, int]]:
+    """Fold (round, rows) correctness records into (verified, last_round).
+
+    verified = names whose latest recorded row is green/rows-only; a later
+    failure row evicts an earlier green so regressions re-surface first.
+    """
+    last_green: dict[str, int] = {}
+    last_round: dict[str, int] = {}
+    for rnd, rows in history:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
             last_round[name] = max(last_round.get(name, 0), rnd)
             if row.get("hash_match") is True or row.get("err") == "no_oracle":
-                verified.add(name)
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    verified = {
+        n for n, rnd in last_round.items() if last_green.get(n, -1) >= rnd
+    }
     return verified, last_round
 
 
@@ -76,8 +96,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        every query keeps getting a periodic driver regression re-proof
        instead of the same oldest registrations being re-checked forever.
 
-    Any query with a recorded failure and no later green row also sorts
-    into group (1) so the driver re-surfaces it immediately.
+    Any query whose latest recorded driver row is a failure (no green row
+    in that round or later) sorts into group (1) so the driver re-surfaces
+    the regression immediately — ``_driver_history`` drops such names from
+    *verified* rather than letting the failure row count as freshness.
     """
     verified, last_round = _driver_history()
     names = list(operators.QUERIES)

@@ -578,8 +578,13 @@ def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in executor storage every time the query ran (bench loops run it
     # repeatedly).  Keyed on applicationId too: a DataFrame cached under a
     # stopped SparkSession is unusable by its successor in-process.
-    key = ("pagerank_edges", spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = ("pagerank_edges", app_id, sf_dir)
     if key not in _PR_EDGE_CACHE:
+        # evict entries left by stopped sessions on insert: they hold dead
+        # DataFrame object graphs and grow unbounded when sessions cycle
+        for stale in [k for k in _PR_EDGE_CACHE if k[1] != app_id]:
+            del _PR_EDGE_CACHE[stale]
         _PR_EDGE_CACHE[key] = edges.join(outw, "src").cache()
     edges = _PR_EDGE_CACHE[key]
 

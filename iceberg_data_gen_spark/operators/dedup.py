@@ -749,11 +749,14 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     forced = os.environ.get(DEDUP_LSH_ENV) == "1"
     # branch decision memoized per corpus path (a plain int, session-
     # independent): the corpus at a path is immutable in-process, so the
-    # count scan runs once, not on every clusters/survivors invocation
-    if sf_dir not in _DOC_COUNT:
-        _DOC_COUNT[sf_dir] = docs.count()
-    if not forced and _DOC_COUNT[sf_dir] <= DEDUP_LSH_MIN_DOCS:
-        return QUERIES["q_jaccard_pairs"](spark, sf_dir).select("doc_a", "doc_b")
+    # count scan runs once, not on every clusters/survivors invocation.
+    # Under a forced LSH path the count is irrelevant — short-circuit
+    # BEFORE paying the full corpus scan (ADVICE r6)
+    if not forced:
+        if sf_dir not in _DOC_COUNT:
+            _DOC_COUNT[sf_dir] = docs.count()
+        if _DOC_COUNT[sf_dir] <= DEDUP_LSH_MIN_DOCS:
+            return QUERIES["q_jaccard_pairs"](spark, sf_dir).select("doc_a", "doc_b")
     cand = _lsh_candidates(
         minhash_signatures(docs, n=1), bucket_cap=DEDUP_CHAIN_BUCKET_CAP
     )

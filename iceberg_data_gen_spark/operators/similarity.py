@@ -261,6 +261,24 @@ def _trained(key: tuple, train):
     return _TRAINED[key]
 
 
+def _trained_session(kind: str, spark, extra: tuple, train):
+    """Like ``_trained`` but for SESSION-BOUND values (live DataFrames),
+    keyed ``(kind, applicationId, *extra)``.  On insert, evicts every
+    entry of the same *kind* whose applicationId differs from the current
+    one: a DataFrame cached under a stopped SparkSession is dead weight,
+    and a process that cycles sessions would otherwise grow this dict and
+    retain the dead sessions' object graphs forever (ADVICE r6)."""
+    app_id = spark.sparkContext.applicationId
+    key = (kind, app_id, *extra)
+    if key not in _TRAINED:
+        for stale in [
+            k for k in _TRAINED if k[0] == kind and len(k) > 1 and k[1] != app_id
+        ]:
+            del _TRAINED[stale]
+        _TRAINED[key] = train()
+    return _TRAINED[key]
+
+
 def _flat_quantizer(C):
     """Closure-based single-level quantizer over centroid matrix ``C``.
 
@@ -613,9 +631,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # copy in executor storage memory on every invocation (q_ann_recall
     # re-invokes this query) and never release any of them
     # keyed on applicationId as well (unlike the numpy-valued entries,
-    # this one holds a LIVE DataFrame, which dies with its SparkSession)
-    bucketed = _trained(
-        ("lsh_bucketed", spark.sparkContext.applicationId, sf_dir),
+    # this one holds a LIVE DataFrame, which dies with its SparkSession) —
+    # _trained_session evicts entries left by stopped sessions on insert
+    bucketed = _trained_session(
+        "lsh_bucketed",
+        spark,
+        (sf_dir,),
         lambda: normalized_vectors(_emb(spark, sf_dir))
         .select("vec_id", "nv")
         .withColumn("bucket", lsh_bucket_col(F.col("nv")))

@@ -854,3 +854,35 @@ def test_asof_join_matched_row_travels_whole(spark):
     assert len(out) == 1
     # the ts=2 row IS the match: a must be NULL, not the stale 5
     assert (out[0].a, out[0].b) == (None, 7), out
+
+
+def test_session_cache_evicts_stopped_sessions():
+    """_TRAINED / _PR_EDGE_CACHE entries keyed on a stopped session's
+    applicationId must be evicted when a new session inserts (ADVICE r6:
+    unbounded dict growth + retention of dead DataFrame object graphs in
+    processes that cycle sessions)."""
+    from types import SimpleNamespace
+
+    from iceberg_data_gen_spark.operators import similarity as sim
+
+    def fake(app_id):
+        return SimpleNamespace(sparkContext=SimpleNamespace(applicationId=app_id))
+
+    snapshot = dict(sim._TRAINED)
+    try:
+        sim._TRAINED.clear()
+        v1 = sim._trained_session("kind_x", fake("app-1"), ("p",), lambda: "one")
+        assert v1 == "one"
+        # same session + key -> cached, no retrain
+        assert sim._trained_session("kind_x", fake("app-1"), ("p",), lambda: "BAD") == "one"
+        # new session inserting the same kind evicts the dead session's entry
+        v2 = sim._trained_session("kind_x", fake("app-2"), ("p",), lambda: "two")
+        assert v2 == "two"
+        assert ("kind_x", "app-1", "p") not in sim._TRAINED
+        # non-session-keyed entries (plain _trained) are untouched by eviction
+        sim._trained(("numpy_thing", 42), lambda: "keep")
+        sim._trained_session("kind_x", fake("app-3"), ("p",), lambda: "three")
+        assert sim._TRAINED[("numpy_thing", 42)] == "keep"
+    finally:
+        sim._TRAINED.clear()
+        sim._TRAINED.update(snapshot)

@@ -106,3 +106,28 @@ def test_queries_verified_tail_rotates_by_staleness():
     if tail:
         head_round = last_round.get(tail[0], 0)
         assert head_round == min(last_round.get(n, 0) for n in tail)
+
+
+def test_history_fold_resurfaces_regressions():
+    """A query green in round 1 but FAILED in round 3 must NOT count as
+    verified (ADVICE r6 #1): the old fold kept it verified-forever AND the
+    failure row made it look freshly-checked, so a regression waited ~4
+    rounds for driver re-proof.  The latest recorded row decides."""
+    import __spark_entry__ as e
+
+    green = {"hash_match": True, "err": None}
+    fail = {"hash_match": False, "err": "hash_mismatch"}
+    rows_only = {"hash_match": None, "err": "no_oracle"}
+    history = [
+        (1, {"a": green, "b": green, "c": rows_only}),
+        (3, {"a": fail, "d": fail}),
+        (4, {"d": green}),
+    ]
+    verified, last_round = e._fold_history(history)
+    # a regressed after its green -> not verified, re-surfaces in the head
+    assert "a" not in verified
+    # b stayed green, c rows-only-by-design, d failed then re-proved green
+    assert {"b", "c", "d"} <= verified
+    assert last_round == {"a": 3, "b": 1, "c": 1, "d": 4}
+    # and a never-green failure is of course unverified
+    assert "a" in last_round and last_round["a"] == 3
