@@ -878,3 +878,163 @@ def test_spec_mapping_validates_against_pyiceberg():
             TypeAdapter(TableRequirement).validate_python(r)
     except ImportError:
         pass  # older pyiceberg layouts: the metadata parse above stands
+
+    # ... and the COMMITTED golden fixtures must also satisfy the referee,
+    # so a regenerated rest_golden.json gets live validation wherever
+    # pyiceberg exists (the always-running shape test covers elsewhere)
+    golden = _golden()
+    for name, meta in golden["table_metadata"].items():
+        TableMetadataUtil.parse_obj(meta)
+    try:
+        from pydantic import TypeAdapter
+
+        from pyiceberg.table.update import TableRequirement, TableUpdate
+
+        for name, c in golden["commits"].items():
+            for u in c["updates"]:
+                TypeAdapter(TableUpdate).validate_python(u)
+            for r in c["requirements"]:
+                TypeAdapter(TableRequirement).validate_python(r)
+    except ImportError:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# Golden wire payloads (VERDICT r6 #1): the pyiceberg referee above skips
+# wherever pyiceberg is absent — these fixtures were generated by
+# scripts/gen_rest_golden.py, validated once against the published model
+# (apache/iceberg open-api/rest-catalog-open-api.yaml), and committed so
+# the exact wire shapes are locked in EVERY environment.
+# ---------------------------------------------------------------------------
+
+def _golden():
+    import json
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parent / "fixtures" / "rest_golden.json"
+    return json.loads(p.read_text())
+
+
+def test_rest_wire_payloads_match_golden():
+    """to_table_metadata / commit_changes must reproduce the committed
+    golden payloads byte-shape-equal (full dict equality after JSON
+    round-trip, so tuples/ints normalize the way the wire does).  Any
+    intentional wire-format change must re-run scripts/gen_rest_golden.py
+    and re-validate the diff against the REST open-api model."""
+    import importlib.util
+    import json
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_rest_golden",
+        Path(__file__).resolve().parent.parent / "scripts" / "gen_rest_golden.py",
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
+    from iceberg_data_gen_spark.table.rest_spec import (
+        commit_changes,
+        to_table_metadata,
+    )
+
+    golden = _golden()
+    docs = {
+        "empty": gen.EMPTY,
+        "append": gen.APPEND,
+        "deletes": gen.DELETES,
+        "wap_branch": gen.WAP_BRANCH,
+        "evolved_schema": gen.EVOLVED_SCHEMA,
+        "partitioned": gen.PARTITIONED,
+        "expired": gen.EXPIRED,
+    }
+    assert set(golden["table_metadata"]) == set(docs)
+    for name, doc in docs.items():
+        got = json.loads(
+            json.dumps(
+                to_table_metadata(
+                    doc, table_uuid=gen.UUID, location=gen.LOCATION,
+                    last_updated_ms=1,
+                )
+            )
+        )
+        assert got == golden["table_metadata"][name], name
+    pairs = {
+        "first_append": (gen.EMPTY, gen.APPEND),
+        "mor_deletes": (gen.APPEND, gen.DELETES),
+        "wap_and_refs": (gen.APPEND, gen.WAP_BRANCH),
+        "add_column": (gen.APPEND, gen.EVOLVED_SCHEMA),
+        "add_partition_spec": (gen.APPEND, gen.PARTITIONED),
+        "expire_and_drop_ref": (gen.WAP_BRANCH, gen.EXPIRED),
+    }
+    assert set(golden["commits"]) == set(pairs)
+    for name, (base, target) in pairs.items():
+        updates, requirements = commit_changes(
+            base, target, table_uuid=gen.UUID, location=gen.LOCATION
+        )
+        got = json.loads(
+            json.dumps({"updates": updates, "requirements": requirements})
+        )
+        assert got == golden["commits"][name], name
+
+
+# Required-key shapes transcribed from rest-catalog-open-api.yaml: the
+# TableUpdate action union and TableRequirement discriminators.  The
+# golden test above locks exact bytes; this one asserts the golden file
+# itself satisfies the published MODEL, so a regenerated fixture cannot
+# silently drift into shapes a conforming service rejects.
+_UPDATE_REQUIRED = {
+    "add-schema": {"schema"},
+    "set-current-schema": {"schema-id"},
+    "add-spec": {"spec"},
+    "set-default-spec": {"spec-id"},
+    "add-snapshot": {"snapshot"},
+    "remove-snapshots": {"snapshot-ids"},
+    "set-snapshot-ref": {"ref-name", "type", "snapshot-id"},
+    "remove-snapshot-ref": {"ref-name"},
+}
+_REQUIREMENT_REQUIRED = {
+    "assert-table-uuid": {"uuid"},
+    "assert-ref-snapshot-id": {"ref", "snapshot-id"},
+}
+_METADATA_REQUIRED = {
+    "format-version", "table-uuid", "location", "last-sequence-number",
+    "last-updated-ms", "last-column-id", "schemas", "current-schema-id",
+    "partition-specs", "default-spec-id", "last-partition-id",
+    "sort-orders", "default-sort-order-id",
+}
+
+
+def test_rest_golden_payloads_satisfy_openapi_model():
+    golden = _golden()
+    for name, meta in golden["table_metadata"].items():
+        assert _METADATA_REQUIRED <= set(meta), name
+        assert meta["format-version"] == 2, name
+        assert any(
+            s["schema-id"] == meta["current-schema-id"] for s in meta["schemas"]
+        ), name
+        assert any(
+            p["spec-id"] == meta["default-spec-id"]
+            for p in meta["partition-specs"]
+        ), name
+        pf_ids = [
+            f["field-id"] for p in meta["partition-specs"] for f in p["fields"]
+        ]
+        assert len(pf_ids) == len(set(pf_ids)), name  # globally unique
+        assert all(i >= 1000 for i in pf_ids), name
+        for snap in meta.get("snapshots", []):
+            assert {"snapshot-id", "sequence-number", "timestamp-ms",
+                    "manifest-list", "summary"} <= set(snap), name
+            assert snap["summary"]["operation"] in (
+                "append", "replace", "overwrite", "delete"
+            ), name
+        for ref in meta.get("refs", {}).values():
+            assert ref["type"] in ("branch", "tag") and "snapshot-id" in ref
+    for name, c in golden["commits"].items():
+        for u in c["updates"]:
+            assert u["action"] in _UPDATE_REQUIRED, (name, u)
+            assert _UPDATE_REQUIRED[u["action"]] <= set(u), (name, u)
+        for r in c["requirements"]:
+            assert r["type"] in _REQUIREMENT_REQUIRED, (name, r)
+            assert _REQUIREMENT_REQUIRED[r["type"]] <= set(r), (name, r)
+        # every commit asserts table identity
+        assert any(r["type"] == "assert-table-uuid" for r in c["requirements"])
