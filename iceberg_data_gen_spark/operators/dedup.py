@@ -36,10 +36,19 @@ CC_DRIVER_MAX_EDGES = 2_000_000  # union-find shortcut cap (~32 MB of pairs)
 # Corpus size past which the cluster/survivor chain switches its pair
 # source from exact blocked-Jaccard (quadratic within blocks) to
 # LSH candidates → exact-Jaccard confirm (linear in candidates) — the
-# documented 100 TB dedup pipeline.  Below it (every driver-checked SF)
-# the exact path keeps the oracle-parity results.  IDG_DEDUP_LSH=1
-# forces the LSH path at any scale (tests / scale probes).
-DEDUP_LSH_MIN_DOCS = 1_000_000
+# documented 100 TB dedup pipeline.  MEASURED (scripts/
+# probe_lsh_crossover.py, testdata-shaped synthetic corpora with a 50k
+# vocabulary and 5% near-dup rate): the LSH+confirm branch crosses over
+# at ~550 docs and wins by 8× at 3k / ~95× at 10k (exact 227s vs 2.4s),
+# with measured candidate recall 1.0 at every probed size.  The
+# threshold is NOT set at the crossover: it sits strictly ABOVE the
+# largest oracle-checked corpus (sf0.1 = 5k docs, ≤2.5s exact there) so
+# every driver/oracle comparison keeps the bit-exact quadratic path,
+# and 2× headroom keeps it there if testdata doubles.  Past 10k no
+# oracle runs and the measured ~95×-and-growing win makes LSH+confirm
+# the only sane default.  IDG_DEDUP_LSH=1 forces the LSH path at any
+# scale (tests / scale probes).
+DEDUP_LSH_MIN_DOCS = 10_000
 DEDUP_LSH_ENV = "IDG_DEDUP_LSH"
 # Clique cap for the cluster chain's CONFIRM-FILTERED candidates: the
 # downstream exact-Jaccard filter drops star edges whose member↔bmin

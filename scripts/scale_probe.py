@@ -76,10 +76,16 @@ PROBE = [
     "q_multimodal_codec_roundtrip",
     "q_semdedup",
     "q_pii_scan",
-    "q_stream_session",
-    "q_stream_stateful",
     "q_event_pagerank",
 ]
+
+# State-heavy streams probed OPERATOR-ONLY (foreachBatch -> noop sink):
+# the registered queries run Complete-mode into the harness MemorySink,
+# which re-collects the full result to the driver each micro-batch — at
+# 100x events that artifact dominated the ratio (r6: 4.06x/4.69x were
+# sink numbers, not state-store numbers).  STREAM_OPERATOR_PROBES drives
+# the identical aggregations into a distributed discard sink.
+STREAM_PROBE = ["q_stream_session", "q_stream_stateful"]
 
 # (label, query, env) probes that force a scale-path branch: the forced
 # env var is set for the timing and removed after.  These are the
@@ -187,6 +193,24 @@ def main() -> None:
     for name in PROBE:
         report[name] = probe_one(name)
         print(name, report[name], file=sys.stderr, flush=True)
+
+    from iceberg_data_gen_spark.streaming.events import STREAM_OPERATOR_PROBES
+
+    def run_stream(name: str, sf_dir: str) -> float:
+        t0 = time.time()
+        STREAM_OPERATOR_PROBES[name](spark, sf_dir)
+        return time.time() - t0
+
+    for name in STREAM_PROBE:
+        run_stream(name, SRC)  # warm
+        t1 = min(run_stream(name, SRC), run_stream(name, SRC))
+        tN = min(run_stream(name, DEST), run_stream(name, DEST))
+        report[f"{name}[operator]"] = {
+            "t1": round(t1, 3),
+            f"t{FACTOR}": round(tN, 3),
+            "ratio": round(tN / t1, 2) if t1 > 0 else None,
+        }
+        print(f"{name}[operator]", report[f"{name}[operator]"], file=sys.stderr, flush=True)
     for label, name, env in ENV_PROBE:
         os.environ[env] = "1"
         try:
