@@ -1501,6 +1501,11 @@ def render_composed_sql(inner: str, outer: str, grp: str, val: str,
     before the double cast, and every window ORDER BY totally orders
     the projected tuple, so tied rows are identical and interchangeable.
     """
+    return _composed_outer(outer, _composed_base(inner, grp, val, frac), frac)
+
+
+def _composed_base(inner: str, grp: str, val: str, frac: float) -> str:
+    """Stage-1 relation with the fixed (g, okey, lnum, v, jv) shape."""
     lo, hi = NUM_COLS[val]
     thr = round(lo + frac * (hi - lo), 4)
     lo_q, hi_q = NUM_COLS["l_quantity"]
@@ -1527,6 +1532,13 @@ def render_composed_sql(inner: str, outer: str, grp: str, val: str,
                    WHERE l_orderkey IN (
                        SELECT o_orderkey FROM orders
                        WHERE o_totalprice <= {thr_p!r})"""
+    return base
+
+
+def _composed_outer(outer: str, base: str, frac: float) -> str:
+    """Final consuming stage over any (g, okey, lnum, v, jv) relation."""
+    lo_p, hi_p = NUM_COLS["l_extendedprice"]
+    thr_p = round(lo_p + (1 - frac) * (hi_p - lo_p), 4)
 
     if outer == "agg":
         return f"""
@@ -1565,6 +1577,64 @@ def render_composed_sql(inner: str, outer: str, grp: str, val: str,
 
 COMPOSED_INNERS = ["join", "setop", "subq"]
 COMPOSED_OUTERS = ["agg", "window", "agg_having"]
+COMPOSED_MIDS = ["window_limit", "reagg", "corr_exists"]
+
+
+def render_composed3_sql(inner: str, mid: str, outer: str, grp: str,
+                         val: str, frac: float) -> str:
+    """THREE stacked surfaces (VERDICT r6 #4): the two-stage family's
+    inner relation, transformed by a MID stage, consumed by the same
+    outer stage.  Engines that agree pairwise disagree next at
+    three-surface seams — a window over a set-op of joins, a correlated
+    EXISTS over a composed relation under a window, re-aggregated
+    aggregates inside HAVING — which is exactly the grid this renders.
+
+    MID stages keep the (g, okey, lnum, v, jv) shape so any outer
+    consumes any mid:
+
+    * ``window_limit`` — per-group row_number over the totally-ordered
+      tuple, keep rn <= 50.  Ties are IDENTICAL tuples (the order-by
+      covers every projected column), so which copy survives the
+      boundary is immaterial to the output multiset.
+    * ``reagg`` — re-group to (g, okey): DECIMAL-exact sum of v cast to
+      double, min/max for the rest.  The outer's DECIMAL re-cast of the
+      double is deterministic (a double is never an exact .005 midpoint,
+      so round-to-nearest is unambiguous on both engines).
+    * ``corr_exists`` — correlated EXISTS against orders on the okey
+      carried through the inner surface; Spark must decorrelate through
+      an already-composed relation.
+    """
+    base = _composed_base(inner, grp, val, frac)
+    lo_p, hi_p = NUM_COLS["l_extendedprice"]
+    thr_mid = round(lo_p + (0.5 + frac / 2) * (hi_p - lo_p), 4)
+
+    if mid == "window_limit":
+        rel = f"""
+        SELECT g, okey, lnum, v, jv FROM (
+            SELECT g, okey, lnum, v, jv,
+                   row_number() OVER (
+                       PARTITION BY g ORDER BY v, okey, lnum, jv
+                   ) AS rn
+            FROM ({base}) mb
+        ) mw WHERE rn <= 50
+        """
+    elif mid == "reagg":
+        rel = f"""
+        SELECT g, okey, min(lnum) AS lnum,
+               CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS v,
+               max(jv) AS jv
+        FROM ({base}) mb
+        GROUP BY g, okey
+        """
+    else:  # corr_exists
+        rel = f"""
+        SELECT g, okey, lnum, v, jv FROM ({base}) mb
+        WHERE EXISTS (
+            SELECT 1 FROM orders mo
+            WHERE mo.o_orderkey = mb.okey
+              AND mo.o_totalprice <= {thr_mid!r})
+        """
+    return _composed_outer(outer, rel, frac)
 
 
 @settings(
@@ -1595,6 +1665,43 @@ def test_random_composed_spec_matches_duckdb(spark, inner, outer, grp, val, frac
     errors = compare(
         spark,
         f"propcomp[{inner}->{outer},{grp},{val},{frac:.3f}]",
+        fn, sql, SF_SMALL,
+    )
+    assert not errors, errors
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    inner=st.sampled_from(COMPOSED_INNERS),
+    mid=st.sampled_from(COMPOSED_MIDS),
+    outer=st.sampled_from(COMPOSED_OUTERS),
+    grp=st.sampled_from(GRP_COLS),
+    val=st.sampled_from(sorted(NUM_COLS)),
+    frac=st.floats(0.05, 0.95),
+)
+def test_random_composed3_spec_matches_duckdb(
+    spark, inner, mid, outer, grp, val, frac
+):
+    """Differential fuzz of THREE stacked surfaces (VERDICT r6 #4): the
+    3x3x3 shape grid (window over a set-op, correlated EXISTS over a
+    composed relation under a window, re-aggregation inside HAVING, ...).
+    The discrete shape space was swept exhaustively once with 0
+    divergences (scripts/sweep_composed.py --three: all 27 shapes x 3
+    grps x 2 vals x 2 fracs = 324 cases), so these sampled runs cannot
+    flake on shape coverage."""
+    sql = render_composed3_sql(inner, mid, outer, grp, val, frac)
+
+    def fn(spark, sf_dir, sql=sql):
+        load_tables(spark, sf_dir, ("lineitem", "orders"))
+        return spark.sql(sql)
+
+    errors = compare(
+        spark,
+        f"propcomp3[{inner}->{mid}->{outer},{grp},{val},{frac:.3f}]",
         fn, sql, SF_SMALL,
     )
     assert not errors, errors
