@@ -317,16 +317,19 @@ class RestCatalog:
             shutil.rmtree(p)
         # pre-encoding warehouses used the raw name as the path; reclaim
         # that directory too — but ONLY when neither identifier contains
-        # a path separator, because with a '/' in the name the raw layout
-        # nests tables inside each other and an rmtree would take a
-        # sibling table's data with it (the aliasing bug the encoding
-        # fixed; such legacy dirs are left for manual cleanup)
+        # a path separator OR a percent sign.  With a '/' the raw layout
+        # nests tables inside each other; with a '%' the raw name can be
+        # byte-identical to ANOTHER table's percent-ENCODED directory
+        # (raw 'a%2Fb' == _fs_seg('a/b')), so the rmtree would take a
+        # live sibling's data with it (review r7).  Every _fs_seg output
+        # that differs from its raw form contains '%', so refusing
+        # %-bearing identifiers closes the aliasing completely; such
+        # legacy dirs are left for manual cleanup, same as '/' names.
         legacy = self.warehouse / namespace / name
         wh = self.warehouse.resolve()
         if (
             legacy != p
-            and "/" not in name
-            and "/" not in namespace
+            and not any(c in ident for c in "/%" for ident in (name, namespace))
             # containment: a '.'/'..' identifier resolves the legacy path
             # out of the warehouse (or up to the namespace) — never
             # rmtree anything that is not strictly a depth-2 child

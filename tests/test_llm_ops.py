@@ -886,3 +886,39 @@ def test_session_cache_evicts_stopped_sessions():
     finally:
         sim._TRAINED.clear()
         sim._TRAINED.update(snapshot)
+
+
+def test_zero_norm_embedding_does_not_poison_neardup(spark, tmp_path):
+    """q_embedding_neardup's numpy kernel must clamp the norm like every
+    other ANN kernel (review r7): without the 1e-12 clamp a zero vector
+    made its rows NaN (0/0 RuntimeWarnings in executors).  At the fixed
+    tau=0.4 the OLD code coincided with the oracle only by accident
+    (NaN >= 0.4 is False, and so is 0.0 >= 0.4) — this test locks the
+    shared zero-norm convention (zero vector scores cos 0.0, no NaN ever
+    reaches the output) so any future threshold/emission change cannot
+    resurrect the divergence."""
+    import math
+
+    import numpy as np
+
+    from iceberg_data_gen_spark.operators.dedup import q_embedding_neardup
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    base = [float(x) for x in rng.normal(size=dim)]
+    rows = [
+        (0, base, 0),
+        (1, [x * 2.0 for x in base], 0),  # same direction: cos = 1.0
+        (2, [0.0] * dim, 0),  # the poison row, same label block
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    sf_dir = str(tmp_path / "sf-zn")
+    df.write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    out = q_embedding_neardup(spark, sf_dir).collect()
+    assert all(not math.isnan(r.cos_sim) for r in out), out
+    pairs = {(r.id_a, r.id_b): r.cos_sim for r in out}
+    # the colinear pair survives at cos 1.0; zero-vector pairs score 0.0
+    # (below the 0.4 threshold -> absent, NOT NaN-dropped): assert the
+    # kernel agrees with a hand-computed numpy check on the same data
+    assert pairs == {(0, 1): 1.0}, pairs

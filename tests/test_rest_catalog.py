@@ -1038,3 +1038,28 @@ def test_rest_golden_payloads_satisfy_openapi_model():
             assert _REQUIREMENT_REQUIRED[r["type"]] <= set(r), (name, r)
         # every commit asserts table identity
         assert any(r["type"] == "assert-table-uuid" for r in c["requirements"])
+
+
+def test_drop_table_legacy_cleanup_never_hits_encoded_sibling(spark, catalog):
+    """Review r7: a table raw-named 'a%2Fb' is byte-identical to the
+    percent-ENCODED data directory of a table named 'a/b'.  The
+    legacy-layout reclaim in drop_table must refuse %-bearing raw
+    identifiers, or dropping 'a%2Fb' rmtree's the live sibling's data
+    while its catalog entry survives — permanent data loss."""
+    catalog.create_namespace("ns")
+    slash = catalog.create_table("ns", "a/b", _schema())
+    df = spark.createDataFrame(
+        [("x", 1, True)], "foo string, bar int, baz boolean"
+    )
+    slash.append(df, single_file=True)
+    victim_dir = catalog._data_path("ns", "a/b")
+    assert victim_dir.is_dir()
+
+    catalog.create_table("ns", "a%2Fb", _schema())
+    catalog.drop_table("ns", "a%2Fb")
+    assert not catalog.table_exists("ns", "a%2Fb")
+
+    # the undropped sibling's data directory and rows are intact
+    assert victim_dir.is_dir(), "legacy cleanup deleted a live sibling"
+    assert catalog.table_exists("ns", "a/b")
+    assert catalog.load_table("ns", "a/b").scan().count() == 1
