@@ -163,11 +163,35 @@ def run_operator_only(sdf: DataFrame, output_mode: str = "update") -> None:
             q.stop()
 
 
+_SINK_VIEWS: "deque[tuple[object, str]]" = None  # populated lazily below
+_SINK_VIEWS_KEEP = 4
+
+
 def run_to_completion(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming DataFrame until the source is exhausted; return
-    the final results as a batch DataFrame (memory sink)."""
+    the final results as a batch DataFrame (memory sink).
+
+    The memory sink retains its full result set on the driver heap until
+    its temp view is dropped, and these uuid-named views used to live for
+    the whole session (review r7: one bench pass creates dozens).  Each
+    call now drops the views of all but the last ``_SINK_VIEWS_KEEP``
+    prior runs — consumers in this repo materialize the returned frame
+    promptly, so a small retention window is safe while bounding driver
+    heap to a handful of result sets."""
+    global _SINK_VIEWS
+    from collections import deque
+
+    if _SINK_VIEWS is None:
+        _SINK_VIEWS = deque()
     spark = sdf.sparkSession
+    while len(_SINK_VIEWS) >= _SINK_VIEWS_KEEP:
+        old_spark, old_name = _SINK_VIEWS.popleft()
+        try:
+            old_spark.catalog.dropTempView(old_name)
+        except Exception:
+            pass  # session stopped: nothing to free
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    _SINK_VIEWS.append((spark, name))
     with stream_partitions(spark):
         q = (
             sdf.writeStream.outputMode(output_mode)
@@ -306,7 +330,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 STATEFUL_SCHEMA = "user_id long, n_events long, total_value double, n_batches int"
 
 
-def make_stateful_count(gap_batches: int):
+def make_stateful_count():
     """Per-user running totals via applyInPandasWithState.
 
     Built as a closure so cloudpickle ships it by value (Python workers
@@ -342,7 +366,7 @@ def make_stateful_count(gap_batches: int):
 def _stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     return ev.groupBy("user_id").applyInPandasWithState(
-        make_stateful_count(1),
+        make_stateful_count(),
         outputStructType=STATEFUL_SCHEMA,
         stateStructType="n long, total double, batches int",
         outputMode="update",
@@ -505,8 +529,16 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds the dedup state (keys older than the watermark are evicted —
     at 100 TB/day this is what makes exactly-once-per-key aggregation
     possible without unbounded state).  The output aggregate (distinct
-    users per type) is independent of WHICH duplicate survived, so the
-    result is deterministic and batch-oracle-checkable."""
+    users per type) is independent of WHICH duplicate survived.
+
+    Contract precision (review r7): the operator guarantees one event
+    per key WITHIN the watermark delay — a key recurring after its
+    state was evicted is counted AGAIN; that recount is the documented
+    price of bounded state, not a bug.  The DISTINCT oracle matches
+    exactly under the driver layout (single-file source ⇒ one
+    micro-batch ⇒ no mid-stream eviction); the multi-batch recount
+    semantics are pinned by
+    ``test_stream_dedup_recounts_after_watermark_eviction``."""
     ev = read_events_stream(spark, sf_dir)
     deduped = ev.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["event_type", "user_id"]

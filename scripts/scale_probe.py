@@ -122,7 +122,11 @@ def build(spark) -> None:
     os.makedirs(DEST)
     for name in DIMENSION_TABLES:
         src = os.path.join(SRC, f"{name}.parquet")
-        if os.path.exists(src):
+        if os.path.isdir(src):
+            # Spark-written dataset: a directory of part files (the same
+            # layout events.py sniffs); shutil.copy would raise on it
+            shutil.copytree(src, os.path.join(DEST, f"{name}.parquet"))
+        elif os.path.exists(src):
             shutil.copy(src, os.path.join(DEST, f"{name}.parquet"))
     for name, keys in SHIFT_COLS.items():
         if not os.path.exists(os.path.join(SRC, f"{name}.parquet")):
@@ -179,10 +183,10 @@ def main() -> None:
         ).save()
         return time.time() - t0
 
-    def probe_one(name: str) -> dict:
-        run(name, SRC)  # warm both code paths once at 1x
-        t1 = min(run(name, SRC), run(name, SRC))
-        tN = min(run(name, DEST), run(name, DEST))
+    def probe_one(name: str, runner=run) -> dict:
+        runner(name, SRC)  # warm both code paths once at 1x
+        t1 = min(runner(name, SRC), runner(name, SRC))
+        tN = min(runner(name, DEST), runner(name, DEST))
         return {
             "t1": round(t1, 3),
             f"t{FACTOR}": round(tN, 3),
@@ -202,14 +206,7 @@ def main() -> None:
         return time.time() - t0
 
     for name in STREAM_PROBE:
-        run_stream(name, SRC)  # warm
-        t1 = min(run_stream(name, SRC), run_stream(name, SRC))
-        tN = min(run_stream(name, DEST), run_stream(name, DEST))
-        report[f"{name}[operator]"] = {
-            "t1": round(t1, 3),
-            f"t{FACTOR}": round(tN, 3),
-            "ratio": round(tN / t1, 2) if t1 > 0 else None,
-        }
+        report[f"{name}[operator]"] = probe_one(name, runner=run_stream)
         print(f"{name}[operator]", report[f"{name}[operator]"], file=sys.stderr, flush=True)
     for label, name, env in ENV_PROBE:
         os.environ[env] = "1"

@@ -316,3 +316,76 @@ def test_stateful_final_state_with_negative_values(spark, tmp_path):
         ev_mod.STREAM_MAX_FILES_PER_TRIGGER = old_trigger
     assert got[1] == (2, 0.5), got
     assert got[2] == (2, 3.0), got
+
+
+def test_stream_dedup_recounts_after_watermark_eviction(spark, tmp_path):
+    """Pins dropDuplicatesWithinWatermark's REAL contract (review r7):
+    one event per key within the watermark delay; a key recurring after
+    its state was evicted is counted AGAIN — the documented price of
+    bounded state.  The DISTINCT oracle matches only under the driver's
+    single-file (single micro-batch) layout; this test replays four
+    micro-batches (part files written with strictly increasing mtimes —
+    the file source processes oldest-first, so batch order is
+    deterministic) to assert both halves of the contract:
+
+    * a duplicate arriving while the key's state is alive is dropped;
+    * a recurrence after eviction re-counts.
+    """
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_data_gen_spark import operators
+    from iceberg_data_gen_spark.streaming import events as ev_mod
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+
+    def mk(i, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        p = d / f"part-{i:03d}.parquet"
+        pq.write_table(tbl, p)
+        os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+
+    # batch 1: two click users + an advancer keeping watermark at t0-5m
+    mk(0, [(1, t0, 1, "click"), (2, t0, 2, "click"), (3, t0 + 5 * m, 9, "view")])
+    # batch 2: u2 duplicate at t0+2m (state alive: wm t0-5m < expiry
+    # t0+10m -> DROPPED) + an advancer pushing the watermark to t0+35m,
+    # which expires both click keys (event ts + 10m < wm)
+    mk(1, [(4, t0 + 2 * m, 2, "click"), (5, t0 + 45 * m, 8, "view")])
+    # batch 3: filler — state CLEANUP runs at a batch commit AFTER the
+    # watermark advanced (measured: eviction lags the advancing batch by
+    # one), so the eviction of both click keys lands here
+    mk(2, [(6, t0 + 46 * m, 7, "view")])
+    # batch 4: u1 recurs at t0+40m, AFTER eviction -> counted again
+    mk(3, [(7, t0 + 40 * m, 1, "click")])
+
+    old = ev_mod.STREAM_MAX_FILES_PER_TRIGGER
+    ev_mod.STREAM_MAX_FILES_PER_TRIGGER = 1
+    try:
+        got = {
+            r.event_type: r.n_users
+            for r in operators.QUERIES["q_stream_dedup"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+    finally:
+        ev_mod.STREAM_MAX_FILES_PER_TRIGGER = old
+    # click: u1 + u2 (batch 1) + u1-again (batch 4) = 3; the batch-2
+    # duplicate was dropped (4 would mean no dedup at all); DISTINCT
+    # semantics would say 2 — the recount is the operator's contract
+    assert got["click"] == 3, got
+    assert got["view"] == 3, got  # three distinct advancer users
