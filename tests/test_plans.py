@@ -460,3 +460,21 @@ def test_ann_ivfpq_single_corpus_pass(spark):
     assert tree.count("Exchange") == 1, tree
     assert "Join" not in tree, tree
     assert "WindowGroupLimit" in tree, tree
+
+
+def test_tfidf_single_term_exchange_no_join(spark):
+    """r7: document frequency rides count() OVER (PARTITION BY term)
+    instead of groupBy(term)+join, so the tf relation is exchanged on
+    term ONCE (measured 1.8x at sf0.1 and the 10x probe).  At most four
+    shuffle exchanges: tf hash-agg, the term window, the doc_id top-k
+    window, and the 1-row n_docs reduction.  The only join allowed is
+    the broadcast of that single n_docs row — a shuffled join on term
+    reappearing means the old two-exchange plan regressed."""
+    import re
+
+    plan = plan_of(q("q_tfidf_top_terms", spark))
+    body = plan.split("== Physical Plan ==", 1)[1]
+    n_exchange = len(set(re.findall(r"\(\d+\) Exchange", body)))
+    assert n_exchange <= 4, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan  # per-doc top-k stays partial
