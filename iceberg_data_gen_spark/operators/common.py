@@ -49,3 +49,33 @@ def scratch_dir(prefix: str) -> str:
     d = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, d, True)
     return d
+
+
+def run_length_fold(arr: F.Column, extras, update, finish) -> F.Column:
+    """One ``aggregate`` HOF pass over ``array_sort(arr)`` tracking equal-
+    adjacent run lengths — the shared scaffold behind the repetition
+    score (longest run) and Simpson diversity (sum of squared runs),
+    which previously duplicated the prev/run bootstrap (review r7).
+
+    ``extras`` is ``[(name, init_column)]`` for the caller's accumulator
+    fields; ``update(acc, is_run, new_run)`` returns ``{name: column}``
+    for them each step (``acc`` exposes the PRE-step ``prev``/``run``/
+    extras, ``new_run`` the post-step run length); ``finish(acc)`` maps
+    the final accumulator to the result.  ``run`` is LONG so both
+    callers share one type.
+    """
+
+    def merge(acc, x):
+        is_run = x == acc["prev"]
+        new_run = F.when(is_run, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        fields = [x.alias("prev"), new_run.alias("run")] + [
+            col.alias(name) for name, col in update(acc, is_run, new_run).items()
+        ]
+        return F.struct(*fields)
+
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        *[col.alias(name) for name, col in extras],
+    )
+    return F.aggregate(F.array_sort(arr), acc0, merge, finish)

@@ -191,26 +191,22 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     run lengths.  Integer-exact until one final division, so the oracle
     (which uses the groupBy formulation) matches hash-exactly.
     """
+    from iceberg_data_gen_spark.operators.common import run_length_fold
+
     docs = _docs(spark, sf_dir)
     words = F.split("text", " ")
 
-    def merge(acc, x):
-        is_run = x == acc["prev"]
-        return F.struct(
-            x.alias("prev"),
-            F.when(is_run, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.when(is_run, acc["sumsq"])
-            .otherwise(acc["sumsq"] + acc["run"] * acc["run"])
-            .alias("sumsq"),
-        )
-
-    acc0 = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("sumsq"),
-    )
-    sum_sq = F.aggregate(
-        F.array_sort(words), acc0, merge, lambda a: a["sumsq"] + a["run"] * a["run"]
+    sum_sq = run_length_fold(
+        words,
+        extras=[("sumsq", F.lit(0).cast("long"))],
+        # squared run length is banked when the run BREAKS (and once more
+        # for the final run in finish)
+        update=lambda acc, is_run, new_run: {
+            "sumsq": F.when(is_run, acc["sumsq"]).otherwise(
+                acc["sumsq"] + acc["run"] * acc["run"]
+            )
+        },
+        finish=lambda a: a["sumsq"] + a["run"] * a["run"],
     )
     n = F.size(words).cast("long")
     return docs.select(

@@ -39,10 +39,6 @@ def _shard_of(h: F.Column) -> F.Column:
     return F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
 
 
-def _shard_col() -> F.Column:
-    return _shard_of(doc_order_key())
-
-
 @register(
     "q_global_shuffle",
     oracle="""

@@ -526,18 +526,16 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i + 1]))"
     )
 
-    def merge(acc, x):
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(
-            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
-        )
+    from iceberg_data_gen_spark.operators.common import run_length_fold
 
-    acc0 = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).alias("run"),
-        F.lit(0).alias("best"),
+    top_cnt = run_length_fold(
+        grams,
+        extras=[("best", F.lit(0).cast("long"))],
+        update=lambda acc, is_run, new_run: {
+            "best": F.greatest(acc["best"], new_run)
+        },
+        finish=lambda a: a["best"],
     )
-    top_cnt = F.aggregate(F.array_sort(grams), acc0, merge, lambda a: a["best"])
     n = F.size(grams)
     return (
         with_words.where(F.size("w") >= 2)
