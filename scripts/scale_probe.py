@@ -158,15 +158,13 @@ def main() -> None:
         "scale-probe",
         master=f"local[{CPUS}]",
         shuffle_partitions=32,
-        # 16g: the streaming probes run Complete-mode into the harness
-        # MemorySink, which holds the FULL result set on the driver heap
-        # — at 100x events that is millions of session rows (a harness
-        # artifact; real deployments append/update into a real sink)
+        # 16g driver: the remaining Complete-mode stream probe
+        # (q_stream_tumbling, small windowed result) plus the batch
+        # fan-out; the state-heavy streams moved to the operator-only
+        # foreachBatch->noop path (STREAM_PROBE) so the old multi-GiB
+        # MemorySink pressure is gone — headroom kept for the 100x runs
         extra_conf={
             "spark.driver.memory": "16g",
-            # Complete-mode MemorySink collects ~1.4 GiB of session rows
-            # at 100x events — the default 1g result cap is a harness
-            # limit, not an operator one
             "spark.driver.maxResultSize": "8g",
         },
     )
