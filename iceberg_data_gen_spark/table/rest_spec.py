@@ -254,7 +254,12 @@ def commit_changes(base: dict, target: dict, *, table_uuid: str, location: str):
       must not exist yet — first commit);
     - ``assert-ref-snapshot-id`` on every OTHER ref the commit moves,
       pinning its base position (a racing writer that advanced the same
-      branch conflicts server-side).
+      branch conflicts server-side);
+    - ``assert-current-schema-id`` when the commit evolves the schema,
+      and ``assert-last-assigned-partition-id`` /
+      ``assert-default-spec-id`` when it adds specs or moves the
+      default — racing metadata-only evolutions must 409, not both
+      commit (review r7).
     """
     updates: list[dict] = []
     requirements: list[dict] = [{"type": "assert-table-uuid", "uuid": table_uuid}]
@@ -272,6 +277,19 @@ def commit_changes(base: dict, target: dict, *, table_uuid: str, location: str):
             {"action": "add-schema", "schema": _schema_to_spec(target["schema"])}
         )
         updates.append({"action": "set-current-schema", "schema-id": -1})
+        # field-level concurrency for schema evolution (review r7): two
+        # clients racing add_column from one base produce commits whose
+        # only requirement was assert-table-uuid — a conforming service
+        # accepted BOTH and the second replaced the first writer's
+        # column.  Pinning the base's current schema id makes the loser
+        # 409 and re-derive from the winner's schema, exactly the
+        # assert-ref-snapshot-id story for data commits.
+        requirements.append(
+            {
+                "type": "assert-current-schema-id",
+                "current-schema-id": base["schema"].get("schema_id", 1),
+            }
+        )
 
     base_specs = {s["spec_id"] for s in base.get("partition_specs", [{"spec_id": 0, "fields": []}])}
     # field ids come from the TARGET document's global assignment so a
@@ -289,6 +307,24 @@ def commit_changes(base: dict, target: dict, *, table_uuid: str, location: str):
                     ),
                 }
             )
+    added_specs = [
+        s for s in target.get("partition_specs", []) if s["spec_id"] not in base_specs
+    ]
+    if added_specs:
+        # racing spec evolutions: pin the base's last assigned partition
+        # field id so two adds from one base cannot both commit with
+        # colliding field ids (the spec's AssertLastAssignedPartitionId)
+        base_pfield_ids = _partition_field_ids(
+            base.get("partition_specs", [{"spec_id": 0, "fields": []}])
+        )
+        requirements.append(
+            {
+                "type": "assert-last-assigned-partition-id",
+                "last-assigned-partition-id": max(
+                    base_pfield_ids.values(), default=PARTITION_FIELD_ID_START - 1
+                ),
+            }
+        )
     tgt_default = target.get("default_spec_id", 0)
     if base.get("default_spec_id", 0) != tgt_default:
         # -1 ("the spec added in this commit") is only valid when the new
@@ -303,6 +339,12 @@ def commit_changes(base: dict, target: dict, *, table_uuid: str, location: str):
             {
                 "action": "set-default-spec",
                 "spec-id": -1 if tgt_default in newly_added else tgt_default,
+            }
+        )
+        requirements.append(
+            {
+                "type": "assert-default-spec-id",
+                "default-spec-id": base.get("default_spec_id", 0),
             }
         )
 

@@ -107,6 +107,23 @@ def _footer_row_count(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def _data_file_entry(path: str) -> dict:
+    """Manifest entry for a committed data file — record count and
+    per-column stats from ONE footer read (review r7: the commit sites
+    called _footer_row_count + _footer_stats back to back, constructing
+    two ParquetFile objects and doubling the driver-side metadata pass
+    on many-file commits)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    return {
+        "path": path,
+        "kind": "data",
+        "record_count": md.num_rows,
+        "stats": _stats_of(md),
+    }
+
+
 def _footer_stats(path: str) -> dict[str, list]:
     """Per-column [min, max] from the parquet footer — the file-level
     stats an Iceberg manifest carries.  Collected once at WRITE time
@@ -115,7 +132,10 @@ def _footer_stats(path: str) -> dict[str, list]:
     scalar stats are kept; a column without stats simply can't prune."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    return _stats_of(pq.ParquetFile(path).metadata)
+
+
+def _stats_of(md) -> dict[str, list]:
     stats: dict[str, list] = {}
     for rg in range(md.num_row_groups):
         row = md.row_group(rg)
@@ -186,18 +206,53 @@ class MetadataIO:
 class LocalMetadataIO(MetadataIO):
     """File-based metadata store: ``<table>/metadata.json``, published
     with temp-file + ``os.replace`` so readers never observe a torn
-    document (stands in for the catalog's atomic pointer swap)."""
+    document (stands in for the catalog's atomic pointer swap).
+
+    Version CAS (review r7): the document carries an internal
+    ``_local_version`` counter; ``load`` records it as this handle's
+    basis and ``save`` — under an exclusive file lock spanning the
+    check-and-replace — refuses to publish over a version the handle
+    never saw.  Without it, the head-snapshot-id guards upstream could
+    not catch METADATA-ONLY races (two handles: A ``add_column``, B
+    ``create_tag`` from the pre-A document — B's whole-document
+    republish silently erased A's column).  Mirrors the REST store's
+    whole-document version CAS, so both stores now give
+    ``CommitConflictError`` + refresh()-and-retry semantics."""
 
     def __init__(self, table_path: Path) -> None:
         self.table_path = Path(table_path)
+        self._based_on = 0
 
     def load(self) -> dict:
+        doc = json.loads((self.table_path / "metadata.json").read_text())
+        self._based_on = doc.get("_local_version", 0)
+        return doc
+
+    def peek(self) -> dict:
+        # read WITHOUT adopting the version as this handle's basis (the
+        # MetadataIO.peek contract — load() here moves the CAS basis)
         return json.loads((self.table_path / "metadata.json").read_text())
 
     def save(self, meta: dict) -> None:
-        tmp = self.table_path / f"metadata.json.tmp-{uuid.uuid4().hex[:8]}"
-        tmp.write_text(json.dumps(meta, indent=1))
-        os.replace(tmp, self.table_path / "metadata.json")
+        import fcntl
+
+        lock = self.table_path / "metadata.lock"
+        with open(lock, "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            target = self.table_path / "metadata.json"
+            if target.exists():
+                disk = json.loads(target.read_text()).get("_local_version", 0)
+                if disk != self._based_on:
+                    raise CommitConflictError(
+                        f"concurrent metadata publish: based on version "
+                        f"{self._based_on}, store holds {disk} — refresh() "
+                        f"and retry"
+                    )
+            meta["_local_version"] = self._based_on + 1
+            tmp = self.table_path / f"metadata.json.tmp-{uuid.uuid4().hex[:8]}"
+            tmp.write_text(json.dumps(meta, indent=1))
+            os.replace(tmp, target)
+            self._based_on = meta["_local_version"]
 
 
 class MoRTable:
@@ -394,6 +449,20 @@ class MoRTable:
                 raise ValueError(f"unknown transform: {t}")
             if t in ("bucket", "truncate") and not f.get("n"):
                 raise ValueError(f"{t} needs n")
+            if t == "bucket":
+                # this engine's bucket is mod-n over a LONG cast; on a
+                # non-integer column the cast yields NULL for every row,
+                # every file lands in the null partition, and partition-
+                # filtered scans silently return empty (review r7) —
+                # fail loudly like the module's other validations
+                ftype = next(
+                    fl.type for fl in self.schema.fields if fl.name == f["source"]
+                ).lower()
+                if ftype not in ("int", "integer", "long", "bigint"):
+                    raise ValueError(
+                        f"bucket transform needs an integer column, "
+                        f"{f['source']!r} is {ftype!r}"
+                    )
             suffix = {"identity": "", "bucket": "_bucket", "truncate": "_trunc"}[t]
             norm.append(
                 {
@@ -487,7 +556,7 @@ class MoRTable:
         files = []
         for path in self._write_files(df, self.path / "data", "data", single_file):
             files.append(
-                {"path": path, "kind": "data", "record_count": _footer_row_count(path), "stats": _footer_stats(path)}
+                _data_file_entry(path)
             )
         if branch is None:
             return self._commit("append", files, **extra)
@@ -509,13 +578,27 @@ class MoRTable:
     def _append_partitioned(
         self, df: DataFrame, spec: dict, extra: dict | None = None
     ) -> dict:
-        """Partition-aware append: derive the transform columns, let Spark
-        hash-cluster the write with ``partitionBy`` (executors write all
-        partitions in parallel — the 100 TB path), then lift each output
-        file's constant partition tuple out of its Hive-style directory
-        into file-level metadata.  Data files keep only SOURCE columns;
-        partition values live in metadata, exactly like Iceberg manifests.
-        """
+        files = self._write_partitioned_entries(df, spec)
+        return self._commit("append", files, **(extra or {}))
+
+    def _write_partitioned_entries(
+        self, df: DataFrame, spec: dict, order_by: list[str] | None = None
+    ) -> list[dict]:
+        """Partition-aware data-file write: derive the transform columns,
+        let Spark hash-cluster the write with ``partitionBy`` (executors
+        write all partitions in parallel — the 100 TB path), then lift
+        each output file's constant partition tuple out of its Hive-style
+        directory into file-level metadata.  Data files keep only SOURCE
+        columns; partition values live in metadata, exactly like Iceberg
+        manifests.
+
+        Shared by append, merge, compact, and cluster_by (review r7:
+        maintenance rewrites used to route through the unpartitioned
+        writer, so one ``compact()`` silently stripped spec_id/partition
+        from every file and partition-filtered scans paid the row-level
+        residual forever after).  ``order_by`` sorts rows within each
+        partition before writing (cluster_by's z-value) and the named
+        columns are dropped from the data files."""
         from urllib.parse import unquote
 
         pcols = [f["name"] for f in spec["fields"]]
@@ -528,6 +611,10 @@ class MoRTable:
         # task instead of one per (input-partition × value); at 100 TB add a
         # salt column here to split hot partitions across writers
         out = out.repartition(*[F.col(c) for c in pcols])
+        if order_by:
+            # sort inside each writer task, then drop the ordering column
+            # before the write — projection preserves the sort order
+            out = out.sortWithinPartitions(*pcols, *order_by).drop(*order_by)
         out.write.mode("overwrite").partitionBy(*pcols).parquet(str(tmp))
         files: list[dict] = []
         for part in sorted(tmp.rglob("part-*.parquet")):
@@ -539,16 +626,13 @@ class MoRTable:
             shutil.move(str(part), str(final))
             files.append(
                 {
-                    "path": str(final),
-                    "kind": "data",
-                    "record_count": _footer_row_count(str(final)),
-                    "stats": _footer_stats(str(final)),
+                    **_data_file_entry(str(final)),
                     "spec_id": spec["spec_id"],
                     "partition": pvals,
                 }
             )
         shutil.rmtree(tmp)
-        return self._commit("append", files, **(extra or {}))
+        return files
 
     def _write_batches_one_job(
         self, dfs: list[DataFrame], dest: Path, stem: str
@@ -584,7 +668,7 @@ class MoRTable:
         file, all committed in ONE snapshot (the per-file loop of
         main.rs:128-151 + single fast_append commit at main.rs:157-158)."""
         files = [
-            {"path": path, "kind": "data", "record_count": _footer_row_count(path), "stats": _footer_stats(path)}
+            _data_file_entry(path)
             for path in self._write_batches_one_job(dfs, self.path / "data", "data")
         ]
         return self._commit("append", files)
@@ -673,16 +757,25 @@ class MoRTable:
         del_paths = self._write_files(
             source.select(*key_cols).distinct(), self.path / "deletes", "eq-delete", True
         )
-        data_paths = self._write_files(
-            source.select(*cols), self.path / "data", "data", False
-        )
         files = [
             {"path": p, "kind": "eq-delete", "record_count": _footer_row_count(p), "equality_ids": ids}
             for p in del_paths
-        ] + [
-            {"path": p, "kind": "data", "record_count": _footer_row_count(p), "stats": _footer_stats(p)}
-            for p in data_paths
         ]
+        # on a partitioned table the merged-in data files must carry the
+        # partition tuple + spec id like any append, or partition-filtered
+        # scans lose pruning on them forever (review r7); delete files are
+        # applied by anti-join and never partition-pruned, so they stay on
+        # the plain writer
+        spec = self.default_spec
+        if spec["fields"]:
+            files += self._write_partitioned_entries(source.select(*cols), spec)
+        else:
+            files += [
+                _data_file_entry(p)
+                for p in self._write_files(
+                    source.select(*cols), self.path / "data", "data", False
+                )
+            ]
         return self._commit("overwrite", files, equality_ids=ids)
 
     def delete_where(self, condition) -> dict:
@@ -819,16 +912,25 @@ class MoRTable:
                 return snaps[i:]
         return snaps
 
-    def _files_of_kind(self, kind: str, snapshot_id: int | None) -> list[dict]:
+    def _files_of_kind(self, kind: str | None, snapshot_id: int | None) -> list[dict]:
+        """Visible files of ``kind`` (all kinds when None) with merged
+        metadata: a file-level sequence number (rollback snapshots
+        re-reference old files) wins over the commit's own, and an
+        eq-delete file missing file-level ``equality_ids`` inherits the
+        commit's — ONE merge point, so the scan's grouping and rollback
+        need no second ``_upto`` walk (review r7)."""
         out = []
         for snap in self._upto(snapshot_id):
             for f in snap["files"]:
-                if f["kind"] == kind:
-                    # a file-level sequence number (rollback snapshots
-                    # re-reference old files) wins over the commit's own
-                    out.append(
-                        {**f, "sequence_number": f.get("sequence_number", snap["sequence_number"])}
-                    )
+                if kind is not None and f["kind"] != kind:
+                    continue
+                merged = {
+                    **f,
+                    "sequence_number": f.get("sequence_number", snap["sequence_number"]),
+                }
+                if f["kind"] == "eq-delete" and not merged.get("equality_ids"):
+                    merged["equality_ids"] = snap.get("equality_ids")
+                out.append(merged)
         return out
 
     # -- refs (tags) + rollback ---------------------------------------------
@@ -934,12 +1036,7 @@ class MoRTable:
         it)."""
         if snapshot_id not in {s["id"] for s in self._meta["snapshots"]}:
             raise ValueError(f"snapshot {snapshot_id} does not exist")
-        files = []
-        for snap in self._upto(snapshot_id):
-            for f in snap["files"]:
-                files.append(
-                    {**f, "sequence_number": f.get("sequence_number", snap["sequence_number"])}
-                )
+        files = self._files_of_kind(None, snapshot_id)
         return self._commit(
             "rollback", files, baseline=True, rollback_to=snapshot_id
         )
@@ -959,11 +1056,19 @@ class MoRTable:
         parallel path — exact per-file row counts only matter for the
         generation phase, not maintenance)."""
         current = self.scan()
-        paths = self._write_files(current, self.path / "data", "compacted", False)
-        files = [
-            {"path": p, "kind": "data", "record_count": _footer_row_count(p), "stats": _footer_stats(p)}
-            for p in paths
-        ]
+        spec = self.default_spec
+        if spec["fields"]:
+            # the rewrite must keep the partition layout, or one compact()
+            # strips spec_id/partition from the whole table and every
+            # partition_filter scan pays the row residual after (review r7)
+            files = self._write_partitioned_entries(current, spec)
+        else:
+            files = [
+                _data_file_entry(p)
+                for p in self._write_files(
+                    current, self.path / "data", "compacted", False
+                )
+            ]
         return self._commit("replace", files, baseline=True)
 
     def cluster_by(
@@ -1003,6 +1108,16 @@ class MoRTable:
             t = by_name[c].type.lower()
             if t not in ("int", "bigint", "long", "smallint", "tinyint", "double", "float"):
                 raise ValueError(f"cluster_by supports numeric columns, got {c}: {t}")
+        # the interleaved z-value must fit the 63 usable bits of a signed
+        # long: at bits=16 a 4th column would write bit 63 (sign — rows
+        # sort FIRST) and a 5th past 64 (Spark's shiftleft masks the
+        # shift mod 64, colliding bits) — silently scrambled clustering
+        # instead of an error (review r7).  Shrink per-column bits to fit;
+        # 63//k bits of rank per column is ample file-level selectivity.
+        if len(cols) * bits > 63:
+            bits = 63 // len(cols)
+            if bits == 0:
+                raise ValueError("cluster_by supports at most 63 columns")
         df = self.scan()
         aggs = []
         for c in cols:
@@ -1037,17 +1152,24 @@ class MoRTable:
             for ci, r in enumerate(ranks):
                 bit = F.shiftright(r, b).bitwiseAND(F.lit(1)).cast("long")
                 z = z.bitwiseOR(F.shiftleft(bit, b * k + (k - 1 - ci)))
-        zdf = (
-            df.withColumn("__z", z)
-            .repartitionByRange(target_files, "__z")
-            .sortWithinPartitions("__z")
-            .drop("__z")
-        )
-        paths = self._write_files(zdf, self.path / "data", "zorder", False)
-        files = [
-            {"path": p, "kind": "data", "record_count": _footer_row_count(p), "stats": _footer_stats(p)}
-            for p in paths
-        ]
+        spec = self.default_spec
+        if spec["fields"]:
+            # partitioned table: keep the partition layout (spec_id +
+            # partition tuple in metadata — review r7) and z-order rows
+            # WITHIN each partition, the Iceberg/Delta semantics of
+            # OPTIMIZE ZORDER on a partitioned table
+            files = self._write_partitioned_entries(
+                df.withColumn("__z", z), spec, order_by=["__z"]
+            )
+        else:
+            zdf = (
+                df.withColumn("__z", z)
+                .repartitionByRange(target_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            paths = self._write_files(zdf, self.path / "data", "zorder", False)
+            files = [_data_file_entry(p) for p in paths]
         return self._commit("replace", files, baseline=True, zorder_by=cols)
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
@@ -1303,16 +1425,11 @@ class MoRTable:
                 "__file2"
             )
             # group eq-delete files by their equality-id set (usually one);
-            # kind-based so deletes inside mixed commits (merge) count too
+            # _files_of_kind already merged sequence numbers and the
+            # snapshot-level equality_ids fallback into each entry
             by_ids: dict[tuple[int, ...], list[dict]] = {}
-            for snap in self._upto(snapshot_id):
-                for f in snap["files"]:
-                    if f["kind"] != "eq-delete":
-                        continue
-                    key = tuple(f.get("equality_ids") or snap["equality_ids"])
-                    by_ids.setdefault(key, []).append(
-                        {**f, "sequence_number": f.get("sequence_number", snap["sequence_number"])}
-                    )
+            for f in eq_files:
+                by_ids.setdefault(tuple(f["equality_ids"]), []).append(f)
             for ids, dfiles in by_ids.items():
                 key_cols = self.schema.names_for_ids(list(ids))
                 parts = []

@@ -1203,3 +1203,136 @@ def test_partition_filter_spec_aware_after_name_reuse(spark, tmp_path):
     got = {r.bar for r in t.scan(partition_filter={"bar_bucket": 1}).collect()}
     want = {v for v in range(32) if v % 4 == 1}
     assert got == want, (sorted(got), sorted(want))
+
+
+def test_local_metadata_only_race_conflicts(spark, tmp_path):
+    """Review r7: under LocalMetadataIO, a handle holding PRE-evolution
+    metadata must not republish the whole document over another
+    writer's metadata-only change.  The head-snapshot guards cannot see
+    this race (no snapshot moves); the store's _local_version CAS must.
+    Old behavior: B's create_tag silently erased A's add_column."""
+    import pytest
+
+    from iceberg_data_gen_spark.table.table import (
+        CommitConflictError,
+        Field,
+        MoRTable,
+        TableSchema,
+    )
+
+    schema = TableSchema(fields=[Field(1, "foo", "string"), Field(2, "bar", "int")])
+    t = MoRTable.create(spark, str(tmp_path / "t"), schema)
+    df = spark.createDataFrame([("a", 1)], "foo string, bar int")
+    t.append(df, single_file=True)
+
+    a = MoRTable(spark, str(tmp_path / "t"))
+    b = MoRTable(spark, str(tmp_path / "t"))
+    a.add_column("score", "double")  # metadata-only: head unchanged
+    with pytest.raises(CommitConflictError):
+        b.create_tag("v1")  # stale basis -> must NOT erase a's column
+    b.refresh()
+    b.create_tag("v1")  # retry loop succeeds
+    cur = MoRTable(spark, str(tmp_path / "t"))
+    names = [f.name for f in cur.schema.fields]
+    assert "score" in names and "v1" in cur._meta.get("refs", {})
+
+
+def test_maintenance_preserves_partition_metadata(spark, tmp_path):
+    """Review r7: merge/compact/cluster_by used to route their data files
+    through the unpartitioned writer, so ONE compact() stripped
+    spec_id/partition from the whole table and partition-filtered scans
+    paid the row-level residual on every file forever.  All three must
+    now keep the manifest partition layout."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.table.table import Field, MoRTable, TableSchema
+
+    schema = TableSchema(
+        fields=[Field(1, "foo", "string"), Field(2, "bar", "int")],
+        identifier_field_ids=[1, 2],
+    )
+    t = MoRTable.create(spark, str(tmp_path / "t"), schema)
+    t.update_spec([{"source": "bar", "transform": "bucket", "n": 4}])
+
+    def rows(a, b):
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"), F.col("id").cast("int").alias("bar")
+        )
+
+    t.append(rows(0, 100))
+    t.add_equality_deletes(rows(7, 9).select("foo", "bar"), [1, 2])
+
+    t.compact()
+    files = t._files_of_kind("data", None)
+    assert files and all(
+        f.get("spec_id") == 1 and "bar_bucket" in f.get("partition", {})
+        for f in files
+    ), files
+    expect = [b for b in range(100) if b not in (7, 8)]
+    assert sorted(r.bar for r in t.scan().collect()) == expect
+    # pruning works on the compacted files: only bucket-3 rows
+    got = sorted(r.bar for r in t.scan(partition_filter={"bar_bucket": 3}).collect())
+    assert got == [b for b in expect if b % 4 == 3]
+
+    # merge keeps partition metadata on its inserted data files
+    t.merge(rows(100, 110))
+    merged = [f for f in t._files_of_kind("data", None) if "data-" in f["path"]]
+    assert all(f.get("spec_id") == 1 and f.get("partition") for f in merged), merged
+    got = sorted(r.bar for r in t.scan(partition_filter={"bar_bucket": 3}).collect())
+    assert got == [b for b in range(110) if b % 4 == 3 and b not in (7, 8)]
+
+    # cluster_by keeps it too (z-order WITHIN partitions)
+    t.cluster_by(["bar"], bits=8)
+    files = t._files_of_kind("data", None)
+    assert all(
+        f.get("spec_id") == 1 and "bar_bucket" in f.get("partition", {})
+        for f in files
+    ), files
+    assert sorted(r.bar for r in t.scan().collect()) == sorted(
+        b for b in range(110) if b not in (7, 8)
+    )
+    got = sorted(r.bar for r in t.scan(partition_filter={"bar_bucket": 2}).collect())
+    assert got == [b for b in range(110) if b % 4 == 2 and b not in (7, 8)]
+
+
+def test_bucket_transform_requires_integer_column(spark, tmp_path):
+    """Review r7: bucket is mod-n over a LONG cast here, so a string
+    source made every partition value NULL and partition-filtered scans
+    silently returned empty — must raise instead."""
+    import pytest
+
+    from iceberg_data_gen_spark.table.table import Field, MoRTable, TableSchema
+
+    schema = TableSchema(fields=[Field(1, "foo", "string"), Field(2, "bar", "int")])
+    t = MoRTable.create(spark, str(tmp_path / "t"), schema)
+    with pytest.raises(ValueError, match="integer column"):
+        t.update_spec([{"source": "foo", "transform": "bucket", "n": 4}])
+    # integer sources still fine
+    t.update_spec([{"source": "bar", "transform": "bucket", "n": 4}])
+
+
+def test_cluster_by_many_columns_stays_in_63_bits(spark, tmp_path):
+    """Review r7: 4+ columns at the default 16 bits interleaved past bit
+    63 (sign bit set -> those rows range-partition FIRST; 5+ columns hit
+    shiftleft's mod-64 wrap and collide bits) — silently scrambled
+    clustering.  Per-column bits must shrink so k*bits <= 63, and the
+    rewrite must stay lossless."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.table.table import Field, MoRTable, TableSchema
+
+    schema = TableSchema(
+        fields=[Field(i + 1, c, "int") for i, c in enumerate("abcde")]
+    )
+    t = MoRTable.create(spark, str(tmp_path / "t"), schema)
+    df = spark.range(200).select(
+        *[
+            (F.col("id") * (i + 7) % 97).cast("int").alias(c)
+            for i, c in enumerate("abcde")
+        ]
+    )
+    t.append(df, single_file=True)
+    t.cluster_by(list("abcde"))  # bits auto-shrunk to 63 // 5 = 12
+    got = sorted(tuple(r) for r in t.scan().collect())
+    want = sorted(tuple(r) for r in df.collect())
+    assert got == want

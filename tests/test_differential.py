@@ -441,14 +441,23 @@ def test_delete_interleave_model(spark, ops):
         shutil.rmtree(base, ignore_errors=True)
 
 
-def _run_mutation_model(spark, t, ops):
+def _run_mutation_model(spark, t, ops, partition_check=None):
     """Replay a random mutation interleave (append / eq-delete / MERGE /
-    compact / expire) against the pure-Python model on an
+    compact / cluster_by / expire) against the pure-Python model on an
     already-created table ``t``.  Shared by the local-catalog and
-    REST-catalog mutation fuzz tests: merge and compaction are
-    multi-file commits and expiration is a metadata rewrite — exactly
-    the op class where a non-atomic (two-save) publish over the REST
-    CAS would strand half-applied documents."""
+    REST-catalog mutation fuzz tests: merge, compaction, and z-order
+    clustering are multi-file commits and expiration is a metadata
+    rewrite — exactly the op class where a non-atomic (two-save) publish
+    over the REST CAS would strand half-applied documents.
+
+    ``partition_check=(pcol, n)`` runs the same interleave on a table
+    whose default spec is ``bucket(bar, n)`` and, after EVERY op,
+    asserts (a) each visible data file carries the spec_id + partition
+    tuple in its manifest entry — review r7 found merge/compact/
+    cluster_by routing through the unpartitioned writer and silently
+    stripping both — and (b) a partition-filtered scan equals the model
+    filtered by the same bucket, i.e. pruning never drops or
+    manufactures rows across any maintenance history."""
     from collections import Counter
 
     files: list[dict] = []  # {"seq", "rows": [[foo, bar, baz, alive]]}
@@ -460,6 +469,26 @@ def _run_mutation_model(spark, t, ops):
             (r[0], r[1], r[2]) for f in files for r in f["rows"] if r[3]
         )
 
+    def check_partitions(r: int, kind: str) -> None:
+        if not partition_check:
+            return
+        pcol, n = partition_check
+        for f in t._files_of_kind("data", None):
+            assert f.get("partition", {}).get(pcol) is not None, (kind, f)
+            assert f.get("spec_id") is not None, (kind, f)
+        b = r % n
+        got = Counter(
+            (r2.foo, r2.bar, r2.baz)
+            for r2 in t.scan(partition_filter={pcol: b}).collect()
+        )
+        want = Counter(
+            (row[0], row[1], row[2])
+            for f in files
+            for row in f["rows"]
+            if row[3] and row[1] % n == b
+        )
+        assert got == want, (kind, b, ops)
+
     for kind, r in ops:
         if kind == "expire":
             # metadata-only: current state and future commits are
@@ -470,6 +499,7 @@ def _run_mutation_model(spark, t, ops):
                 (r2.foo, r2.bar, r2.baz) for r2 in t.scan().collect()
             )
             assert got == model_live(), (kind, ops)
+            check_partitions(r, kind)
             continue
         seq += 1
         if kind == "append":
@@ -513,8 +543,11 @@ def _run_mutation_model(spark, t, ops):
             files.append(
                 {"seq": seq, "rows": [[str(v), v, bz, True] for v in keys]}
             )
-        else:  # compact
-            t.compact()
+        else:  # compact / cluster: both replace the table with a baseline
+            if kind == "cluster":
+                t.cluster_by(["bar"], bits=8)
+            else:
+                t.compact()
             live = [
                 [r2[0], r2[1], r2[2], True]
                 for f in files
@@ -526,6 +559,7 @@ def _run_mutation_model(spark, t, ops):
             (r2.foo, r2.bar, r2.baz) for r2 in t.scan().collect()
         )
         assert got == model_live(), (kind, ops)
+        check_partitions(r, kind)
         head = t.current_snapshot_id()
         if head is not None:
             history.append((head, model_live()))
@@ -556,7 +590,9 @@ def _run_mutation_model(spark, t, ops):
 
 _MUTATION_OPS = st.lists(
     st.tuples(
-        st.sampled_from(["append", "eqdel", "merge", "compact", "expire"]),
+        st.sampled_from(
+            ["append", "eqdel", "merge", "compact", "cluster", "expire"]
+        ),
         st.integers(0, 10**6),
     ),
     min_size=4,
@@ -631,6 +667,38 @@ def test_mutation_interleave_model_rest(spark, ops):
             _run_mutation_model(spark, t, ops)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_MUTATION_OPS)
+def test_mutation_interleave_model_partitioned(spark, ops):
+    """The SAME mutation interleave on a ``bucket(bar, 4)``-partitioned
+    table, with two extra invariants after EVERY op: each visible data
+    file keeps its spec_id + partition tuple (merge/compact/cluster_by
+    used to strip both by routing through the unpartitioned writer —
+    review r7), and a bucket-filtered ``scan(partition_filter=...)``
+    stays exactly equal to the model filtered by the same bucket across
+    any maintenance history — pruning may never change results."""
+    import shutil
+    import tempfile
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=10, file_count=1)
+    schema = FixSchemaGenerator(fc, fc, fc).schema()
+    base = tempfile.mkdtemp(prefix="mor-mutfuzz-part-")
+    t = MoRTable.create(spark, base, schema)
+    t.update_spec([{"source": "bar", "transform": "bucket", "n": 4}])
+    try:
+        _run_mutation_model(spark, t, ops, partition_check=("bar_bucket", 4))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 

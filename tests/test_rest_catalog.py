@@ -995,6 +995,9 @@ _UPDATE_REQUIRED = {
 _REQUIREMENT_REQUIRED = {
     "assert-table-uuid": {"uuid"},
     "assert-ref-snapshot-id": {"ref", "snapshot-id"},
+    "assert-current-schema-id": {"current-schema-id"},
+    "assert-last-assigned-partition-id": {"last-assigned-partition-id"},
+    "assert-default-spec-id": {"default-spec-id"},
 }
 _METADATA_REQUIRED = {
     "format-version", "table-uuid", "location", "last-sequence-number",
@@ -1063,3 +1066,53 @@ def test_drop_table_legacy_cleanup_never_hits_encoded_sibling(spark, catalog):
     assert victim_dir.is_dir(), "legacy cleanup deleted a live sibling"
     assert catalog.table_exists("ns", "a/b")
     assert catalog.load_table("ns", "a/b").scan().count() == 1
+
+
+def test_commit_changes_pins_schema_and_spec_concurrency():
+    """Review r7: racing metadata-only evolutions must conflict on a
+    conforming service.  A schema-evolving commit must carry
+    assert-current-schema-id for the BASE schema (two add_columns from
+    one base -> the loser 409s instead of replacing the winner's
+    column); spec evolution must pin the base's last assigned partition
+    field id and default spec id."""
+    from iceberg_data_gen_spark.table.rest_spec import commit_changes
+
+    base_schema = {
+        "schema_id": 1,
+        "identifier_field_ids": [1],
+        "fields": [{"id": 1, "name": "foo", "type": "string", "required": True}],
+    }
+    evolved = {
+        "schema_id": 2,
+        "identifier_field_ids": [1],
+        "fields": base_schema["fields"]
+        + [{"id": 2, "name": "bar", "type": "int", "required": False}],
+    }
+    _, reqs = commit_changes(
+        {"schema": base_schema, "snapshots": []},
+        {"schema": evolved, "snapshots": []},
+        table_uuid="u", location="file:///wh/t",
+    )
+    assert {"type": "assert-current-schema-id", "current-schema-id": 1} in reqs
+
+    specs = [
+        {"spec_id": 0, "fields": []},
+        {"spec_id": 1, "fields": [
+            {"source": "foo", "transform": "identity", "name": "foo"}]},
+    ]
+    _, reqs = commit_changes(
+        {"schema": base_schema, "snapshots": []},
+        {"schema": base_schema, "snapshots": [], "partition_specs": specs,
+         "default_spec_id": 1},
+        table_uuid="u", location="file:///wh/t",
+    )
+    types = {r["type"] for r in reqs}
+    assert "assert-last-assigned-partition-id" in types
+    assert {"type": "assert-default-spec-id", "default-spec-id": 0} in reqs
+    # an unchanged-metadata commit pins none of them
+    _, reqs = commit_changes(
+        {"schema": base_schema, "snapshots": []},
+        {"schema": base_schema, "snapshots": []},
+        table_uuid="u", location="file:///wh/t",
+    )
+    assert {r["type"] for r in reqs} == {"assert-table-uuid"}
