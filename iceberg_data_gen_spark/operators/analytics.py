@@ -727,7 +727,6 @@ def q_event_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     running top-1 instead of buffering the full group — at 100 TB the
     state per key is one row, not the key's history."""
     ev = _events(spark, sf_dir)
-    from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id", "event_type").orderBy(
         F.desc("ts"), F.desc("event_id")

@@ -235,7 +235,6 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ttr DESC, doc_id) is a total order, and offsets are computed from
     the actual partition sizes.
     """
-    from pyspark.sql.window import Window
 
     docs = _docs(spark, sf_dir)
     words = F.split("text", " ")
@@ -298,7 +297,6 @@ def q_top_p_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary document crosses p.  Both windows (total + running) ride
     ONE hash exchange on ``source``; integer character counts and one
     0.8*total double product keep the cutoff engine-exact."""
-    from pyspark.sql.window import Window
 
     docs = _docs(spark, sf_dir)
     w_total = Window.partitionBy("source")

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from iceberg_data_gen_spark.operators import register
+from iceberg_data_gen_spark.operators.common import scratch_dir
 
 def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, bool]:
     """File-source streams need an explicit schema; events.ts has shipped
@@ -568,8 +569,6 @@ def q_stream_to_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     overwrite the previous row via the merge's equality delete instead
     of appending duplicates, so the table always holds exactly one row
     per window×type and the final scan is oracle-checkable."""
-    import tempfile
-
     from iceberg_data_gen_spark.table.table import Field, MoRTable, TableSchema
 
     schema = TableSchema(
@@ -581,7 +580,7 @@ def q_stream_to_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         identifier_field_ids=[1, 2],
     )
-    t = MoRTable.create(spark, tempfile.mkdtemp(prefix="mor-stream-"), schema)
+    t = MoRTable.create(spark, scratch_dir("mor-stream-"), schema)
 
     ev = read_events_stream(spark, sf_dir)
     agg = (
@@ -719,15 +718,13 @@ def q_stream_from_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot file lists.  Three appends flow through a streaming
     aggregation; totals converge to the closed form.
     """
-    import tempfile
-
     from iceberg_data_gen_spark.datagen.config import FileConfig
     from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
     from iceberg_data_gen_spark.sources.mor_stream import register_mor_stream
     from iceberg_data_gen_spark.table.table import MoRTable
 
     fc = FileConfig(rows_per_file=1000, file_count=1)
-    path = tempfile.mkdtemp(prefix="mor-cdc-")
+    path = scratch_dir("mor-cdc-")
     t = MoRTable.create(spark, path, FixSchemaGenerator(fc, fc, fc).schema())
 
     def rows(a: int, b: int) -> DataFrame:
@@ -773,10 +770,8 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-once at the batch level.  The final read-back aggregates
     the sink — so the check covers the sink files, not just the
     in-memory stream state."""
-    import tempfile
-
     ev = read_events_stream(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="stream-fb-")
+    base = scratch_dir("stream-fb-")
     sink, ckpt = f"{base}/sink", f"{base}/ckpt"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
