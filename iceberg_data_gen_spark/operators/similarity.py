@@ -311,7 +311,13 @@ def _imi_quantizer(C1, C2):
     O(nprobe log nprobe) pops — a fixed top-w×top-w grid would miss
     cells when one half's ranking dominates (e.g. the true #4 cell
     pairing the best a with the 4th-best b).
-    Same self-contained-closure discipline as ``_flat_quantizer``."""
+    Same self-contained-closure discipline as ``_flat_quantizer``.
+
+    Batch bound: ``probe`` walks the heap on the DRIVER — O(n_queries ×
+    nprobe) work and memory, independent of corpus size.  Fine for the
+    query-set shapes here (hundreds–thousands of queries); a
+    million-query batch should be chunked by the caller, not pushed
+    through one probe() call."""
     import heapq
 
     import numpy as np
