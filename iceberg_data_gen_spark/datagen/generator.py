@@ -58,6 +58,14 @@ class DataGenerator(ABC):
         self, spark: SparkSession, file_nth: int
     ) -> DataFrame | None: ...
 
+    def reset(self) -> None:
+        """Discard carried-over generation state so a reused app instance
+        produces the same output as a fresh one.  ``prepare()`` calls
+        this unconditionally, so it is part of the trait's contract —
+        concrete no-op here (review r7: a custom generator implementing
+        only the abstract methods crashed with AttributeError before
+        generating anything); stateful generators override it."""
+
 
 class FixSchemaGenerator(DataGenerator):
     """Fixed 3-column schema + deterministic generation.

@@ -27,13 +27,26 @@ def make_mor_stream_datasource():
 
         return json.loads((Path(path) / "metadata.json").read_text())
 
+    def _main_visible(s: dict) -> bool:
+        # mirror incremental_scan / _upto(None): WAP-staged and
+        # branch-only commits are not main-visible, so the stream must
+        # not deliver them (review r7: the branch filter was missing —
+        # a branch append leaked to consumers before fast_forward, and
+        # the offset advanced past it).  fast_forward POPS the branch
+        # flag in place, and a fast-forwardable branch's snapshot ids
+        # are always above the fork point (= the highest offset any
+        # consumer can have reached), so the commits are delivered
+        # exactly once, after publication — same story as WAP's
+        # cherry-picked re-commit.
+        return not s.get("staged") and not s.get("branch")
+
     def _append_files(meta: dict, lo: int, hi: int) -> list[str]:
         return [
             f["path"]
             for s in meta["snapshots"]
             if lo < s["id"] <= hi
             and s["operation"] == "append"
-            and not s.get("staged")
+            and _main_visible(s)
             for f in s["files"]
             if f["kind"] == "data"
         ]
@@ -46,8 +59,16 @@ def make_mor_stream_datasource():
 
         rows: list = []
         for p in paths:
-            tbl = pq.read_table(p, columns=columns)
-            cols = [tbl.column(c).to_pylist() for c in columns]
+            # a file written before a schema evolution lacks the added
+            # columns — project NULLs like MoRTable.scan instead of
+            # asking pyarrow for a field the footer doesn't have
+            # (review r7: replay from offset 0 after add_column crashed)
+            present = set(pq.read_schema(p).names)
+            want = [c for c in columns if c in present]
+            tbl = pq.read_table(p, columns=want)
+            data = {c: tbl.column(c).to_pylist() for c in want}
+            empty = [None] * tbl.num_rows
+            cols = [data.get(c, empty) for c in columns]
             rows.extend(zip(*cols))
         return rows
 
@@ -66,7 +87,7 @@ def make_mor_stream_datasource():
 
         def read(self, start: dict):
             meta = _load_meta(self.path)
-            live = [s for s in meta["snapshots"] if not s.get("staged")]
+            live = [s for s in meta["snapshots"] if _main_visible(s)]
             head = live[-1]["id"] if live else 0
             lo = start["snapshot"]
             if head <= lo:
@@ -89,9 +110,13 @@ def make_mor_stream_datasource():
 
         def schema(self) -> str:
             meta = _load_meta(self.options["path"])
-            types = {"string": "string", "int": "int", "boolean": "boolean", "long": "long", "double": "double"}
+            # field types are already Spark DDL names (the same strings
+            # TableSchema.to_spark feeds to DDL parsing) — pass through;
+            # a bad type fails the DDL parse loudly (review r7: a 5-entry
+            # identity map KeyError'd on 'float' and every other type the
+            # table layer supports)
             return ", ".join(
-                f"{f['name']} {types[f['type']]}" for f in meta["schema"]["fields"]
+                f"{f['name']} {f['type']}" for f in meta["schema"]["fields"]
             )
 
         def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:

@@ -1336,3 +1336,49 @@ def test_cluster_by_many_columns_stays_in_63_bits(spark, tmp_path):
     got = sorted(tuple(r) for r in t.scan().collect())
     want = sorted(tuple(r) for r in df.collect())
     assert got == want
+
+
+def test_custom_generator_implements_only_the_trait(spark, tmp_path):
+    """Review r7: prepare() calls generator.reset(), which was defined
+    only on FixSchemaGenerator — a custom generator implementing exactly
+    the DataGenerator ABC's abstract surface (the module's advertised
+    extension seam, main.rs:86-94) crashed with AttributeError before
+    generating anything.  reset() is now a concrete no-op on the ABC."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.generator import DataGenerator
+    from iceberg_data_gen_spark.table.table import Field, TableSchema
+
+    class MinimalGen(DataGenerator):
+        def schema(self):
+            return TableSchema(
+                fields=[Field(1, "foo", "string"), Field(2, "bar", "int")],
+                identifier_field_ids=[2],
+            )
+
+        def equality_delete_ids(self):
+            return [2]
+
+        def generate_data_per_file(self, spark, file_nth):
+            if file_nth >= 1:
+                return None
+            return spark.range(7).select(
+                F.col("id").cast("string").alias("foo"),
+                F.col("id").cast("int").alias("bar"),
+            )
+
+        def register_data_file(self, files):
+            pass
+
+        def generate_pos_delete_per_file(self, spark, file_nth):
+            return None
+
+        def generate_equality_delete_per_file(self, spark, file_nth):
+            return None
+
+    app = IcebergDataGeneratorApp(
+        spark, make_config(tmp_path), generator=MinimalGen()
+    )
+    app.prepare()
+    table = app.catalog.load_table("ns1", "t1")
+    assert sorted(r.bar for r in table.scan().collect()) == list(range(7))

@@ -217,6 +217,122 @@ def test_mor_stream_checkpoint_restart(spark, tmp_path):
     assert sorted(second) == list(range(200, 300)), "replayed or skipped rows"
 
 
+def test_mor_stream_branch_visibility_and_schema_evolution(spark, tmp_path):
+    """Review r7, two mor-stream reader bugs: (a) a branch-only append
+    leaked to stream consumers before fast_forward (incremental_scan
+    hides it via the main-visibility rule; the reader only filtered
+    WAP-staged commits) — worse, the offset advanced past it, so the
+    rows were ALSO never redelivered after publication; (b) replaying
+    files written before add_column crashed pyarrow by requesting the
+    added column from footers that don't have it — MoRTable.scan
+    projects NULLs, the stream must too."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.sources.mor_stream import register_mor_stream
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=100, file_count=1)
+    path = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    t = MoRTable.create(spark, path, FixSchemaGenerator(fc, fc, fc).schema())
+
+    def rows(a, b):
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    register_mor_stream(spark)
+    batches: list[list[int]] = []
+
+    def sink(batch_df, batch_id):
+        got = sorted(r.bar for r in batch_df.collect())
+        if got:
+            batches.append(got)
+
+    def run_stream(cp=ckpt):
+        q = (
+            spark.readStream.format("mor-stream")
+            .option("path", path)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    t.append(rows(0, 100), single_file=True)
+    t.create_branch("audit")
+    t.append(rows(100, 200), single_file=True, branch="audit")
+    run_stream()
+    got = [b for bs in batches for b in bs]
+    assert sorted(got) == list(range(100)), "branch-only commit leaked to main stream"
+
+    batches.clear()
+    t.fast_forward("audit")  # branch commits become main-visible
+    run_stream()
+    got = [b for bs in batches for b in bs]
+    assert sorted(got) == list(range(100, 200)), "published branch rows lost or duplicated"
+
+    # schema evolution: old files lack the new column; a fresh replay
+    # from offset 0 must project NULLs for them, not crash
+    t.add_column("score", "double")
+    t.append(
+        rows(200, 250).withColumn("score", F.col("bar").cast("double")),
+        single_file=True,
+    )
+    seen: list[tuple] = []
+
+    def sink2(batch_df, batch_id):
+        seen.extend((r.bar, r.score) for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("mor-stream")
+        .option("path", path)
+        .load()
+        .writeStream.foreachBatch(sink2)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(b for b, _ in seen) == list(range(250))
+    assert all(s is None for b, s in seen if b < 200)
+    assert all(s == float(b) for b, s in seen if b >= 200)
+
+
+def test_mor_stream_schema_passes_all_table_types(spark, tmp_path):
+    """Review r7: the source's schema() used a 5-entry identity type map
+    and KeyError'd on any other table-supported type (float, bigint);
+    it now passes the stored DDL names straight through."""
+    from iceberg_data_gen_spark.sources.mor_stream import register_mor_stream
+    from iceberg_data_gen_spark.table.table import Field, MoRTable, TableSchema
+
+    schema = TableSchema(
+        fields=[
+            Field(1, "a", "string"),
+            Field(2, "b", "float"),
+            Field(3, "c", "bigint"),
+        ]
+    )
+    MoRTable.create(spark, str(tmp_path / "t"), schema)
+    register_mor_stream(spark)
+    df = (
+        spark.readStream.format("mor-stream")
+        .option("path", str(tmp_path / "t"))
+        .load()
+    )
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "string",
+        "float",
+        "bigint",
+    ]
+
+
 def test_stream_partitions_pin_and_restore(spark):
     """run_to_completion pins the state-store partition count for the
     bounded run and restores the session conf afterwards — including
