@@ -162,8 +162,6 @@ from iceberg_data_gen_spark.operators.common import scratch_dir as _scratch_dir
 
 
 def _reference_table(spark: SparkSession):
-    import tempfile
-
     from iceberg_data_gen_spark.datagen.app import IcebergDataGeneratorApp
     from iceberg_data_gen_spark.datagen.config import (
         CatalogConfig,
@@ -341,8 +339,6 @@ def q_mor_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pre-compaction merge-on-read scan (rows 4000..4999) while the
     post-compaction plan is a plain parquet read — no delete anti-joins
     left."""
-    import tempfile
-
     from iceberg_data_gen_spark.datagen.app import IcebergDataGeneratorApp
     from iceberg_data_gen_spark.datagen.config import (
         CatalogConfig,
@@ -380,10 +376,6 @@ def q_mor_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     The plan is a plain parquet scan of the window's files: no
     anti-joins, no shuffle — this is how a downstream pipeline consumes
     a 100 TB table in snapshot-sized increments."""
-    import tempfile
-
-    from pyspark.sql import functions as F
-
     from iceberg_data_gen_spark.datagen.config import FileConfig
     from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
     from iceberg_data_gen_spark.table.table import MoRTable
@@ -421,10 +413,6 @@ def q_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     files (equality-delete + data files, sequence-number rule keeps the
     same-commit inserts alive).  Expected state: 0..499 original +
     500..1499 from the source."""
-    import tempfile
-
-    from pyspark.sql import functions as F
-
     from iceberg_data_gen_spark.datagen.config import FileConfig
     from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
     from iceberg_data_gen_spark.table.table import MoRTable
@@ -460,10 +448,6 @@ def q_mor_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     CURRENT schema over every data file, so pre-evolution files surface
     NULL for the new column (Iceberg column-projection-by-id semantics,
     metadata-only DDL)."""
-    import tempfile
-
-    from pyspark.sql import functions as F
-
     from iceberg_data_gen_spark.datagen.config import FileConfig
     from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
     from iceberg_data_gen_spark.table.table import MoRTable
@@ -525,8 +509,6 @@ def q_format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_format_roundtrip's CSV/JSON halves): the slice must survive the
     format conversion bit-exactly, so the aggregate over the read-back
     equals the oracle computed on the parquet original."""
-    import tempfile
-
     from iceberg_data_gen_spark.session import load_tables
 
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
@@ -559,10 +541,6 @@ def q_mor_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     write time, checked at planning time — Iceberg manifest pruning) and
     applies the residual predicate for exactness.  The pruning is
     asserted in tests/test_datagen.py via inputFiles()."""
-    import tempfile
-
-    from pyspark.sql import functions as F
-
     from iceberg_data_gen_spark.datagen.config import FileConfig
     from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
     from iceberg_data_gen_spark.table.table import MoRTable
@@ -593,10 +571,6 @@ def q_mor_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORIGINAL sequence number so the restored delete still applies to the
     first append but not to files of its own commit era.  Current state
     after rollback: 100..999."""
-    import tempfile
-
-    from pyspark.sql import functions as F
-
     from iceberg_data_gen_spark.datagen.config import FileConfig
     from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
     from iceberg_data_gen_spark.table.table import MoRTable
@@ -635,8 +609,6 @@ def q_mor_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     are asserted in tests/test_datagen.py; here the driver checks the
     scan is still exact after the rewrite (residual predicate applies
     regardless of pruning)."""
-    import tempfile
-
     from iceberg_data_gen_spark.table.table import Field, MoRTable, TableSchema
 
     schema = TableSchema(
@@ -682,8 +654,6 @@ def q_mor_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the evolved portion of the table answers partition queries
     from the manifest alone while history stays readable in place.
     """
-    import tempfile
-
     from iceberg_data_gen_spark.datagen.config import FileConfig
     from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
     from iceberg_data_gen_spark.table.table import MoRTable
@@ -715,8 +685,6 @@ def q_mor_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join, so overlapping predicates never double-delete a position
     — the idempotence Iceberg's delete writer guarantees.
     """
-    import tempfile
-
     from iceberg_data_gen_spark.datagen.config import FileConfig
     from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
     from iceberg_data_gen_spark.table.table import MoRTable
@@ -725,14 +693,7 @@ def q_mor_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = MoRTable.create(
         spark, _scratch_dir("mor-delw-"), FixSchemaGenerator(fc, fc, fc).schema()
     )
-    t.append(
-        spark.range(0, 1000).select(
-            F.col("id").cast("string").alias("foo"),
-            F.col("id").cast("int").alias("bar"),
-            F.lit(True).alias("baz"),
-        ),
-        single_file=True,
-    )
+    t.append(_fix_rows(spark, 0, 1000), single_file=True)
     t.delete_where("bar % 10 = 3")
     t.delete_where("bar < 200")  # overlaps rows already deleted above
     return t.scan()
@@ -753,8 +714,6 @@ def q_mor_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit) are asserted inline — a failed audit would simply skip
     publish and expire the staged files.
     """
-    import tempfile
-
     from iceberg_data_gen_spark.datagen.config import FileConfig
     from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
     from iceberg_data_gen_spark.table.table import MoRTable
@@ -794,8 +753,6 @@ def q_mor_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unpartitioned history + bucket(bar,4) evolution): per partition
     tuple, live file and record counts — answered purely from commit
     metadata, no data file opened."""
-    import tempfile
-
     from iceberg_data_gen_spark.datagen.config import FileConfig
     from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
     from iceberg_data_gen_spark.table.table import MoRTable
@@ -830,8 +787,6 @@ def q_mor_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted in tests) — while the live state 100..1999 is untouched.
     Expiry is metadata bookkeeping plus storage deletes; no table scan,
     no Spark job."""
-    import tempfile
-
     from iceberg_data_gen_spark.datagen.config import FileConfig
     from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
     from iceberg_data_gen_spark.table.table import MoRTable
@@ -865,8 +820,6 @@ def q_mor_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``scan(ref="v1")`` — the tag pins the exact pre-mutation state by
     name, metadata-only, and doubles as a retention anchor
     (expire_snapshots refuses to expire a tagged snapshot)."""
-    import tempfile
-
     from iceberg_data_gen_spark.datagen.config import FileConfig
     from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
     from iceberg_data_gen_spark.table.table import MoRTable
@@ -899,8 +852,6 @@ def q_mor_branch_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-only ancestry check; no file is read or rewritten.  The
     mid-state is asserted: main stays at 1000 rows while the branch
     reads 3000 through its parent chain."""
-    import tempfile
-
     from iceberg_data_gen_spark.datagen.config import FileConfig
     from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
     from iceberg_data_gen_spark.table.table import MoRTable
@@ -955,8 +906,6 @@ def q_mor_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~800-row tasks.  At 100 TB this is the planner that turns a million
     50 MB files into 10k rewrite tasks without touching a byte of data;
     the execution half is MoRTable.compact()/cluster_by()."""
-    import tempfile
-
     from iceberg_data_gen_spark.datagen.config import FileConfig
     from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
     from iceberg_data_gen_spark.table.table import MoRTable
@@ -968,13 +917,7 @@ def q_mor_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches, lo = [], 0
     for i in range(16):
         n = 100 * ((i % 5) + 1)
-        batches.append(
-            spark.range(lo, lo + n).select(
-                F.col("id").cast("string").alias("foo"),
-                F.col("id").cast("int").alias("bar"),
-                F.lit(True).alias("baz"),
-            )
-        )
+        batches.append(_fix_rows(spark, lo, lo + n))
         lo += n
     # ONE snapshot, 16 files (reference-shaped append_batches) — the
     # fixture costs one commit instead of 16 sequential ones; commit
@@ -1066,8 +1009,6 @@ def q_mor_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches 300 rows inside the survivors.  The numbers are computed
     from live metadata + the real scan, then cross-checked in-function
     against the stats-overlap planner the scan itself uses."""
-    import tempfile
-
     from iceberg_data_gen_spark.datagen.config import FileConfig
     from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
     from iceberg_data_gen_spark.table.table import MoRTable, _stats_overlap
@@ -1076,14 +1017,7 @@ def q_mor_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = FixSchemaGenerator(fc, fc, fc).schema()
     t = MoRTable.create(spark, _scratch_dir("mor-prune-rep-"), schema)
     for i in range(10):
-        t.append(
-            spark.range(i * 100, (i + 1) * 100).select(
-                F.col("id").cast("string").alias("foo"),
-                F.col("id").cast("int").alias("bar"),
-                F.lit(True).alias("baz"),
-            ),
-            single_file=True,
-        )
+        t.append(_fix_rows(spark, i * 100, (i + 1) * 100), single_file=True)
     where = {"bar": (250, 549)}
     files = t._files_of_kind("data", None)
     surviving = [f for f in files if _stats_overlap(f.get("stats"), where)]
