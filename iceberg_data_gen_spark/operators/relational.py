@@ -32,7 +32,6 @@ from pyspark.sql.window import Window
 
 from iceberg_data_gen_spark.operators import register
 from iceberg_data_gen_spark.operators.common import tables as _t
-from iceberg_data_gen_spark.session import load_tables
 
 
 
@@ -523,11 +522,11 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_running",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), 2) AS running_spend,
+           ) AS DOUBLE), 2) AS running_spend,
            lag(o_orderkey) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ) AS prev_orderkey
@@ -535,15 +534,23 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total + lag over a deterministic per-customer order."""
+    """Running total + lag over a deterministic per-customer order.
+
+    The frame sum accumulates in DECIMAL: engines disagree on in-frame
+    float summation order (Spark runs the frame incrementally, DuckDB may
+    use segment trees), and a raw double running sum can flip the .005
+    rounding boundary on one engine only.
+    """
     (orders,) = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        R2(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0))).alias(
-            "running_spend"
-        ),
+        R2(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+        ).alias("running_spend"),
         F.lag("o_orderkey").over(w).alias("prev_orderkey"),
     )
 
@@ -702,32 +709,38 @@ def q_scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_json_events",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            count(*) AS n_events,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           round(avg(value), 4) AS avg_value
+           round({dsum_sql('value', 2)} / count(*), 4) AS avg_value
     FROM events
     GROUP BY event_type
     """,
 )
 def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON extraction (get_json_object) + aggregate over the events table."""
+    """JSON extraction (get_json_object) + aggregate over the events table.
+
+    ``avg_value`` accumulates in DECIMAL (events.value has <= 2 decimal
+    places, so the sum is exact regardless of merge order) and divides by
+    the count — a raw double avg() drifts with partition merge order and
+    can flip round(.., 4) between engines.
+    """
     (events,) = _t(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(dsum(F.col("value"), 2) / F.count(F.lit(1)), 4).alias("avg_value"),
     )
 
 
 @register(
     "q_time_bucket_events",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('hour', ts) AS bucket,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 4) AS sum_value
+           round({dsum_sql('value', 2)}, 4) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -744,5 +757,5 @@ def q_time_bucket_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("bucket"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(dsum(F.col("value"), 2), 4).alias("sum_value"),
     )

@@ -15,14 +15,8 @@ from pyspark.sql import functions as F
 
 from iceberg_data_gen_spark.operators import register
 from iceberg_data_gen_spark.operators.common import tables as _t
-from iceberg_data_gen_spark.operators.relational import dsum, dsum_sql
+from iceberg_data_gen_spark.operators.relational import R2, dsum, dsum_sql
 from iceberg_data_gen_spark.session import load_tables
-
-
-
-
-def R2(c):
-    return F.round(c, 2)
 
 
 # ---------------------------------------------------------------------------

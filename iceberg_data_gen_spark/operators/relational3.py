@@ -697,9 +697,11 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "o_orderkey long, o_orderstatus string, o_totalprice decimal(18,2)"
     csv_back = spark.read.schema(schema).option("header", True).csv(base + "/csv")
     json_back = spark.read.schema(schema).json(base + "/json")
-    # both text halves must reproduce the parquet slice exactly
-    assert csv_back.exceptAll(sel).isEmpty() and sel.exceptAll(csv_back).isEmpty()
-    assert json_back.exceptAll(sel).isEmpty() and sel.exceptAll(json_back).isEmpty()
+    # both text halves must reproduce the parquet slice exactly; explicit
+    # raise (not `assert`) so the check survives python -O
+    for fmt, back in (("csv", csv_back), ("json", json_back)):
+        if not (back.exceptAll(sel).isEmpty() and sel.exceptAll(back).isEmpty()):
+            raise ValueError(f"{fmt} round-trip diverged from the parquet slice")
     return csv_back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("o_totalprice").cast("double").alias("total"),
@@ -956,14 +958,14 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dynamic_partition_overwrite",
-    oracle="""
+    oracle=f"""
     WITH base AS (SELECT * FROM events WHERE event_id <= 2000),
     final AS (
       SELECT event_type, value FROM base WHERE event_type <> 'click'
       UNION ALL
       SELECT event_type, value * 2 AS value FROM base WHERE event_type = 'click'
     )
-    SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    SELECT event_type, count(*) AS n, round({dsum_sql('value', 2)}, 4) AS sum_value
     FROM final GROUP BY event_type
     """,
 )
@@ -995,9 +997,11 @@ def q_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame
         .parquet(base)
     )
     back = spark.read.parquet(base)
+    # DECIMAL accumulation: value (and the doubled click values) has <= 2
+    # decimal places, so the sum is exact regardless of merge order.
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(dsum(F.col("value"), 2), 4).alias("sum_value"),
     )
 
 
@@ -1421,7 +1425,6 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation + one partition-total window; integer counts and a
     single exact division."""
     (orders,) = _t(spark, sf_dir, "orders")
-    from pyspark.sql.window import Window
 
     d = orders.where(F.col("o_totalprice") > 0).select(
         "o_orderstatus",
@@ -1467,7 +1470,6 @@ def q_group_concat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_list alone is order-nondeterministic under parallel merge —
     and the balance accumulates in DECIMAL."""
     customer, nation = _t(spark, sf_dir, "customer", "nation")
-    from pyspark.sql.window import Window
 
     w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_name"))
     ranked = (
@@ -1513,7 +1515,6 @@ def q_revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue; the relative change is one exact division rounded at the
     output boundary."""
     (orders,) = _t(spark, sf_dir, "orders")
-    from pyspark.sql.window import Window
 
     monthly = (
         orders.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
@@ -1628,7 +1629,6 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic silent-flakiness bug in segmentation jobs.  Monetary
     accumulates in DECIMAL twice (per customer, then per segment)."""
     (orders,) = _t(spark, sf_dir, "orders")
-    from pyspark.sql.window import Window
 
     per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
@@ -1687,7 +1687,6 @@ def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     The unpartitioned windows run over the per-part aggregate, not the
     fact table."""
     (lineitem,) = _t(spark, sf_dir, "lineitem")
-    from pyspark.sql.window import Window
 
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_part = lineitem.groupBy(F.col("l_partkey").alias("partkey")).agg(
@@ -1877,7 +1876,6 @@ def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile.  The final global summary is a 1-row aggregate over the
     per-interval rows."""
     (orders,) = _t(spark, sf_dir, "orders")
-    from pyspark.sql.window import Window
 
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     seq = orders.select(
@@ -1990,7 +1988,6 @@ def q_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     total window over the tiny histogram; integer counts, one exact
     division."""
     (lineitem,) = _t(spark, sf_dir, "lineitem")
-    from pyspark.sql.window import Window
 
     per_order = lineitem.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
     hist = per_order.groupBy(F.col("n_lines").alias("basket_size")).agg(
@@ -2037,7 +2034,6 @@ def q_customer_order_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     |customers| rows, not orders — same aggregate-first discipline as
     q_revenue_mom_change."""
     (orders,) = _t(spark, sf_dir, "orders")
-    from pyspark.sql.window import Window
 
     per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
     w_rank = Window.orderBy("n_orders", "o_custkey")
@@ -2087,7 +2083,6 @@ def q_cumulative_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame because engines disagree on float summation order in window
     frames."""
     (orders,) = _t(spark, sf_dir, "orders")
-    from pyspark.sql.window import Window
 
     monthly = orders.groupBy(
         F.date_trunc("month", "o_orderdate").cast("date").alias("month")
@@ -2124,7 +2119,6 @@ def q_segment_mix_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     snowflake joins, one aggregation, one per-region total window,
     integer counts and an exact division."""
     customer, nation, region = _t(spark, sf_dir, "customer", "nation", "region")
-    from pyspark.sql.window import Window
 
     counts = (
         customer.join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))

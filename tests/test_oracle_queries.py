@@ -131,3 +131,35 @@ def test_history_fold_resurfaces_regressions():
     assert last_round == {"a": 3, "b": 1, "c": 1, "d": 4}
     # and a never-green failure is of course unverified
     assert "a" in last_round and last_round["a"] == 3
+
+
+def test_no_raw_float_round_in_oracles():
+    """Convention lock (r7 review): money/measure sums and averages must
+    accumulate in DECIMAL (``dsum``/``dsum_sql``) before rounding — a raw
+    ``round(sum(double_col))`` / ``round(avg(double_col))`` drifts with
+    partition merge order and can flip a rounding boundary on ONE engine,
+    failing the driver hash flakily.  This scans every registered oracle
+    for the anti-pattern on the known double columns.  The old code
+    coincided with the oracle on current testdata (the drift is latent),
+    so this is a convention lock, not a fails-on-old regression test.
+
+    Allowed exception: ``l_quantity`` is integer-valued (verified in
+    testdata), and integer-valued doubles below 2**53 sum exactly in any
+    order, so raw avg/sum over it is order-independent.
+    """
+    import re
+
+    float_cols = (
+        "value|o_totalprice|l_extendedprice|l_discount|l_tax"
+        "|p_retailprice|c_acctbal|s_acctbal|ps_supplycost"
+    )
+    pat = re.compile(
+        r"round\(\s*(sum|avg)\(\s*(" + float_cols + r")\b", re.IGNORECASE
+    )
+    offenders = {
+        name: m.group(0)
+        for name, sql in operators.ORACLES.items()
+        for m in [pat.search(sql)]
+        if m
+    }
+    assert not offenders, f"raw float round(sum/avg(..)) in oracles: {offenders}"
