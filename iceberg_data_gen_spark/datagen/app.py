@@ -136,27 +136,36 @@ class IcebergDataGeneratorApp:
 
         # phase 2: position deletes — one file per batch, ONE snapshot
         # (main.rs:163-216; early-stop at end-of-data)
-        pos_parts = []
-        for n in range(self.config.pos_delete_files.file_count):
-            df = self.generator.generate_pos_delete_per_file(self.spark, n)
-            if df is None:
-                break
-            pos_parts.append(df)
+        pos_parts = self._delete_parts(
+            self.generator.generate_pos_delete_per_file,
+            self.config.pos_delete_files.file_count,
+        )
         if pos_parts:
             table.add_position_deletes(pos_parts)
 
         # phase 3: equality deletes — one file per batch, ONE snapshot
         # (main.rs:218-276)
-        eq_parts = []
-        for n in range(self.config.equality_delete_files.file_count):
-            df = self.generator.generate_equality_delete_per_file(self.spark, n)
-            if df is None:
-                break
-            eq_parts.append(df)
+        eq_parts = self._delete_parts(
+            self.generator.generate_equality_delete_per_file,
+            self.config.equality_delete_files.file_count,
+        )
         if eq_parts:
             table.add_equality_deletes(eq_parts, self.generator.equality_delete_ids())
 
         return self.print_summary(table)
+
+    def _delete_parts(self, generate_fn, file_count: int) -> list:
+        """The shared per-file delete loop of phases 2 and 3: up to
+        ``file_count`` batches, early-stop when the generator signals
+        end-of-data with None (one definition so the two phases cannot
+        diverge on the loop contract)."""
+        parts = []
+        for n in range(file_count):
+            df = generate_fn(self.spark, n)
+            if df is None:
+                break
+            parts.append(df)
+        return parts
 
     # -- summary (O14) ------------------------------------------------------
 

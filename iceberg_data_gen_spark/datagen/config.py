@@ -67,10 +67,17 @@ def load_config(path: str) -> Config:
 
     def fc(key: str, default_count: int) -> FileConfig:
         d = raw.get(key, {})
-        return FileConfig(
+        cfg = FileConfig(
             rows_per_file=int(d.get("rows_per_file", 1000)),
             file_count=int(d.get("file_count", default_count)),
         )
+        # negative-value guard (SURVEY.md §7 H4): the reference's usize
+        # fields make negatives unrepresentable; here they would corrupt
+        # the shared delete cursor, so fail at load time with the key name
+        for fld in ("rows_per_file", "file_count"):
+            if getattr(cfg, fld) < 0:
+                raise ValueError(f"[{key}] {fld} must be >= 0, got {getattr(cfg, fld)}")
+        return cfg
 
     return Config(
         catalog=catalog,

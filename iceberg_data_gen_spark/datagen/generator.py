@@ -156,6 +156,10 @@ class FixSchemaGenerator(DataGenerator):
         if self._cursor >= self._total_rows or not self._data_files:
             return None
         n = min(self.pos_cfg.rows_per_file, self._total_rows - self._cursor)
+        if n <= 0:
+            # rows_per_file == 0: the phase generates nothing — stop
+            # instead of indexing an empty span list (review r7)
+            return None
         # expand cursor range into per-file (path, pos) spans — file-count
         # sized driver work, row expansion happens in Spark
         spans: list[tuple[str, int, int]] = []  # (path, pos_start, pos_end)
@@ -188,6 +192,9 @@ class FixSchemaGenerator(DataGenerator):
         if self._cursor >= self._total_rows:
             return None
         n = min(self.eq_cfg.rows_per_file, self._total_rows - self._cursor)
+        if n <= 0:
+            # rows_per_file == 0: nothing to delete — no empty files
+            return None
         start = self._cursor
         self._cursor += n
         return spark.range(start, start + n).select(

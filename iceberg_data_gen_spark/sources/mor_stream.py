@@ -54,7 +54,8 @@ def make_mor_stream_datasource():
     def _rows_of(paths: list[str], columns: list[str]) -> list:
         # materialized (not a generator): the Simple stream API caches and
         # copy()s the returned iterator for replay — list iterators copy,
-        # generators don't.  Bounded by one commit's files per batch.
+        # generators don't.  Bounded by one append commit's files per
+        # batch (read() advances one visible append snapshot at a time).
         import pyarrow.parquet as pq
 
         rows: list = []
@@ -92,8 +93,22 @@ def make_mor_stream_datasource():
             lo = start["snapshot"]
             if head <= lo:
                 return iter([]), start
-            files = _append_files(meta, lo, head)
-            return iter(_rows_of(files, self.columns)), {"snapshot": head}
+            # advance at most ONE visible append snapshot per micro-batch
+            # (non-append commits contribute no rows and fold into the
+            # same advance): draining lo→head in one call materializes
+            # the entire catch-up backlog in one driver-side list after
+            # downtime (review r7).  Iceberg's streaming read bounds
+            # batches the same way (max-files/rows-per-micro-batch).
+            nxt = next(
+                (
+                    s["id"]
+                    for s in live
+                    if s["id"] > lo and s["operation"] == "append"
+                ),
+                head,
+            )
+            files = _append_files(meta, lo, nxt)
+            return iter(_rows_of(files, self.columns)), {"snapshot": nxt}
 
         def readBetweenOffsets(self, start: dict, end: dict):
             meta = _load_meta(self.path)

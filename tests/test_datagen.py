@@ -1382,3 +1382,29 @@ def test_custom_generator_implements_only_the_trait(spark, tmp_path):
     app.prepare()
     table = app.catalog.load_table("ns1", "t1")
     assert sorted(r.bar for r in table.scan().collect()) == list(range(7))
+
+
+def test_zero_rows_per_file_deletes_are_noop(spark, tmp_path):
+    """rows_per_file = 0 in a delete phase generates nothing instead of
+    crashing (review r7: the pos-delete span expansion produced an empty
+    list and ``dfs[0]`` raised a bare IndexError with no config hint)."""
+    d, p, e = (2, 10), (2, 0), (2, 0)
+    app, table, summary = run_prepare(spark, tmp_path, d, p, e)
+    assert summary["measured_total"] == 20
+    assert [s["operation"] for s in table.snapshots()] == ["append"]
+
+
+def test_negative_file_config_rejected_at_load(tmp_path):
+    """Negative rows_per_file / file_count fail at config LOAD time naming
+    the offending key (review r7): the reference's usize fields make
+    negatives unrepresentable, but here a negative value would decrement
+    the shared delete cursor before crashing downstream."""
+    from iceberg_data_gen_spark.datagen.config import load_config
+
+    bad = tmp_path / "bad.toml"
+    bad.write_text("[pos_delete_files]\nrows_per_file = -5\n")
+    with pytest.raises(ValueError, match=r"pos_delete_files.*rows_per_file"):
+        load_config(str(bad))
+    bad.write_text("[data_files]\nfile_count = -1\n")
+    with pytest.raises(ValueError, match=r"data_files.*file_count"):
+        load_config(str(bad))

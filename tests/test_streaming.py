@@ -505,3 +505,54 @@ def test_stream_dedup_recounts_after_watermark_eviction(spark, tmp_path):
     # semantics would say 2 — the recount is the operator's contract
     assert got["click"] == 3, got
     assert got["view"] == 3, got  # three distinct advancer users
+
+
+def test_mor_stream_bounds_each_batch_to_one_append(spark, tmp_path):
+    """A catch-up over a multi-commit backlog must arrive as one
+    micro-batch PER visible append snapshot, never one driver-side list
+    of the entire backlog (review r7: read() drained last-offset→head in
+    one call, so driver memory scaled with downtime instead of with one
+    commit).  Iceberg's streaming read bounds micro-batches the same way."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.sources.mor_stream import register_mor_stream
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=50, file_count=1)
+    path = str(tmp_path / "backlog")
+    t = MoRTable.create(spark, path, FixSchemaGenerator(fc, fc, fc).schema())
+
+    def rows(a, b):
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    # three appends committed BEFORE the stream starts = the backlog
+    for a in range(0, 150, 50):
+        t.append(rows(a, a + 50), single_file=True)
+
+    register_mor_stream(spark)
+    batches: list[list[int]] = []
+
+    def sink(batch_df, batch_id):
+        got = sorted(r.bar for r in batch_df.collect())
+        if got:
+            batches.append(got)
+
+    q = (
+        spark.readStream.format("mor-stream")
+        .option("path", path)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # one batch per append commit, each exactly that commit's rows
+    assert batches == [list(range(a, a + 50)) for a in range(0, 150, 50)]
