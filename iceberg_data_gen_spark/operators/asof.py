@@ -33,8 +33,21 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join; right ``value_cols`` arrive null when no right row
     precedes the left row.  Ties on timestamp resolve to the largest
-    value tuple (deterministic)."""
+    value tuple (deterministic).
+
+    NULL semantics match SQL ASOF (review r7): a right row with a NULL
+    key or NULL timestamp never matches (``right_ts <= left_ts`` is
+    never true for NULL; equality never matches NULL keys) — without the
+    filter below, nulls-first ordering put NULL-ts right rows at the
+    head of every key partition where ``last(ignorenulls)`` matched them
+    to left rows with no real predecessor, and NULL-key left rows
+    "matched" NULL-key right rows.  A left row with a NULL key or ts is
+    kept and simply matches nothing.
+    """
     lcols = left.columns
+    right = right.where(
+        F.col(right_key).isNotNull() & F.col(right_ts).isNotNull()
+    )
     # the matched right row travels as ONE struct: filling each value
     # column independently with last(ignorenulls) would stitch fields
     # from DIFFERENT right rows whenever a value column is legitimately

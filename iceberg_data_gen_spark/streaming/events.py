@@ -139,25 +139,27 @@ def stream_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def run_operator_only(sdf: DataFrame, output_mode: str = "update") -> None:
-    """PROBE-ONLY sink: drive the stream to completion via ``foreachBatch``
-    writing each micro-batch to the noop source.  Per-batch output leaves
-    the state store and is discarded executor-side, so a timing around
-    this isolates the OPERATOR + state-store cost.  ``run_to_completion``'s
-    Complete-mode memory sink instead re-collects the full result set to
-    the driver every micro-batch — a test-harness artifact that dominated
-    the 100x scale probes for the two state-heavy streams (VERDICT r6 #3);
-    real deployments write update/append mode into a distributed sink,
-    which is what this models."""
+def run_operator_only(
+    sdf: DataFrame, output_mode: str = "update", batch_fn=None
+) -> None:
+    """Drive a stream to completion via ``foreachBatch`` under the pinned
+    state-partition count.  Default sink (``batch_fn=None``) is the noop
+    source — the PROBE path: per-batch output leaves the state store and
+    is discarded executor-side, so a timing around this isolates the
+    OPERATOR + state-store cost.  ``run_to_completion``'s Complete-mode
+    memory sink instead re-collects the full result set to the driver
+    every micro-batch — a test-harness artifact that dominated the 100x
+    scale probes for the two state-heavy streams (VERDICT r6 #3); real
+    deployments write update/append mode into a distributed sink.  Pass
+    ``batch_fn`` for a real sink (e.g. the MoR upsert) so every
+    foreachBatch consumer shares ONE drive loop (review r7)."""
     spark = sdf.sparkSession
-    with stream_partitions(spark):
-        q = (
-            sdf.writeStream.outputMode(output_mode)
-            .foreachBatch(
-                lambda df, _id: df.write.format("noop").mode("overwrite").save()
-            )
-            .start()
+    if batch_fn is None:
+        batch_fn = lambda df, _id: (  # noqa: E731
+            df.write.format("noop").mode("overwrite").save()
         )
+    with stream_partitions(spark):
+        q = sdf.writeStream.outputMode(output_mode).foreachBatch(batch_fn).start()
         try:
             q.processAllAvailable()
         finally:
@@ -603,12 +605,7 @@ def q_stream_to_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         t.merge(batch_df)
 
-    with stream_partitions(spark):
-        q = agg.writeStream.outputMode("update").foreachBatch(upsert).start()
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    run_operator_only(agg, "update", batch_fn=upsert)
     return MoRTable(spark, str(t.path)).scan()
 
 

@@ -29,6 +29,24 @@ class CatalogError(RuntimeError):
     pass
 
 
+def _seg(identifier: str) -> str:
+    """Validate one namespace/table identifier as a single warehouse path
+    segment.  Without this, ``drop_table("ns", "..")`` resolves to the
+    warehouse root and rmtree deletes EVERY table (review r7 — the same
+    escape RestCatalog's ``_fs_seg`` defuses by encoding; here the layout
+    is identifier==dirname, so reject instead of encode to keep existing
+    warehouse layouts stable)."""
+    if (
+        not identifier
+        or identifier in (".", "..")
+        or "/" in identifier
+        or "\\" in identifier
+        or "\x00" in identifier
+    ):
+        raise CatalogError(f"invalid identifier: {identifier!r}")
+    return identifier
+
+
 class LocalCatalog:
     def __init__(self, spark: SparkSession, warehouse: str) -> None:
         self.spark = spark
@@ -38,16 +56,16 @@ class LocalCatalog:
     # -- namespaces ---------------------------------------------------------
 
     def create_namespace(self, namespace: str, exists_ok: bool = True) -> None:
-        p = self.warehouse / namespace
+        p = self.warehouse / _seg(namespace)
         if p.exists() and not exists_ok:
             raise CatalogError(f"namespace exists: {namespace}")
         p.mkdir(parents=True, exist_ok=True)
 
     def namespace_exists(self, namespace: str) -> bool:
-        return (self.warehouse / namespace).is_dir()
+        return (self.warehouse / _seg(namespace)).is_dir()
 
     def drop_namespace(self, namespace: str, missing_ok: bool = True) -> None:
-        p = self.warehouse / namespace
+        p = self.warehouse / _seg(namespace)
         if not p.exists():
             if missing_ok:
                 return
@@ -59,7 +77,7 @@ class LocalCatalog:
     # -- tables -------------------------------------------------------------
 
     def _table_path(self, namespace: str, name: str) -> Path:
-        return self.warehouse / namespace / name
+        return self.warehouse / _seg(namespace) / _seg(name)
 
     def table_exists(self, namespace: str, name: str) -> bool:
         return (self._table_path(namespace, name) / "metadata.json").exists()

@@ -129,6 +129,8 @@ class _CatalogState:
         reqs = body.get("requirements", [])
         if not isinstance(meta, dict):
             return 400, {"error": "commit needs {metadata}"}
+        if not isinstance(reqs, list) or not all(isinstance(r, dict) for r in reqs):
+            return 400, {"error": "requirements must be a list of objects"}
         with self.lock:
             entry = self.tables.get((ns, name))
             if entry is None:
@@ -210,14 +212,25 @@ def _make_handler(state: _CatalogState):
                     return state.drop_table(ns, name)
             return 404, {"error": "unknown route"}
 
+        def _dispatch(self, method: str) -> None:
+            try:
+                status, body = self._route(method)
+            except (ValueError, KeyError, AttributeError, TypeError) as e:
+                # a malformed body (invalid JSON, wrong shapes) is the
+                # client's fault: answer 400 instead of letting the
+                # exception drop the connection, which the client would
+                # misreport as "catalog unreachable" (review r7)
+                status, body = 400, {"error": f"malformed request: {e}"}
+            self._reply(status, body)
+
         def do_GET(self):
-            self._reply(*self._route("GET"))
+            self._dispatch("GET")
 
         def do_POST(self):
-            self._reply(*self._route("POST"))
+            self._dispatch("POST")
 
         def do_DELETE(self):
-            self._reply(*self._route("DELETE"))
+            self._dispatch("DELETE")
 
     return Handler
 

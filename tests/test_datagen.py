@@ -1408,3 +1408,28 @@ def test_negative_file_config_rejected_at_load(tmp_path):
     bad.write_text("[data_files]\nfile_count = -1\n")
     with pytest.raises(ValueError, match=r"data_files.*file_count"):
         load_config(str(bad))
+
+
+def test_local_catalog_rejects_path_escaping_identifiers(spark, tmp_path):
+    """LocalCatalog identifier guard (review r7): drop_table("ns", "..")
+    resolved to the warehouse root and rmtree deleted EVERY table — the
+    same escape RestCatalog._fs_seg defuses.  The local layout maps
+    identifier==dirname, so escaping names are rejected outright."""
+    from iceberg_data_gen_spark.table.catalog import CatalogError, LocalCatalog
+
+    wh = tmp_path / "wh-guard"
+    cat = LocalCatalog(spark, str(wh))
+    cat.create_namespace("ns1")
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+
+    fc = FileConfig(rows_per_file=5, file_count=1)
+    cat.create_table("ns1", "t1", FixSchemaGenerator(fc, fc, fc).schema())
+    for bad_ns, bad_name in [("ns1", ".."), ("..", "t1"), ("a/b", "t1"),
+                             ("ns1", "x/../.."), ("", "t1"), ("ns1", ".")]:
+        with pytest.raises(CatalogError, match="invalid identifier"):
+            cat.drop_table(bad_ns, bad_name)
+        with pytest.raises(CatalogError):
+            cat.create_namespace(bad_ns if bad_ns not in ("ns1",) else bad_name)
+    # the live table survived every rejected call
+    assert cat.table_exists("ns1", "t1")

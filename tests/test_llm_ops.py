@@ -922,3 +922,43 @@ def test_zero_norm_embedding_does_not_poison_neardup(spark, tmp_path):
     # (below the 0.4 threshold -> absent, NOT NaN-dropped): assert the
     # kernel agrees with a hand-computed numpy check on the same data
     assert pairs == {(0, 1): 1.0}, pairs
+
+
+def test_asof_join_null_keys_and_timestamps_never_match(spark):
+    """SQL ASOF semantics for NULLs (review r7): a right row with a NULL
+    timestamp sorted nulls-first at the head of its key partition and
+    last(ignorenulls) matched it to every left row lacking a real
+    predecessor; NULL-key left rows "matched" NULL-key right rows.
+    SQL never matches either (right_ts <= left_ts is never true for
+    NULL; equality never matches NULL keys) -- verified against DuckDB's
+    native ASOF JOIN on the same rows."""
+    import duckdb
+
+    from iceberg_data_gen_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(1, None, 99), (1, 5, 1), (None, 3, 2)], "k long, t long, v int"
+    )
+    left = spark.createDataFrame(
+        [(1, 2), (1, 6), (None, 4)], "k long, t long"
+    )
+    out = asof_join(
+        left, right, left_key="k", right_key="k",
+        left_ts="t", right_ts="t", value_cols=["v"],
+    )
+    got = {(r.k, r.t): r.v for r in out.collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE r AS SELECT * FROM (VALUES (1, NULL, 99), (1, 5, 1),"
+        " (NULL, 3, 2)) t(k, t, v)"
+    )
+    con.execute(
+        "CREATE TABLE l AS SELECT * FROM (VALUES (1, 2), (1, 6), (NULL, 4)) t(k, t)"
+    )
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            "SELECT l.k, l.t, r.v FROM l ASOF LEFT JOIN r ON r.k = l.k AND r.t <= l.t"
+        ).fetchall()
+    }
+    assert got == want == {(1, 2): None, (1, 6): 1, (None, 4): None}

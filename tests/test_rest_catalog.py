@@ -1116,3 +1116,42 @@ def test_commit_changes_pins_schema_and_spec_concurrency():
         table_uuid="u", location="file:///wh/t",
     )
     assert {r["type"] for r in reqs} == {"assert-table-uuid"}
+
+
+def test_malformed_bodies_get_400_not_dropped_connection(server):
+    """Review r7: invalid JSON (or a wrong-shaped requirements field)
+    raised inside the handler, so ThreadingHTTPServer dropped the
+    connection with no response and the client misdiagnosed its own bad
+    request as 'catalog unreachable'.  The server must answer 400."""
+    import json
+    import urllib.request
+
+    def post(path: str, raw: bytes) -> int:
+        req = urllib.request.Request(
+            server.uri + path, data=raw, method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    # invalid JSON on any body-bearing route -> 400, connection intact
+    assert post("/v1/namespaces", b"not json") == 400
+    # wrong-shaped requirements (dict, not list of dicts) -> 400
+    assert post("/v1/namespaces", json.dumps({"namespace": ["ns9"]}).encode()) == 200
+    assert (
+        post(
+            "/v1/namespaces/ns9/tables",
+            json.dumps({"name": "t", "metadata": {"schema": {}}}).encode(),
+        )
+        == 200
+    )
+    bad_commit = json.dumps(
+        {"metadata": {}, "requirements": {"type": "assert-version"}}
+    ).encode()
+    assert post("/v1/namespaces/ns9/tables/t", bad_commit) == 400
+    # the server is still alive and serving after both malformed requests
+    with urllib.request.urlopen(server.uri + "/v1/config") as resp:
+        assert resp.status == 200
