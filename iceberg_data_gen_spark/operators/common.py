@@ -79,3 +79,20 @@ def run_length_fold(arr: F.Column, extras, update, finish) -> F.Column:
         *[col.alias(name) for name, col in extras],
     )
     return F.aggregate(F.array_sort(arr), acc0, merge, finish)
+
+
+def ngram_expr(arr: str, k: int) -> str:
+    """Positional word k-gram SQL expression over an ALIASED array column
+    named ``arr`` — ONE transform over an index sequence, no explode
+    self-join.  The single definition shared by dedup's shingle
+    consumers (shingles/minhash_signatures/q_ngram_jaccard_pairs, whose
+    LSH-estimate vs exact-Jaccard correspondence and DuckDB oracle
+    parity assume bit-identical gram strings) and text's n-gram
+    consumers (review r7: four hand-rolled copies could drift).
+    Callers must alias ``split(text, ' ')`` into a column first so the
+    split is not re-evaluated per element, and guard ``size(arr) >= k``
+    — ``sequence(0, -1)`` counts DOWN, it is not empty."""
+    terms = ", ".join(f"{arr}[i + {j}]" if j else f"{arr}[i]" for j in range(k))
+    return (
+        f"transform(sequence(0, size({arr}) - {k}), i -> concat_ws(' ', {terms}))"
+    )

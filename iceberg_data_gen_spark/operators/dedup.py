@@ -252,10 +252,9 @@ def _shingle_expr(n: int) -> str:
     minhash_signatures(), q_ngram_jaccard_pairs) must share: the
     LSH-estimate vs exact-Jaccard correspondence and the DuckDB oracle
     parity both assume bit-identical shingle strings."""
-    return (
-        f"transform(sequence(0, size(w) - {n}), "
-        f"i -> concat_ws(' ', {', '.join(f'w[i + {k}]' for k in range(n))}))"
-    )
+    from iceberg_data_gen_spark.operators.common import ngram_expr
+
+    return ngram_expr("w", n)
 
 
 def shingles(df: DataFrame, n: int = 3) -> DataFrame:

@@ -273,6 +273,11 @@ def make_media_decode_batch(have_pil: bool):
                 pos += 8 + size + (size % 2)
             if rate is None or data is None or bits != 16 or channels != 1:
                 raise ValueError("unsupported WAV layout")
+            if rate == 0:
+                # keep the documented ValueError contract — a declared
+                # rate of 0 otherwise surfaces as ZeroDivisionError in
+                # the duration computation (review r7)
+                raise ValueError("fmt chunk declares sample_rate = 0")
             if len(data) == 0 or len(data) % 2:
                 raise ValueError("data chunk empty or odd-sized for 16-bit PCM")
             samples = _np.frombuffer(data, dtype="<i2").astype(_np.float64)
@@ -308,8 +313,17 @@ def make_media_decode_batch(have_pil: bool):
                 tokens.append(int(b[start:pos]))
             pos += 1  # single whitespace after maxval, then raster
             w, h, maxval = tokens
-            if maxval != 255:
-                raise ValueError("only 8-bit PPM supported")
+            if w <= 0 or h <= 0:
+                # zero/negative dims otherwise reshape to an empty array
+                # whose mean()/rms are NaN — a quietly poisoned stat
+                # instead of the documented ValueError (review r7)
+                raise ValueError(f"non-positive raster dimensions {w}x{h}")
+            if not (1 <= maxval <= 255):
+                # any maxval in [1, 255] is one byte per sample per the
+                # netpbm spec (real tools emit e.g. 200); stats are over
+                # the RAW sample bytes, unnormalized.  maxval >= 256
+                # means 2-byte samples — genuinely unsupported.
+                raise ValueError("only 1-byte-per-sample PPM supported (maxval 1-255)")
             px = _np.frombuffer(b, dtype=_np.uint8, count=w * h * 3, offset=pos)
             rgb = px.reshape(h, w, 3).astype(_np.float64)
             return {

@@ -96,6 +96,15 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngrams(arr: str, k: int) -> F.Column:
+    """Positional k-grams over an ALIASED word-array column named ``arr``
+    (the shared ``common.ngram_expr`` definition — see its docstring for
+    the aliasing and ``size >= k`` guard contract)."""
+    from iceberg_data_gen_spark.operators.common import ngram_expr
+
+    return F.expr(ngram_expr(arr, k))
+
+
 def _lang_scores_spark(df: DataFrame) -> DataFrame:
     for lang in _LANG_ORDER:
         df = df.withColumn(f"s_{lang}", _spark_marker_count(lang))
@@ -323,13 +332,10 @@ def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform (no self-join), exploded, then hash-counted; the top-30 is
     TakeOrderedAndProject."""
     docs = _docs(spark, sf_dir)
-    bigrams = F.expr(
-        "transform(sequence(0, size(split(text, ' ')) - 2), "
-        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i + 1]))"
-    )
     return (
-        docs.where(F.size(F.split("text", " ")) >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
+        docs.select(F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 2)
+        .select(F.explode(_ngrams("w", 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "bigram")
@@ -393,14 +399,14 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the join so the shuffle carries 8-byte keys.
     """
     docs = _docs(spark, sf_dir)
-    w = F.split("text", " ")
-    expr = (
-        "transform(sequence(0, size(split(text, ' ')) - 3), "
-        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
-        "split(text, ' ')[i+2]))"
-    )
-    grams = docs.where(F.size(w) >= 3).select(
-        "doc_id", "source", F.explode(F.array_distinct(F.expr(expr))).alias("g")
+    grams = (
+        docs.select("doc_id", "source", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(_ngrams("w", 3))).alias("g"),
+        )
     )
     bench = grams.where(F.col("source") == "web").select("g").distinct()
     return (
@@ -522,9 +528,7 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     with_words = docs.select("doc_id", F.split("text", " ").alias("w"))
-    grams = F.expr(
-        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i + 1]))"
-    )
+    grams = _ngrams("w", 2)
 
     from iceberg_data_gen_spark.operators.common import run_length_fold
 
@@ -801,14 +805,25 @@ def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shuffle-free and per-row: the whole computation is higher-order array
     functions over the row's own text (no explode, no groupBy) — at
-    100 TB this is a map-only pass inside WholeStageCodegen."""
+    100 TB this is a map-only pass inside WholeStageCodegen.  ``Σ c_i²``
+    rides the shared sorted-run-length fold (one O(n log n) sort + O(n)
+    pass, same as curation's word-level Simpson) — the previous
+    filter-per-distinct-char form was O(distinct × n) per row (review
+    r7)."""
+    from iceberg_data_gen_spark.operators.common import run_length_fold
+
     docs = _docs(spark, sf_dir)
     chars = F.split("text", "")
-    counts = F.transform(
-        F.array_distinct(chars),
-        lambda ch: F.size(F.filter(chars, lambda x: x == ch)).cast("long"),
+    ssq = run_length_fold(
+        chars,
+        extras=[("sumsq", F.lit(0).cast("long"))],
+        update=lambda acc, is_run, new_run: {
+            "sumsq": F.when(is_run, acc["sumsq"]).otherwise(
+                acc["sumsq"] + acc["run"] * acc["run"]
+            )
+        },
+        finish=lambda a: a["sumsq"] + a["run"] * a["run"],
     )
-    ssq = F.aggregate(counts, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
     n = F.size(chars).cast("long")
     return docs.select(
         "doc_id",

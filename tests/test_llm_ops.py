@@ -962,3 +962,48 @@ def test_asof_join_null_keys_and_timestamps_never_match(spark):
         ).fetchall()
     }
     assert got == want == {(1, 2): None, (1, 6): 1, (None, 4): None}
+
+
+def test_media_decoder_edge_payloads_fail_loudly_or_decode():
+    """Review r7 kernel-contract fixes: a WAV fmt chunk declaring
+    sample_rate=0 must raise the documented ValueError (it previously
+    surfaced as ZeroDivisionError); a PPM with zero raster dimensions
+    must raise (it previously emitted NaN stats from an empty reshape);
+    and a spec-valid 8-bit PPM with maxval != 255 must DECODE (one byte
+    per sample for any maxval in [1, 255] per the netpbm spec — it was
+    previously rejected with a wrong '8-bit' message)."""
+    import struct
+
+    import pandas as pd
+    import pytest
+
+    from iceberg_data_gen_spark.operators.multimodal import (
+        make_media_decode_batch,
+    )
+
+    kernel = make_media_decode_batch(False)
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)  # rate = 0
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 2) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 2) + b"\x00\x01"
+    )
+    with pytest.raises(ValueError, match="sample_rate"):
+        list(kernel(iter([pd.DataFrame(
+            {"doc_id": [1], "format": ["wav"], "payload": [wav]})])))
+
+    with pytest.raises(ValueError, match="raster dimensions"):
+        list(kernel(iter([pd.DataFrame(
+            {"doc_id": [2], "format": ["ppm"], "payload": [b"P6\n0 3\n255\n"]})])))
+
+    ok = pd.DataFrame(
+        {
+            "doc_id": [3],
+            "format": ["ppm"],
+            "payload": [b"P6\n2 1\n200\n" + bytes([10, 20, 30, 40, 50, 60])],
+        }
+    )
+    (out,) = list(kernel(iter([ok])))
+    assert out.iloc[0]["width"] == 2 and out.iloc[0]["height"] == 1
+    assert out.iloc[0]["mean_value"] == 35.0  # raw-byte stats, unnormalized
