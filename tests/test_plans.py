@@ -478,3 +478,13 @@ def test_tfidf_single_term_exchange_no_join(spark):
     assert n_exchange <= 4, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert "WindowGroupLimit" in plan, plan  # per-doc top-k stays partial
+
+
+def test_char_diversity_no_shuffle(spark):
+    """Character-collision Σc_i² is computed inside the row via the same
+    sorted-run fold as the word-level Simpson (review r7 replaced an
+    O(distinct×n) filter-per-distinct-char form) — the per-document
+    statistic must stay a pure map over the pruned scan."""
+    plan = plan_of(q("q_char_diversity", spark))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode at all
