@@ -603,25 +603,36 @@ class MoRTable:
 
         pcols = [f["name"] for f in spec["fields"]]
         tmp = self.path / f"_tmp-{uuid.uuid4().hex}"
+        # derive transforms under INTERNAL names (review r7, found by the
+        # evolve fuzz): an identity transform's field name EQUALS its
+        # source column, so aliasing it verbatim produced a duplicate
+        # column (AMBIGUOUS_REFERENCE at repartition) — and partitionBy
+        # on the real name would strip the source column from the data
+        # files, NULLing it on read.  The temp names also keep identity
+        # source columns IN the parquet, as the scan requires.
+        tmpcols = [f"__p_{i}" for i in range(len(spec["fields"]))]
         out = df.select(
             *df.columns,
-            *[self._transform_expr(f).alias(f["name"]) for f in spec["fields"]],
+            *[
+                self._transform_expr(f).alias(c)
+                for f, c in zip(spec["fields"], tmpcols)
+            ],
         )
         # cluster rows by partition tuple so each value writes one file per
         # task instead of one per (input-partition × value); at 100 TB add a
         # salt column here to split hot partitions across writers
-        out = out.repartition(*[F.col(c) for c in pcols])
+        out = out.repartition(*[F.col(c) for c in tmpcols])
         if order_by:
             # sort inside each writer task, then drop the ordering column
             # before the write — projection preserves the sort order
-            out = out.sortWithinPartitions(*pcols, *order_by).drop(*order_by)
-        out.write.mode("overwrite").partitionBy(*pcols).parquet(str(tmp))
+            out = out.sortWithinPartitions(*tmpcols, *order_by).drop(*order_by)
+        out.write.mode("overwrite").partitionBy(*tmpcols).parquet(str(tmp))
         files: list[dict] = []
         for part in sorted(tmp.rglob("part-*.parquet")):
             pvals: dict[str, str] = {}
             for comp in part.relative_to(tmp).parts[:-1]:
                 k, _, v = comp.partition("=")
-                pvals[k] = unquote(v)
+                pvals[pcols[int(k[len("__p_"):])]] = unquote(v)
             final = self.path / "data" / f"data-{uuid.uuid4().hex[:8]}-{len(files)}.parquet"
             shutil.move(str(part), str(final))
             files.append(

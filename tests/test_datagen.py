@@ -1433,3 +1433,39 @@ def test_local_catalog_rejects_path_escaping_identifiers(spark, tmp_path):
             cat.create_namespace(bad_ns if bad_ns not in ("ns1",) else bad_name)
     # the live table survived every rejected call
     assert cat.table_exists("ns1", "t1")
+
+
+def test_identity_partition_spec_write_and_scan(spark, tmp_path):
+    """Identity-transform partition evolution (review r7, found by the
+    evolve fuzz op): the derived partition field name EQUALS its source
+    column, so the partitioned writer aliased a duplicate `bar` column —
+    AMBIGUOUS_REFERENCE at repartition — and a partitionBy on the real
+    name would have stripped the source column from the data files.
+    After the internal-name fix: the write succeeds, the data files keep
+    the source column (scan returns real values, not NULLs), and file
+    metadata carries the identity partition value."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+
+    fc = FileConfig(rows_per_file=10, file_count=1)
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    t = MoRTable.create(
+        spark, str(tmp_path / "ident"), FixSchemaGenerator(fc, fc, fc).schema()
+    )
+    t.update_spec([{"source": "bar", "transform": "identity"}])
+    t.append(
+        spark.range(0, 6).select(
+            F.col("id").cast("string").alias("foo"),
+            (F.col("id") % 3).cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+    )
+    got = sorted((r.foo, r.bar) for r in t.scan().collect())
+    assert got == sorted((str(i), i % 3) for i in range(6))
+    for f in t._files_of_kind("data", None):
+        assert f["partition"].get("bar") in {"0", "1", "2"}, f
+    filtered = sorted(r.foo for r in t.scan(partition_filter={"bar": 1}).collect())
+    assert filtered == ["1", "4"]

@@ -473,9 +473,19 @@ def _run_mutation_model(spark, t, ops, partition_check=None):
         if not partition_check:
             return
         pcol, n = partition_check
+        # spec-aware (r7 evolve op): a file written under a spec that
+        # does not define pcol legitimately has no value for it — but a
+        # file whose OWN spec defines pcol must carry it (the review-r7
+        # stripping bug), and every file must carry its spec_id
+        spec_fields = {
+            s["spec_id"]: {fl["name"] for fl in s["fields"]}
+            for s in t.partition_specs
+        }
         for f in t._files_of_kind("data", None):
-            assert f.get("partition", {}).get(pcol) is not None, (kind, f)
-            assert f.get("spec_id") is not None, (kind, f)
+            sid = f.get("spec_id")
+            assert sid is not None, (kind, f)
+            if pcol in spec_fields.get(sid, set()):
+                assert f.get("partition", {}).get(pcol) is not None, (kind, f)
         b = r % n
         got = Counter(
             (r2.foo, r2.bar, r2.baz)
@@ -495,6 +505,39 @@ def _run_mutation_model(spark, t, ops, partition_check=None):
             # untouched; only old history (and its orphaned files)
             # goes away.  The end-of-run replay checks which.
             t.expire_snapshots(keep_last=1 + r % 3)
+            got = Counter(
+                (r2.foo, r2.bar, r2.baz) for r2 in t.scan().collect()
+            )
+            assert got == model_live(), (kind, ops)
+            check_partitions(r, kind)
+            continue
+        if kind == "evolve":
+            # Iceberg partition EVOLUTION mid-history (r7): metadata-only
+            # — no data file touched, no snapshot; future writes land
+            # under the new default spec, old files keep theirs and the
+            # scan plans each file against its own spec.  In the
+            # partition-checked variant the bucket width is pinned to
+            # the check's n: re-registering the field name with a
+            # different width would change the residual's domain and
+            # make the model's bucket filter ill-defined.
+            if partition_check:
+                choices = [
+                    [],
+                    [
+                        {
+                            "source": "bar",
+                            "transform": "bucket",
+                            "n": partition_check[1],
+                        }
+                    ],
+                ]
+            else:
+                choices = [
+                    [],
+                    [{"source": "bar", "transform": "bucket", "n": 2 + r % 3}],
+                    [{"source": "bar", "transform": "identity"}],
+                ]
+            t.update_spec(choices[r % len(choices)])
             got = Counter(
                 (r2.foo, r2.bar, r2.baz) for r2 in t.scan().collect()
             )
@@ -591,7 +634,7 @@ def _run_mutation_model(spark, t, ops, partition_check=None):
 _MUTATION_OPS = st.lists(
     st.tuples(
         st.sampled_from(
-            ["append", "eqdel", "merge", "compact", "cluster", "expire"]
+            ["append", "eqdel", "merge", "compact", "cluster", "expire", "evolve"]
         ),
         st.integers(0, 10**6),
     ),
