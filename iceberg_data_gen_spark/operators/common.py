@@ -96,3 +96,28 @@ def ngram_expr(arr: str, k: int) -> str:
     return (
         f"transform(sequence(0, size({arr}) - {k}), i -> concat_ws(' ', {terms}))"
     )
+
+
+def vec_dot(u: F.Column, v: F.Column) -> F.Column:
+    """Engine-portable LEFT-TO-RIGHT vector dot product: the fold order
+    matches DuckDB's list_dot_product and the numpy kernels' sequential
+    sums, keeping cosine scores bit-identical across engines.  One
+    definition shared by dedup and similarity (review r7 — it previously
+    lived in dedup, making similarity→dedup a top-level import and
+    forcing dedup's similarity imports to hide inside function bodies)."""
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def normalized_vectors(df: DataFrame) -> DataFrame:
+    """(vec_id, label, nv): unit-normalized double vectors — computed once
+    per row so pairwise stages pay a single dot product per pair."""
+    v = F.col("embedding").cast("array<double>")
+    # norm clamped at 1e-12 — the ONE zero-norm convention the whole ANN
+    # family shares (numpy kernels use np.maximum(norm, 1e-12), oracles
+    # use greatest(..., 1e-12)): a zero vector normalizes to zeros and
+    # scores cos=0.0 everywhere, instead of NaN in Spark vs NULL in
+    # DuckDB (which SORT differently and break top-k parity)
+    nv = F.transform(v, lambda x: x / F.greatest(F.sqrt(vec_dot(v, v)), F.lit(1e-12)))
+    return df.select("vec_id", "label", nv.alias("nv"))

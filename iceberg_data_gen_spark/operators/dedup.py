@@ -27,6 +27,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_data_gen_spark.operators import QUERIES, register
+from iceberg_data_gen_spark.operators.common import (
+    ngram_expr,
+    normalized_vectors,
+    vec_dot as _dot,
+)
 from iceberg_data_gen_spark.session import load_tables
 
 SIMHASH_BITS = 32
@@ -56,7 +61,13 @@ DEDUP_LSH_ENV = "IDG_DEDUP_LSH"
 # a larger in-bucket clique before star-reducing — ≤ ~32k in-row pairs
 # per bucket, still linear in bucket count at any corpus size.
 DEDUP_CHAIN_BUCKET_CAP = 256
-_DOC_COUNT: dict[str, int] = {}  # corpus path -> row count (immutable)
+# Corpus-PATH-keyed memos (the corpus at a path is immutable in-process;
+# scripts/probe_lsh_crossover.py pre-seeds _DOC_COUNT).  Deliberately NOT
+# the session-keyed similarity._TRAINED cache: these are plain values
+# derived from the files, valid across session cycles, and re-deriving
+# them per session would repeat full-corpus driver jobs.
+_DOC_COUNT: dict[str, int] = {}  # corpus path -> row count
+_JACCARD_PROBE: dict[str, tuple] = {}  # corpus path -> (use_bitmask, vocab)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,33 +184,41 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to a map-only validation scan (no shuffle — the old probe's
     # distinct() shuffled) that falls back to tokens if ANY document holds
     # a word outside the sampled map, so results stay oracle-exact.
-    vocab = [
-        r.w
-        for r in docs.select(F.explode(words).alias("w"))
-        .limit(100_000)
-        .distinct()
-        .limit(64)
-        .collect()
-    ]
-    # 63, not 64: bit index 63 would need F.lit(1 << 63), which overflows
-    # the signed long literal and raises at expression-build time — the
-    # sign bit is unusable for the mask
-    use_bitmask = len(vocab) <= 63
-    if use_bitmask:
-        probe_map = F.create_map(
-            *[x for wrd in vocab for x in (F.lit(wrd), F.lit(1))]
-        )
-        uncovered = (
-            docs.select(words.alias("ws"))
-            .where(F.exists("ws", lambda x: F.element_at(probe_map, x).isNull()))
-            .limit(1)
-            .count()
-        )
-        use_bitmask = uncovered == 0
+    if sf_dir not in _JACCARD_PROBE:
+        vocab = [
+            r.w
+            for r in docs.select(F.explode(words).alias("w"))
+            .limit(100_000)
+            .distinct()
+            .limit(64)
+            .collect()
+        ]
+        # 63, not 64: bit index 63 would need F.lit(1 << 63), which
+        # overflows the signed long literal and raises at expression-build
+        # time — the sign bit is unusable for the mask
+        use_bitmask = len(vocab) <= 63
+        if use_bitmask:
+            probe_map = F.create_map(
+                *[x for wrd in vocab for x in (F.lit(wrd), F.lit(1))]
+            )
+            uncovered = (
+                docs.select(words.alias("ws"))
+                .where(
+                    F.exists("ws", lambda x: F.element_at(probe_map, x).isNull())
+                )
+                .limit(1)
+                .count()
+            )
+            use_bitmask = uncovered == 0
+        # memoized per corpus path (review r7): the probe runs 2-3 eager
+        # driver jobs at PLAN-BUILD time, and the cluster/survivor chain
+        # re-invokes this query on every call
+        _JACCARD_PROBE[sf_dir] = (use_bitmask, sorted(vocab))
+    use_bitmask, vocab = _JACCARD_PROBE[sf_dir]
 
     if use_bitmask:
         bit_map = F.create_map(
-            *[x for i, wrd in enumerate(sorted(vocab)) for x in (F.lit(wrd), F.lit(1 << i))]
+            *[x for i, wrd in enumerate(vocab) for x in (F.lit(wrd), F.lit(1 << i))]
         )
         mask = F.aggregate(
             words,
@@ -252,8 +271,6 @@ def _shingle_expr(n: int) -> str:
     minhash_signatures(), q_ngram_jaccard_pairs) must share: the
     LSH-estimate vs exact-Jaccard correspondence and the DuckDB oracle
     parity both assume bit-identical shingle strings."""
-    from iceberg_data_gen_spark.operators.common import ngram_expr
-
     return ngram_expr("w", n)
 
 
@@ -645,25 +662,6 @@ _COS_SQL = """
     FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.nv, b.nv) >= 0.4
 """
-
-
-def _dot(u, v):
-    return F.aggregate(
-        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-
-
-def normalized_vectors(df: DataFrame) -> DataFrame:
-    """(vec_id, label, nv): unit-normalized double vectors — computed once
-    per row so pairwise stages pay a single dot product per pair."""
-    v = F.col("embedding").cast("array<double>")
-    # norm clamped at 1e-12 — the ONE zero-norm convention the whole ANN
-    # family shares (numpy kernels use np.maximum(norm, 1e-12), oracles
-    # use greatest(..., 1e-12)): a zero vector normalizes to zeros and
-    # scores cos=0.0 everywhere, instead of NaN in Spark vs NULL in
-    # DuckDB (which SORT differently and break top-k parity)
-    nv = F.transform(v, lambda x: x / F.greatest(F.sqrt(_dot(v, v)), F.lit(1e-12)))
-    return df.select("vec_id", "label", nv.alias("nv"))
 
 
 @register("q_embedding_neardup", oracle=_COS_SQL)

@@ -28,7 +28,8 @@ from iceberg_data_gen_spark.operators import register
 # ONE home for the sequential-dot / unit-normalize helpers: the
 # oracle-parity argument depends on the exact left-to-right fold, so a
 # second copy here would have to stay bit-identical by hand (review r6)
-from iceberg_data_gen_spark.operators.dedup import _dot  # noqa: F401
+from iceberg_data_gen_spark.operators.common import normalized_vectors
+from iceberg_data_gen_spark.operators.common import vec_dot as _dot
 from iceberg_data_gen_spark.session import load_tables
 
 DIM = 64
@@ -630,8 +631,6 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is deterministic arithmetic (no RNG), so the full result
     is oracle-checked against DuckDB computing the same planes.
     """
-    from iceberg_data_gen_spark.operators.dedup import normalized_vectors
-
     # ONE cached bucketed corpus per (corpus, process) via the shared
     # train-once cache: a per-call .cache() would pin a fresh corpus-sized
     # copy in executor storage memory on every invocation (q_ann_recall
@@ -904,7 +903,8 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + np.einsum("ck,ck->c", C[j], C[j])[None, :]
                 )
                 codes[:, j] = np.argmin(d2, axis=1)
-            # approx cos: sum the 8 table lookups per (query, candidate)
+            # approx cos: sum the PQ_SUBSPACES (16) table lookups per
+            # (query, candidate)
             sub = np.arange(PQ_SUBSPACES)[None, :]
             scores = T[:, sub, codes].sum(axis=2)  # (n_q, batch)
             qq = np.repeat(q_ids, len(ids))
