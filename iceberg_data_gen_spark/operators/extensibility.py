@@ -26,8 +26,6 @@ from iceberg_data_gen_spark.operators.common import tables as _t
 from iceberg_data_gen_spark.session import load_tables
 
 
-
-
 @register(
     "q_pandas_udf_scalar",
     oracle="""
@@ -161,7 +159,14 @@ _MOR_CACHE: dict[str, str] = {}
 from iceberg_data_gen_spark.operators.common import scratch_dir as _scratch_dir
 
 
-def _reference_table(spark: SparkSession):
+def _build_reference_warehouse(spark: SparkSession, prefix: str) -> str:
+    """Build the reference 5×1000-data / 2×1000-pos / 2×1000-eq warehouse
+    (the fixture shape every ``q_mor_*`` oracle encodes) into a fresh
+    scratch dir and return its path — ONE definition shared by
+    ``_reference_table`` (session-cached, read-only consumers) and
+    ``q_mor_compacted`` (private mutable copy); review r7: the block was
+    copy-pasted, so a config change could silently split the fixture
+    shape between them."""
     from iceberg_data_gen_spark.datagen.app import IcebergDataGeneratorApp
     from iceberg_data_gen_spark.datagen.config import (
         CatalogConfig,
@@ -169,20 +174,28 @@ def _reference_table(spark: SparkSession):
         FileConfig,
     )
 
-    key = spark.sparkContext.applicationId
-    if key not in _MOR_CACHE:
-        wh = _scratch_dir("mor-scan-")
-        cfg = Config(
-            catalog=CatalogConfig(warehouse=wh),
-            data_files=FileConfig(rows_per_file=1000, file_count=5),
-            pos_delete_files=FileConfig(rows_per_file=1000, file_count=2),
-            equality_delete_files=FileConfig(rows_per_file=1000, file_count=2),
-        )
-        IcebergDataGeneratorApp(spark, cfg).prepare()
-        _MOR_CACHE[key] = wh
+    wh = _scratch_dir(prefix)
+    cfg = Config(
+        catalog=CatalogConfig(warehouse=wh),
+        data_files=FileConfig(rows_per_file=1000, file_count=5),
+        pos_delete_files=FileConfig(rows_per_file=1000, file_count=2),
+        equality_delete_files=FileConfig(rows_per_file=1000, file_count=2),
+    )
+    IcebergDataGeneratorApp(spark, cfg).prepare()
+    return wh
+
+
+def _load_reference(spark: SparkSession, wh: str):
     from iceberg_data_gen_spark.table.catalog import LocalCatalog
 
-    return LocalCatalog(spark, _MOR_CACHE[key]).load_table("name1", "test_table")
+    return LocalCatalog(spark, wh).load_table("name1", "test_table")
+
+
+def _reference_table(spark: SparkSession):
+    key = spark.sparkContext.applicationId
+    if key not in _MOR_CACHE:
+        _MOR_CACHE[key] = _build_reference_warehouse(spark, "mor-scan-")
+    return _load_reference(spark, _MOR_CACHE[key])
 
 
 @register(
@@ -339,24 +352,7 @@ def q_mor_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pre-compaction merge-on-read scan (rows 4000..4999) while the
     post-compaction plan is a plain parquet read — no delete anti-joins
     left."""
-    from iceberg_data_gen_spark.datagen.app import IcebergDataGeneratorApp
-    from iceberg_data_gen_spark.datagen.config import (
-        CatalogConfig,
-        Config,
-        FileConfig,
-    )
-
-    wh = _scratch_dir("mor-compact-")
-    cfg = Config(
-        catalog=CatalogConfig(warehouse=wh),
-        data_files=FileConfig(rows_per_file=1000, file_count=5),
-        pos_delete_files=FileConfig(rows_per_file=1000, file_count=2),
-        equality_delete_files=FileConfig(rows_per_file=1000, file_count=2),
-    )
-    IcebergDataGeneratorApp(spark, cfg).prepare()
-    from iceberg_data_gen_spark.table.catalog import LocalCatalog
-
-    t = LocalCatalog(spark, wh).load_table("name1", "test_table")
+    t = _load_reference(spark, _build_reference_warehouse(spark, "mor-compact-"))
     t.compact()
     return t.scan()
 
@@ -384,14 +380,12 @@ def q_mor_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = FixSchemaGenerator(fc, fc, fc).schema()
     t = MoRTable.create(spark, _scratch_dir("mor-incr-"), schema)
 
-    def rows(a: int, b: int) -> DataFrame:
-        return _fix_rows(spark, a, b)
 
-    t.append(rows(0, 1000), single_file=True)  # snapshot 1
+    t.append(_fix_rows(spark, 0, 1000), single_file=True)  # snapshot 1
     t.add_equality_deletes(  # snapshot 2: delete keys 0..99
-        rows(0, 100).select("foo", "bar"), [1, 2]
+        _fix_rows(spark, 0, 100).select("foo", "bar"), [1, 2]
     )
-    t.append(rows(1000, 2000), single_file=True)  # snapshot 3
+    t.append(_fix_rows(spark, 1000, 2000), single_file=True)  # snapshot 3
     return t.incremental_scan(2, 3)
 
 
@@ -421,11 +415,9 @@ def q_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = FixSchemaGenerator(fc, fc, fc).schema()
     t = MoRTable.create(spark, _scratch_dir("mor-merge-"), schema)
 
-    def rows(a: int, b: int, baz: bool) -> DataFrame:
-        return _fix_rows(spark, a, b, baz)
 
-    t.append(rows(0, 1000, True), single_file=True)
-    t.merge(rows(500, 1500, False))  # identifier field = bar
+    t.append(_fix_rows(spark, 0, 1000, True), single_file=True)
+    t.merge(_fix_rows(spark, 500, 1500, False))  # identifier field = bar
     return t.scan()
 
 
@@ -456,13 +448,11 @@ def q_mor_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = FixSchemaGenerator(fc, fc, fc).schema()
     t = MoRTable.create(spark, _scratch_dir("mor-evolve-"), schema)
 
-    def rows(a: int, b: int) -> DataFrame:
-        return _fix_rows(spark, a, b)
 
-    t.append(rows(0, 1000), single_file=True)
+    t.append(_fix_rows(spark, 0, 1000), single_file=True)
     t.add_column("score", "double")
     t.append(
-        rows(1000, 2000).withColumn(
+        _fix_rows(spark, 1000, 2000).withColumn(
             "score", F.col("bar").cast("double") / F.lit(2)
         ),
         single_file=True,
@@ -509,8 +499,6 @@ def q_format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_format_roundtrip's CSV/JSON halves): the slice must survive the
     format conversion bit-exactly, so the aggregate over the read-back
     equals the oracle computed on the parquet original."""
-    from iceberg_data_gen_spark.session import load_tables
-
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     sel = orders.where(F.col("o_orderkey") <= 1000).select(
         "o_orderkey",
@@ -520,7 +508,9 @@ def q_format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_dir("orc-rt-")
     sel.write.mode("overwrite").orc(base + "/orc")
     back = spark.read.orc(base + "/orc")
-    assert back.exceptAll(sel).isEmpty() and sel.exceptAll(back).isEmpty()
+    # explicit raise (not `assert`) so the check survives python -O
+    if not (back.exceptAll(sel).isEmpty() and sel.exceptAll(back).isEmpty()):
+        raise ValueError("ORC round-trip diverged from the parquet slice")
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("o_totalprice").cast("double").alias("total"),
@@ -549,10 +539,8 @@ def q_mor_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = FixSchemaGenerator(fc, fc, fc).schema()
     t = MoRTable.create(spark, _scratch_dir("mor-prune-"), schema)
 
-    def rows(a: int, b: int) -> DataFrame:
-        return _fix_rows(spark, a, b)
 
-    t.append_batches([rows(i * 1000, (i + 1) * 1000) for i in range(4)])
+    t.append_batches([_fix_rows(spark, i * 1000, (i + 1) * 1000) for i in range(4)])
     return t.scan(where={"bar": (1500, 2499)})
 
 
@@ -579,12 +567,10 @@ def q_mor_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = FixSchemaGenerator(fc, fc, fc).schema()
     t = MoRTable.create(spark, _scratch_dir("mor-rb-"), schema)
 
-    def rows(a: int, b: int) -> DataFrame:
-        return _fix_rows(spark, a, b)
 
-    t.append(rows(0, 1000), single_file=True)                       # snap 1
-    t.add_equality_deletes(rows(0, 100).select("foo", "bar"), [1, 2])  # snap 2
-    t.append(rows(1000, 2000), single_file=True)                    # snap 3
+    t.append(_fix_rows(spark, 0, 1000), single_file=True)                       # snap 1
+    t.add_equality_deletes(_fix_rows(spark, 0, 100).select("foo", "bar"), [1, 2])  # snap 2
+    t.append(_fix_rows(spark, 1000, 2000), single_file=True)                    # snap 3
     t.rollback(2)                                                   # snap 4
     return t.scan()
 
@@ -662,12 +648,10 @@ def q_mor_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = FixSchemaGenerator(fc, fc, fc).schema()
     t = MoRTable.create(spark, _scratch_dir("mor-pspec-"), schema)
 
-    def rows(a: int, b: int) -> DataFrame:
-        return _fix_rows(spark, a, b)
 
-    t.append(rows(0, 1000), single_file=True)  # spec 0: unpartitioned
+    t.append(_fix_rows(spark, 0, 1000), single_file=True)  # spec 0: unpartitioned
     t.update_spec([{"source": "bar", "transform": "bucket", "n": 4}])
-    t.append(rows(1000, 2000))  # spec 1: one file per bucket
+    t.append(_fix_rows(spark, 1000, 2000))  # spec 1: one file per bucket
     return t.scan(partition_filter={"bar_bucket": 1})
 
 
@@ -723,11 +707,9 @@ def q_mor_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _scratch_dir("mor-wap-"), FixSchemaGenerator(fc, fc, fc).schema()
     )
 
-    def rows(a: int, b: int) -> DataFrame:
-        return _fix_rows(spark, a, b)
 
-    t.append(rows(0, 1000), single_file=True)
-    staged = t.append_staged(rows(1000, 2000), single_file=True)
+    t.append(_fix_rows(spark, 0, 1000), single_file=True)
+    staged = t.append_staged(_fix_rows(spark, 1000, 2000), single_file=True)
     # audit: quarantined from normal readers, visible by staged id
     assert t.scan().count() == 1000, "staged rows leaked to readers"
     audit = t.scan(snapshot_id=staged["id"]).count()
@@ -762,12 +744,10 @@ def q_mor_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _scratch_dir("mor-parts-"), FixSchemaGenerator(fc, fc, fc).schema()
     )
 
-    def rows(a: int, b: int) -> DataFrame:
-        return _fix_rows(spark, a, b)
 
-    t.append(rows(0, 1000), single_file=True)
+    t.append(_fix_rows(spark, 0, 1000), single_file=True)
     t.update_spec([{"source": "bar", "transform": "bucket", "n": 4}])
-    t.append(rows(1000, 2000))
+    t.append(_fix_rows(spark, 1000, 2000))
     return t.partitions_df()
 
 
@@ -795,13 +775,11 @@ def q_mor_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = FixSchemaGenerator(fc, fc, fc).schema()
     t = MoRTable.create(spark, _scratch_dir("mor-expire-"), schema)
 
-    def rows(a: int, b: int) -> DataFrame:
-        return _fix_rows(spark, a, b)
 
-    t.append(rows(0, 1000), single_file=True)                          # snap 1
-    t.add_equality_deletes(rows(0, 100).select("foo", "bar"), [1, 2])  # snap 2
+    t.append(_fix_rows(spark, 0, 1000), single_file=True)                          # snap 1
+    t.add_equality_deletes(_fix_rows(spark, 0, 100).select("foo", "bar"), [1, 2])  # snap 2
     t.compact()                                                        # snap 3 (baseline)
-    t.append(rows(1000, 2000), single_file=True)                       # snap 4
+    t.append(_fix_rows(spark, 1000, 2000), single_file=True)                       # snap 4
     info = t.expire_snapshots(keep_last=2)
     assert info["expired"] == 2 and info["removed_files"] >= 2, info
     return t.scan()
@@ -828,13 +806,11 @@ def q_mor_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = FixSchemaGenerator(fc, fc, fc).schema()
     t = MoRTable.create(spark, _scratch_dir("mor-tag-"), schema)
 
-    def rows(a: int, b: int) -> DataFrame:
-        return _fix_rows(spark, a, b)
 
-    t.append(rows(0, 1000), single_file=True)                          # snap 1
+    t.append(_fix_rows(spark, 0, 1000), single_file=True)                          # snap 1
     t.create_tag("v1")
-    t.add_equality_deletes(rows(0, 100).select("foo", "bar"), [1, 2])  # snap 2
-    t.append(rows(1000, 2000), single_file=True)                       # snap 3
+    t.add_equality_deletes(_fix_rows(spark, 0, 100).select("foo", "bar"), [1, 2])  # snap 2
+    t.append(_fix_rows(spark, 1000, 2000), single_file=True)                       # snap 3
     return t.scan(ref="v1")
 
 
@@ -860,13 +836,11 @@ def q_mor_branch_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = FixSchemaGenerator(fc, fc, fc).schema()
     t = MoRTable.create(spark, _scratch_dir("mor-branch-"), schema)
 
-    def rows(a: int, b: int) -> DataFrame:
-        return _fix_rows(spark, a, b)
 
-    t.append(rows(0, 1000), single_file=True)                      # main: snap 1
+    t.append(_fix_rows(spark, 0, 1000), single_file=True)                      # main: snap 1
     t.create_branch("audit")
-    t.append(rows(1000, 2000), single_file=True, branch="audit")   # snap 2 (audit)
-    t.append(rows(2000, 3000), single_file=True, branch="audit")   # snap 3 (audit)
+    t.append(_fix_rows(spark, 1000, 2000), single_file=True, branch="audit")   # snap 2 (audit)
+    t.append(_fix_rows(spark, 2000, 3000), single_file=True, branch="audit")   # snap 3 (audit)
     assert t.scan().count() == 1000, "branch commits leaked into main"
     assert t.scan(ref="audit").count() == 3000, "branch chain read broken"
     t.fast_forward("audit")
@@ -1016,8 +990,10 @@ def q_mor_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     fc = FileConfig(rows_per_file=100, file_count=1)
     schema = FixSchemaGenerator(fc, fc, fc).schema()
     t = MoRTable.create(spark, _scratch_dir("mor-prune-rep-"), schema)
-    for i in range(10):
-        t.append(_fix_rows(spark, i * 100, (i + 1) * 100), single_file=True)
+    # one commit, one file per batch with identical per-file stats — all
+    # the stats-overlap planner needs (review r7: was 10 sequential
+    # single-file commits = 10 write jobs + 10 metadata publishes)
+    t.append_batches([_fix_rows(spark, i * 100, (i + 1) * 100) for i in range(10)])
     where = {"bar": (250, 549)}
     files = t._files_of_kind("data", None)
     surviving = [f for f in files if _stats_overlap(f.get("stats"), where)]
