@@ -548,32 +548,29 @@ class MoRTable:
         (the Iceberg manifest model) so scans can prune at planning time.
         """
         extra = dict(_snapshot_extra or {})
+        if branch is not None:
+            ref = self._meta.get("refs", {}).get(branch)
+            if ref is None or ref["type"] != "branch":
+                raise ValueError(f"no such branch: {branch}")
+            # snapshot + ref advance publish in ONE save (see _commit): no
+            # intermediate document where the snapshot exists but the
+            # branch ref still points at the old head
+            extra.update(
+                parent=ref["snapshot_id"], branch=branch, _advance_ref=branch
+            )
         spec = self.default_spec
         if spec["fields"]:
-            if branch is not None:
-                raise ValueError("branch writes with a partition spec: not supported")
+            # branch kwargs flow through extra into the same _commit, so
+            # partitioned branch writes parent/advance identically to the
+            # unpartitioned path (review r7: this was a raise — the
+            # lifecycle fuzz's evolve op hit the gap)
             return self._append_partitioned(df, spec, extra)
         files = []
         for path in self._write_files(df, self.path / "data", "data", single_file):
             files.append(
                 _data_file_entry(path)
             )
-        if branch is None:
-            return self._commit("append", files, **extra)
-        ref = self._meta.get("refs", {}).get(branch)
-        if ref is None or ref["type"] != "branch":
-            raise ValueError(f"no such branch: {branch}")
-        # snapshot + ref advance publish in ONE save (see _commit): no
-        # intermediate document where the snapshot exists but the branch
-        # ref still points at the old head
-        return self._commit(
-            "append",
-            files,
-            parent=ref["snapshot_id"],
-            branch=branch,
-            _advance_ref=branch,
-            **extra,
-        )
+        return self._commit("append", files, **extra)
 
     def _append_partitioned(
         self, df: DataFrame, spec: dict, extra: dict | None = None

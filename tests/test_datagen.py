@@ -1469,3 +1469,46 @@ def test_identity_partition_spec_write_and_scan(spark, tmp_path):
         assert f["partition"].get("bar") in {"0", "1", "2"}, f
     filtered = sorted(r.foo for r in t.scan(partition_filter={"bar": 1}).collect())
     assert filtered == ["1", "4"]
+
+
+def test_partitioned_branch_and_staged_writes(spark, tmp_path):
+    """Branch and WAP-staged appends under a partitioned default spec
+    (review r7, exposed by the lifecycle fuzz's evolve op): append()
+    previously raised 'branch writes with a partition spec: not
+    supported' because the partitioned writer lacked the branch
+    parent/ref-advance plumbing — the kwargs now flow through the same
+    atomic commit.  Branch rows stay invisible to main until
+    fast_forward; staged rows until publish; partition pruning stays
+    exact across both."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=10, file_count=1)
+    t = MoRTable.create(
+        spark, str(tmp_path / "pbranch"), FixSchemaGenerator(fc, fc, fc).schema()
+    )
+
+    def rows(a, b):
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    t.append(rows(0, 10), single_file=True)
+    t.create_branch("b")
+    t.update_spec([{"source": "bar", "transform": "bucket", "n": 4}])
+    t.append(rows(10, 20), branch="b")
+    assert sorted(r.bar for r in t.scan().collect()) == list(range(10))
+    assert sorted(r.bar for r in t.scan(ref="b").collect()) == list(range(20))
+    t.fast_forward("b")
+    assert sorted(r.bar for r in t.scan().collect()) == list(range(20))
+    got = sorted(r.bar for r in t.scan(partition_filter={"bar_bucket": 1}).collect())
+    assert got == [b for b in range(20) if b % 4 == 1]
+    snap = t.append_staged(rows(20, 30))
+    assert sorted(r.bar for r in t.scan().collect()) == list(range(20))
+    t.publish_snapshot(snap["id"])
+    assert sorted(r.bar for r in t.scan().collect()) == list(range(30))

@@ -237,6 +237,14 @@ def _run_full_lifecycle_model(spark, t, ops, pick):
             t.publish_snapshot(sid)
             main_rows |= srows
             inc_rows |= srows
+        elif op == "evolve":
+            # partition evolution (r7): metadata-only, no snapshot — it
+            # must be INVISIBLE to every visibility surface (main scan,
+            # branch scan, staged, CDC), while subsequent appends on any
+            # ref write under the new default spec; fast_forward/publish
+            # must then surface those partitioned files unchanged
+            specs = [[], [{"source": "bar", "transform": "bucket", "n": 4}]]
+            t.update_spec(specs[(nxt // 10) % 2])
         else:  # rollback
             if not history:
                 continue
@@ -260,7 +268,9 @@ def _run_full_lifecycle_model(spark, t, ops, pick):
 
 
 _LIFECYCLE_OPS = st.lists(
-    st.sampled_from(["main", "branch", "ff", "stage", "publish", "rollback"]),
+    st.sampled_from(
+        ["main", "branch", "ff", "stage", "publish", "rollback", "evolve"]
+    ),
     min_size=4,
     max_size=8,
 )
