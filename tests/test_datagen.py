@@ -1512,3 +1512,46 @@ def test_partitioned_branch_and_staged_writes(spark, tmp_path):
     assert sorted(r.bar for r in t.scan().collect()) == list(range(20))
     t.publish_snapshot(snap["id"])
     assert sorted(r.bar for r in t.scan().collect()) == list(range(30))
+
+
+def test_partition_evolution_on_added_column(spark, tmp_path):
+    """Partition spec evolution over a schema-EVOLVED column: old files
+    lack the column entirely (projection surfaces NULL), so a
+    partition-filtered scan must exclude them via the row residual —
+    NULL never equals the probe value — while new files prune/filter
+    exactly.  Coverage lock (both behaviors already correct): the
+    residual-on-NULL path is the one a composed evolution history
+    exercises first in production."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=10, file_count=1)
+    t = MoRTable.create(
+        spark, str(tmp_path / "sep"), FixSchemaGenerator(fc, fc, fc).schema()
+    )
+    t.append(
+        spark.range(0, 10).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+    )
+    t.add_column("score", "int")
+    t.update_spec([{"source": "score", "transform": "bucket", "n": 3}])
+    t.append(
+        spark.range(10, 20).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+            (F.col("id") % 7).cast("int").alias("score"),
+        )
+    )
+    got = sorted((r.bar, r.score) for r in t.scan().collect())
+    assert got == sorted(
+        [(i, None) for i in range(10)] + [(i, i % 7) for i in range(10, 20)]
+    )
+    flt = sorted(r.bar for r in t.scan(partition_filter={"score_bucket": 1}).collect())
+    assert flt == [i for i in range(10, 20) if (i % 7) % 3 == 1]
