@@ -124,15 +124,15 @@ def _data_file_entry(path: str) -> dict:
     }
 
 
-def _footer_stats(path: str) -> dict[str, list]:
-    """Per-column [min, max] from the parquet footer — the file-level
-    stats an Iceberg manifest carries.  Collected once at WRITE time
-    (the writer already has the footer in hand), so scan planning can
-    skip whole files without opening them.  Only JSON-representable
-    scalar stats are kept; a column without stats simply can't prune."""
-    import pyarrow.parquet as pq
-
-    return _stats_of(pq.ParquetFile(path).metadata)
+def _hive_pval(v) -> str:
+    """A partition probe value rendered the way Spark's Hive-style
+    directories render it (the form ``_write_partitioned_entries`` lifts
+    into file metadata): booleans are lowercase ``true``/``false`` —
+    ``str(True)`` is ``'True'`` and would prune away every matching file
+    (review r7, silent empty scans on boolean identity partitions)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
 
 
 def _stats_of(md) -> dict[str, list]:
@@ -472,6 +472,12 @@ class MoRTable:
                     "name": f["source"] + suffix,
                 }
             )
+        names = [f["name"] for f in norm]
+        if len(set(names)) != len(names):
+            # two definitions under one derived name: the writer's dir
+            # layout keeps only the LAST value while pruning resolves the
+            # name to ONE definition — silent wrong pruning (review r7)
+            raise ValueError(f"duplicate partition field names: {names}")
         specs = self.partition_specs
         spec = {"spec_id": specs[-1]["spec_id"] + 1, "fields": norm}
         self._meta["partition_specs"] = specs + [spec]
@@ -674,7 +680,18 @@ class MoRTable:
     def append_batches(self, dfs: list[DataFrame]) -> dict:
         """Reference-shaped append: each DataFrame becomes exactly one data
         file, all committed in ONE snapshot (the per-file loop of
-        main.rs:128-151 + single fast_append commit at main.rs:157-158)."""
+        main.rs:128-151 + single fast_append commit at main.rs:157-158).
+
+        Refuses a partitioned default spec: file-per-batch conflicts with
+        file-per-partition-value, and silently committing spec-less files
+        would permanently disable pruning for them (review r7 — the
+        defect class the maintenance writers were fixed for).  Use
+        ``append()`` on partitioned tables."""
+        if self.default_spec["fields"]:
+            raise ValueError(
+                "append_batches writes unpartitioned file-per-batch "
+                "layouts; use append() on a partitioned table"
+            )
         files = [
             _data_file_entry(path)
             for path in self._write_batches_one_job(dfs, self.path / "data", "data")
@@ -970,8 +987,19 @@ class MoRTable:
                 "cannot create a branch on an empty table: no snapshot to "
                 "fork from (commit to main first, or pass snapshot_id)"
             )
-        if sid not in {s["id"] for s in self._meta["snapshots"]}:
+        snap = next(
+            (s for s in self._meta["snapshots"] if s["id"] == sid), None
+        )
+        if snap is None:
             raise ValueError(f"snapshot {snapshot_id} does not exist")
+        if snap.get("staged"):
+            # a staged snapshot is quarantined: branch reads filter staged
+            # ancestors out of the parent chain, so a branch forked here
+            # would silently LOSE the staged rows (and fast_forward would
+            # land the loss on main) — review r7.  Publish first.
+            raise ValueError(
+                "cannot branch from a WAP-staged snapshot: publish it first"
+            )
         refs = self._meta.setdefault("refs", {})
         if name in refs:
             raise ValueError(f"ref exists: {name}")
@@ -1181,9 +1209,15 @@ class MoRTable:
         return self._commit("replace", files, baseline=True, zorder_by=cols)
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
-        """Iceberg ``expire_snapshots`` + ``remove_orphan_files`` in one:
-        drop history older than the ``keep_last`` most recent snapshots and
-        physically delete every file referenced only by expired snapshots.
+        """Iceberg ``expire_snapshots`` with physical file removal for the
+        EXPIRED set: drop history older than the ``keep_last`` most recent
+        snapshots and delete every file referenced only by expired
+        snapshots.  NOT a full ``remove_orphan_files``: a file written by
+        a commit that then lost its CAS race is referenced by no snapshot
+        at all and is deliberately left alone — distinguishing it from a
+        concurrent writer's not-yet-committed files requires the
+        older-than grace window Iceberg's action takes, which this
+        in-process engine does not track.
 
         The retained range is extended back to the governing *baseline*
         (replace) snapshot of the oldest kept snapshot, because resolving
@@ -1386,16 +1420,38 @@ class MoRTable:
             # is in a different domain and comparing it against the new
             # transform's value would silently drop matching rows — such
             # files are kept and pay the row-level residual instead
-            field_spec = {
-                k: self._spec_field_with_spec(k)[1] for k in partition_filter
+            # a file is prune-ELIGIBLE on k when its own spec defines k
+            # with the IDENTICAL (source, transform, n) as the newest
+            # definition — not merely the same spec_id (review r7: evolve
+            # toggles mint new ids with identical definitions, and
+            # id-equality stranded every older file on the row residual
+            # forever).  Different-parameter re-registrations stay
+            # ineligible and pay the residual, as before.
+            newest = {k: self._spec_field(k) for k in partition_filter}
+
+            def _same_def(a: dict, b: dict) -> bool:
+                return (a["source"], a["transform"], a.get("n")) == (
+                    b["source"],
+                    b["transform"],
+                    b.get("n"),
+                )
+
+            eligible = {
+                k: {
+                    s["spec_id"]
+                    for s in self.partition_specs
+                    for fdef in s["fields"]
+                    if fdef["name"] == k and _same_def(fdef, newest[k])
+                }
+                for k in partition_filter
             }
             data_files = [
                 f
                 for f in data_files
                 if all(
                     k not in (f.get("partition") or {})
-                    or f.get("spec_id") != field_spec[k]
-                    or (f.get("partition") or {})[k] == str(v)
+                    or f.get("spec_id") not in eligible[k]
+                    or (f.get("partition") or {})[k] == _hive_pval(v)
                     for k, v in partition_filter.items()
                 )
             ]

@@ -1555,3 +1555,112 @@ def test_partition_evolution_on_added_column(spark, tmp_path):
     )
     flt = sorted(r.bar for r in t.scan(partition_filter={"score_bucket": 1}).collect())
     assert flt == [i for i in range(10, 20) if (i % 7) % 3 == 1]
+
+
+def _mk_table(spark, tmp_path, name):
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=10, file_count=1)
+    return MoRTable.create(
+        spark, str(tmp_path / name), FixSchemaGenerator(fc, fc, fc).schema()
+    )
+
+
+def test_boolean_identity_partition_filter(spark, tmp_path):
+    """Review r7 (high pass): pruning compared str(True)='True' against
+    Spark's Hive-dir rendering 'true', so a boolean identity partition
+    filter pruned away every matching file and the scan silently
+    returned empty."""
+    from pyspark.sql import functions as F
+
+    t = _mk_table(spark, tmp_path, "boolpart")
+    t.update_spec([{"source": "baz", "transform": "identity"}])
+    t.append(
+        spark.range(0, 10).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            (F.col("id") % 2 == 0).alias("baz"),
+        )
+    )
+    got = sorted(r.bar for r in t.scan(partition_filter={"baz": True}).collect())
+    assert got == [0, 2, 4, 6, 8], got
+    got_f = sorted(r.bar for r in t.scan(partition_filter={"baz": False}).collect())
+    assert got_f == [1, 3, 5, 7, 9], got_f
+
+
+def test_branch_from_staged_snapshot_rejected(spark, tmp_path):
+    """Review r7 (high pass): a branch forked at a WAP-staged snapshot
+    silently LOST the staged rows (branch reads filter staged ancestors
+    from the parent chain) and fast_forward landed the loss on main —
+    forking from quarantine is now rejected."""
+    t = _mk_table(spark, tmp_path, "stagedbranch")
+    t.append(_fix_rows_dg(spark, 0, 10), single_file=True)
+    snap = t.append_staged(_fix_rows_dg(spark, 10, 20), single_file=True)
+    with pytest.raises(ValueError, match="staged"):
+        t.create_branch("b", snapshot_id=snap["id"])
+    # publishing first makes the same fork point legal
+    t.publish_snapshot(snap["id"])
+    t.create_branch("b")
+    assert sorted(r.bar for r in t.scan(ref="b").collect()) == list(range(20))
+
+
+def test_update_spec_rejects_duplicate_field_names(spark, tmp_path):
+    """Review r7 (high pass): two definitions under one derived name made
+    the writer store the LAST value while pruning resolved the name to
+    one definition — silent wrong pruning; rejected at update_spec."""
+    t = _mk_table(spark, tmp_path, "dupspec")
+    with pytest.raises(ValueError, match="duplicate"):
+        t.update_spec(
+            [
+                {"source": "bar", "transform": "bucket", "n": 4},
+                {"source": "bar", "transform": "bucket", "n": 8},
+            ]
+        )
+
+
+def test_append_batches_refuses_partitioned_spec(spark, tmp_path):
+    """Review r7 (high pass): append_batches wrote spec-less files on a
+    partitioned table (file-per-batch conflicts with file-per-partition-
+    value), permanently disabling pruning for them — now refused."""
+    t = _mk_table(spark, tmp_path, "batchpart")
+    t.update_spec([{"source": "bar", "transform": "bucket", "n": 4}])
+    with pytest.raises(ValueError, match="partitioned"):
+        t.append_batches([_fix_rows_dg(spark, 0, 10)])
+
+
+def test_pruning_survives_identical_spec_reregistration(spark, tmp_path):
+    """Review r7 (high pass): prune eligibility was keyed on EXACT
+    spec_id equality with the newest spec, so an evolve toggle
+    (bucket -> unpartitioned -> same bucket again) minted a new spec_id
+    and stranded every older bucket file on the row residual forever.
+    Eligibility now compares the field DEFINITION (source, transform,
+    n); different-parameter re-registrations stay residual-only."""
+    from pyspark.sql import functions as F
+
+    t = _mk_table(spark, tmp_path, "respec")
+    bucket4 = [{"source": "bar", "transform": "bucket", "n": 4}]
+    t.update_spec(bucket4)
+    t.append(_fix_rows_dg(spark, 0, 12))        # spec 1: 4 bucket files
+    t.update_spec([])
+    t.append(_fix_rows_dg(spark, 12, 24), single_file=True)  # spec 2: 1 plain file
+    t.update_spec(bucket4)                       # spec 3: SAME definition
+    t.append(_fix_rows_dg(spark, 24, 36))        # 4 more bucket files
+    df = t.scan(partition_filter={"bar_bucket": 1})
+    got = sorted(r.bar for r in df.collect())
+    assert got == [b for b in range(36) if b % 4 == 1], got
+    # both bucket generations must PRUNE: of the 9 data files only
+    # 1 (spec-1 bucket=1) + 1 (unpartitioned, residual) + 1 (spec-3
+    # bucket=1) may be read
+    assert len(df.inputFiles()) == 3, df.inputFiles()
+
+
+def _fix_rows_dg(spark, a, b):
+    from pyspark.sql import functions as F
+
+    return spark.range(a, b).select(
+        F.col("id").cast("string").alias("foo"),
+        F.col("id").cast("int").alias("bar"),
+        F.lit(True).alias("baz"),
+    )
