@@ -38,6 +38,7 @@ that route and this one consume the same ``[catalog]`` TOML section.
 
 from __future__ import annotations
 
+import http.client
 import json
 import os
 import urllib.error
@@ -98,6 +99,11 @@ def _call(
         # read-side stall after the connection was established (half-dead
         # service) — same contract as unreachable
         raise RestCatalogError(0, f"catalog timed out after {CALL_TIMEOUT_S}s") from e
+    except (OSError, http.client.HTTPException) as e:
+        # connection died MID-BODY (reset/incomplete read after headers):
+        # urlopen already returned so the URLError handler is bypassed —
+        # keep the documented RestCatalogError contract (review r7)
+        raise RestCatalogError(0, f"catalog connection failed: {e!r}") from e
 
 
 def _err(status: int, payload: dict | None) -> str:

@@ -141,13 +141,18 @@ def _snapshot_to_spec(snap: dict, location: str, schema_id: int = 1) -> dict:
     adopts this mapping materializes the avro manifest list there.
     ``summary.operation`` maps the repo's operation vocabulary onto the
     spec's enum (append | replace | overwrite | delete)."""
+    # keys are the engine's ACTUAL snapshot operation strings (the
+    # _commit call sites in table.py) — review r7: the old map keyed on
+    # file-KIND names (pos-delete/eq-delete/merge) that no snapshot ever
+    # carries, so every delete commit fell through .get()'s default and
+    # went on the wire as 'overwrite'
     op = {
         "append": "append",
-        "pos-delete": "delete",
-        "eq-delete": "delete",
-        "delete": "delete",
-        "replace": "replace",
-        "merge": "overwrite",
+        "delete-position": "delete",
+        "delete-equality": "delete",
+        "overwrite": "overwrite",  # merge upsert
+        "replace": "replace",  # compaction / clustering baselines
+        "rollback": "replace",  # baseline restore of a prior state
     }.get(snap["operation"], "overwrite")
     summary = {
         "operation": op,
@@ -335,6 +340,18 @@ def commit_changes(base: dict, target: dict, *, table_uuid: str, location: str):
             for s in target.get("partition_specs", [])
             if s["spec_id"] not in base_specs
         }
+        # -1 binds to the LAST spec added in this commit; a default that
+        # is an EARLIER same-commit addition has no spec-legal spelling
+        # (its literal id is service-assigned) — unreachable from engine
+        # flows (update_spec always defaults the newest), so refuse
+        # loudly rather than aim a conforming service at the wrong spec
+        # (review r7)
+        last_added = max(newly_added, default=None)
+        if tgt_default in newly_added and tgt_default != last_added:
+            raise ValueError(
+                "unsupported batched delta: the new default spec is an "
+                "earlier same-commit addition; -1 binds to the last one"
+            )
         updates.append(
             {
                 "action": "set-default-spec",

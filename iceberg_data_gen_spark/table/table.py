@@ -969,6 +969,12 @@ class MoRTable:
         if sid is None or sid not in {s["id"] for s in self._meta["snapshots"]}:
             raise ValueError(f"snapshot {snapshot_id} does not exist")
         refs = self._meta.setdefault("refs", {})
+        if name == "main":
+            # 'main' is the implicit current-head branch: a user ref of
+            # that name collides with the spec mapping's implicit main
+            # entry (contradictory wire requirements, inconsistent
+            # TableMetadata — review r7)
+            raise ValueError("'main' is reserved for the implicit main branch")
         if name in refs:
             raise ValueError(f"ref exists: {name}")
         refs[name] = {"type": "tag", "snapshot_id": sid}
@@ -1001,6 +1007,12 @@ class MoRTable:
                 "cannot branch from a WAP-staged snapshot: publish it first"
             )
         refs = self._meta.setdefault("refs", {})
+        if name == "main":
+            # 'main' is the implicit current-head branch: a user ref of
+            # that name collides with the spec mapping's implicit main
+            # entry (contradictory wire requirements, inconsistent
+            # TableMetadata — review r7)
+            raise ValueError("'main' is reserved for the implicit main branch")
         if name in refs:
             raise ValueError(f"ref exists: {name}")
         refs[name] = {"type": "branch", "snapshot_id": sid}

@@ -80,8 +80,8 @@ DELETES = {
     "schema": SCHEMA_V1,
     "snapshots": [
         _snap(1, 1, "append"),
-        _snap(2, 2, "pos-delete", parent=1),
-        _snap(3, 3, "eq-delete", parent=2),
+        _snap(2, 2, "delete-position", parent=1),
+        _snap(3, 3, "delete-equality", parent=2),
     ],
 }
 
@@ -118,7 +118,7 @@ PARTITIONED = {
 
 EXPIRED = {
     "schema": SCHEMA_V1,
-    "snapshots": [_snap(3, 3, "eq-delete", parent=2)],
+    "snapshots": [_snap(3, 3, "delete-equality", parent=2)],
 }
 
 

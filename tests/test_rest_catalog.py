@@ -583,7 +583,13 @@ def test_spec_mapping_properties_random_histories():
                 "id": i,
                 "parent": i - 1 if i > 1 else None,
                 "sequence_number": i,
-                "operation": draw(st.sampled_from(["append", "pos-delete", "eq-delete", "replace", "merge"])),
+                "operation": draw(st.sampled_from(
+                    # the ENGINE's real operation vocabulary (review r7:
+                    # sampling nonexistent file-kind names masked the
+                    # delete->overwrite wire bug)
+                    ["append", "delete-position", "delete-equality",
+                     "replace", "overwrite", "rollback"]
+                )),
                 "files": [],
             }
             if kind == "staged":
@@ -1155,3 +1161,59 @@ def test_malformed_bodies_get_400_not_dropped_connection(server):
     # the server is still alive and serving after both malformed requests
     with urllib.request.urlopen(server.uri + "/v1/config") as resp:
         assert resp.status == 200
+
+
+def test_snapshot_operation_mapping_uses_engine_vocabulary():
+    """Review r7 (high pass): the wire map keyed on file-KIND names
+    (pos-delete/eq-delete/merge) that no snapshot ever carries, so every
+    engine delete commit fell through to summary.operation='overwrite'
+    on the wire; the property test sampled the same wrong vocabulary and
+    masked it.  Every ACTUAL engine operation string (the _commit call
+    sites in table.py) must map into the spec enum correctly."""
+    from iceberg_data_gen_spark.table.rest_spec import _snapshot_to_spec
+
+    for eng, wire in [
+        ("append", "append"),
+        ("delete-position", "delete"),
+        ("delete-equality", "delete"),
+        ("overwrite", "overwrite"),
+        ("replace", "replace"),
+        ("rollback", "replace"),
+    ]:
+        snap = {
+            "id": 1,
+            "parent": None,
+            "sequence_number": 1,
+            "operation": eng,
+            "files": [],
+        }
+        out = _snapshot_to_spec(snap, "file:///wh/t")
+        assert out["summary"]["operation"] == wire, (eng, out["summary"])
+        assert out["summary"]["idg-operation"] == eng
+
+
+def test_user_ref_named_main_rejected(spark, tmp_path):
+    """Review r7 (high pass): a user tag/branch named 'main' collided
+    with the implicit main-branch ref — commit_changes asserted the ref
+    must NOT exist while the service's main ref does (a permanent 409),
+    and to_table_metadata overwrote the implicit head entry.  Reserved."""
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+    from pyspark.sql import functions as F
+
+    fc = FileConfig(rows_per_file=5, file_count=1)
+    t = MoRTable.create(
+        spark, str(tmp_path / "mainref"), FixSchemaGenerator(fc, fc, fc).schema()
+    )
+    t.append(
+        spark.range(0, 5).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        t.create_tag("main")
+    with pytest.raises(ValueError, match="reserved"):
+        t.create_branch("main")
