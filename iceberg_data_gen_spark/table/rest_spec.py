@@ -132,6 +132,25 @@ def _spec_to_partition_spec(
     return {"spec-id": spec["spec_id"], "fields": fields}
 
 
+# The engine's ACTUAL snapshot operation strings (the _commit call sites
+# in table.py) -> the spec's summary.operation enum.  Review r7: the old
+# inline map keyed on file-KIND names (pos-delete/eq-delete/merge) that
+# no snapshot ever carries, so every delete commit fell through .get()'s
+# default and went on the wire as 'overwrite' — masked because the
+# property fuzz and golden generator sampled the same wrong vocabulary.
+# tests/test_rest_catalog.py::test_wire_map_covers_every_emitted_operation
+# derives the emitted set from a real table and asserts coverage, so the
+# vocabulary can never be retyped by hand again.
+SNAPSHOT_OP_TO_SPEC = {
+    "append": "append",
+    "delete-position": "delete",
+    "delete-equality": "delete",
+    "overwrite": "overwrite",  # merge upsert
+    "replace": "replace",  # compaction / clustering baselines
+    "rollback": "replace",  # baseline restore of a prior state
+}
+
+
 def _snapshot_to_spec(snap: dict, location: str, schema_id: int = 1) -> dict:
     """Repo snapshot -> Iceberg ``Snapshot`` struct.
 
@@ -141,19 +160,7 @@ def _snapshot_to_spec(snap: dict, location: str, schema_id: int = 1) -> dict:
     adopts this mapping materializes the avro manifest list there.
     ``summary.operation`` maps the repo's operation vocabulary onto the
     spec's enum (append | replace | overwrite | delete)."""
-    # keys are the engine's ACTUAL snapshot operation strings (the
-    # _commit call sites in table.py) — review r7: the old map keyed on
-    # file-KIND names (pos-delete/eq-delete/merge) that no snapshot ever
-    # carries, so every delete commit fell through .get()'s default and
-    # went on the wire as 'overwrite'
-    op = {
-        "append": "append",
-        "delete-position": "delete",
-        "delete-equality": "delete",
-        "overwrite": "overwrite",  # merge upsert
-        "replace": "replace",  # compaction / clustering baselines
-        "rollback": "replace",  # baseline restore of a prior state
-    }.get(snap["operation"], "overwrite")
+    op = SNAPSHOT_OP_TO_SPEC.get(snap["operation"], "overwrite")
     summary = {
         "operation": op,
         # engine-specific detail rides in summary extras (spec-legal:

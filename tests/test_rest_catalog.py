@@ -1217,3 +1217,44 @@ def test_user_ref_named_main_rejected(spark, tmp_path):
         t.create_tag("main")
     with pytest.raises(ValueError, match="reserved"):
         t.create_branch("main")
+
+
+def test_wire_map_covers_every_emitted_operation(spark, tmp_path):
+    """Vocabulary lock (review r7): exercise every mutation the engine
+    has, collect the operation strings its snapshots ACTUALLY carry, and
+    assert each is an explicit key of the wire map — the masked
+    delete->'overwrite' bug existed because the map (and the fuzz
+    sampling it) used hand-retyped names instead of the emitter's."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.rest_spec import SNAPSHOT_OP_TO_SPEC
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=10, file_count=1)
+    t = MoRTable.create(
+        spark, str(tmp_path / "vocab"), FixSchemaGenerator(fc, fc, fc).schema()
+    )
+
+    def rows(a, b):
+        return spark.range(a, b).select(
+            F.col("id").cast("string").alias("foo"),
+            F.col("id").cast("int").alias("bar"),
+            F.lit(True).alias("baz"),
+        )
+
+    t.append(rows(0, 10), single_file=True)
+    t.delete_where("bar >= 8")                                   # pos-delete path
+    t.add_equality_deletes(rows(0, 2).select("foo", "bar"), [1, 2])
+    t.merge(rows(2, 4))                                          # overwrite
+    head_before = t.current_snapshot_id()
+    t.compact()                                                  # replace
+    t.rollback(head_before)                                      # rollback
+    emitted = {s["operation"] for s in t.snapshots()}
+    assert emitted <= set(SNAPSHOT_OP_TO_SPEC), (
+        emitted - set(SNAPSHOT_OP_TO_SPEC)
+    )
+    # and the fuzz vocabulary is the full map domain, nothing retyped
+    assert {"append", "delete-position", "delete-equality", "overwrite",
+            "replace", "rollback"} == set(SNAPSHOT_OP_TO_SPEC)
