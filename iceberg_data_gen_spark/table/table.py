@@ -310,6 +310,16 @@ class MoRTable:
         exactly Iceberg's commit loop).  The metadata write itself is
         atomic (temp file + ``os.replace``), so readers never observe a
         torn metadata.json."""
+        # every data file carries the spec it was written under (Iceberg
+        # manifests always do) — the unpartitioned writer used to omit it,
+        # so after evolving to a field-less spec, partitions_df misfiled
+        # new files under spec 0 (review r7, found by the evolve fuzz).
+        # Entries that already carry one (the partitioned writer's, or a
+        # replayed older snapshot's via publish/rollback) are untouched.
+        default_sid = self.default_spec["spec_id"]
+        for f in files:
+            if f.get("kind") == "data" and "spec_id" not in f:
+                f["spec_id"] = default_sid
         snaps = self._meta["snapshots"]
         linear_head = snaps[-1]["id"] if snaps else None
         on_disk = self._io.peek()

@@ -1664,3 +1664,21 @@ def _fix_rows_dg(spark, a, b):
         F.col("id").cast("int").alias("bar"),
         F.lit(True).alias("baz"),
     )
+
+
+def test_data_files_always_carry_their_spec_id(spark, tmp_path):
+    """Review r7 (found by the evolve fuzz): the unpartitioned writer
+    omitted spec_id entirely, so after evolving to a FIELD-LESS spec a
+    new file had no spec id and partitions_df misfiled it under spec 0.
+    Every data file now records the default spec it was written under."""
+    t = _mk_table(spark, tmp_path, "specstamp")
+    t.update_spec([{"source": "bar", "transform": "bucket", "n": 4}])
+    t.append(_fix_rows_dg(spark, 0, 8))          # spec 1 files
+    t.update_spec([])                            # spec 2: field-less
+    t.append(_fix_rows_dg(spark, 8, 16), single_file=True)
+    sids = sorted(
+        {f.get("spec_id") for f in t._files_of_kind("data", None)}
+    )
+    assert sids == [1, 2], sids
+    by_spec = {r.spec_id for r in t.partitions_df().collect()}
+    assert by_spec == {1, 2}, by_spec
