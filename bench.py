@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -102,7 +103,6 @@ def bench_datagen(spark) -> float:
     scaled): 4×500k data rows + 2×100k position deletes + 2×100k equality
     deletes through the full prepare pipeline incl. MoR verification."""
     import tempfile
-    import time
 
     from iceberg_data_gen_spark.datagen.app import IcebergDataGeneratorApp
     from iceberg_data_gen_spark.datagen.config import (
@@ -132,7 +132,11 @@ def bench_datagen(spark) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # basename may be any name — only 'sf<number>' encodes a scale factor;
+    # anything else falls back instead of crashing before the first query
+    # (review r7: float('full') raised at startup, recording no bench)
+    m = re.search(r"sf([\d.]+)$", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else 0.1
 
     # Host-disk latency on this box is wildly variable (the same bench has
     # measured 25s and 133s on identical code); the bench compares QUERY

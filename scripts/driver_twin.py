@@ -27,12 +27,9 @@ _REPO = str(Path(__file__).resolve().parent.parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-import duckdb  # noqa: E402
-import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 
 from iceberg_data_gen_spark import operators  # noqa: E402
-from tests.oracle import TABLES  # noqa: E402
 
 
 def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -41,22 +38,6 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
     if len(pdf):
         pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
     return pdf.reset_index(drop=True)
-
-
-def _norm_cell(v):
-    """Normalize representation-only differences the driver's hash is
-    believed to tolerate (it hashes numpy values; Timestamp vs datetime64
-    and np.int64 vs int collapse there) while keeping int-vs-float and
-    str-vs-num differences — those are real driver mismatches."""
-    if v is None or (isinstance(v, float) and np.isnan(v)):
-        return ("null",)
-    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
-        return ("i", int(v))
-    if isinstance(v, (np.floating, float)):
-        return ("f", float(v))
-    if isinstance(v, pd.Timestamp):
-        return ("t", v.isoformat())
-    return (type(v).__name__, str(v))
 
 
 def compare(name: str, spark, con, sf_dir: str) -> str:
@@ -98,24 +79,22 @@ def compare(name: str, spark, con, sf_dir: str) -> str:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = "/root/testdata/sf0.01"
-    for i, a in enumerate(sys.argv[1:]):
-        if a == "--sf-dir":
-            sf_dir = sys.argv[1:][i + 1]
-            args = [x for x in args if x != sf_dir]
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("names", nargs="*", help="query names (default: all with oracles)")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ns = ap.parse_args()
+    sf_dir = ns.sf_dir
 
     operators.load_all()
-    names = args or [n for n in operators.QUERIES if n in operators.ORACLES]
+    names = ns.names or [n for n in operators.QUERIES if n in operators.ORACLES]
 
     from iceberg_data_gen_spark.session import get_spark
+    from tests.oracle import duckdb_conn
 
     spark = get_spark("driver-twin")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = duckdb_conn(sf_dir)
     bad = 0
     for n in names:
         try:
