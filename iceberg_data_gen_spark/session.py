@@ -86,10 +86,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 
-        from iceberg_data_gen_spark.streaming.events import _events_raw_schema
+        from iceberg_data_gen_spark.streaming.events import (
+            _events_raw_schema,
+            normalize_events_ts,
+        )
 
         # sniff the physical layout and set the legacy conf ONLY when the
         # nanos layout needs it: flipping it unconditionally changed how
@@ -99,11 +101,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         if ts_is_long:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        else:
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return normalize_events_ts(
+            df, isinstance(df.schema["ts"].dataType, LongType)
+        )
     return spark.read.parquet(path)
 
 

@@ -72,13 +72,17 @@ def make_fixseq_datasource():
         def __init__(self, options: dict) -> None:
             self.rows_per_batch = int(options.get("rows_per_batch", 1000))
             self.total_rows = int(options.get("total_rows", 5000))
+            # honor start_at like the batch reader (review r7: the stream
+            # silently ignored it, so the same option changed meaning
+            # between read and readStream) — emit total_rows rows FROM it
+            self.start_at = int(options.get("start_at", 0))
 
         def initialOffset(self) -> dict:
-            return {"g": 0}
+            return {"g": self.start_at}
 
         def read(self, start: dict):
             g = start["g"]
-            end = min(g + self.rows_per_batch, self.total_rows)
+            end = min(g + self.rows_per_batch, self.start_at + self.total_rows)
             return iter([(str(i), i, True) for i in range(g, end)]), {"g": end}
 
         def readBetweenOffsets(self, start: dict, end: dict):

@@ -17,6 +17,7 @@ O(active windows × groups), independent of stream length.
 from __future__ import annotations
 
 import uuid
+from collections import deque
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -89,6 +90,23 @@ def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, bool]:
 STREAM_MAX_FILES_PER_TRIGGER: int | None = None
 
 
+def normalize_events_ts(df: DataFrame, ts_is_long: bool) -> DataFrame:
+    """ONE definition of the ``events.ts`` normalization, shared by the
+    batch loader (``session.load_table``) and ``read_events_stream``
+    (review r7: two byte-similar copies could silently drift, breaking
+    the 'stream and oracle see identical values' guarantee).  The
+    INT64-nanos layout converts to micros with an exact integer FLOOR
+    division — ``ts div 1000`` truncates toward zero, converting a
+    pre-epoch nanosecond value one microsecond too HIGH;
+    ``(ts - pmod(ts, 1000)) div 1000`` floors for any sign and is
+    identical for the non-negative timestamps the testdata carries."""
+    if ts_is_long:
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+        )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-source stream with microsecond timestamps,
     normalized to session-zone TimestampType exactly like the batch loader
@@ -114,9 +132,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         # driver testdata layout: a single flat file next to other tables
         raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
-    if ts_is_long:
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return normalize_events_ts(raw, ts_is_long)
 
 
 @contextmanager
@@ -166,7 +182,7 @@ def run_operator_only(
             q.stop()
 
 
-_SINK_VIEWS: "deque[tuple[object, str]]" = None  # populated lazily below
+_SINK_VIEWS: deque = deque()  # (session, view name) of recent runs
 _SINK_VIEWS_KEEP = 4
 
 
@@ -177,15 +193,10 @@ def run_to_completion(sdf: DataFrame, output_mode: str = "complete") -> DataFram
     The memory sink retains its full result set on the driver heap until
     its temp view is dropped, and these uuid-named views used to live for
     the whole session (review r7: one bench pass creates dozens).  Each
-    call now drops the views of all but the last ``_SINK_VIEWS_KEEP``
-    prior runs — consumers in this repo materialize the returned frame
-    promptly, so a small retention window is safe while bounding driver
-    heap to a handful of result sets."""
-    global _SINK_VIEWS
-    from collections import deque
-
-    if _SINK_VIEWS is None:
-        _SINK_VIEWS = deque()
+    call keeps only the last ``_SINK_VIEWS_KEEP`` views INCLUDING the
+    current run's (i.e. 3 priors) — consumers in this repo materialize
+    the returned frame promptly, so a small retention window is safe
+    while bounding driver heap to a handful of result sets."""
     spark = sdf.sparkSession
     while len(_SINK_VIEWS) >= _SINK_VIEWS_KEEP:
         old_spark, old_name = _SINK_VIEWS.popleft()
@@ -410,7 +421,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "n_events",
-            F.round("total_value", 4).alias("total_value"),
+            "total_value",  # rounded once, in the state function
             "n_batches",
         )
     )
@@ -762,11 +773,13 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigger.AvailableNow + foreachBatch parquet sink: the
     batch-ingest-shaped streaming job (process everything available,
     then stop — the pattern for incremental backfills on a schedule).
-    Each micro-batch appends its filtered projection to a parquet
-    directory; the checkpoint makes the whole run resumable
-    exactly-once at the batch level.  The final read-back aggregates
-    the sink — so the check covers the sink files, not just the
-    in-memory stream state."""
+    Each micro-batch OVERWRITES its own batchId-keyed subdirectory of
+    the parquet sink, which is what actually makes the checkpointed run
+    resumable exactly-once (review r7: a blind append was only
+    at-least-once — a crash between the sink job and the checkpoint
+    record would double the batch's rows on resume).  The final
+    read-back aggregates the sink — so the check covers the sink files,
+    not just the in-memory stream state."""
     ev = read_events_stream(spark, sf_dir)
     base = scratch_dir("stream-fb-")
     sink, ckpt = f"{base}/sink", f"{base}/ckpt"
@@ -775,8 +788,8 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             batch_df.where(F.col("value") >= 10.0)
             .select("event_id", "event_type", "value")
-            .write.mode("append")
-            .parquet(sink)
+            .write.mode("overwrite")
+            .parquet(f"{sink}/batch={batch_id}")
         )
 
     q = (

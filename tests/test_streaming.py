@@ -556,3 +556,42 @@ def test_mor_stream_bounds_each_batch_to_one_append(spark, tmp_path):
 
     # one batch per append commit, each exactly that commit's rows
     assert batches == [list(range(a, a + 50)) for a in range(0, 150, 50)]
+
+
+def test_fixseq_stream_honors_start_at(spark, tmp_path):
+    """Review r7: the fixseq STREAM reader silently ignored start_at (the
+    batch reader honors it), so the same option changed meaning between
+    read and readStream — wrong data with no error.  The stream now
+    emits total_rows rows FROM start_at."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.sources.fixseq import register_fixseq
+
+    register_fixseq(spark)
+    got: list[int] = []
+
+    def sink(batch_df, _id):
+        got.extend(r.bar for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("fixseq")
+        .option("start_at", 100)
+        .option("total_rows", 50)
+        .option("rows_per_batch", 20)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(got) == list(range(100, 150)), (len(got), sorted(got)[:5])
+    # batch flavor agrees on the same options
+    batch = (
+        spark.read.format("fixseq")
+        .option("start_at", 100)
+        .option("rows_per_file", 50)
+        .option("file_count", 1)
+        .load()
+    )
+    assert sorted(r.bar for r in batch.collect()) == list(range(100, 150))
