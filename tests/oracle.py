@@ -12,7 +12,7 @@ as a loud diagnostic rather than a silent hash mismatch at verify time).
 from __future__ import annotations
 
 import math
-from datetime import date, datetime
+from datetime import date, datetime, timezone
 from decimal import Decimal
 
 import duckdb
@@ -40,6 +40,20 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# one connection per corpus path, shared by compare()'s hot path (review
+# r7: the property-test families call compare() hundreds of times, and a
+# fresh connect + 10 view bindings per call repeated the parquet-metadata
+# reads).  The corpus at a path is immutable in-process; callers that
+# need a private connection call duckdb_conn directly.
+_CONNS: dict[str, duckdb.DuckDBPyConnection] = {}
+
+
+def _shared_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    if sf_dir not in _CONNS:
+        _CONNS[sf_dir] = duckdb_conn(sf_dir)
+    return _CONNS[sf_dir]
+
+
 def _canon_value(v):
     if v is None:
         return None
@@ -50,7 +64,13 @@ def _canon_value(v):
     if isinstance(v, float):
         return v
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
+        # aware datetimes convert to the UTC instant BEFORE stripping
+        # tzinfo (review r7): plain replace() compared wall-clock text,
+        # false-mismatching equal instants rendered in different zones
+        # (and vice versa).  Naive values pass through unchanged.
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
     if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -68,7 +88,12 @@ def _values_close(a, b, rel=1e-9):
     if isinstance(a, float) or isinstance(b, float):
         if a is None or b is None:
             return a is b
-        fa, fb = float(a), float(b)
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            # float-vs-nonnumeric type skew between engines is a MISMATCH
+            # to report, not an exception to die on (review r7)
+            return False
         if math.isnan(fa) and math.isnan(fb):
             return True
         return math.isclose(fa, fb, rel_tol=rel, abs_tol=1e-9)
@@ -83,13 +108,10 @@ def compare(spark, name: str, query_fn, oracle: str, sf_dir: str) -> list[str]:
     s_cols = list(sdf.columns)
     s_rows = [tuple(r) for r in sdf.collect()]
 
-    con = duckdb_conn(sf_dir)
-    try:
-        res = con.execute(oracle)
-        d_cols = [d[0] for d in res.description]
-        d_rows = res.fetchall()
-    finally:
-        con.close()
+    con = _shared_conn(sf_dir)
+    res = con.execute(oracle)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
 
     errors: list[str] = []
     if sorted(s_cols) != sorted(d_cols):
