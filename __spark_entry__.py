@@ -56,16 +56,24 @@ def _driver_history() -> tuple[set[str], dict[str, int]]:
             history.append((rnd, json.loads(path.read_text())))
         except (OSError, ValueError):
             continue
-    return _fold_history(history)
+    return _fold_history(history, oracle_names=set(operators.ORACLES))
 
 
 def _fold_history(
     history: list[tuple[int, dict]],
+    oracle_names: set[str] | None = None,
 ) -> tuple[set[str], dict[str, int]]:
     """Fold (round, rows) correctness records into (verified, last_round).
 
     verified = names whose latest recorded row is green/rows-only; a later
     failure row evicts an earlier green so regressions re-surface first.
+
+    A ``no_oracle`` row only verifies a query that is STILL rows-only
+    (r8): when a previously rows-only query gains an oracle (the set of
+    current oracle-bearing names is ``oracle_names``), its old rows-only
+    green rows no longer witness anything — the query sorts back into
+    the unverified head so the driver hash-checks the new oracle in the
+    very next round instead of waiting out a full staleness rotation.
     """
     last_green: dict[str, int] = {}
     last_round: dict[str, int] = {}
@@ -74,7 +82,10 @@ def _fold_history(
             if not isinstance(row, dict):
                 continue
             last_round[name] = max(last_round.get(name, 0), rnd)
-            if row.get("hash_match") is True or row.get("err") == "no_oracle":
+            rows_only_ok = row.get("err") == "no_oracle" and (
+                oracle_names is None or name not in oracle_names
+            )
+            if row.get("hash_match") is True or rows_only_ok:
                 last_green[name] = max(last_green.get(name, 0), rnd)
     verified = {
         n for n, rnd in last_round.items() if last_green.get(n, -1) >= rnd

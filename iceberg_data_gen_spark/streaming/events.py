@@ -348,28 +348,38 @@ def make_stateful_count():
     """Per-user running totals via applyInPandasWithState.
 
     Built as a closure so cloudpickle ships it by value (Python workers
-    don't import this repo).  State = (event count, value sum, batches
-    seen) per user — the minimal custom stateful-operator shape; a real
-    pipeline would keep e.g. per-user token budgets here.
+    don't import this repo).  State = (event count, value-cents sum,
+    batches seen) per user — the minimal custom stateful-operator shape;
+    a real pipeline would keep e.g. per-user token budgets here.
+
+    The monetary total accumulates as INTEGER CENTS (``value_cents`` is
+    derived JVM-side via an exact DECIMAL(18,2) cast, r8): integer sums
+    are associative regardless of batch/row order, so the final state is
+    a pure function of the event log — which is what lets the registered
+    query carry a batch-SQL oracle instead of a rows-only check.  The
+    previous float accumulation + round(4) was order-dependent in the
+    last ulp and could never hash-match an oracle.
     """
 
     def fn(key, pdf_iter, state):
         import pandas as _pd
 
         if state.exists:
-            n, total, batches = state.get
+            n, cents, batches = state.get
         else:
-            n, total, batches = 0, 0.0, 0
+            n, cents, batches = 0, 0, 0
         for pdf in pdf_iter:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            cents += int(pdf["value_cents"].sum())
             batches += 1
-        state.update((n, total, batches))
+        state.update((n, cents, batches))
         yield _pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [round(total, 4)],
+                # correctly-rounded double of the exact rational cents/100,
+                # identical to DuckDB's CAST(sum(DECIMAL(18,2)) AS DOUBLE)
+                "total_value": [cents / 100.0],
                 "n_batches": [batches],
             }
         )
@@ -379,10 +389,20 @@ def make_stateful_count():
 
 def _stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
-    return ev.groupBy("user_id").applyInPandasWithState(
+    # project to the two columns the state function reads BEFORE the
+    # state shuffle: smaller Arrow batches AND an exact integer-cents
+    # representation of the 2-decimal event values (DECIMAL cast, not
+    # float multiply, so .5-cent ties round identically to the oracle)
+    keyed = ev.select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("value_cents"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
         make_stateful_count(),
         outputStructType=STATEFUL_SCHEMA,
-        stateStructType="n long, total double, batches int",
+        stateStructType="n long, cents long, batches int",
         outputMode="update",
         timeoutConf="NoTimeout",
     )
@@ -404,10 +424,31 @@ STREAM_OPERATOR_PROBES = {
 }
 
 
-@register("q_stream_stateful")  # custom stateful operator: rows-only check
+@register(
+    "q_stream_stateful",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(1 AS INT) AS n_batches
+    FROM events
+    GROUP BY user_id
+    """,
+)
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: per-user running aggregates via
-    ``applyInPandasWithState`` (update mode, processing-time timeout off)."""
+    ``applyInPandasWithState`` (update mode, processing-time timeout off).
+
+    Oracle (VERDICT r7 #1): the final state is a pure batch aggregation
+    over the same events — counts and an exact integer-cents value sum
+    (see ``make_stateful_count``), so the batch-SQL twin witnesses it
+    hash-exactly.  ``n_batches`` pins the driver layout's micro-batch
+    count: a single-file source with no maxFilesPerTrigger processes all
+    available data in ONE trigger (same single-batch contract
+    ``q_stream_dedup``'s oracle already relies on); the multi-batch
+    accumulation semantics are pinned by
+    ``test_stateful_final_state_with_negative_values`` and
+    ``test_stateful_multibatch_oracle_columns``."""
     out = run_to_completion(_stateful_agg(spark, sf_dir), output_mode="update")
     # one row per user per update; the update with the highest batch
     # count IS the final state.  (Not independent max() per column: with

@@ -131,6 +131,12 @@ def test_history_fold_resurfaces_regressions():
     assert last_round == {"a": 3, "b": 1, "c": 1, "d": 4}
     # and a never-green failure is of course unverified
     assert "a" in last_round and last_round["a"] == 3
+    # r8: a rows-only green row stops verifying once the query GAINS an
+    # oracle — the new oracle must be driver-witnessed, so the name sorts
+    # back into the unverified head instead of riding the staleness tail
+    verified2, _ = e._fold_history(history, oracle_names={"c"})
+    assert "c" not in verified2
+    assert {"b", "d"} <= verified2
 
 
 def test_no_raw_float_round_in_oracles():

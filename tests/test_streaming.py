@@ -17,7 +17,10 @@ from tests.conftest import SF_DIR, SF_SMALL
 
 
 def test_stateful_totals_match_batch(spark):
-    """applyInPandasWithState end-state equals the batch groupBy."""
+    """applyInPandasWithState end-state equals the batch groupBy —
+    EXACTLY, not to a rounding tolerance: the state function accumulates
+    integer cents (r8), so its total is bit-identical to the exact
+    DECIMAL(18,2) batch sum cast to double."""
     from iceberg_data_gen_spark.session import load_table
 
     got = {
@@ -28,10 +31,64 @@ def test_stateful_totals_match_batch(spark):
         r.user_id: (r.n, r.tv)
         for r in load_table(spark, SF_SMALL, "events")
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("tv"),
+        )
         .collect()
     }
     assert got == want
+
+
+def test_stateful_multibatch_oracle_columns(spark):
+    """The oracle's n_events/total_value columns are micro-batch-count
+    INDEPENDENT: replaying the same events as multiple micro-batches
+    changes only n_batches (the oracle pins n_batches=1 because the
+    driver's single-file layout is single-batch — this test is the pin
+    for the other half of that contract).  Uses a directory of 3 part
+    files + maxFilesPerTrigger=1 so the stream genuinely accumulates
+    state across triggers."""
+    import os
+    import time
+
+    from iceberg_data_gen_spark.session import load_table
+    from iceberg_data_gen_spark.streaming import events as ev_mod
+    from iceberg_data_gen_spark.operators.common import scratch_dir
+
+    base = scratch_dir("stateful-mb-")
+    ev = load_table(spark, SF_SMALL, "events")
+    # 3 part files with strictly increasing mtimes -> deterministic
+    # oldest-first micro-batch order under maxFilesPerTrigger=1
+    d = os.path.join(base, "events.parquet")
+    for i in range(3):
+        ev.where(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        newest = max(
+            (os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")),
+            key=os.path.getmtime,
+        )
+        os.utime(newest, (time.time() + i, time.time() + i))
+
+    want = {
+        r.user_id: (r.n, r.tv)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("tv"),
+        )
+        .collect()
+    }
+    old_trigger = ev_mod.STREAM_MAX_FILES_PER_TRIGGER
+    ev_mod.STREAM_MAX_FILES_PER_TRIGGER = 1
+    try:
+        rows = operators.QUERIES["q_stream_stateful"](spark, base).collect()
+    finally:
+        ev_mod.STREAM_MAX_FILES_PER_TRIGGER = old_trigger
+    got = {r.user_id: (r.n_events, r.total_value) for r in rows}
+    assert got == want
+    # at least one user must have genuinely crossed micro-batches
+    assert max(r.n_batches for r in rows) > 1
 
 
 def test_watermark_drops_late_rows(spark, tmp_path):
