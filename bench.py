@@ -134,8 +134,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # basename may be any name — only 'sf<number>' encodes a scale factor;
     # anything else falls back instead of crashing before the first query
-    # (review r7: float('full') raised at startup, recording no bench)
-    m = re.search(r"sf([\d.]+)$", os.path.basename(sf_dir.rstrip("/")))
+    # (review r7: float('full') raised at startup, recording no bench;
+    # ADVICE r7: [\d.]+ still matched float-rejecting spellings like
+    # 'sf.' or 'sf1.2.3' — anchor the pattern to a valid number instead)
+    m = re.search(r"sf(\d+(?:\.\d+)?)$", os.path.basename(sf_dir.rstrip("/")))
     sf = float(m.group(1)) if m else 0.1
 
     # Host-disk latency on this box is wildly variable (the same bench has

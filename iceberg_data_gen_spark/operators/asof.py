@@ -25,42 +25,52 @@ from iceberg_data_gen_spark.session import load_tables
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    left_key: str,
-    right_key: str,
+    left_key: str | list[str],
+    right_key: str | list[str],
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
 ) -> DataFrame:
     """Left as-of join; right ``value_cols`` arrive null when no right row
     precedes the left row.  Ties on timestamp resolve to the largest
-    value tuple (deterministic).
+    value tuple (deterministic — equivalent to deduplicating the right
+    side with max() per (key, ts) first; pinned by the tie dimension of
+    the as-of fuzz family).  ``left_key``/``right_key`` accept a single
+    column name or a list for COMPOSITE keys (r8): the window partitions
+    on the whole key tuple, so per-key independence holds for any arity.
 
     NULL semantics match SQL ASOF (review r7): a right row with a NULL
-    key or NULL timestamp never matches (``right_ts <= left_ts`` is
-    never true for NULL; equality never matches NULL keys) — without the
-    filter below, nulls-first ordering put NULL-ts right rows at the
-    head of every key partition where ``last(ignorenulls)`` matched them
-    to left rows with no real predecessor, and NULL-key left rows
-    "matched" NULL-key right rows.  A left row with a NULL key or ts is
-    kept and simply matches nothing.
+    key component or NULL timestamp never matches (``right_ts <=
+    left_ts`` is never true for NULL; equality never matches NULL keys)
+    — without the filter below, nulls-first ordering put NULL-ts right
+    rows at the head of every key partition where ``last(ignorenulls)``
+    matched them to left rows with no real predecessor, and NULL-key
+    left rows "matched" NULL-key right rows.  A left row with a NULL key
+    or ts is kept and simply matches nothing.
     """
+    lkeys = [left_key] if isinstance(left_key, str) else list(left_key)
+    rkeys = [right_key] if isinstance(right_key, str) else list(right_key)
+    if len(lkeys) != len(rkeys):
+        raise ValueError(f"key arity mismatch: {lkeys} vs {rkeys}")
     lcols = left.columns
-    right = right.where(
-        F.col(right_key).isNotNull() & F.col(right_ts).isNotNull()
-    )
+    keep = F.col(right_ts).isNotNull()
+    for k in rkeys:
+        keep = keep & F.col(k).isNotNull()
+    right = right.where(keep)
     # the matched right row travels as ONE struct: filling each value
     # column independently with last(ignorenulls) would stitch fields
     # from DIFFERENT right rows whenever a value column is legitimately
     # NULL (an older non-null value would resurrect past the match)
+    knames = [f"__k{i}" for i in range(len(rkeys))]
     r = right.select(
-        F.col(right_key).alias("__k"),
+        *[F.col(k).alias(n) for k, n in zip(rkeys, knames)],
         F.col(right_ts).alias("__t"),
         F.lit(1).alias("__is_right"),
         F.struct(*[F.col(c) for c in value_cols]).alias("__rv"),
         *[F.lit(None).alias(f"__l_{c}") for c in lcols],
     )
     l = left.select(
-        F.col(left_key).alias("__k"),
+        *[F.col(k).alias(n) for k, n in zip(lkeys, knames)],
         F.col(left_ts).alias("__t"),
         F.lit(0).alias("__is_right"),
         F.lit(None).cast(r.schema["__rv"].dataType).alias("__rv"),
@@ -70,7 +80,7 @@ def asof_join(
     # among equal-ts right rows the largest value tuple wins
     # deterministically (struct ordering is field-lexicographic)
     w = (
-        Window.partitionBy("__k")
+        Window.partitionBy(*knames)
         .orderBy("__t", F.desc("__is_right"), F.asc_nulls_first("__rv"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )

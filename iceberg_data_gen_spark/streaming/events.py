@@ -157,7 +157,7 @@ def stream_partitions(spark: SparkSession, n: int = 8):
 
 def run_operator_only(
     sdf: DataFrame, output_mode: str = "update", batch_fn=None
-) -> None:
+) -> dict | None:
     """Drive a stream to completion via ``foreachBatch`` under the pinned
     state-partition count.  Default sink (``batch_fn=None``) is the noop
     source — the PROBE path: per-batch output leaves the state store and
@@ -168,7 +168,11 @@ def run_operator_only(
     scale probes for the two state-heavy streams (VERDICT r6 #3); real
     deployments write update/append mode into a distributed sink.  Pass
     ``batch_fn`` for a real sink (e.g. the MoR upsert) so every
-    foreachBatch consumer shares ONE drive loop (review r7)."""
+    foreachBatch consumer shares ONE drive loop (review r7).
+
+    Returns the query's final progress dict (r8) — its
+    ``stateOperators[*]['numRowsTotal']`` is how the 100x probes witness
+    watermark eviction directly (final state rows vs keys processed)."""
     spark = sdf.sparkSession
     if batch_fn is None:
         batch_fn = lambda df, _id: (  # noqa: E731
@@ -178,11 +182,13 @@ def run_operator_only(
         q = sdf.writeStream.outputMode(output_mode).foreachBatch(batch_fn).start()
         try:
             q.processAllAvailable()
+            progress = q.lastProgress
         finally:
             q.stop()
+    return progress
 
 
-_SINK_VIEWS: deque = deque()  # (session, view name) of recent runs
+_SINK_VIEWS: deque = deque()  # (weakref(session), view name) of recent runs
 _SINK_VIEWS_KEEP = 4
 
 
@@ -190,22 +196,32 @@ def run_to_completion(sdf: DataFrame, output_mode: str = "complete") -> DataFram
     """Drive a streaming DataFrame until the source is exhausted; return
     the final results as a batch DataFrame (memory sink).
 
-    The memory sink retains its full result set on the driver heap until
-    its temp view is dropped, and these uuid-named views used to live for
-    the whole session (review r7: one bench pass creates dozens).  Each
-    call keeps only the last ``_SINK_VIEWS_KEEP`` views INCLUDING the
-    current run's (i.e. 3 priors) — consumers in this repo materialize
-    the returned frame promptly, so a small retention window is safe
-    while bounding driver heap to a handful of result sets."""
+    RETURN CONTRACT (ADVICE r7): the returned DataFrame reads a
+    memory-sink temp view that stays valid only for the next
+    ``_SINK_VIEWS_KEEP - 1`` (= 3) ``run_to_completion`` calls on the
+    same session — evaluate (collect/write) it before starting more
+    streaming runs, or the view is dropped and deferred evaluation
+    raises ``TABLE_OR_VIEW_NOT_FOUND``.  Every consumer in this repo
+    materializes promptly; the window exists because the memory sink
+    retains its full result set on the driver heap until its view is
+    dropped, and uuid-named views used to live for the whole session
+    (review r7: one bench pass creates dozens).  Sessions are held via
+    weakref so the retention queue never pins a stopped SparkSession
+    (ADVICE r7)."""
+    import weakref
+
     spark = sdf.sparkSession
     while len(_SINK_VIEWS) >= _SINK_VIEWS_KEEP:
-        old_spark, old_name = _SINK_VIEWS.popleft()
+        old_ref, old_name = _SINK_VIEWS.popleft()
+        old_spark = old_ref()
+        if old_spark is None:
+            continue  # session garbage-collected: nothing to free
         try:
             old_spark.catalog.dropTempView(old_name)
         except Exception:
             pass  # session stopped: nothing to free
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
-    _SINK_VIEWS.append((spark, name))
+    _SINK_VIEWS.append((weakref.ref(spark), name))
     with stream_partitions(spark):
         q = (
             sdf.writeStream.outputMode(output_mode)

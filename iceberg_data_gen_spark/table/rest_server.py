@@ -158,6 +158,11 @@ class _CatalogState:
             return 204, None
 
 
+class _BadRequest(Exception):
+    """Client-fault request defect (invalid JSON, wrong body shape) —
+    raised at the parse/validation site, answered with HTTP 400."""
+
+
 def _make_handler(state: _CatalogState):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet test output
@@ -174,7 +179,17 @@ def _make_handler(state: _CatalogState):
 
         def _body(self) -> dict:
             n = int(self.headers.get("Content-Length", 0))
-            return json.loads(self.rfile.read(n)) if n else {}
+            if not n:
+                return {}
+            try:
+                body = json.loads(self.rfile.read(n))
+            except (json.JSONDecodeError, UnicodeDecodeError, ValueError) as e:
+                raise _BadRequest(f"invalid JSON body: {e}") from e
+            if not isinstance(body, dict):
+                raise _BadRequest(
+                    f"body must be a JSON object, got {type(body).__name__}"
+                )
+            return body
 
         def _route(self, method: str) -> tuple[int, dict | None]:
             # split BEFORE unquoting so a %2F inside a name does not
@@ -189,7 +204,7 @@ def _make_handler(state: _CatalogState):
                 return 200, {"defaults": {}, "overrides": {}}
             if parts == ["namespaces"] and method == "POST":
                 ns = self._body().get("namespace", [])
-                if len(ns) != 1:
+                if not isinstance(ns, list) or len(ns) != 1:
                     return 400, {"error": "single-level namespaces only"}
                 return state.create_namespace(ns[0])
             if len(parts) == 2 and parts[0] == "namespaces":
@@ -215,12 +230,19 @@ def _make_handler(state: _CatalogState):
         def _dispatch(self, method: str) -> None:
             try:
                 status, body = self._route(method)
-            except (ValueError, KeyError, AttributeError, TypeError) as e:
-                # a malformed body (invalid JSON, wrong shapes) is the
-                # client's fault: answer 400 instead of letting the
-                # exception drop the connection, which the client would
-                # misreport as "catalog unreachable" (review r7)
+            except _BadRequest as e:
+                # a malformed body is the client's fault: answer 400
+                # instead of letting the exception drop the connection,
+                # which the client would misreport as "catalog
+                # unreachable" (review r7).  Only parse/validation sites
+                # raise _BadRequest — anything else is a SERVER defect
+                # and must surface as 500, not be misattributed to the
+                # client and hidden from error monitoring (ADVICE r7)
                 status, body = 400, {"error": f"malformed request: {e}"}
+            except Exception as e:  # noqa: BLE001 — boundary handler
+                status, body = 500, {
+                    "error": f"internal server error: {type(e).__name__}: {e}"
+                }
             self._reply(status, body)
 
         def do_GET(self):

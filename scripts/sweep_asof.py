@@ -1,10 +1,12 @@
 """Exhaustive one-time sweep of the as-of join fuzz family's DISCRETE
 spec space (tests/test_differential.py::run_asof_spec): every NULL
-injection residue for key_mod ∈ {4, 7} × ts_mod ∈ {3, 5} —
-(4+7) × (3+5) = 88 cases, each comparing OUR asof_join operator against
-DuckDB's native ASOF JOIN (normalized to predicate NULL semantics; see
-render_asof_parts for the DuckDB NULL-sorts-last artifact this
-normalization works around).
+injection residue for key_mod ∈ {4, 7} × ts_mod ∈ {3, 5}, crossed with
+the r8 tie dimension (equal-instant left/right timestamps + duplicate
+(k, t) right rows) and the composite-key dimension —
+(4+7) × (3+5) × 2 × 2 = 352 cases, each comparing OUR asof_join
+operator against DuckDB's native ASOF JOIN (normalized to predicate
+NULL semantics; see render_asof_parts for the DuckDB NULL-sorts-last
+artifact this normalization works around).
 
 Per the fuzz-program discipline every discrete space is swept
 exhaustively ONCE before the sampled hypothesis runs are trusted.
@@ -28,20 +30,22 @@ def main() -> None:
 
     spark = get_spark()
     cases = [
-        (km, kr, tm, tr)
+        (km, kr, tm, tr, ties, k2)
         for km in (4, 7)
         for kr in range(km)
         for tm in (3, 5)
         for tr in range(tm)
+        for ties in (False, True)
+        for k2 in (False, True)
     ]
     bad = 0
-    for i, (km, kr, tm, tr) in enumerate(cases, 1):
-        errors = run_asof_spec(spark, km, kr, tm, tr)
+    for i, (km, kr, tm, tr, ties, k2) in enumerate(cases, 1):
+        errors = run_asof_spec(spark, km, kr, tm, tr, ties=ties, second_key=k2)
         tag = "OK " if not errors else "FAIL"
         if errors:
             bad += 1
-            print(f"{tag} [{km},{kr},{tm},{tr}] {errors[:2]}")
-        if i % 20 == 0 or i == len(cases):
+            print(f"{tag} [{km},{kr},{tm},{tr},ties={ties},k2={k2}] {errors[:2]}")
+        if i % 40 == 0 or i == len(cases):
             print(f"... {i}/{len(cases)} swept, {bad} divergent", flush=True)
     print(f"\n{len(cases) - bad}/{len(cases)} OK")
     sys.exit(1 if bad else 0)

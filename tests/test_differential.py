@@ -1832,24 +1832,88 @@ def test_random_composed3_spec_matches_duckdb(
 # As-of join family: OUR asof_join operator vs DuckDB's native ASOF JOIN
 # ---------------------------------------------------------------------------
 
-def render_asof_parts(key_mod: int, key_res: int, ts_mod: int, ts_res: int):
+def render_asof_parts(
+    key_mod: int,
+    key_res: int,
+    ts_mod: int,
+    ts_res: int,
+    ties: bool = False,
+    second_key: bool = False,
+):
     """(left_sql, right_sql, oracle_sql) with deterministic NULL injection
     on both the key and the timestamp — the NULL surface is where the
     union-sort implementation diverged from SQL ASOF semantics (review
     r7: NULL-ts right rows matched as universal predecessors; NULL keys
-    matched each other).  The right side dedupes per (k, t) so the match
-    is well-defined in both engines."""
-    k_null = f"CASE WHEN o_custkey % {key_mod} = {key_res} THEN NULL ELSE o_custkey END"
-    t_null = f"CASE WHEN o_orderkey % {ts_mod} = {ts_res} THEN NULL ELSE o_orderdate END"
-    lk_null = f"CASE WHEN user_id % {key_mod} = {key_res} THEN NULL ELSE user_id END"
-    lt_null = f"CASE WHEN event_id % {ts_mod} = {ts_res} THEN NULL ELSE ts END"
-    right_sql = f"""
-        SELECT {k_null} AS k, {t_null} AS t, max(o_orderkey) AS v
-        FROM orders GROUP BY 1, 2
+    matched each other).
+
+    Two r8 dimensions (VERDICT r7 #3 — where as-of joins break engines
+    beyond NULLs):
+
+    * ``ties``: the base spec's left timestamps (event-time) never equal
+      the right side's midnight order dates, so the ``<=`` boundary was
+      unexercised.  With ties on, BOTH sides coarsen — keys bucket to
+      ``% 10`` and timestamps truncate to month — so left==right
+      instants and duplicate (k, t) right rows are ABUNDANT by
+      construction (verified: zero equal instants at raw granularity;
+      thousands after coarsening).  The right row AT the left instant
+      must match (``<=``), and the right side keeps its duplicate
+      (k, t) rows instead of pre-aggregating — our operator's declared
+      tie-break (largest value tuple) must then be EQUIVALENT to the
+      oracle's max() dedup per (k, t).
+    * ``second_key``: a second equality key (``% 3`` bucket on both
+      sides) so matches require BOTH keys and per-key-tuple independence
+      is witnessed — the right predecessor must come from the same
+      (k, k2) partition, never a sibling.
     """
+    # events span a SINGLE month in the present while order dates span
+    # 1995-2001, so no ts-derived mapping can produce equal instants —
+    # the tie dimension instead derives the left timestamp from event_id
+    # onto the right side's year-month grid (make_date is engine-common),
+    # guaranteeing abundant left==right instants and duplicate (k, t)
+    # right rows (both verified non-vacuous at sf0.001)
+    rk_raw = "o_custkey % 10" if ties else "o_custkey"
+    lk_raw = "user_id % 10" if ties else "user_id"
+    rt_raw = (
+        "CAST(make_date(year(o_orderdate), month(o_orderdate), 1) AS TIMESTAMP)"
+        if ties
+        else "o_orderdate"
+    )
+    lt_raw = (
+        "CAST(make_date(1995 + event_id % 6, 1 + event_id % 12, 1) AS TIMESTAMP)"
+        if ties
+        else "ts"
+    )
+    k_null = f"CASE WHEN o_custkey % {key_mod} = {key_res} THEN NULL ELSE {rk_raw} END"
+    t_null = f"CASE WHEN o_orderkey % {ts_mod} = {ts_res} THEN NULL ELSE {rt_raw} END"
+    lk_null = f"CASE WHEN user_id % {key_mod} = {key_res} THEN NULL ELSE {lk_raw} END"
+    lt_null = f"CASE WHEN event_id % {ts_mod} = {ts_res} THEN NULL ELSE {lt_raw} END"
+    k2_cols_r = ", o_orderkey % 3 AS k2" if second_key else ""
+    k2_cols_l = ", event_id % 3 AS k2" if second_key else ""
+    if ties:
+        # duplicate (k, k2, t) right rows survive; the OPERATOR resolves
+        # the tie (largest value tuple), the ORACLE resolves it with max()
+        right_sql = f"""
+            SELECT {k_null} AS k{k2_cols_r}, {t_null} AS t, o_orderkey AS v
+            FROM orders
+        """
+    else:
+        gb = "1, 2, 3" if second_key else "1, 2"
+        right_sql = f"""
+            SELECT {k_null} AS k{k2_cols_r}, {t_null} AS t, max(o_orderkey) AS v
+            FROM orders GROUP BY {gb}
+        """
     left_sql = f"""
-        SELECT event_id, {lk_null} AS k, {lt_null} AS t FROM events
+        SELECT event_id, {lk_null} AS k{k2_cols_l}, {lt_null} AS t FROM events
     """
+    k2_out = ", l2.k2" if second_key else ""
+    k2_on = " AND r.k2 = l2.k2" if second_key else ""
+    k2_null_out = ", k2" if second_key else ""
+    r_dedup = (
+        f"SELECT k{k2_null_out}, t, max(v) AS v FROM r0 "
+        f"GROUP BY k{k2_null_out}, t"
+        if ties
+        else "SELECT * FROM r0"
+    )
     # predicate semantics for NULL left timestamps: r.t <= NULL is never
     # true, so such rows match NOTHING.  DuckDB 1.0's sort-based ASOF
     # instead sorts NULL last and matches the LATEST right row (an
@@ -1857,37 +1921,52 @@ def render_asof_parts(key_mod: int, key_res: int, ts_mod: int, ts_res: int):
     # oracle runs ASOF on the non-NULL-ts subset and unions the NULL-ts
     # left rows back with a NULL match.
     oracle_sql = f"""
-        WITH r AS ({right_sql}), l AS ({left_sql})
-        SELECT l2.event_id, l2.k, l2.t, r.v
+        WITH r0 AS ({right_sql}), r AS ({r_dedup}), l AS ({left_sql})
+        SELECT l2.event_id, l2.k{k2_out}, l2.t, r.v
         FROM (SELECT * FROM l WHERE t IS NOT NULL) l2
-        ASOF LEFT JOIN r ON r.k = l2.k AND r.t <= l2.t
+        ASOF LEFT JOIN r ON r.k = l2.k{k2_on} AND r.t <= l2.t
         UNION ALL
-        SELECT event_id, k, t, NULL AS v FROM l WHERE t IS NULL
+        SELECT event_id, k{k2_null_out}, t, NULL AS v FROM l WHERE t IS NULL
     """
     return left_sql, right_sql, oracle_sql
 
 
-def run_asof_spec(spark, key_mod: int, key_res: int, ts_mod: int, ts_res: int):
+def run_asof_spec(
+    spark,
+    key_mod: int,
+    key_res: int,
+    ts_mod: int,
+    ts_res: int,
+    ties: bool = False,
+    second_key: bool = False,
+):
     from iceberg_data_gen_spark.operators.asof import asof_join
 
     left_sql, right_sql, oracle_sql = render_asof_parts(
-        key_mod, key_res, ts_mod, ts_res
+        key_mod, key_res, ts_mod, ts_res, ties=ties, second_key=second_key
     )
+    keys = ["k", "k2"] if second_key else "k"
+    out_cols = ["event_id", "k", "k2", "t", "v"] if second_key else [
+        "event_id", "k", "t", "v"
+    ]
 
     def fn(spark, sf_dir):
         load_tables(spark, sf_dir, ("orders", "events"))
         out = asof_join(
             spark.sql(left_sql),
             spark.sql(right_sql),
-            left_key="k",
-            right_key="k",
+            left_key=keys,
+            right_key=keys,
             left_ts="t",
             right_ts="t",
             value_cols=["v"],
         )
-        return out.select("event_id", "k", "t", "v")
+        return out.select(*out_cols)
 
-    name = f"propasof[{key_mod},{key_res},{ts_mod},{ts_res}]"
+    name = (
+        f"propasof[{key_mod},{key_res},{ts_mod},{ts_res}"
+        f",ties={int(ties)},k2={int(second_key)}]"
+    )
     return compare(spark, name, fn, oracle_sql, SF_SMALL)
 
 
@@ -1901,11 +1980,25 @@ def run_asof_spec(spark, key_mod: int, key_res: int, ts_mod: int, ts_res: int):
     key_res=st.integers(0, 6),
     ts_mod=st.sampled_from([3, 5]),
     ts_res=st.integers(0, 4),
+    ties=st.booleans(),
+    second_key=st.booleans(),
 )
-def test_random_asof_spec_matches_duckdb(spark, key_mod, key_res, ts_mod, ts_res):
+def test_random_asof_spec_matches_duckdb(
+    spark, key_mod, key_res, ts_mod, ts_res, ties, second_key
+):
     """Differential fuzz of the as-of join surface against DuckDB's
     native ASOF JOIN under randomized NULL-injection into keys and
-    timestamps on BOTH sides (discrete space swept exhaustively once via
-    scripts/sweep_asof.py — sampling here cannot flake)."""
-    errors = run_asof_spec(spark, key_mod, key_res % key_mod, ts_mod, ts_res % ts_mod)
+    timestamps on BOTH sides, plus the r8 tie (equal-instant boundary +
+    duplicate right rows) and composite-key dimensions (discrete space —
+    352 cases — swept exhaustively once via scripts/sweep_asof.py;
+    sampling here cannot flake)."""
+    errors = run_asof_spec(
+        spark,
+        key_mod,
+        key_res % key_mod,
+        ts_mod,
+        ts_res % ts_mod,
+        ties=ties,
+        second_key=second_key,
+    )
     assert not errors, errors

@@ -1158,7 +1158,41 @@ def test_malformed_bodies_get_400_not_dropped_connection(server):
         {"metadata": {}, "requirements": {"type": "assert-version"}}
     ).encode()
     assert post("/v1/namespaces/ns9/tables/t", bad_commit) == 400
-    # the server is still alive and serving after both malformed requests
+    # a non-object JSON body (valid JSON, wrong shape) is also 400
+    assert post("/v1/namespaces", json.dumps(["ns10"]).encode()) == 400
+    # the server is still alive and serving after the malformed requests
+    with urllib.request.urlopen(server.uri + "/v1/config") as resp:
+        assert resp.status == 200
+
+
+def test_server_defects_surface_as_500_not_400(server):
+    """ADVICE r7: the dispatch handler used to catch
+    ValueError/KeyError/AttributeError/TypeError around the WHOLE route,
+    reporting genuine server-side bugs to the client as 400 'malformed
+    request' — misattributing defects and hiding them from error
+    monitoring.  Only _BadRequest (raised at parse/validation sites) may
+    produce 400; an unexpected exception in catalog state logic must
+    surface as 500.  Fails on old code: the injected KeyError returned
+    400 there."""
+    import urllib.error
+    import urllib.request
+
+    original = server.state.load_table
+    server.state.load_table = lambda ns, name: (_ for _ in ()).throw(
+        KeyError("simulated catalog-state bug")
+    )
+    try:
+        try:
+            with urllib.request.urlopen(
+                server.uri + "/v1/namespaces/nsx/tables/tx"
+            ) as resp:
+                status = resp.status
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 500, status
+    finally:
+        server.state.load_table = original
+    # the server survives its own defect and keeps serving
     with urllib.request.urlopen(server.uri + "/v1/config") as resp:
         assert resp.status == 200
 
