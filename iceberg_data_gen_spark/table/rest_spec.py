@@ -309,19 +309,18 @@ def commit_changes(base: dict, target: dict, *, table_uuid: str, location: str):
     tgt_pfield_ids = _partition_field_ids(
         target.get("partition_specs", [{"spec_id": 0, "fields": []}])
     )
-    for s in target.get("partition_specs", []):
-        if s["spec_id"] not in base_specs:
-            updates.append(
-                {
-                    "action": "add-spec",
-                    "spec": _spec_to_partition_spec(
-                        s, target["schema"], tgt_pfield_ids
-                    ),
-                }
-            )
+    # ONE definition of "specs added in this commit" (review r8: the same
+    # predicate used to be computed three times and could silently drift)
     added_specs = [
         s for s in target.get("partition_specs", []) if s["spec_id"] not in base_specs
     ]
+    for s in added_specs:
+        updates.append(
+            {
+                "action": "add-spec",
+                "spec": _spec_to_partition_spec(s, target["schema"], tgt_pfield_ids),
+            }
+        )
     if added_specs:
         # racing spec evolutions: pin the base's last assigned partition
         # field id so two adds from one base cannot both commit with
@@ -342,11 +341,7 @@ def commit_changes(base: dict, target: dict, *, table_uuid: str, location: str):
         # -1 ("the spec added in this commit") is only valid when the new
         # default IS newly added; reverting to a pre-existing spec must
         # name it explicitly or a conforming service fails the commit
-        newly_added = {
-            s["spec_id"]
-            for s in target.get("partition_specs", [])
-            if s["spec_id"] not in base_specs
-        }
+        newly_added = {s["spec_id"] for s in added_specs}
         # -1 binds to the LAST spec added in this commit; a default that
         # is an EARLIER same-commit addition has no spec-legal spelling
         # (its literal id is service-assigned) — unreachable from engine

@@ -265,11 +265,19 @@ class MoRTable:
     ) -> None:
         self.spark = spark
         self.path = Path(path)
-        self._io = io if io is not None else LocalMetadataIO(self.path)
         # ``meta`` is a caller-supplied result of ``io.load()`` it JUST
         # performed (e.g. RestCatalog.load_table's existence probe) —
         # reusing it avoids a second metadata fetch; the io's CAS basis
-        # already reflects that load.
+        # already reflects that load.  Enforced (review r8): meta WITHOUT
+        # the io that loaded it would pair version-N metadata with a
+        # fresh LocalMetadataIO whose CAS basis is 0, guaranteeing a
+        # spurious CommitConflictError on the first commit.
+        if meta is not None and io is None:
+            raise ValueError(
+                "meta= requires the io= that loaded it (a fresh io's CAS "
+                "basis would not match the supplied metadata's version)"
+            )
+        self._io = io if io is not None else LocalMetadataIO(self.path)
         self._meta = meta if meta is not None else self._io.load()
 
     # -- creation / metadata ------------------------------------------------
@@ -511,15 +519,13 @@ class MoRTable:
         return (F.floor(col.cast("long") / field["n"]) * field["n"]).cast("long")
 
     def _spec_field(self, name: str) -> dict:
-        return self._spec_field_with_spec(name)[0]
-
-    def _spec_field_with_spec(self, name: str) -> tuple[dict, int]:
-        """The NEWEST spec's definition of partition field ``name`` and
-        that spec's id — the definition the scan residual uses."""
+        """The NEWEST spec's definition of partition field ``name`` — the
+        definition the scan residual uses (review r8: collapsed from a
+        two-return helper whose spec-id element no caller consumed)."""
         for spec in reversed(self.partition_specs):
             for f in spec["fields"]:
                 if f["name"] == name:
-                    return f, spec["spec_id"]
+                    return f
         raise ValueError(f"unknown partition field: {name}")
 
     # -- writes -------------------------------------------------------------
@@ -562,6 +568,13 @@ class MoRTable:
         through the partition-aware path and each produced file records
         its constant partition tuple + spec id in the snapshot metadata
         (the Iceberg manifest model) so scans can prune at planning time.
+        On that path ``single_file`` means ONE FILE PER PARTITION VALUE —
+        which the writer already guarantees (rows hash-repartition on the
+        whole partition tuple, so a value never splits across tasks;
+        pinned by ``test_partitioned_append_writes_one_file_per_value``)
+        — file-per-call and file-per-partition-value are otherwise
+        contradictory layouts (review r8; ``append_batches`` raises for
+        the same conflict).
         """
         extra = dict(_snapshot_extra or {})
         if branch is not None:
@@ -753,7 +766,16 @@ class MoRTable:
         """Commit equality-delete file(s) as ONE snapshot: rows of the table
         schema projected to the equality columns (main.rs:242-270,
         projection main.rs:251)."""
-        ids = equality_ids or self.schema.identifier_field_ids
+        # `is not None`, not `or` (review r8): an explicit empty list must
+        # fail loudly below, not silently substitute the identifier fields
+        # and delete under a key set the caller never chose
+        ids = (
+            equality_ids
+            if equality_ids is not None
+            else self.schema.identifier_field_ids
+        )
+        if not ids:
+            raise ValueError("equality_ids must be a non-empty list of field ids")
         cols = self.schema.names_for_ids(ids)
         dest = self.path / "deletes"
         if isinstance(df, list):
@@ -786,7 +808,9 @@ class MoRTable:
         number, so the data files committed in this same snapshot are
         untouched by its own delete file.
         """
-        ids = on_ids or self.schema.identifier_field_ids
+        ids = on_ids if on_ids is not None else self.schema.identifier_field_ids
+        if not ids:
+            raise ValueError("on_ids must be a non-empty list of field ids")
         key_cols = self.schema.names_for_ids(ids)
         cols = [f.name for f in self.schema.fields]
         del_paths = self._write_files(
@@ -895,12 +919,26 @@ class MoRTable:
         entry's position within its snapshot's manifest — Iceberg
         manifests are ordered, and (sequence_number, file_ordinal) is
         the table-wide commit order of data files even when one commit
-        lands many files (``append_batches``)."""
+        lands many files (``append_batches``).
+
+        ``sequence_number`` honors the FILE-LEVEL override a rollback
+        snapshot's re-referenced entries carry (review r8: reporting the
+        commit's own number made the metadata table contradict the scan
+        — a seq-2 delete looked inapplicable to a rolled-back data file
+        shown at seq 3 while the scan, via ``_files_of_kind``, correctly
+        still applied it to the file's original seq 1)."""
         rows = []
         for snap in self._upto(snapshot_id):
             for i, f in enumerate(snap["files"]):
                 rows.append(
-                    (f["path"], f["kind"], int(f["record_count"]), snap["id"], snap["sequence_number"], i)
+                    (
+                        f["path"],
+                        f["kind"],
+                        int(f["record_count"]),
+                        snap["id"],
+                        f.get("sequence_number", snap["sequence_number"]),
+                        i,
+                    )
                 )
         schema = "file_path string, kind string, record_count long, snapshot_id int, sequence_number int, file_ordinal int"
         return self.spark.createDataFrame(rows, schema)
@@ -970,6 +1008,20 @@ class MoRTable:
 
     # -- refs (tags) + rollback ---------------------------------------------
 
+    def _new_ref_slot(self, name: str) -> dict:
+        """Shared ref-name validation for create_tag/create_branch
+        (review r8: the two copies would silently diverge): 'main' is
+        reserved — a user ref of that name collides with the spec
+        mapping's implicit main entry (contradictory wire requirements,
+        inconsistent TableMetadata — review r7) — and names are unique
+        across both ref kinds.  Returns the live refs dict."""
+        refs = self._meta.setdefault("refs", {})
+        if name == "main":
+            raise ValueError("'main' is reserved for the implicit main branch")
+        if name in refs:
+            raise ValueError(f"ref exists: {name}")
+        return refs
+
     def create_tag(self, name: str, snapshot_id: int | None = None) -> dict:
         """Named immutable ref to a snapshot (Iceberg tag): a retention
         anchor and a stable name for time travel (``scan(ref=...)``).
@@ -978,15 +1030,7 @@ class MoRTable:
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if sid is None or sid not in {s["id"] for s in self._meta["snapshots"]}:
             raise ValueError(f"snapshot {snapshot_id} does not exist")
-        refs = self._meta.setdefault("refs", {})
-        if name == "main":
-            # 'main' is the implicit current-head branch: a user ref of
-            # that name collides with the spec mapping's implicit main
-            # entry (contradictory wire requirements, inconsistent
-            # TableMetadata — review r7)
-            raise ValueError("'main' is reserved for the implicit main branch")
-        if name in refs:
-            raise ValueError(f"ref exists: {name}")
+        refs = self._new_ref_slot(name)
         refs[name] = {"type": "tag", "snapshot_id": sid}
         self._write_meta()
         return refs[name]
@@ -1016,15 +1060,7 @@ class MoRTable:
             raise ValueError(
                 "cannot branch from a WAP-staged snapshot: publish it first"
             )
-        refs = self._meta.setdefault("refs", {})
-        if name == "main":
-            # 'main' is the implicit current-head branch: a user ref of
-            # that name collides with the spec mapping's implicit main
-            # entry (contradictory wire requirements, inconsistent
-            # TableMetadata — review r7)
-            raise ValueError("'main' is reserved for the implicit main branch")
-        if name in refs:
-            raise ValueError(f"ref exists: {name}")
+        refs = self._new_ref_slot(name)
         refs[name] = {"type": "branch", "snapshot_id": sid}
         self._write_meta()
         return refs[name]
@@ -1186,9 +1222,19 @@ class MoRTable:
         ranks = []
         for c in cols:
             mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+            use_double = by_name[c].type.lower() in ("double", "float")
             if mn is None or mx is None or mn == mx:
                 ranks.append(F.lit(0).cast("long"))
-            elif by_name[c].type.lower() in ("double", "float"):
+                continue
+            if not use_double and (int(mx) - int(mn)) > (2**63 - 1) // top:
+                # review r8: (col-mn)*top overflows int64 when the span
+                # exceeds 2^63/top (e.g. epoch-micros bigints spanning
+                # years at bits=16) — ArithmeticException under Spark 4's
+                # ANSI default, scrambled z-values with ANSI off.  The
+                # double path loses only sub-ulp rank edges (advisory
+                # stats; scan residual keeps results exact).
+                use_double = True
+            if use_double:
                 scaled = (
                     (F.col(c).cast("double") - F.lit(float(mn)))
                     / F.lit(float(mx) - float(mn))
@@ -1347,6 +1393,19 @@ class MoRTable:
             return self.spark.createDataFrame([], self.schema.to_spark())
         if to not in ids:
             raise ValueError(f"snapshot {to_snapshot_id} does not exist")
+        to_snap = next(s for s in self._meta["snapshots"] if s["id"] == to)
+        if to_snap.get("branch") or to_snap.get("staged"):
+            # review r8: an explicit branch/WAP-staged window end passed
+            # the existence check but the main-visibility filter below
+            # then dropped that very snapshot's files — the CDC consumer
+            # silently missed the rows it explicitly asked for.  Refuse
+            # loudly instead: this is main's CDC stream; fast-forward /
+            # publish first (matching the filter's contract).
+            raise ValueError(
+                f"snapshot {to} is not main-visible "
+                "(branch-only or WAP-staged): fast-forward or publish it "
+                "before using it as an incremental-scan window end"
+            )
         files = [
             f
             for s in self._meta["snapshots"]

@@ -17,18 +17,10 @@ from decimal import Decimal
 
 import duckdb
 
-TABLES = (
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-)
+# ONE definition of the testdata table set (review r8): duplicating the
+# tuple here invited drift — a table added to session.TABLES but not the
+# twin would fail every oracle referencing it with 'table does not exist'
+from iceberg_data_gen_spark.session import TABLES
 
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:

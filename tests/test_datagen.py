@@ -1682,3 +1682,135 @@ def test_data_files_always_carry_their_spec_id(spark, tmp_path):
     assert sids == [1, 2], sids
     by_spec = {r.spec_id for r in t.partitions_df().collect()}
     assert by_spec == {1, 2}, by_spec
+
+
+def test_incremental_scan_rejects_non_main_visible_window_end(spark, tmp_path):
+    """Review r8: an explicit branch-only or WAP-staged to_snapshot_id
+    passed the existence check but the main-visibility filter then
+    dropped that very snapshot's files — the CDC consumer silently got
+    only main-committed rows instead of the window it asked for.  Fails
+    on old code: the old scan returned a SUBSET silently; it must raise."""
+    t = _mk_table(spark, tmp_path, "cdcvis")
+    t.append(_fix_rows_dg(spark, 0, 10), single_file=True)          # snap 1
+    base = t.current_snapshot_id()
+    t.create_branch("b")
+    bsnap = t.append(_fix_rows_dg(spark, 10, 20), branch="b")       # snap 2
+    ssnap = t.append_staged(_fix_rows_dg(spark, 20, 30))            # snap 3
+    for bad in (bsnap["id"], ssnap["id"]):
+        with pytest.raises(ValueError, match="not main-visible"):
+            t.incremental_scan(base, bad)
+    # fast-forward publishes the branch commits -> the same id now works
+    t.fast_forward("b")
+    got = sorted(r.bar for r in t.incremental_scan(base, bsnap["id"]).collect())
+    assert got == list(range(10, 20)), got
+
+
+def test_files_metadata_reports_file_level_sequence_numbers(spark, tmp_path):
+    """Review r8: files() reported the COMMIT's sequence number for every
+    entry, ignoring the file-level override rollback snapshots carry, so
+    the metadata table contradicted scan semantics (a seq-2 delete looked
+    inapplicable to a rolled-back data file shown at seq 3 while the scan
+    still applied it to the file's original seq 1).  Fails on old code."""
+    t = _mk_table(spark, tmp_path, "fseq")
+    t.append(_fix_rows_dg(spark, 0, 10), single_file=True)           # seq 1
+    t.add_equality_deletes(                                          # seq 2
+        _fix_rows_dg(spark, 0, 5).select("foo", "bar"), [1, 2]
+    )
+    s3 = t.append(_fix_rows_dg(spark, 0, 5), single_file=True)       # seq 3
+    t.append(_fix_rows_dg(spark, 10, 20), single_file=True)          # seq 4
+    t.rollback(s3["id"])                                             # seq 5 commit
+    # restored state: seq-1 data + seq-2 delete + seq-3 re-insert; the
+    # metadata table must report each re-referenced file's ORIGINAL
+    # sequence (matching what the scan applies), not the rollback
+    # commit's own (5)
+    seqs = sorted(
+        (r.kind, r.sequence_number) for r in t.files().collect()
+    )
+    assert seqs == [("data", 1), ("data", 3), ("eq-delete", 2)], seqs
+    # and the scan agrees with those numbers: the seq-2 delete removes
+    # bar 0-4 from the seq-1 file but NOT the seq-3 re-insert of them
+    assert sorted(r.bar for r in t.scan().collect()) == list(range(10))
+
+
+def test_cluster_by_wide_span_bigint_survives(spark, tmp_path):
+    """Review r8: the integer rank expression ((col-mn)*top DIV span)
+    overflows int64 when span > 2^63/top (epoch-microsecond bigints
+    spanning years at bits=16) — ArithmeticException under Spark 4's ANSI
+    default, silently scrambled z-values with ANSI off.  Wide spans now
+    fall back to the double path.  Fails on old code (overflow raise)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.table.table import Field, MoRTable, TableSchema
+
+    schema = TableSchema(
+        fields=[Field(1, "ts_us", "bigint"), Field(2, "v", "int")],
+        identifier_field_ids=[1],
+    )
+    t = MoRTable.create(spark, str(tmp_path / "widespan"), schema)
+    span = 5 * 365 * 86_400 * 1_000_000  # ~5 years of epoch micros
+    t.append(
+        spark.range(0, 1000).select(
+            (F.col("id") * F.lit(span // 1000)).alias("ts_us"),
+            F.col("id").cast("int").alias("v"),
+        )
+    )
+    t.cluster_by(["ts_us", "v"], bits=16, target_files=4)
+    df = t.scan()
+    assert df.count() == 1000
+    # clustering still worked: a narrow ts range must prune to a strict
+    # subset of the rewritten files
+    lo, hi = 0, span // 100
+    pruned = t.scan(where={"ts_us": (lo, hi)})
+    assert 0 < len(pruned.inputFiles()) < len(df.inputFiles())
+    assert pruned.count() == df.where(F.col("ts_us").between(lo, hi)).count()
+
+
+def test_partitioned_append_writes_one_file_per_value(spark, tmp_path):
+    """Pins append's documented single_file semantics on a partitioned
+    spec (review r8): one file PER PARTITION VALUE — the writer
+    hash-repartitions on the whole partition tuple, so a value never
+    splits across tasks.  Convention pin (holds on old code too): the
+    old behavior was the same but undocumented, presented as 'silently
+    ignored single_file'."""
+    t = _mk_table(spark, tmp_path, "ppv")
+    t.update_spec([{"source": "bar", "transform": "bucket", "n": 4}])
+    t.append(_fix_rows_dg(spark, 0, 400), single_file=True)
+    files = t._files_of_kind("data", None)
+    assert len(files) == 4, [f["partition"] for f in files]
+    parts = sorted(f["partition"]["bar_bucket"] for f in files)
+    assert parts == ["0", "1", "2", "3"], parts
+
+
+def test_table_constructor_rejects_meta_without_io(spark, tmp_path):
+    """Review r8: MoRTable(spark, path, meta=doc) with the DEFAULT io
+    paired version-N metadata with a fresh LocalMetadataIO whose CAS
+    basis is 0 — guaranteeing a spurious CommitConflictError on the
+    first commit.  The constructor now rejects the combination.  Fails
+    on old code (it accepted the pair and blew up later)."""
+    import json
+
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    t = _mk_table(spark, tmp_path, "metaio")
+    t.append(_fix_rows_dg(spark, 0, 10), single_file=True)
+    doc = json.loads(json.dumps(t._meta))  # a doc obtained 'elsewhere'
+    with pytest.raises(ValueError, match="meta= requires the io="):
+        MoRTable(spark, str(t.path), meta=doc)
+    # the supported spellings still work
+    assert MoRTable(spark, str(t.path)).scan().count() == 10
+    assert MoRTable(spark, str(t.path), io=t._io, meta=t._meta).scan().count() == 10
+
+
+def test_empty_equality_ids_raise_instead_of_silent_substitute(spark, tmp_path):
+    """Review r8: `equality_ids or identifier_field_ids` treated an
+    explicit EMPTY list as 'not provided', silently deleting under the
+    identifier key set the caller never chose.  Fails on old code: the
+    empty list fell through to the identifier fields and (with matching
+    columns) deleted rows."""
+    t = _mk_table(spark, tmp_path, "emptyids")
+    t.append(_fix_rows_dg(spark, 0, 10), single_file=True)
+    with pytest.raises(ValueError, match="non-empty"):
+        t.add_equality_deletes(_fix_rows_dg(spark, 0, 5).select("foo", "bar"), [])
+    with pytest.raises(ValueError, match="non-empty"):
+        t.merge(_fix_rows_dg(spark, 0, 5), on_ids=[])
+    assert t.scan().count() == 10  # nothing was deleted by the rejections
