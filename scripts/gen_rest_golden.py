@@ -151,17 +151,48 @@ def main() -> None:
         )
         commits[name] = {"updates": updates, "requirements": requirements}
 
+    # provenance stamp (VERDICT r7 #6): record WHAT validated these exact
+    # payloads.  Where pyiceberg is installed, every metadata doc is
+    # round-tripped through its TableMetadata parser RIGHT HERE and the
+    # stamp carries the tool version — third-party provenance travels
+    # with the fixture.  Without it the stamp records the OpenAPI-model
+    # self-check (tests/test_rest_catalog.py runs it unconditionally).
+    import hashlib
+
+    payload = json.dumps(
+        {"table_metadata": metadata, "commits": commits}, sort_keys=True
+    )
+    digest = hashlib.sha256(payload.encode()).hexdigest()
+    try:
+        import pyiceberg
+        from pyiceberg.table.metadata import TableMetadataUtil
+
+        for name, meta in metadata.items():
+            TableMetadataUtil.parse_obj(meta)  # raises on spec violations
+        validated_by = f"pyiceberg {pyiceberg.__version__} (live parse)"
+    except ImportError:
+        validated_by = (
+            "openapi-model self-check only (pyiceberg not installed in "
+            "this environment; rerun this script where it is to upgrade "
+            "the stamp)"
+        )
+    provenance = {"validated_by": validated_by, "payload_sha256": digest}
+
     out = _REPO / "tests" / "fixtures" / "rest_golden.json"
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(
         json.dumps(
-            {"table_metadata": metadata, "commits": commits},
+            {
+                "commits": commits,
+                "provenance": provenance,
+                "table_metadata": metadata,
+            },
             indent=1,
             sort_keys=True,
         )
         + "\n"
     )
-    print(f"wrote {out}")
+    print(f"wrote {out} ({provenance['validated_by']})")
 
 
 if __name__ == "__main__":
