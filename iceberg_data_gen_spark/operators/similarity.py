@@ -65,19 +65,6 @@ def _query_matrix(e: DataFrame, n_queries: int):
     return q_ids, Q / np.maximum(np.sqrt(np.einsum("ij,ij->i", Q, Q)), 1e-12)[:, None], rows
 
 
-def _probe_map(Q, C, nprobe: int) -> dict[int, list[int]]:
-    """Inverted file for the query set: cell -> [query rows probing it],
-    from each query's ``nprobe`` closest centroids."""
-    import numpy as np
-
-    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
-    cell_to_queries: dict[int, list[int]] = {}
-    for qi in range(Q.shape[0]):
-        for cell in probe[qi]:
-            cell_to_queries.setdefault(int(cell), []).append(qi)
-    return cell_to_queries
-
-
 def _adc_tables(Q, B):
     """PQ asymmetric-distance lookup tables:
     ``T[q, j, c] = dot(Q[q] subspace j, B[j, c])``."""
@@ -99,7 +86,8 @@ def _adc_tables(Q, B):
     )
     SELECT label,
            count(*) AS n_vectors,
-           round(avg(sqrt(list_dot_product(v, v))), 6) AS avg_norm,
+           round(CAST(sum(CAST(sqrt(list_dot_product(v, v)) AS DECIMAL(38,18)))
+                      AS DOUBLE) / count(*), 6) AS avg_norm,
            round(min(sqrt(list_dot_product(v, v))), 6) AS min_norm,
            round(max(sqrt(list_dot_product(v, v))), 6) AS max_norm
     FROM e
@@ -107,14 +95,24 @@ def _adc_tables(Q, B):
     """,
 )
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label vector-norm statistics (sanity layer for the ANN ops)."""
+    """Per-label vector-norm statistics (sanity layer for the ANN ops).
+
+    The mean accumulates in DECIMAL on BOTH engines (review r8, the
+    repo's dsum convention): a raw double avg merges partials in
+    partition order, so Spark and DuckDB could land on opposite sides of
+    the 6th-decimal rounding boundary; the decimal sum is
+    order-independent and bit-identical across engines."""
     e = _emb(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     norm = F.sqrt(_dot(F.col("v"), F.col("v")))
     return e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        F.round(F.avg(norm), 6).alias("avg_norm"),
+        F.round(
+            F.sum(norm.cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_norm"),
         F.round(F.min(norm), 6).alias("min_norm"),
         F.round(F.max(norm), 6).alias("max_norm"),
     )
@@ -295,7 +293,17 @@ def _flat_quantizer(C):
         return np.argmax(M @ C.T, axis=1).astype(np.int64)
 
     def probe(Q, nprobe):
-        return _probe_map(Q, C, nprobe)
+        # inverted file for the query set: cell -> [query rows probing
+        # it], from each query's ``nprobe`` closest centroids.  Inlined
+        # (review r8) so the closure really closes over C alone, and
+        # STABLE argsort so duplicate-centroid ties order identically
+        # across numpy versions — same discipline as the IMI probe.
+        order = np.argsort(-(Q @ C.T), axis=1, kind="stable")[:, :nprobe]
+        cell_to_queries: dict[int, list[int]] = {}
+        for qi in range(Q.shape[0]):
+            for cell in order[qi]:
+                cell_to_queries.setdefault(int(cell), []).append(qi)
+        return cell_to_queries
 
     return assign, probe, len(C)
 
@@ -461,11 +469,22 @@ def _kmeans_centroids(
             )
 
         part = e.mapInPandas(partials, "cell int, cnt long, s array<double>")
+        # DECIMAL-accumulate the double partials (review r8): a plain
+        # float F.sum merges per-partition rows in shuffle-fetch order —
+        # last-ulp drift that can flip a next-iteration argmax tie and
+        # break the documented run-to-run determinism.  The decimal cast
+        # quantizes each partial identically every run, and decimal
+        # addition is order-independent.
         rows = (
             part.groupBy("cell")
             .agg(
                 F.sum("cnt").alias("cnt"),
-                *[F.sum(F.col("s")[i]).alias(f"s{i}") for i in range(dim)],
+                *[
+                    F.sum(F.col("s")[i].cast("decimal(38,18)"))
+                    .cast("double")
+                    .alias(f"s{i}")
+                    for i in range(dim)
+                ],
             )
             .collect()
         )
@@ -845,8 +864,16 @@ def _pq_codebooks(e: DataFrame):
             .groupBy("sub", "cell")
             .agg(
                 F.sum("cnt").alias("n"),
+                # decimal-accumulated like _kmeans_centroids (review r8):
+                # order-independent reduction keeps the codebooks
+                # byte-deterministic across runs
                 F.array(
-                    *[F.sum(F.col("s")[i]).alias(f"d{i}") for i in range(d)]
+                    *[
+                        F.sum(F.col("s")[i].cast("decimal(38,18)"))
+                        .cast("double")
+                        .alias(f"d{i}")
+                        for i in range(d)
+                    ]
                 ).alias("ssum"),
             )
             .collect()
