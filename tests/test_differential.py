@@ -468,11 +468,17 @@ def _run_mutation_model(spark, t, ops, partition_check=None):
     stripping both — and (b) a partition-filtered scan equals the model
     filtered by the same bucket, i.e. pruning never drops or
     manufactures rows across any maintenance history."""
+    import copy
     from collections import Counter
 
     files: list[dict] = []  # {"seq", "rows": [[foo, bar, baz, alive]]}
     seq = 0
     history: list[tuple[int, Counter]] = []
+    # per main-visible commit: a DEEP copy of the whole file/seq/alive
+    # structure (not just the live Counter) — the r8 "rollback" op
+    # restores one, and post-rollback eq-deletes need the restored
+    # files' ORIGINAL sequence numbers to model the strictly-older rule
+    model_states: list[tuple[int, list[dict]]] = []
 
     def model_live() -> Counter:
         return Counter(
@@ -596,6 +602,25 @@ def _run_mutation_model(spark, t, ops, partition_check=None):
             files.append(
                 {"seq": seq, "rows": [[str(v), v, bz, True] for v in keys]}
             )
+        elif kind == "rollback":
+            # r8 (files() seq fix): restore a random still-live past
+            # snapshot.  The engine re-references the target's visible
+            # files under their ORIGINAL sequence numbers; the model
+            # restores its deep-copied state from that commit — alive
+            # flags and seqs as they were — so later eq-deletes (whose
+            # seq exceeds every restored one) and expiration interact
+            # with the restored files exactly like the engine's
+            # strictly-older rule says
+            live_ids = {s["id"] for s in t.snapshots()}
+            candidates = [
+                (sid, st_) for sid, st_ in model_states if sid in live_ids
+            ]
+            if not candidates:
+                seq -= 1  # nothing to roll back to: op is a no-op
+                continue
+            sid, fstate = candidates[r % len(candidates)]
+            t.rollback(sid)
+            files = copy.deepcopy(fstate)
         else:  # compact / cluster: both replace the table with a baseline
             if kind == "cluster":
                 t.cluster_by(["bar"], bits=8)
@@ -616,6 +641,19 @@ def _run_mutation_model(spark, t, ops, partition_check=None):
         head = t.current_snapshot_id()
         if head is not None:
             history.append((head, model_live()))
+            model_states.append((head, copy.deepcopy(files)))
+        # r8: the .files metadata table must agree with the scan layer's
+        # merged per-file sequence numbers after EVERY op — rollback
+        # re-references files under their original numbers and the
+        # metadata table used to report the commit's own instead
+        want_seqs = Counter(
+            (f["path"], f["sequence_number"])
+            for f in t._files_of_kind(None, None)
+        )
+        got_seqs = Counter(
+            (r2.file_path, r2.sequence_number) for r2 in t.files().collect()
+        )
+        assert got_seqs == want_seqs, (kind, ops)
     import pytest
 
     survived: list[bool] = []
@@ -644,7 +682,16 @@ def _run_mutation_model(spark, t, ops, partition_check=None):
 _MUTATION_OPS = st.lists(
     st.tuples(
         st.sampled_from(
-            ["append", "eqdel", "merge", "compact", "cluster", "expire", "evolve"]
+            [
+                "append",
+                "eqdel",
+                "merge",
+                "compact",
+                "cluster",
+                "expire",
+                "evolve",
+                "rollback",
+            ]
         ),
         st.integers(0, 10**6),
     ),
