@@ -295,7 +295,15 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (ntile / percent_rank / cume_dist)
     per order priority, tie-broken by key so row-position-dependent
-    ntile is deterministic on any partition layout."""
+    ntile is deterministic on any partition layout.
+
+    Distinct surface vs ``relational3.q_window_frames`` (review r8,
+    deliberate overlap): the partition key here is HIGH-cardinality-ish
+    o_orderpriority (5 values, even sizes) vs o_orderstatus (3, heavily
+    skewed), AND the output carries a rounded measure column through the
+    window projection — together they pin ntile's bucket arithmetic on
+    a different partition-size profile; q_window_frames additionally
+    covers first_value/nth_value, which this query deliberately omits."""
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     return orders.select(
@@ -581,9 +589,19 @@ def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     key = ("pagerank_edges", app_id, sf_dir)
     if key not in _PR_EDGE_CACHE:
-        # evict entries left by stopped sessions on insert: they hold dead
-        # DataFrame object graphs and grow unbounded when sessions cycle
-        for stale in [k for k in _PR_EDGE_CACHE if k[1] != app_id]:
+        # evict on insert (review r8): dead-session entries are dropped,
+        # and SAME-session entries for OTHER corpora are unpersisted
+        # first — a session that benches several sf_dirs otherwise pins
+        # one never-released cached edge table per corpus in executor
+        # storage.  (A corpus at a path is immutable in-process — the
+        # repo-wide cache contract — so a live same-path entry is never
+        # stale.)
+        for stale in [k for k in _PR_EDGE_CACHE if k != key]:
+            if stale[1] == app_id:
+                try:
+                    _PR_EDGE_CACHE[stale].unpersist()
+                except Exception:
+                    pass  # session died mid-unpersist: nothing to free
             del _PR_EDGE_CACHE[stale]
         _PR_EDGE_CACHE[key] = edges.join(outw, "src").cache()
     edges = _PR_EDGE_CACHE[key]
@@ -925,10 +943,11 @@ def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines see the same session-zone timestamps.  168 output cells at
     any scale — the shuffle carries partial (cell, count, user-partials)
     rows only."""
+    from iceberg_data_gen_spark.operators.common import iso_weekday
+
     ev = _events(spark, sf_dir)
-    iso = (F.dayofweek("ts") + 5) % 7 + 1
     return ev.groupBy(
-        iso.cast("int").alias("iso_weekday"),
+        iso_weekday("ts").alias("iso_weekday"),
         F.hour("ts").cast("int").alias("hour_of_day"),
     ).agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -98,6 +98,15 @@ def ngram_expr(arr: str, k: int) -> str:
     )
 
 
+def iso_weekday(col) -> F.Column:
+    """ISO weekday (1=Monday..7=Sunday) from Spark's Sunday-based
+    ``dayofweek`` — the ONE definition of the engine-portability
+    normalization (DuckDB's ``isodow`` is Monday-based natively; review
+    r8: two hand-rolled copies could drift and silently renumber one
+    operator's weekdays away from its oracle)."""
+    return ((F.dayofweek(col) + 5) % 7 + 1).cast("int")
+
+
 def vec_dot(u: F.Column, v: F.Column) -> F.Column:
     """Engine-portable LEFT-TO-RIGHT vector dot product: the fold order
     matches DuckDB's list_dot_product and the numpy kernels' sequential

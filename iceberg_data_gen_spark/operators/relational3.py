@@ -3,7 +3,8 @@ driver schema can express (Q8/Q9/Q13/Q15/Q16/Q17/Q21/Q22 adapted —
 the testdata has no partsupp/comment/phone columns, so each query keeps
 the reference shape on the columns that exist), plus lateral explode,
 map functions, array higher-order functions, extended window frames
-(ntile/percent_rank/cume_dist/nth_value/RANGE frames), INTERSECT ALL /
+(ntile/percent_rank/cume_dist/nth_value; time-RANGE frames live in
+q_window_time_range), INTERSECT ALL /
 EXCEPT ALL, deterministic hash sampling, regexp functions, and cross
 join.
 
@@ -294,7 +295,11 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates (distinct-supplier count; distinct-late-supplier count)
     joined back to the late rows — two shuffles on l_orderkey instead of
     two correlated subplans, and the form Spark can't express directly
-    (non-equality correlation in NOT EXISTS is unsupported).
+    (non-equality correlation in NOT EXISTS is unsupported).  The
+    per-order aggregates join WITHOUT broadcast hints (review r8: they
+    are order-cardinality — billions of rows at 100 TB — and the
+    aggregation already shuffled on l_orderkey, so the joins reuse that
+    partitioning; only the true dimension, supplier, broadcasts).
     """
     supplier, lineitem, orders = _t(spark, sf_dir, "supplier", "lineitem", "orders")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
@@ -313,8 +318,8 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_late_supp")
     )
     return (
-        late_rows.join(F.broadcast(supp_per_order), F.col("so_key") == F.col("l_orderkey"))
-        .join(F.broadcast(late_supp_per_order), F.col("lo_key") == F.col("l_orderkey"))
+        late_rows.join(supp_per_order, F.col("so_key") == F.col("l_orderkey"))
+        .join(late_supp_per_order, F.col("lo_key") == F.col("l_orderkey"))
         .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
         .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
@@ -480,7 +485,9 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile / percent_rank / cume_dist / nth_value and a RANGE frame sum."""
+    """ntile / percent_rank / cume_dist / first_value / nth_value over a
+    tie-broken order (review r8: this query does NOT compute a RANGE
+    frame — that surface lives in ``q_window_time_range``)."""
     (orders,) = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
     return orders.select(
@@ -1308,9 +1315,13 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     load runs before publishing a snapshot.
 
     Each edge is one pass over the child table: broadcast LEFT join to
-    the parent's key column, then a 1-row aggregate counting null parent
-    keys (the scalable orphan formula — no collects, no subqueries, the
-    whole report is one lazy UNION plan).  Counts are exact integers."""
+    the parent's DISTINCT key column, then a 1-row aggregate counting
+    null parent keys (the scalable orphan formula — no collects, no
+    subqueries, the whole report is one lazy UNION plan).  Counts are
+    exact integers.  The distinct matters (review r8): a CORRUPT parent
+    with duplicate keys would otherwise fan out child rows and inflate
+    n_rows — on exactly the broken snapshot an integrity check exists to
+    report on."""
     lineitem, orders, part, supplier, customer, nation = _t(
         spark, sf_dir, "lineitem", "orders", "part", "supplier", "customer", "nation"
     )
@@ -1318,7 +1329,11 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     def edge(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
         return (
             child.select(ck)
-            .join(F.broadcast(parent.select(pk)), F.col(ck) == F.col(pk), "left")
+            .join(
+                F.broadcast(parent.select(pk).distinct()),
+                F.col(ck) == F.col(pk),
+                "left",
+            )
             .agg(
                 F.lit(name).alias("fk_edge"),
                 F.count(F.lit(1)).alias("n_rows"),
@@ -1584,9 +1599,10 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     1=Sunday while DuckDB's isodow is 1=Monday, so both engines are
     normalized onto the ISO numbering explicitly.  One aggregation,
     DECIMAL revenue."""
+    from iceberg_data_gen_spark.operators.common import iso_weekday
+
     (orders,) = _t(spark, sf_dir, "orders")
-    iso = (F.dayofweek("o_orderdate") + 5) % 7 + 1
-    return orders.groupBy(iso.cast("int").alias("iso_weekday")).agg(
+    return orders.groupBy(iso_weekday("o_orderdate").alias("iso_weekday")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice"), 2).alias("revenue"),
     )
