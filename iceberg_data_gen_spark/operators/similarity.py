@@ -1426,6 +1426,11 @@ def q_semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     < tau (or it had no prior).  Each clause becomes a boolean the
     oracle pins to TRUE, so a semdedup regression (wrong verdicts, wrong
     evidence, lost vectors) fails the driver hash gate.
+
+    The audit reads ``evidence_cos`` AFTER ``prune_cluster`` rounds it
+    to 6 decimals while the keep/prune decision used the unrounded
+    value, so both checks carry a half-quantum (5e-7) slack: a cosine of
+    tau − 5e-7 is a correct KEEP yet rounds to exactly tau (review r8).
     """
     from iceberg_data_gen_spark.operators import QUERIES
 
@@ -1449,7 +1454,7 @@ def q_semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & F.col("e_kept")
                     & (F.col("e_cell") == F.col("cell"))
                     & (F.col("evidence_id") < F.col("vec_id"))
-                    & (F.col("evidence_cos") >= SEMDEDUP_TAU)
+                    & (F.col("evidence_cos") >= SEMDEDUP_TAU - 5e-7)
                 ),
                 1,
             ).otherwise(0)
@@ -1460,12 +1465,17 @@ def q_semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("kept")
                 & ~(
                     (F.col("evidence_id") == -1)
-                    | (F.col("evidence_cos") < SEMDEDUP_TAU)
+                    | (F.col("evidence_cos") < SEMDEDUP_TAU + 5e-7)
                 ),
                 1,
             ).otherwise(0)
         ).alias("bad_kept"),
     ).collect()[0]
+    # everything the audit needs is in `agg` now — release the cached
+    # verdict set so repeated invocations (driver rounds, bench loops)
+    # don't accumulate storage entries (review r8; same leak class as
+    # _PR_EDGE_CACHE)
+    v.unpersist()
     return spark.createDataFrame(
         [
             (

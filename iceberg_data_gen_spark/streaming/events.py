@@ -384,10 +384,16 @@ def make_stateful_count():
             n, cents, batches = state.get
         else:
             n, cents, batches = 0, 0, 0
+        # pdf_iter yields one pandas frame per ARROW CHUNK, not per
+        # micro-batch — a key with > arrow.maxRecordsPerBatch rows (10k
+        # default) arrives as several chunks within ONE trigger, so
+        # count the invocation (= one per key per trigger), not the
+        # chunks, or n_batches drifts above the oracle's pinned 1 on
+        # large keys (review r8)
+        batches += 1
         for pdf in pdf_iter:
             n += len(pdf)
             cents += int(pdf["value_cents"].sum())
-            batches += 1
         state.update((n, cents, batches))
         yield _pd.DataFrame(
             {

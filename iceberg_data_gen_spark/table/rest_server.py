@@ -106,8 +106,12 @@ class _CatalogState:
     def create_table(self, ns: str, body: dict) -> tuple[int, dict | None]:
         name = body.get("name")
         meta = body.get("metadata")
-        if not name or not isinstance(meta, dict):
-            return 400, {"error": "create needs {name, metadata}"}
+        # name must be a STRING, not merely truthy — a dict/list name
+        # would reach the `(ns, name) in self.tables` lookup and raise
+        # an unhashable TypeError that dispatch answers 500, blaming the
+        # server for a malformed client body (review r8)
+        if not name or not isinstance(name, str) or not isinstance(meta, dict):
+            return 400, {"error": "create needs {name: str, metadata: obj}"}
         with self.lock:
             if ns not in self.namespaces:
                 return 404, {"error": f"no such namespace: {ns}"}
@@ -204,7 +208,15 @@ def _make_handler(state: _CatalogState):
                 return 200, {"defaults": {}, "overrides": {}}
             if parts == ["namespaces"] and method == "POST":
                 ns = self._body().get("namespace", [])
-                if not isinstance(ns, list) or len(ns) != 1:
+                # the single level must itself be a STRING: a nested
+                # list passes the shape check but is unhashable in the
+                # namespace set -> TypeError -> 500 misattribution
+                # (review r8)
+                if (
+                    not isinstance(ns, list)
+                    or len(ns) != 1
+                    or not isinstance(ns[0], str)
+                ):
                     return 400, {"error": "single-level namespaces only"}
                 return state.create_namespace(ns[0])
             if len(parts) == 2 and parts[0] == "namespaces":

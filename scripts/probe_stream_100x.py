@@ -145,7 +145,10 @@ def main() -> None:
             tN = min(tN, tN2)
             entry[f"t{FACTOR}_{label}"] = round(tN, 2)
             entry[f"ratio_{label}"] = round(tN / t1, 2)
-            entry[f"state_rows_{label}"] = srows or srows2
+            # `srows or srows2` would treat a legitimate 0 (all state
+            # evicted past the watermark — the eviction witness itself)
+            # as missing (review r8)
+            entry[f"state_rows_{label}"] = srows if srows is not None else srows2
         report[name] = entry
         print(name, entry, file=sys.stderr, flush=True)
 

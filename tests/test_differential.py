@@ -1934,8 +1934,16 @@ def render_asof_parts(
     t_null = f"CASE WHEN o_orderkey % {ts_mod} = {ts_res} THEN NULL ELSE {rt_raw} END"
     lk_null = f"CASE WHEN user_id % {key_mod} = {key_res} THEN NULL ELSE {lk_raw} END"
     lt_null = f"CASE WHEN event_id % {ts_mod} = {ts_res} THEN NULL ELSE {lt_raw} END"
-    k2_cols_r = ", o_orderkey % 3 AS k2" if second_key else ""
-    k2_cols_l = ", event_id % 3 AS k2" if second_key else ""
+    # NULL-inject the SECOND key component too, with a shifted residue on
+    # a different driver column than k/t so the three NULL surfaces are
+    # decorrelated — without this, a regression that only NULL-filters
+    # rkeys[0] passes every case because no spec ever produces a NULL k2
+    # (review r8).  Reuses key_mod/key_res: no new sweep dimension.
+    k2_res = f"(({key_res} + 1) % {key_mod})"
+    k2_r = f"CASE WHEN o_orderkey % {key_mod} = {k2_res} THEN NULL ELSE o_orderkey % 3 END"
+    k2_l = f"CASE WHEN user_id % {key_mod} = {k2_res} THEN NULL ELSE event_id % 3 END"
+    k2_cols_r = f", {k2_r} AS k2" if second_key else ""
+    k2_cols_l = f", {k2_l} AS k2" if second_key else ""
     if ties:
         # duplicate (k, k2, t) right rows survive; the OPERATOR resolves
         # the tie (largest value tuple), the ORACLE resolves it with max()
@@ -1955,25 +1963,36 @@ def render_asof_parts(
     k2_out = ", l2.k2" if second_key else ""
     k2_on = " AND r.k2 = l2.k2" if second_key else ""
     k2_null_out = ", k2" if second_key else ""
+    key_nn = "k IS NOT NULL" + (" AND k2 IS NOT NULL" if second_key else "")
     r_dedup = (
-        f"SELECT k{k2_null_out}, t, max(v) AS v FROM r0 "
+        f"SELECT k{k2_null_out}, t, max(v) AS v FROM r0 WHERE {key_nn} "
         f"GROUP BY k{k2_null_out}, t"
         if ties
-        else "SELECT * FROM r0"
+        else f"SELECT * FROM r0 WHERE {key_nn}"
     )
     # predicate semantics for NULL left timestamps: r.t <= NULL is never
     # true, so such rows match NOTHING.  DuckDB 1.0's sort-based ASOF
     # instead sorts NULL last and matches the LATEST right row (an
     # implementation artifact — found by this family's first run), so the
     # oracle runs ASOF on the non-NULL-ts subset and unions the NULL-ts
-    # left rows back with a NULL match.
+    # left rows back with a NULL match.  SECOND artifact (found the
+    # moment k2 NULL injection landed, review r8): composite-key ASOF
+    # gives the FIRST equality key correct NULL semantics but matches
+    # NULL = NULL on every LATER key (probe: left k2=NULL matched right
+    # k2=NULL; a plain LEFT JOIN with the identical predicate does not).
+    # So the normalization is uniform predicate semantics: left rows
+    # with a NULL timestamp OR any NULL key component bypass the ASOF
+    # and union back unmatched, and NULL-key right rows (which can
+    # never satisfy an equality) are dropped from r.
+    l_match = "t IS NOT NULL AND " + key_nn
     oracle_sql = f"""
         WITH r0 AS ({right_sql}), r AS ({r_dedup}), l AS ({left_sql})
         SELECT l2.event_id, l2.k{k2_out}, l2.t, r.v
-        FROM (SELECT * FROM l WHERE t IS NOT NULL) l2
+        FROM (SELECT * FROM l WHERE {l_match}) l2
         ASOF LEFT JOIN r ON r.k = l2.k{k2_on} AND r.t <= l2.t
         UNION ALL
-        SELECT event_id, k{k2_null_out}, t, NULL AS v FROM l WHERE t IS NULL
+        SELECT event_id, k{k2_null_out}, t, NULL AS v
+        FROM l WHERE NOT ({l_match})
     """
     return left_sql, right_sql, oracle_sql
 
@@ -2036,9 +2055,13 @@ def test_random_asof_spec_matches_duckdb(
     """Differential fuzz of the as-of join surface against DuckDB's
     native ASOF JOIN under randomized NULL-injection into keys and
     timestamps on BOTH sides, plus the r8 tie (equal-instant boundary +
-    duplicate right rows) and composite-key dimensions (discrete space —
-    352 cases — swept exhaustively once via scripts/sweep_asof.py;
-    sampling here cannot flake)."""
+    duplicate right rows) and composite-key dimensions — with the
+    SECOND key component NULL-injected too (review r8; the k2 NULL
+    surface immediately exposed DuckDB's nulls-equal handling of
+    non-first ASOF equality keys, now normalized in the oracle).
+    Discrete space — 352 cases — swept exhaustively once via
+    scripts/sweep_asof.py after each spec change; sampling here cannot
+    flake."""
     errors = run_asof_spec(
         spark,
         key_mod,

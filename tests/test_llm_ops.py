@@ -766,6 +766,46 @@ def test_zero_norm_embedding_does_not_poison_semdedup(spark, tmp_path):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+def test_semdedup_audit_tolerates_rounding_band_at_tau(spark, tmp_path, monkeypatch):
+    """Review r8: ``prune_cluster`` rounds ``evidence_cos`` to 6
+    decimals AFTER deciding keep/prune on the unrounded value, so a
+    correctly-KEPT vector whose true best-prior cosine is in
+    [tau−5e-7, tau) surfaces as evidence_cos == tau exactly — and the
+    audit's strict ``evidence_cos < tau`` flagged it bad_kept, flipping
+    the oracle-pinned TRUE to FALSE.  Both audit checks must carry a
+    half-quantum slack.  Injects verdicts at both boundary sides via the
+    registry (the audit's input contract), with a matching corpus."""
+    import numpy as np
+
+    from iceberg_data_gen_spark import operators
+    from iceberg_data_gen_spark.operators.similarity import DIM
+
+    rng = np.random.default_rng(11)
+    rows = [(g, [float(x) for x in rng.normal(size=DIM)], 0) for g in range(3)]
+    sf_dir = str(tmp_path / "sf-band")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    verdicts = spark.createDataFrame(
+        [
+            (0, 5, True, -1, -2.0),
+            # true cos 0.3999996 < tau: correct KEEP, rounds up to 0.4
+            (1, 5, True, 0, round(0.3999996, 6)),
+            # true cos 0.4000004 >= tau: correct PRUNE, rounds to 0.4
+            (2, 5, False, 0, round(0.4000004, 6)),
+        ],
+        "vec_id long, cell long, kept boolean, "
+        "evidence_id long, evidence_cos double",
+    )
+    monkeypatch.setitem(operators.QUERIES, "q_semdedup", lambda s, d: verdicts)
+    row = operators.QUERIES["q_semdedup_audit"](spark, sf_dir).collect()[0]
+    assert row.n_vectors == 3
+    assert row.one_verdict_each is True
+    assert row.pruned_witnessed is True
+    assert row.kept_below_tau is True  # fails on pre-r8 strict inequality
+
+
 def test_png_decode_via_pil_property():
     """The HAVE_PIL branch, exercised for real when the environment has
     PIL (auto-skipped otherwise): encode arbitrary RGB rasters to PNG

@@ -1197,6 +1197,48 @@ def test_server_defects_surface_as_500_not_400(server):
         assert resp.status == 200
 
 
+def test_wrong_typed_body_fields_are_client_faults_not_500(server):
+    """Review r8: narrowing the dispatch catch to _BadRequest regressed
+    classification for bodies that pass the SHAPE checks with wrong-typed
+    values — a nested-list namespace or a dict table name reached the
+    catalog-state dict lookups and raised an unhashable TypeError, which
+    dispatch now (correctly) answers 500.  Those are CLIENT faults: the
+    validation sites must reject them as 400 before state is touched."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    def post(path: str, obj) -> int:
+        req = urllib.request.Request(
+            server.uri + path, data=json.dumps(obj).encode(), method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    # nested list passes `isinstance(ns, list) and len(ns) == 1`
+    assert post("/v1/namespaces", {"namespace": [["x"]]}) == 400
+    # non-string level of other unhashable-adjacent types
+    assert post("/v1/namespaces", {"namespace": [{"a": 1}]}) == 400
+    assert post("/v1/namespaces", {"namespace": ["ok_ns"]}) == 200
+    # truthy non-string table name used to reach `(ns, name) in tables`
+    assert post(
+        "/v1/namespaces/ok_ns/tables", {"name": {"a": 1}, "metadata": {}}
+    ) == 400
+    assert post(
+        "/v1/namespaces/ok_ns/tables", {"name": ["t"], "metadata": {}}
+    ) == 400
+    assert post(
+        "/v1/namespaces/ok_ns/tables", {"name": "t_ok", "metadata": {}}
+    ) == 200
+    # still serving
+    with urllib.request.urlopen(server.uri + "/v1/config") as resp:
+        assert resp.status == 200
+
+
 def test_snapshot_operation_mapping_uses_engine_vocabulary():
     """Review r7 (high pass): the wire map keyed on file-KIND names
     (pos-delete/eq-delete/merge) that no snapshot ever carries, so every

@@ -491,6 +491,41 @@ def test_stateful_final_state_with_negative_values(spark, tmp_path):
     assert got[2] == (2, 3.0), got
 
 
+def test_stateful_n_batches_counts_triggers_not_arrow_chunks(spark, tmp_path):
+    """Review r8: ``make_stateful_count`` incremented its batch counter
+    once per pandas frame from ``pdf_iter`` — but that iterator yields
+    one frame per ARROW CHUNK, so a key whose rows in a single trigger
+    exceed ``spark.sql.execution.arrow.maxRecordsPerBatch`` reported
+    n_batches = 2+ against the oracle's pinned 1.  The counter must
+    count invocations (one per key per trigger).  Forces the condition
+    by shrinking the Arrow batch size below one key's row count."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base + dt.timedelta(seconds=i), 1.0) for i in range(500)
+    ] + [(2, base, 2.0)]
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        got = {
+            r.user_id: (r.n_events, r.total_value, r.n_batches)
+            for r in operators.QUERIES["q_stream_stateful"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    # single file, no maxFilesPerTrigger -> ONE trigger: n_batches must
+    # be 1 even though user 1's 500 rows arrived as 5 Arrow chunks
+    assert got[1] == (500, 500.0, 1), got
+    assert got[2] == (1, 2.0, 1), got
+
+
 def test_stream_dedup_recounts_after_watermark_eviction(spark, tmp_path):
     """Pins dropDuplicatesWithinWatermark's REAL contract (review r7):
     one event per key within the watermark delay; a key recurring after
