@@ -38,11 +38,21 @@ class FileConfig:
 
 @dataclass
 class Config:
+    # per-section defaults mirror the reference's example config
+    # (config.toml:17-35: 5×1000 data, 2×1000 pos-delete, 2×1000
+    # eq-delete) and MUST stay equal to load_config's fallbacks — a bare
+    # Config() and a TOML with the sections omitted previously built
+    # different delete cursors (FileConfig's file_count=5 default leaked
+    # into the delete sections; review r8)
     catalog: CatalogConfig = field(default_factory=CatalogConfig)
     table: TableConfig = field(default_factory=TableConfig)
     data_files: FileConfig = field(default_factory=FileConfig)
-    pos_delete_files: FileConfig = field(default_factory=FileConfig)
-    equality_delete_files: FileConfig = field(default_factory=FileConfig)
+    pos_delete_files: FileConfig = field(
+        default_factory=lambda: FileConfig(file_count=2)
+    )
+    equality_delete_files: FileConfig = field(
+        default_factory=lambda: FileConfig(file_count=2)
+    )
 
 
 def load_config(path: str) -> Config:

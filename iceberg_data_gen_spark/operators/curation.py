@@ -248,11 +248,15 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     planner uses to spot off-distribution sources before weighting them.
 
     Plan: ONE explode + groupBy(source, word) builds the contingency
-    table; corpus-level word totals reduce from it (vocabulary-sized,
-    broadcast back); the chi-square terms are exact IEEE expressions on
+    table; the chi-square terms are exact IEEE expressions on
     bit-identical integer-ratio inputs, accumulated in DECIMAL so the
-    sum is order-independent (the ``dsum`` playbook).  At web scale the
-    broadcast degrades to a shuffled join on the same plan; everything
+    sum is order-independent (the ``dsum`` playbook).  Broadcast hints
+    only on the BOUNDED reductions — per-source totals (#sources rows)
+    and the 1-row grand total; the word-totals side ``cw`` is
+    VOCABULARY-sized and data-dependent, so it carries no hint (an
+    explicit hint never degrades — review r8): AQE broadcasts it while
+    small and keeps the word-keyed shuffled join, which reuses the
+    contingency table's own exchange, at web scale.  Everything
     upstream is map-side combinable.
     """
     docs = _docs(spark, sf_dir)
@@ -267,7 +271,7 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sw.join(F.broadcast(st), "source")
         .crossJoin(F.broadcast(tot))
-        .join(F.broadcast(cw), "w")
+        .join(cw, "w")
         .groupBy("source", "n_s")
         .agg(
             F.count(F.lit(1)).alias("n_shared_terms"),

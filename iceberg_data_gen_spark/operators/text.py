@@ -393,10 +393,15 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass every pretraining pipeline runs.
 
     Plan shape: both sides explode to distinct n-grams, the join is
-    equi-keyed on the gram (the benchmark side is orders of magnitude
-    smaller and broadcasts), and the per-doc hit count is one hash
-    aggregation.  At 100 TB the gram would be hashed to a 64-bit token
-    before the join so the shuffle carries 8-byte keys.
+    equi-keyed on the gram, and the per-doc hit count is one hash
+    aggregation.  The broadcast hint on the benchmark side is the ONE
+    deliberate exception to the no-hints-on-data-dependent-sides rule
+    (review r8): a decontamination pass's build side is the EVAL SUITE's
+    gram set — bounded by the benchmark corpus you ship, megabytes by
+    design, not a function of training-corpus size — so pinning the
+    broadcast is a design invariant, not a size guess.  At 100 TB the
+    gram would be hashed to a 64-bit token before the join so the
+    broadcast carries 8-byte keys.
     """
     docs = _docs(spark, sf_dir)
     grams = (
@@ -1030,16 +1035,19 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: all aggregation is over BIGINT token counts (orderless),
     with ONE final double division — no float sums, no logs (playbook).
-    Scale: token->count map is vocabulary-sized, broadcast to the
-    explode side, so the only full shuffle is the doc_id re-aggregation;
-    at 100 TB with a web-scale vocab the broadcast degrades to a
-    shuffled hash join on the same plan.
+    Scale: the token->count map is VOCABULARY-sized — data-dependent,
+    hundreds of millions of terms on a web corpus — so it carries NO
+    broadcast hint (an explicit hint is honored unconditionally and
+    would OOM the driver at that size; the _labels_to_clusters rule,
+    review r8).  AQE broadcasts it while it measures small and keeps the
+    word-keyed shuffled join — which reuses cnt's own word exchange —
+    once it doesn't.
     """
     docs = _docs(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     cnt = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     return (
-        tok.join(F.broadcast(cnt), "word")
+        tok.join(cnt, "word")
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("total_corpus_freq"),
@@ -1085,9 +1093,11 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: chunking is the shuffle-free map of ``q_doc_chunking``; the
     only shuffles are the hash groupBy (vocabulary of chunk hashes) and
-    the per-doc re-aggregation — the shared-hash side joins broadcast at
-    test scale and degrades to a shuffled hash join at corpus scale,
-    same plan.  Integer counts + one final division keep both engines
+    the per-doc re-aggregation.  The shared-hash side is data-dependent
+    (every repeated template in the corpus), so it carries NO broadcast
+    hint — AQE broadcasts it while small and falls back to the shuffled
+    hash join (reusing the chunk-hash exchange) at corpus scale (review
+    r8).  Integer counts + one final division keep both engines
     bit-equal.
     """
     chunks = (
@@ -1102,7 +1112,7 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h", F.lit(1).alias("is_shared"))
     )
     return (
-        chunks.join(F.broadcast(shared), "h", "left")
+        chunks.join(shared, "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),

@@ -82,7 +82,11 @@ def make_fixseq_datasource():
 
         def read(self, start: dict):
             g = start["g"]
-            end = min(g + self.rows_per_batch, self.start_at + self.total_rows)
+            # max(g, ...): the offset must never REGRESS.  A checkpoint
+            # restart with a smaller total_rows/start_at would otherwise
+            # compute end < g and hand Spark a non-monotonic offset log
+            # (review r8) — emit nothing and hold the cursor instead.
+            end = max(g, min(g + self.rows_per_batch, self.start_at + self.total_rows))
             return iter([(str(i), i, True) for i in range(g, end)]), {"g": end}
 
         def readBetweenOffsets(self, start: dict, end: dict):

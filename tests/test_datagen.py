@@ -1410,6 +1410,25 @@ def test_negative_file_config_rejected_at_load(tmp_path):
         load_config(str(bad))
 
 
+def test_bare_config_equals_empty_toml_config(tmp_path):
+    """Review r8: ``Config()`` and ``load_config`` on a TOML with every
+    section omitted must build the IDENTICAL generator config — the
+    dataclass previously inherited FileConfig's data-file default
+    (file_count=5) for both delete sections while load_config fell back
+    to the reference example's 2 (config.toml:22-35), so the two
+    'default' construction paths produced different delete cursors."""
+    from iceberg_data_gen_spark.datagen.config import Config, load_config
+
+    empty = tmp_path / "empty.toml"
+    empty.write_text("")
+    assert load_config(str(empty)) == Config()
+    # and both match the reference example's shape: 5 data files, 2+2
+    # delete files, 1000 rows each
+    cfg = Config()
+    assert (cfg.data_files.file_count, cfg.data_files.rows_per_file) == (5, 1000)
+    assert (cfg.pos_delete_files.file_count, cfg.equality_delete_files.file_count) == (2, 2)
+
+
 def test_local_catalog_rejects_path_escaping_identifiers(spark, tmp_path):
     """LocalCatalog identifier guard (review r7): drop_table("ns", "..")
     resolved to the warehouse root and rmtree deleted EVERY table — the

@@ -766,6 +766,43 @@ def test_zero_norm_embedding_does_not_poison_semdedup(spark, tmp_path):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+def test_embedding_neardup_rounds_dyadic_midpoints_like_duckdb(spark, tmp_path):
+    """Review r8: the kernel rounded with np.round (half-to-EVEN) while
+    DuckDB's round() is half-away, so a cosine landing exactly on a
+    6-decimal midpoint diverged by 1e-6 — and einsum's SIMD partial
+    sums drift from DuckDB's strictly sequential list_dot_product in
+    the last ulp.  This corpus engineers cos = 53/128 = 0.4140625
+    EXACTLY (np.round: 0.414062; DuckDB: 0.414063): every component is
+    a small dyadic (exact in float32) and both vectors have norm
+    exactly 2, so normalization divides by a power of two and the
+    rounded cosine is fully determined.  The full query must hash-match
+    the oracle AND emit DuckDB's half-away value."""
+    a = [2.0] + [0.0] * 7
+    # norm² = (53² + 116² + 10² + 4² + 1+1+1)/64² = 16384/4096 = 4
+    b = [x / 64.0 for x in (53.0, 116.0, 10.0, 4.0, 1.0, 1.0, 1.0, 0.0)]
+    c = [0.0] * 7 + [2.0]  # orthogonal to both: below threshold
+    sf_dir = str(tmp_path / "sf-mid")
+    spark.createDataFrame(
+        [(0, a, 7), (1, b, 7), (2, c, 7)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    import duckdb
+
+    from iceberg_data_gen_spark.operators.dedup import _COS_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    oracle = sorted(map(tuple, con.execute(_COS_SQL).fetchall()))
+    rows = operators.QUERIES["q_embedding_neardup"](spark, sf_dir).collect()
+    got = sorted((r.id_a, r.id_b, r.cos_sim) for r in rows)
+    assert got == oracle, (got, oracle)  # bit-exact, no tolerance
+    assert got == [(0, 1, 0.414063)]  # DuckDB's half-away value
+
+
 def test_semdedup_audit_tolerates_rounding_band_at_tau(spark, tmp_path, monkeypatch):
     """Review r8: ``prune_cluster`` rounds ``evidence_cos`` to 6
     decimals AFTER deciding keep/prune on the unrounded value, so a

@@ -299,11 +299,16 @@ def test_doc_chunking_no_shuffle(spark):
     assert "Exchange" not in plan, plan
 
 
-def test_token_rarity_broadcast_vocab(spark):
-    """The vocabulary-count side of the rarity join is broadcast — the
-    corpus explode side must never shuffle for the join itself."""
-    plan = plan_of(q("q_token_rarity", spark))
-    assert "BroadcastHashJoin" in plan, plan
+def test_token_rarity_vocab_join_adapts_to_broadcast(spark):
+    """The vocabulary-count side carries NO broadcast hint — it is
+    data-dependent (web-scale vocab would OOM an unconditional hint,
+    review r8) — so the broadcast must come from AQE's runtime size
+    measurement: assert it on the EXECUTED plan, where at test scale
+    the join has converted to broadcast."""
+    df = q("q_token_rarity", spark)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed, executed
 
 
 def test_knn_classify_partial_topk(spark):
@@ -443,12 +448,16 @@ def test_simpson_diversity_no_shuffle(spark):
 
 
 def test_source_divergence_broadcast_reductions(spark):
-    """The contingency-table reductions (per-source totals, corpus word
-    totals, grand total) broadcast back to the (source, word) table —
-    the only real shuffle is the groupBy(source, word)."""
-    plan = plan_of(q("q_source_divergence", spark))
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    """The BOUNDED reductions (per-source totals, 1-row grand total)
+    are hinted broadcasts; the vocabulary-sized word-totals side is
+    unhinted (data-dependent — review r8) and must still reach a
+    broadcast via AQE at test scale: no sort-merge join anywhere in the
+    executed plan."""
+    df = q("q_source_divergence", spark)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed, executed
+    assert "SortMergeJoin" not in executed, executed
 
 
 def test_ann_ivfpq_single_corpus_pass(spark):

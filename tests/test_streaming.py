@@ -687,3 +687,25 @@ def test_fixseq_stream_honors_start_at(spark, tmp_path):
         .load()
     )
     assert sorted(r.bar for r in batch.collect()) == list(range(100, 150))
+
+
+def test_fixseq_stream_offset_never_regresses():
+    """Review r8: restarting a checkpointed fixseq stream with a SMALLER
+    total_rows/start_at made ``read`` return an offset below the
+    incoming one (end = min(g+batch, start+total) < g) — a
+    non-monotonic offset log.  The cursor must hold instead: empty
+    batch, offset unchanged."""
+    from iceberg_data_gen_spark.sources.fixseq import make_fixseq_datasource
+
+    ds = make_fixseq_datasource()(
+        options={"rows_per_batch": 20, "total_rows": 1000, "start_at": 0}
+    )
+    reader = ds.simpleStreamReader(None)
+    # checkpointed cursor from a previous, larger configuration
+    rows, off = reader.read({"g": 5000})
+    assert off == {"g": 5000}
+    assert list(rows) == []
+    # and a normal mid-stream read still advances
+    rows, off = reader.read({"g": 980})
+    assert off == {"g": 1000}
+    assert len(list(rows)) == 20
