@@ -62,7 +62,13 @@ def _query_matrix(e: DataFrame, n_queries: int):
     )
     q_ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     Q = np.array([r.v for r in rows], dtype=np.float64)
-    return q_ids, Q / np.maximum(np.sqrt(np.einsum("ij,ij->i", Q, Q)), 1e-12)[:, None], rows
+    # self-dot as a strict left-to-right fold so normalized components
+    # are bit-identical to the oracle's list_dot_product-normalized nv
+    # (einsum drifts in the last ulp — review r8, see dedup._COS_SQL)
+    sq = np.zeros(Q.shape[0])
+    for j in range(Q.shape[1]):
+        sq = sq + Q[:, j] * Q[:, j]
+    return q_ids, Q / np.maximum(np.sqrt(sq), 1e-12)[:, None], rows
 
 
 def _adc_tables(Q, B):
@@ -149,10 +155,13 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The query set is tiny and fixed, so it is collected once to the
     driver and closed over by a mapInPandas kernel; each Arrow batch of
-    corpus vectors is scored against ALL queries with one numpy einsum
-    (batch×queries dot grid) — a single linear scan, no join, no
-    per-pair expression evaluation.  einsum's sequential per-dot sum
-    keeps values identical to the oracle's list_dot_product.
+    corpus vectors is scored against ALL queries as one numpy
+    batch×queries dot grid — a single linear scan, no join, no per-pair
+    expression evaluation.  The grid accumulates as a strict
+    left-to-right fold over the dimension axis (NOT einsum/BLAS, whose
+    partial accumulators drift in the last ulp — review r8) and rounds
+    half-away, so every value is bit-identical to the oracle's
+    round(list_dot_product(...), 6).
 
     Ranking happens on the 6-dp-rounded score with neighbor_id as the
     tie-break, making the top-k deterministic and engine-portable; the
@@ -171,19 +180,33 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             M = np.array(pdf["v"].tolist(), dtype=np.float64)
-            M = M / np.maximum(np.sqrt(np.einsum("ij,ij->i", M, M)), 1e-12)[:, None]
+            sq = np.zeros(M.shape[0])
+            for j in range(M.shape[1]):  # sequential fold == oracle
+                sq = sq + M[:, j] * M[:, j]
+            M = M / np.maximum(np.sqrt(sq), 1e-12)[:, None]
             ids = pdf["vec_id"].to_numpy()
-            # queries on the row axis so each (query, candidate) dot is a
-            # sequential sum over the vector — same order as the oracle
-            cos = np.einsum("qj,cj->qc", Q, M)
+            # (query, candidate) grid as a left-to-right fold over dims:
+            # each step is one rounded mul + add per cell, the exact
+            # order of the oracle's list_dot_product (review r8)
+            cos = np.zeros((Q.shape[0], M.shape[0]))
+            for j in range(Q.shape[1]):
+                cos = cos + Q[:, [j]] * M[:, j]
             qq = np.repeat(q_ids, len(ids))
             cc = np.tile(ids, len(q_ids))
             keep = qq != cc
+            kept = cos.ravel()[keep]
             yield pd.DataFrame(
                 {
                     "query_id": qq[keep],
                     "neighbor_id": cc[keep],
-                    "cos_sim": np.round(cos.ravel()[keep], 6),
+                    # DuckDB-exact half-away rounding (np.round is
+                    # half-even; cosines can be negative here)
+                    "cos_sim": np.where(
+                        kept >= 0,
+                        np.floor(kept * 1e6 + 0.5),
+                        -np.floor(-kept * 1e6 + 0.5),
+                    )
+                    / 1e6,
                 }
             )
 
@@ -735,8 +758,8 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors of each query vector (vote ties -> smaller label id).
 
     Same scale shape as ``q_ann_bruteforce``: the {Q}-row query matrix is
-    broadcast inside a mapInPandas einsum kernel, the corpus streams past
-    it once, and the per-query top-k is a WindowGroupLimit partial before
+    broadcast inside a mapInPandas grid-fold kernel, the corpus streams
+    past it once, and the per-query top-k is a WindowGroupLimit partial before
     the tiny vote aggregation.  At 100 TB the corpus pass is the only
     full-data stage and it is embarrassingly parallel; everything after
     the window is k x |queries| rows.
@@ -754,22 +777,36 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             M = np.array(pdf["v"].tolist(), dtype=np.float64)
-            M = M / np.maximum(np.sqrt(np.einsum("ij,ij->i", M, M)), 1e-12)[:, None]
+            sq = np.zeros(M.shape[0])
+            for j in range(M.shape[1]):  # sequential fold == oracle
+                sq = sq + M[:, j] * M[:, j]
+            M = M / np.maximum(np.sqrt(sq), 1e-12)[:, None]
             ids = pdf["vec_id"].to_numpy()
             labels = pdf["label"].to_numpy()
-            cos = np.einsum("qj,cj->qc", Q, M)
+            # left-to-right grid fold + half-away rounding: bit-equal to
+            # round(list_dot_product(...), 6) (review r8, see
+            # q_ann_bruteforce)
+            cos = np.zeros((Q.shape[0], M.shape[0]))
+            for j in range(Q.shape[1]):
+                cos = cos + Q[:, [j]] * M[:, j]
             qq = np.repeat(q_ids, len(ids))
             tl = np.repeat(q_labels, len(ids))
             cc = np.tile(ids, len(q_ids))
             cl = np.tile(labels, len(q_ids))
             keep = qq != cc
+            kept = cos.ravel()[keep]
             yield pd.DataFrame(
                 {
                     "query_id": qq[keep],
                     "true_label": tl[keep],
                     "cid": cc[keep],
                     "clabel": cl[keep],
-                    "cos_sim": np.round(cos.ravel()[keep], 6),
+                    "cos_sim": np.where(
+                        kept >= 0,
+                        np.floor(kept * 1e6 + 0.5),
+                        -np.floor(-kept * 1e6 + 0.5),
+                    )
+                    / 1e6,
                 }
             )
 
