@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_data_gen_spark.operators import register
+from iceberg_data_gen_spark.operators.common import iso_weekday
 from iceberg_data_gen_spark.operators.common import tables as _t
 from iceberg_data_gen_spark.operators.relational import R2, dsum, dsum_sql
 from iceberg_data_gen_spark.session import load_tables
@@ -97,11 +98,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-            )
-            .cast("double")
-            .alias("revenue")
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
     )
 
@@ -267,17 +264,26 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
     FROM part
-    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part) * 1.5
+    WHERE p_retailprice > (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,4)))
+                                       AS DOUBLE) / count(*) FROM part) * 1.5
     """,
 )
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncorrelated scalar subquery (broadcast single-value join)."""
+    """Uncorrelated scalar subquery (broadcast single-value join).
+
+    The threshold accumulates in DECIMAL (dsum playbook, review r8): a
+    raw double avg() merges partials in partition order, so the two
+    engines could land on thresholds differing in the last ulp and flip
+    MEMBERSHIP of parts sitting within an ulp of avg*1.5 — a rowcount
+    mismatch, not just a value drift.  The exact sum → one double
+    division is bit-identical on both sides."""
     load_tables(spark, sf_dir, ("part",))
     return spark.sql(
         """
         SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
         FROM part
-        WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part) * 1.5
+        WHERE p_retailprice > (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,4)))
+                                            AS DOUBLE) / count(*) FROM part) * 1.5
         """
     )
 
@@ -287,21 +293,28 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name,
            (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
-           round((SELECT coalesce(sum(o_totalprice), 0) FROM orders o
-                  WHERE o.o_custkey = c.c_custkey), 2) AS spend
+           round(CAST((SELECT coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0)
+                       FROM orders o WHERE o.o_custkey = c.c_custkey) AS DOUBLE), 2)
+               AS spend
     FROM customer c
     """,
 )
 def q_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subqueries — Catalyst de-correlates both into
-    ONE left outer aggregate join (inspect: no per-row subquery plans)."""
+    ONE left outer aggregate join (inspect: no per-row subquery plans).
+
+    ``spend`` accumulates in DECIMAL before the round (dsum playbook,
+    review r8): round(sum(double), 2) at a .005 boundary flips between
+    engines with partial-merge order; the exact sum makes the rounded
+    cents identical."""
     load_tables(spark, sf_dir, ("customer", "orders"))
     return spark.sql(
         """
         SELECT c_custkey, c_name,
                (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
-               round((SELECT coalesce(sum(o_totalprice), 0) FROM orders o
-                      WHERE o.o_custkey = c.c_custkey), 2) AS spend
+               round(CAST((SELECT coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0)
+                           FROM orders o WHERE o.o_custkey = c.c_custkey) AS DOUBLE), 2)
+                   AS spend
         FROM customer c
         """
     )
@@ -578,6 +591,6 @@ def q_date_functions_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_to_eoy"
         ),
         F.quarter("o_orderdate").alias("q"),
-        (F.weekday("o_orderdate") + 1).cast("int").alias("iso_dow"),
+        iso_weekday("o_orderdate").alias("iso_dow"),
         F.weekofyear("o_orderdate").alias("iso_week"),
     )

@@ -766,6 +766,36 @@ def test_zero_norm_embedding_does_not_poison_semdedup(spark, tmp_path):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+def test_pandas_udf_scalar_empty_text_matches_oracle(spark, tmp_path):
+    """Review r8: DuckDB's list_sum over an EMPTY list is NULL, so a
+    document with text='' scored NULL in the oracle while the UDF's
+    numpy checksum of an empty array is 0 — a latent hash mismatch the
+    moment testdata contains an empty document.  The oracle now
+    coalesces to 0; pin parity on empty, ASCII, and multi-byte text."""
+    import duckdb
+
+    from iceberg_data_gen_spark.operators import ORACLES
+
+    sf_dir = str(tmp_path / "sf-empty")
+    spark.createDataFrame(
+        [(0, "", "web", "en"), (1, "ab c", "web", "en"), (2, "é a", "web", "en")],
+        "doc_id long, text string, source string, lang string",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    oracle = sorted(map(tuple, con.execute(ORACLES["q_pandas_udf_scalar"]).fetchall()))
+    got = sorted(
+        (r.doc_id, r.weighted_alpha_sum)
+        for r in operators.QUERIES["q_pandas_udf_scalar"](spark, sf_dir).collect()
+    )
+    assert got == oracle, (got, oracle)
+    assert got[0] == (0, 0)  # empty text scores 0, not NULL
+
+
 def test_embedding_neardup_rounds_dyadic_midpoints_like_duckdb(spark, tmp_path):
     """Review r8: the kernel rounded with np.round (half-to-EVEN) while
     DuckDB's round() is half-away, so a cosine landing exactly on a
