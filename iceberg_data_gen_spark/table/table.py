@@ -1555,8 +1555,15 @@ class MoRTable:
             pos = self.spark.read.schema("file_path string, pos long").parquet(
                 *[f["path"] for f in pos_files]
             )
+            # no broadcast hint: the delete SET is data-dependent (GBs
+            # after a large MoR delete), and an explicit hint is honored
+            # unconditionally (review r8).  The side is a plain parquet
+            # scan with known byte size, so the planner broadcasts it
+            # whenever it is actually small (the common case, asserted
+            # in test_plans) and falls back to a shuffled anti-join —
+            # the only plan that survives — when it is not.
             df = df.join(
-                F.broadcast(pos),
+                pos,
                 (df["__file"] == pos["file_path"]) & (df["__pos"] == pos["pos"]),
                 "left_anti",
             )
@@ -1587,7 +1594,9 @@ class MoRTable:
                 cond = F.col("__data_seq") < F.col("__del_seq")
                 for c in key_cols:
                     cond = cond & (df[c] == dels[c])
-                df = df.join(F.broadcast(dels), cond, "left_anti")
+                # unhinted like the pos-delete side above: eq-delete key
+                # sets are data-dependent too (review r8)
+                df = df.join(dels, cond, "left_anti")
             df = df.drop("__data_seq")
 
         if not keep_meta:

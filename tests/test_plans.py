@@ -270,7 +270,10 @@ def test_mor_incremental_scan_is_plain_file_scan(spark):
 
 def test_mor_merge_scan_broadcasts_delete_side(spark):
     # after a merge, the scan's equality-delete anti-join must broadcast
-    # the (tiny) delete side, never shuffle the data side
+    # the (tiny) delete side, never shuffle the data side.  The delete
+    # side carries NO hint (data-dependent size — review r8): this
+    # broadcast must come from the planner's own size estimate of the
+    # delete-file scan, so a large delete set can degrade to a shuffle
     plan = plan_of(q("q_mor_merge", spark), mode="simple")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
