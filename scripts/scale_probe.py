@@ -145,7 +145,9 @@ def build(spark) -> None:
         for c in copies[1:]:
             out = out.unionByName(c)
         out.write.mode("overwrite").parquet(os.path.join(DEST, f"{name}.parquet"))
-    Path(os.path.join(DEST, "_SUCCESS")).write_text(f"{SRC}|{FACTOR}")
+    # write the SAME `stamp` the guard above checks — a re-typed literal
+    # here would silently invalidate the cache forever (review r8)
+    Path(marker).write_text(stamp)
 
 
 def main() -> None:

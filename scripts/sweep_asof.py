@@ -41,10 +41,9 @@ def main() -> None:
     bad = 0
     for i, (km, kr, tm, tr, ties, k2) in enumerate(cases, 1):
         errors = run_asof_spec(spark, km, kr, tm, tr, ties=ties, second_key=k2)
-        tag = "OK " if not errors else "FAIL"
         if errors:
             bad += 1
-            print(f"{tag} [{km},{kr},{tm},{tr},ties={ties},k2={k2}] {errors[:2]}")
+            print(f"FAIL [{km},{kr},{tm},{tr},ties={ties},k2={k2}] {errors[:2]}")
         if i % 40 == 0 or i == len(cases):
             print(f"... {i}/{len(cases)} swept, {bad} divergent", flush=True)
     print(f"\n{len(cases) - bad}/{len(cases)} OK")

@@ -11,7 +11,9 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
-SF_SMALL = "/root/testdata/sf0.001"
+# env-overridable like SF_DIR (review r8: relocating testdata moved only
+# half the corpus — the differential-fuzz families read SF_SMALL)
+SF_SMALL = os.environ.get("SPARK_GRAFT_TEST_SF_SMALL_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")

@@ -122,8 +122,25 @@ def compare(spark, name: str, query_fn, oracle: str, sf_dir: str) -> list[str]:
                 errors.append(f"{name}: row {i} spark={rs!r} duckdb={rd!r}")
     if n_bad > 3:
         errors.append(f"{name}: ... {n_bad} mismatched rows total")
-    # strictness probe: exact (non-tolerance) equality, the driver may hash raw values
-    if not errors and cs != cd:
-        diff = next((i, a, b) for i, (a, b) in enumerate(zip(cs, cd)) if a != b)
-        errors.append(f"{name}: EXACT-match drift (tolerance-close but not identical): {diff!r}")
+    # strictness probe: exact (non-tolerance) equality, the driver may hash
+    # raw values.  NaN-aware: tuple `!=` treats two NaNs as different, so a
+    # genuinely matching NaN cell (which _values_close accepts AND which
+    # stringifies identically under the driver's hash) would false-fail the
+    # probe (review r8).
+    def _exact_eq(a, b) -> bool:
+        if isinstance(a, float) and isinstance(b, float):
+            return a == b or (math.isnan(a) and math.isnan(b))
+        if isinstance(a, tuple) and isinstance(b, tuple):
+            return len(a) == len(b) and all(_exact_eq(x, y) for x, y in zip(a, b))
+        return a == b
+
+    if not errors:
+        diff = next(
+            ((i, a, b) for i, (a, b) in enumerate(zip(cs, cd)) if not _exact_eq(a, b)),
+            None,
+        )
+        if diff is not None:
+            errors.append(
+                f"{name}: EXACT-match drift (tolerance-close but not identical): {diff!r}"
+            )
     return errors

@@ -515,6 +515,23 @@ def _run_mutation_model(spark, t, ops, partition_check=None):
         )
         assert got == want, (kind, b, ops)
 
+    def check_files_seqs(kind: str) -> None:
+        # r8: the .files metadata table must agree with the scan layer's
+        # merged per-file sequence numbers after EVERY op — rollback
+        # re-references files under their original numbers (the metadata
+        # table used to report the commit's own instead), and expire's
+        # history rewrite / evolve's spec flip are exactly the ops most
+        # likely to desynchronize the two walks (review r8: these two
+        # branches used to `continue` past the check)
+        want_seqs = Counter(
+            (f["path"], f["sequence_number"])
+            for f in t._files_of_kind(None, None)
+        )
+        got_seqs = Counter(
+            (r2.file_path, r2.sequence_number) for r2 in t.files().collect()
+        )
+        assert got_seqs == want_seqs, (kind, ops)
+
     for kind, r in ops:
         if kind == "expire":
             # metadata-only: current state and future commits are
@@ -526,6 +543,7 @@ def _run_mutation_model(spark, t, ops, partition_check=None):
             )
             assert got == model_live(), (kind, ops)
             check_partitions(r, kind)
+            check_files_seqs(kind)
             continue
         if kind == "evolve":
             # Iceberg partition EVOLUTION mid-history (r7): metadata-only
@@ -559,6 +577,7 @@ def _run_mutation_model(spark, t, ops, partition_check=None):
             )
             assert got == model_live(), (kind, ops)
             check_partitions(r, kind)
+            check_files_seqs(kind)
             continue
         seq += 1
         if kind == "append":
@@ -642,18 +661,7 @@ def _run_mutation_model(spark, t, ops, partition_check=None):
         if head is not None:
             history.append((head, model_live()))
             model_states.append((head, copy.deepcopy(files)))
-        # r8: the .files metadata table must agree with the scan layer's
-        # merged per-file sequence numbers after EVERY op — rollback
-        # re-references files under their original numbers and the
-        # metadata table used to report the commit's own instead
-        want_seqs = Counter(
-            (f["path"], f["sequence_number"])
-            for f in t._files_of_kind(None, None)
-        )
-        got_seqs = Counter(
-            (r2.file_path, r2.sequence_number) for r2 in t.files().collect()
-        )
-        assert got_seqs == want_seqs, (kind, ops)
+        check_files_seqs(kind)
     import pytest
 
     survived: list[bool] = []
@@ -843,7 +851,10 @@ def test_schema_evolution_interleave_model(spark, ops):
     extra: list[str] = []          # evolution-added double columns
     files: list[dict] = []         # {"seq", "rows": [dict]}; dict has _alive
     seq = 0
-    history: list[tuple[int, Counter]] = []
+    # (snapshot id, live row DICTS at that commit) — re-Countered at the
+    # end through the FINAL schema (review r8: the Counter annotation was
+    # copied from the sibling models and was wrong)
+    history: list[tuple[int, list[dict]]] = []
 
     def ddl() -> str:
         return "foo string, bar int, baz boolean" + "".join(
