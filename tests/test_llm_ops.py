@@ -770,15 +770,18 @@ def test_pandas_udf_scalar_empty_text_matches_oracle(spark, tmp_path):
     """Review r8: DuckDB's list_sum over an EMPTY list is NULL, so a
     document with text='' scored NULL in the oracle while the UDF's
     numpy checksum of an empty array is 0 — a latent hash mismatch the
-    moment testdata contains an empty document.  The oracle now
-    coalesces to 0; pin parity on empty, ASCII, and multi-byte text."""
+    moment testdata contains an empty document.  And the first fix's
+    bare coalesce over-corrected: it folded NULL text to 0 while the
+    UDF's None branch keeps NULL (caught by the diff review the same
+    round).  Pin parity on empty, NULL, ASCII, and multi-byte text."""
     import duckdb
 
     from iceberg_data_gen_spark.operators import ORACLES
 
     sf_dir = str(tmp_path / "sf-empty")
     spark.createDataFrame(
-        [(0, "", "web", "en"), (1, "ab c", "web", "en"), (2, "é a", "web", "en")],
+        [(0, "", "web", "en"), (1, "ab c", "web", "en"), (2, "é a", "web", "en"),
+         (3, None, "web", "en")],
         "doc_id long, text string, source string, lang string",
     ).write.parquet(f"{sf_dir}/documents.parquet")
 
@@ -794,6 +797,7 @@ def test_pandas_udf_scalar_empty_text_matches_oracle(spark, tmp_path):
     )
     assert got == oracle, (got, oracle)
     assert got[0] == (0, 0)  # empty text scores 0, not NULL
+    assert got[3] == (3, None)  # NULL text stays NULL, not 0
 
 
 def test_embedding_neardup_rounds_dyadic_midpoints_like_duckdb(spark, tmp_path):
