@@ -169,3 +169,100 @@ def test_no_raw_float_round_in_oracles():
         if m
     }
     assert not offenders, f"raw float round(sum/avg(..)) in oracles: {offenders}"
+
+
+def test_broadcast_hint_census():
+    """Convention lock (review r8): ``F.broadcast`` hints are reserved
+    for join sides BOUNDED BY DESIGN (1-row aggregates, per-source /
+    per-type reductions, dimension tables, fixed query sets, file-level
+    metadata, the decontamination pass's eval-suite gram set) — a hint
+    on a DATA-DEPENDENT side (vocabulary counts, shared-hash sets,
+    delete sets, dup-node labels) is honored unconditionally and OOMs
+    the driver at scale; AQE/size-estimation must make that call.
+
+    Every current hint was audited against that rule this round (four
+    data-dependent hints removed: q_token_rarity, q_chunk_dedup,
+    q_source_divergence's word totals, the MoR scan's delete sides).
+    This census pins the per-file count so ADDING a hint forces the
+    author to re-justify it here and at the call site; removals only
+    need the count updated."""
+    from pathlib import Path
+
+    import iceberg_data_gen_spark
+
+    base = Path(iceberg_data_gen_spark.__file__).parent
+    expected = {
+        "operators/analytics.py": 5,
+        "operators/curation.py": 3,
+        "operators/pipeline.py": 3,
+        "operators/relational.py": 7,
+        "operators/relational2.py": 8,
+        "operators/relational3.py": 36,
+        "operators/similarity.py": 3,
+        "operators/text.py": 9,
+        "streaming/events.py": 1,
+        "table/table.py": 1,
+    }
+    got = {}
+    for p in sorted(base.rglob("*.py")):
+        n = p.read_text().count("F.broadcast(")
+        if n:
+            got[str(p.relative_to(base))] = n
+    assert got == expected, (got, expected)
+
+
+def test_oracle_kernels_use_sequential_folds():
+    """Convention lock (review r8, measured): numpy kernels whose floats
+    are ORACLE-compared must fold dot products strictly left-to-right
+    and round half-away — ``np.einsum`` drifts from DuckDB's sequential
+    ``list_dot_product`` in the last ulp (~73% of dim-64 dots) and
+    ``np.round`` is half-even where DuckDB rounds half-away.  einsum /
+    np.round are therefore allowed ONLY inside the rows-only family
+    (no oracle demands their ulps) and its trainers.  This walks the
+    AST and pins the owning functions."""
+    import ast
+    from pathlib import Path
+
+    import iceberg_data_gen_spark
+
+    allowed = {
+        # rows-only queries (no oracle_sql entry) + their shared trainers
+        "similarity.py": {
+            "_kmeans_centroids",
+            "q_ann_ivf",
+            "_pq_codebooks",
+            "q_ann_pq",
+            "q_ann_ivfpq",
+            "q_semdedup",
+        },
+    }
+    def uses_drifting_numpy(fn: ast.AST) -> bool:
+        # real CALL nodes only — docstrings/comments naming einsum (to
+        # explain why it is NOT used) must not trip the lock
+        for node in ast.walk(fn):
+            if (
+                isinstance(node, ast.Attribute)
+                and node.attr in ("einsum", "round")
+                and isinstance(node.value, ast.Name)
+                and node.value.id == "np"
+            ):
+                return True
+        return False
+
+    base = Path(iceberg_data_gen_spark.__file__).parent / "operators"
+    offenders = set()
+    for p in sorted(base.glob("*.py")):
+        tree = ast.parse(p.read_text())
+        # TOP-LEVEL functions only: nested kernel helpers live inside a
+        # top-level owner and inherit its allowance
+        for fn in tree.body:
+            if isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                if uses_drifting_numpy(fn) and fn.name not in allowed.get(
+                    p.name, set()
+                ):
+                    offenders.add((p.name, fn.name))
+    assert not offenders, (
+        "einsum/np.round in an oracle-bearing (non-allowlisted) top-level "
+        f"function: {sorted(offenders)} — use the sequential fold + "
+        "half-away rounding pattern (see similarity.grid_scores)"
+    )
