@@ -81,12 +81,14 @@ def test_example_config_semantics(spark, tmp_path):
     ]
 
     # .files parity: 5 data files × 100 records, 2 pos-delete, 2 eq-delete
-    files = {(r.kind, r.record_count) for r in table.files().collect()}
-    data_files = [r for r in table.files().collect() if r.kind == "data"]
+    # (one collect — review r8: this ran three identical metadata scans
+    # and built a dead `files` set)
+    all_files = table.files().collect()
+    data_files = [r for r in all_files if r.kind == "data"]
     assert len(data_files) == 5
     assert all(r.record_count == 100 for r in data_files)
-    pos_files = [r for r in table.files().collect() if r.kind == "pos-delete"]
-    eq_files = [r for r in table.files().collect() if r.kind == "eq-delete"]
+    pos_files = [r for r in all_files if r.kind == "pos-delete"]
+    eq_files = [r for r in all_files if r.kind == "eq-delete"]
     assert len(pos_files) == 2 and len(eq_files) == 2
 
 

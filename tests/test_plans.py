@@ -133,11 +133,14 @@ def test_exchange_reuse_dedupes_shuffles(spark):
     # reuse is a static planner rule; assert on the non-adaptive plan (AQE
     # re-derives the same reuse at runtime but renders it stage-by-stage,
     # which is shape-flaky to grep)
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         plan = plan_of(q("q_exchange_reuse", spark), mode="simple")
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        # restore the SAVED value, not a literal (review r8: a hardcoded
+        # "true" force-enables AQE for every later test in the session)
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert "ReusedExchange" in plan, plan
 
 
@@ -386,13 +389,16 @@ def test_bucketed_join_no_exchange_below_smj(spark):
 
 
 def test_shard_manifest_never_reads_payload(spark):
-    """The manifest must be computable from the metadata column alone —
-    payload bytes stay out of the scan entirely."""
+    """The manifest must be computable from the metadata columns alone.
+    On the synthetic source, meta.n_bytes derives from text, so text IS
+    in the scan — the FALSIFIABLE property (review r8: the old
+    presence-only check passed on any schema) is that the columns the
+    manifest never touches (lang, source) are pruned out, i.e. the scan
+    is not a full-row read."""
     plan = plan_of(q("q_multimodal_shard_manifest", spark))
     read_schema = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
-    assert "text" in read_schema or "n_chars" in read_schema, read_schema
-    # the window + final agg share the format exchange; payload (text
-    # bytes) is only needed for n_bytes which rides the same projection
+    assert "doc_id" in read_schema, read_schema
+    assert "lang" not in read_schema and "source" not in read_schema, read_schema
 
 
 def test_embedding_quantize_shuffle_free(spark):

@@ -82,7 +82,9 @@ def test_table_lifecycle_and_scan(spark, catalog):
     # metadata.json exists anywhere under the warehouse)
     t2 = catalog.load_table("ns", "t")
     assert t2.scan().count() == 100
-    assert not list((t2.path).glob("metadata.json"))
+    # rglob over the whole WAREHOUSE (review r8: a non-recursive glob on
+    # the table root missed a metadata.json leaked into any subdirectory)
+    assert not list(catalog.warehouse.rglob("metadata.json"))
     assert len(t2.snapshots()) == 1
 
     catalog.drop_table("ns", "t")

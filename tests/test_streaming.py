@@ -60,14 +60,20 @@ def test_stateful_multibatch_oracle_columns(spark):
     # 3 part files with strictly increasing mtimes -> deterministic
     # oldest-first micro-batch order under maxFilesPerTrigger=1
     d = os.path.join(base, "events.parquet")
+    seen: set[str] = set()
     for i in range(3):
         ev.where(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.mode(
             "append"
         ).parquet(d)
-        newest = max(
-            (os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")),
-            key=os.path.getmtime,
-        )
+        # identify THIS write's part file by set difference, not by
+        # max-mtime (review r8: the previous iteration's bump pushed its
+        # file into the future, so max-mtime could re-touch the OLD file
+        # and leave the order interleaved)
+        parts = {
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        }
+        (newest,) = parts - seen
+        seen = parts
         os.utime(newest, (time.time() + i, time.time() + i))
 
     want = {
@@ -437,7 +443,7 @@ def test_events_stream_reads_all_physical_layouts(spark, tmp_path):
     from iceberg_data_gen_spark.operators import QUERIES
     from iceberg_data_gen_spark.session import load_table
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_SMALL
     ref = QUERIES["q_stream_tumbling"](spark, sf).count()
     ev = load_table(spark, sf, "events")
     prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
