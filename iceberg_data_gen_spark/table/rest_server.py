@@ -135,6 +135,14 @@ class _CatalogState:
             return 400, {"error": "commit needs {metadata}"}
         if not isinstance(reqs, list) or not all(isinstance(r, dict) for r in reqs):
             return 400, {"error": "requirements must be a list of objects"}
+        # the CAS is the server's whole safety story (two racing writers
+        # -> one 409); an empty requirements list would skip it and let a
+        # stale client blindly overwrite another writer's commit with
+        # HTTP 200 (review r8) — require the version assertion
+        if not any(r.get("type") == "assert-version" for r in reqs):
+            return 400, {
+                "error": "commit requires an assert-version requirement"
+            }
         with self.lock:
             entry = self.tables.get((ns, name))
             if entry is None:

@@ -285,6 +285,17 @@ class MoRTable:
     @staticmethod
     def create(spark: SparkSession, path: str, schema: TableSchema) -> "MoRTable":
         p = Path(path)
+        # existence guard (review r8): create() on a populated path
+        # either raised a misleading CommitConflictError ("concurrent
+        # publish — retry") or, for legacy metadata without a local
+        # version stamp, silently REPLACED the live table's snapshot
+        # log.  LocalCatalog guards via table_exists, but create() is
+        # public API used directly.
+        if (p / "metadata.json").exists():
+            raise ValueError(
+                f"a table already exists at {p} — load it instead of "
+                "re-creating (drop it first to start over)"
+            )
         (p / "data").mkdir(parents=True, exist_ok=True)
         (p / "deletes").mkdir(parents=True, exist_ok=True)
         meta = {"schema": schema.to_json(), "snapshots": []}
@@ -888,6 +899,25 @@ class MoRTable:
             raise ValueError(f"snapshot {snapshot_id} is not a staged snapshot")
         if snap["operation"] != "append":
             raise ValueError("only append snapshots can be staged/published")
+        # idempotence guard (review r8): a second publish of the same
+        # staged id — e.g. a retry after a save timeout whose first
+        # commit actually landed — would reference the SAME files from a
+        # second main-visible snapshot, double-counting every row on
+        # scan.  The staged flag deliberately survives for audit
+        # lineage, so the guard checks prior cherry-picks instead.
+        already = next(
+            (
+                s["id"]
+                for s in self._meta["snapshots"]
+                if s.get("cherry_picked_from") == snapshot_id
+            ),
+            None,
+        )
+        if already is not None:
+            raise ValueError(
+                f"staged snapshot {snapshot_id} was already published as "
+                f"snapshot {already}"
+            )
         return self._commit(
             "append", list(snap["files"]), cherry_picked_from=snapshot_id
         )
@@ -1095,8 +1125,15 @@ class MoRTable:
                 f"main head {main_head} is not an ancestor of branch head "
                 f"{head}: divergent histories cannot fast-forward"
             )
+        # un-mark EVERY branch-marked snapshot between the branch head
+        # and the main head, whatever branch name it carries (review r8:
+        # stopping at the first foreign name silently dropped the
+        # commits of a branch this one was forked from — b2 forked from
+        # b1's head fast-forwarded b2's files onto main but left b1's
+        # hidden, losing rows from every main read).  The ancestor check
+        # above already proved the chain sits linearly on top of main.
         cur = head
-        while cur is not None and by_id[cur].get("branch") == name:
+        while cur is not None and cur != main_head and by_id[cur].get("branch"):
             by_id[cur].pop("branch")
             cur = by_id[cur].get("parent")
         self._write_meta()
@@ -1128,8 +1165,21 @@ class MoRTable:
         equality-delete ordering inside the restored state is preserved
         (a delete still applies only to data files strictly older than
         it)."""
-        if snapshot_id not in {s["id"] for s in self._meta["snapshots"]}:
+        snap = next(
+            (s for s in self._meta["snapshots"] if s["id"] == snapshot_id), None
+        )
+        if snap is None:
             raise ValueError(f"snapshot {snapshot_id} does not exist")
+        # quarantine guard (review r8): a WAP-staged or branch-only
+        # target would land unaudited/branch-only rows on main as a
+        # baseline, bypassing publish_snapshot / fast_forward — the same
+        # invariant create_branch and incremental_scan already enforce
+        if snap.get("staged") or snap.get("branch"):
+            kind = "staged" if snap.get("staged") else f"branch {snap['branch']!r}"
+            raise ValueError(
+                f"snapshot {snapshot_id} is {kind}, not main lineage — "
+                "publish or fast-forward it instead of rolling back to it"
+            )
         files = self._files_of_kind(None, snapshot_id)
         return self._commit(
             "rollback", files, baseline=True, rollback_to=snapshot_id
@@ -1360,13 +1410,19 @@ class MoRTable:
         self._meta["snapshots"] = kept
         self._write_meta()
         keep_paths = {_canon_path(f["path"]) for s in kept for f in s["files"]}
-        removed = 0
-        for s in expired:
-            for f in s["files"]:
-                if _canon_path(f["path"]) not in keep_paths:
-                    Path(f["path"]).unlink(missing_ok=True)
-                    removed += 1
-        return {"expired": len(expired), "removed_files": removed}
+        # de-duplicate across expired snapshots (review r8): a rollback
+        # baseline re-references earlier files, so one path can appear in
+        # several expired snapshots — unlinking per entry over-counted
+        # removed_files against the filesystem reality
+        doomed = {
+            _canon_path(f["path"]): f["path"]
+            for s in expired
+            for f in s["files"]
+            if _canon_path(f["path"]) not in keep_paths
+        }
+        for raw in doomed.values():
+            Path(raw).unlink(missing_ok=True)
+        return {"expired": len(expired), "removed_files": len(doomed)}
 
     def incremental_scan(
         self, from_snapshot_id: int, to_snapshot_id: int | None = None

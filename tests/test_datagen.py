@@ -1113,6 +1113,101 @@ def _rows(spark, a, b):
     )
 
 
+def test_stacked_branch_fast_forward_keeps_intermediate_commits(spark, tmp_path):
+    """Review r8: fast-forwarding a branch forked from ANOTHER branch's
+    head un-marked only snapshots carrying its own name, so the
+    intermediate branch's commits stayed hidden from main — rows
+    silently missing from every main read with no error.  The whole
+    chain between the branch head and the main head must publish."""
+    t = _mk(spark, tmp_path, "stacked")
+    t.append(_rows(spark, 0, 10), single_file=True)                 # main 1
+    t.create_branch("b1")
+    t.append(_rows(spark, 10, 20), single_file=True, branch="b1")   # 2 on b1
+    b1_head = t.resolve_ref("b1")
+    t.create_branch("b2", snapshot_id=b1_head)
+    t.append(_rows(spark, 20, 30), single_file=True, branch="b2")   # 3 on b2
+    assert t.scan().count() == 10
+    t.fast_forward("b2")
+    got = sorted(r.bar for r in t.scan().collect())
+    assert got == list(range(30)), got  # b1's rows 10..19 must be there
+
+
+def test_publish_snapshot_is_not_repeatable(spark, tmp_path):
+    """Review r8: publishing the same staged snapshot twice committed
+    two main-visible snapshots referencing the SAME files — every row
+    double-counted on scan.  The second publish must refuse, naming the
+    first publish."""
+    import pytest
+
+    t = _mk(spark, tmp_path, "pubtwice")
+    t.append(_rows(spark, 0, 10), single_file=True)
+    staged = t.append_staged(_rows(spark, 10, 20), single_file=True)
+    t.publish_snapshot(staged["id"])
+    assert t.scan().count() == 20
+    with pytest.raises(ValueError, match="already published"):
+        t.publish_snapshot(staged["id"])
+    assert t.scan().count() == 20  # still exactly once
+
+
+def test_rollback_refuses_staged_and_branch_targets(spark, tmp_path):
+    """Review r8: rollback(staged_id) committed the quarantined files to
+    main as a baseline, bypassing publish — and a branch head likewise
+    bypassed fast_forward's divergence check.  Both must refuse."""
+    import pytest
+
+    t = _mk(spark, tmp_path, "rbguard")
+    t.append(_rows(spark, 0, 10), single_file=True)
+    staged = t.append_staged(_rows(spark, 10, 20), single_file=True)
+    with pytest.raises(ValueError, match="staged"):
+        t.rollback(staged["id"])
+    t.create_branch("b")
+    t.append(_rows(spark, 20, 30), single_file=True, branch="b")
+    with pytest.raises(ValueError, match="branch"):
+        t.rollback(t.resolve_ref("b"))
+    assert t.scan().count() == 10  # main untouched by either attempt
+
+
+def test_create_refuses_existing_table_path(spark, tmp_path):
+    """Review r8: MoRTable.create() on a populated path either raised a
+    misleading CommitConflictError (inviting a futile retry) or silently
+    replaced a legacy table's snapshot log.  It must refuse clearly."""
+    import pytest
+
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    t = _mk(spark, tmp_path, "exists")
+    t.append(_rows(spark, 0, 10), single_file=True)
+    with pytest.raises(ValueError, match="already exists"):
+        _mk(spark, tmp_path, "exists")
+    # the live table is untouched
+    assert MoRTable(spark, str(tmp_path / "exists")).scan().count() == 10
+
+
+def test_expire_removed_files_counts_filesystem_reality(spark, tmp_path):
+    """Review r8: a rollback baseline re-references earlier files, so
+    one path appeared in several expired snapshots and removed_files
+    over-counted the actual unlinks.  The count must equal the number
+    of distinct paths deleted."""
+    import os
+
+    t = _mk(spark, tmp_path, "expcount")
+    t.append(_rows(spark, 0, 10), single_file=True)      # 1 (file f1)
+    t.append(_rows(spark, 10, 20), single_file=True)     # 2 (file f2)
+    t.rollback(1)                                        # 3 re-references f1
+    t.append(_rows(spark, 20, 30), single_file=True)     # 4 (file f3)
+
+    def live_files():
+        return sum(
+            len(files)
+            for _, _, files in os.walk(tmp_path / "expcount" / "data")
+        )
+
+    before = live_files()
+    info = t.expire_snapshots(keep_last=1)
+    after = live_files()
+    assert info["removed_files"] == before - after, (info, before, after)
+
+
 def test_metadata_only_mutations_detect_concurrent_commits(spark, tmp_path):
     """Regression: add_column/create_tag/expire republish the whole
     metadata document; a handle holding stale metadata used to silently

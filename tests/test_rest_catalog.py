@@ -1167,6 +1167,49 @@ def test_malformed_bodies_get_400_not_dropped_connection(server):
         assert resp.status == 200
 
 
+def test_commit_without_version_assertion_is_rejected(server):
+    """Review r8: an empty/absent requirements list skipped the CAS loop
+    entirely, so a stale client could blindly overwrite another writer's
+    commit with HTTP 200 — the opposite of the module's racing-writers
+    promise.  The server must demand an assert-version requirement."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    def post(path: str, obj) -> int:
+        req = urllib.request.Request(
+            server.uri + path, data=json.dumps(obj).encode(), method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    assert post("/v1/namespaces", {"namespace": ["cas_ns"]}) == 200
+    assert post(
+        "/v1/namespaces/cas_ns/tables", {"name": "t", "metadata": {"v": 1}}
+    ) == 200
+    # no requirements at all -> rejected, metadata NOT overwritten
+    assert post("/v1/namespaces/cas_ns/tables/t", {"metadata": {"v": 2}}) == 400
+    # empty requirements list -> same
+    assert post(
+        "/v1/namespaces/cas_ns/tables/t",
+        {"metadata": {"v": 2}, "requirements": []},
+    ) == 400
+    # the proper CAS still works (tables are created at version 0) and
+    # stale assertions still 409
+    assert post(
+        "/v1/namespaces/cas_ns/tables/t",
+        {"metadata": {"v": 2}, "requirements": [{"type": "assert-version", "version": 0}]},
+    ) == 200
+    assert post(
+        "/v1/namespaces/cas_ns/tables/t",
+        {"metadata": {"v": 3}, "requirements": [{"type": "assert-version", "version": 0}]},
+    ) == 409
+
+
 def test_server_defects_surface_as_500_not_400(server):
     """ADVICE r7: the dispatch handler used to catch
     ValueError/KeyError/AttributeError/TypeError around the WHOLE route,
