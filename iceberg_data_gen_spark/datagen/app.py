@@ -45,9 +45,16 @@ def rest_spark_confs(cat, name: str = "rest") -> dict[str, str]:
         f"spark.sql.catalog.{name}.uri": cat.uri,
         f"spark.sql.catalog.{name}.warehouse": cat.warehouse,
     }
-    if cat.s3_endpoint or cat.s3_access_key_id or cat.s3_region:
-        # any S3 field (including region ALONE — IAM-role AWS configs set
-        # nothing else) selects S3FileIO; unset fields stay omitted below
+    if (
+        cat.s3_endpoint
+        or cat.s3_access_key_id
+        or cat.s3_secret_access_key
+        or cat.s3_region
+    ):
+        # ANY of the four S3 fields (including region ALONE — IAM-role
+        # AWS configs set nothing else, or secret ALONE — key id via
+        # env/instance profile, review r8) selects S3FileIO; unset
+        # fields stay omitted below
         confs[f"spark.sql.catalog.{name}.io-impl"] = (
             "org.apache.iceberg.aws.s3.S3FileIO"
         )

@@ -924,7 +924,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 x = parent[x]
             return x
 
-        for a, b in ((r.doc_a, r.doc_b) for r in pairs.collect()):
+        # toLocalIterator streams Arrow batches instead of materializing
+        # up to CC_DRIVER_MAX_EDGES pyspark Row objects at once — Row
+        # overhead is ~10× the 16-bytes-per-edge the cap budgets, so a
+        # full .collect() at the boundary blew the ~32 MB budget by an
+        # order of magnitude (review r8); only the int parent dict stays
+        for row in pairs.select("doc_a", "doc_b").toLocalIterator(
+            prefetchPartitions=True
+        ):
+            a, b = row[0], row[1]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)

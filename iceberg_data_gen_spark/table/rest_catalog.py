@@ -82,7 +82,17 @@ def _call(
     try:
         with urllib.request.urlopen(req, timeout=CALL_TIMEOUT_S) as resp:
             raw = resp.read()
-            return resp.status, (json.loads(raw) if raw else None)
+            try:
+                return resp.status, (json.loads(raw) if raw else None)
+            except ValueError as e:
+                # a 2xx with a non-JSON body (captive portal, proxy
+                # error page, wrong service) must surface as the
+                # documented contract, not a raw JSONDecodeError —
+                # the error path below already guards this (review r8)
+                raise RestCatalogError(
+                    resp.status,
+                    f"catalog returned non-JSON body: {raw[:200]!r}",
+                ) from e
     except urllib.error.HTTPError as e:
         raw = e.read()
         try:
@@ -156,6 +166,13 @@ class RestMetadataIO(MetadataIO):
         status, payload = _call("GET", self.url)
         if status != 200:
             raise RestCatalogError(status, _err(status, payload))
+        # shape-check the success body too: a 200 from the wrong service
+        # (or a spec-shaped TableMetadata document) must raise the
+        # documented contract, not KeyError (review r8)
+        if not isinstance(payload, dict) or "version" not in payload or "metadata" not in payload:
+            raise RestCatalogError(
+                status, f"unexpected table payload shape: {list(payload or {})!r}"
+            )
         return payload["version"], payload["metadata"]
 
     def load(self) -> dict:
@@ -273,8 +290,14 @@ class RestCatalog:
             return self._open(namespace, name)
         if status != 200:
             raise RestCatalogError(status, _err(status, payload))
-        # existence is known from the create/409 response: skip
-        # load_table's probe and its extra GET
+        # the POST response already carries {version: 0, metadata}: seed
+        # the handle's CAS basis from it so creation is ONE round-trip
+        # (review r8: _open(meta=None) re-issued a GET for metadata the
+        # client just received)
+        if isinstance(payload, dict) and "version" in payload and "metadata" in payload:
+            io = RestMetadataIO(self.uri, namespace, name)
+            io._based_on = payload["version"]
+            return self._open(namespace, name, io=io, meta=payload["metadata"])
         return self._open(namespace, name)
 
     def load_table(self, namespace: str, name: str) -> MoRTable:

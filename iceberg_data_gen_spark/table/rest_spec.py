@@ -348,7 +348,11 @@ def commit_changes(base: dict, target: dict, *, table_uuid: str, location: str):
         # flows (update_spec always defaults the newest), so refuse
         # loudly rather than aim a conforming service at the wrong spec
         # (review r7)
-        last_added = max(newly_added, default=None)
+        # -1 resolves server-side to the LAST add-spec update EMITTED,
+        # which is the target list's last entry — not max(spec_id)
+        # (review r8: an unordered partition_specs list made the guard
+        # pass while -1 bound to the wrong spec)
+        last_added = added_specs[-1]["spec_id"] if added_specs else None
         if tgt_default in newly_added and tgt_default != last_added:
             raise ValueError(
                 "unsupported batched delta: the new default spec is an "
@@ -375,9 +379,6 @@ def commit_changes(base: dict, target: dict, *, table_uuid: str, location: str):
                 "snapshot": _snapshot_to_spec(s, location, tgt_schema_id),
             }
         )
-    if removed:
-        updates.append({"action": "remove-snapshots", "snapshot-ids": sorted(removed)})
-
     base_head, target_head = _main_head(base), _main_head(target)
     if added or base_head != target_head:
         requirements.append(
@@ -432,5 +433,12 @@ def commit_changes(base: dict, target: dict, *, table_uuid: str, location: str):
                     "snapshot-id": base_refs[name]["snapshot_id"],
                 }
             )
+
+    # remove-snapshots LAST, after every ref detach/move above: a
+    # conforming service applying updates sequentially rejects removing
+    # a snapshot some ref still points at (review r8 — the old order
+    # emitted the removal before the ref updates that release it)
+    if removed:
+        updates.append({"action": "remove-snapshots", "snapshot-ids": sorted(removed)})
 
     return updates, requirements

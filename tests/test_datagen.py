@@ -985,6 +985,16 @@ def test_rest_spark_confs_mapping():
     assert "spark.sql.catalog.rest.s3.endpoint" not in aws
     assert aws["spark.sql.catalog.rest.s3.access-key-id"] == "AK"
     assert "" not in aws.values()
+    # secret ALONE also selects S3FileIO (review r8: the trigger checked
+    # only 3 of the 4 S3 fields, silently dropping a secret-only config
+    # — key id injected via env/instance profile is a real pattern)
+    secret_only = rest_spark_confs(
+        CatalogConfig(
+            catalog_type="rest", uri="u", warehouse="w", s3_secret_access_key="SK"
+        )
+    )
+    assert secret_only["spark.sql.catalog.rest.io-impl"].endswith("S3FileIO")
+    assert secret_only["spark.sql.catalog.rest.s3.secret-access-key"] == "SK"
     # custom catalog name prefixes every key
     named = rest_spark_confs(cat, name="prod")
     assert all(
