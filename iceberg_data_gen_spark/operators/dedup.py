@@ -318,6 +318,26 @@ def minhash_signatures(df: DataFrame, perms: int = MINHASH_PERMS, n: int = 3) ->
 LSH_BUCKET_CAP = 64  # clique→star threshold for mega-duplicate buckets
 
 
+def _band_buckets(sigs: DataFrame) -> DataFrame:
+    """``(doc_id, band, bh)`` band-bucket rows from a minhash signature
+    table (``doc_id, h0..h{MINHASH_PERMS-1}``): each of the
+    {LSH_BANDS} bands hashes its {MINHASH_PERMS // LSH_BANDS} contiguous
+    signature columns with one ``xxhash64`` — computed in-row, exploded
+    to one row per (doc, band).  Shared by ``_lsh_candidates`` (the
+    production candidate stage) and ``q_minhash_lsh_audit`` (which
+    recomputes the buckets to check the emitted pairs against them)."""
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    band_cols = []
+    for b in range(LSH_BANDS):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def _lsh_candidates(sigs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """Band-bucket candidate pairs ``(doc_a < doc_b)`` from a minhash
     signature table (``doc_id, h0..h{MINHASH_PERMS-1}``) — the banding,
@@ -326,16 +346,7 @@ def _lsh_candidates(sigs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> DataFr
     word-level LSH branch)."""
     from pyspark.sql.window import Window
 
-    rows_per_band = MINHASH_PERMS // LSH_BANDS
-    band_cols = []
-    for b in range(LSH_BANDS):
-        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
-        )
-    buckets = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    buckets = _band_buckets(sigs)
     w = Window.partitionBy("band", "bh")
     buckets = buckets.select(
         "doc_id",
@@ -439,6 +450,131 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             F.round(agree / F.lit(MINHASH_PERMS), 4).alias("est_jaccard"),
         )
+    )
+
+
+@register(
+    "q_minhash_lsh_audit",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS pairs_banded,
+           TRUE AS star_connected,
+           TRUE AS ordered_distinct,
+           TRUE AS est_floor
+    FROM documents
+    """,
+)
+def q_minhash_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable witness for MinHash+LSH (VERDICT r8 #1's
+    ε-witness pattern): ``q_minhash_lsh`` itself is rows-only (hash
+    permutations aren't SQL-expressible), but its CONTRACT is checkable
+    in Spark and each clause becomes a boolean the oracle pins TRUE:
+
+    * ``pairs_banded`` — every emitted pair shares ≥ 1 (band, band-hash)
+      signature, i.e. LSH emitted only genuine bucket collisions.
+    * ``star_connected`` — for EVERY bucket of size ≥ 2, every member is
+      paired with the bucket's min-id representative.  Sub-cap cliques
+      contain those edges as a subset; mega-bucket stars are exactly
+      those edges — so this is the connectivity guarantee the star
+      reduction advertises (components survive the O(n²)→O(n) cut).
+    * ``ordered_distinct`` — pairs are canonical (doc_a < doc_b) and
+      globally distinct.
+    * ``est_floor`` — a shared band means ≥ {MINHASH_PERMS//LSH_BANDS}
+      of {MINHASH_PERMS} signature hashes agree, so every est_jaccard
+      is in [rows_per_band/perms, 1].
+
+    SCALE: no |docs|² anywhere — the band-set check carries at most
+    {LSH_BANDS} structs per doc in-row (array_intersect on two ≤8-element
+    arrays), the star check is one window over the SAME (band, bh)
+    partitioning the production pipeline uses plus an anti-join on
+    candidate pairs (bounded by the LSH output, not the corpus square).
+    """
+    from pyspark.sql.window import Window
+
+    from iceberg_data_gen_spark.operators import QUERIES
+    from iceberg_data_gen_spark.operators.similarity import _trained_session
+
+    pairs = QUERIES["q_minhash_lsh"](spark, sf_dir).cache()
+    sigs = _trained_session(
+        "minhash_sigs",
+        spark,
+        (sf_dir,),
+        lambda: minhash_signatures(_docs(spark, sf_dir)).cache(),
+    )
+    buckets = _band_buckets(sigs)
+
+    # pairs_banded: in-row band-set intersection (≤ LSH_BANDS per side);
+    # left joins so a pair whose doc somehow has no bucket rows FAILS
+    # the boolean instead of vanishing from the check
+    bsets = buckets.groupBy("doc_id").agg(
+        F.collect_set(F.struct("band", "bh")).alias("bs")
+    )
+    checked = (
+        pairs.join(
+            bsets.select(F.col("doc_id").alias("doc_a"), F.col("bs").alias("bs_a")),
+            "doc_a",
+            "left",
+        )
+        .join(
+            bsets.select(F.col("doc_id").alias("doc_b"), F.col("bs").alias("bs_b")),
+            "doc_b",
+            "left",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.coalesce(
+                F.size(F.array_intersect("bs_a", "bs_b")) >= 1, F.lit(False)
+            ).alias("shares_band"),
+        )
+    )
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    agg = checked.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("doc_a", "doc_b").alias("n_distinct"),
+        F.sum((~F.col("shares_band")).cast("long")).alias("bad_band"),
+        F.sum((F.col("doc_a") >= F.col("doc_b")).cast("long")).alias("bad_order"),
+        F.sum(
+            (
+                (F.col("est_jaccard") < rows_per_band / MINHASH_PERMS)
+                | (F.col("est_jaccard") > 1.0)
+            ).cast("long")
+        ).alias("bad_est"),
+    ).collect()[0]
+
+    # star_connected: every member of every ≥2 bucket must be paired
+    # with that bucket's min-id representative (clique buckets contain
+    # these edges as a subset; star buckets are exactly these edges)
+    w = Window.partitionBy("band", "bh")
+    b2 = buckets.select(
+        "doc_id",
+        F.count(F.lit(1)).over(w).alias("bsz"),
+        F.min("doc_id").over(w).alias("bmin"),
+    )
+    expected = (
+        b2.where((F.col("bsz") >= 2) & (F.col("doc_id") != F.col("bmin")))
+        .select(F.col("bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    n_missing = expected.join(
+        pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+    ).count()
+
+    n_docs = _docs(spark, sf_dir).count()
+    pairs.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                agg.bad_band == 0 and agg.n_pairs > 0,
+                n_missing == 0,
+                agg.bad_order == 0 and agg.n_pairs == agg.n_distinct,
+                agg.bad_est == 0,
+            )
+        ],
+        "n_docs long, pairs_banded boolean, star_connected boolean, "
+        "ordered_distinct boolean, est_floor boolean",
     )
 
 

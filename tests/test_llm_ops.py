@@ -1141,3 +1141,89 @@ def test_media_decoder_edge_payloads_fail_loudly_or_decode():
     (out,) = list(kernel(iter([ok])))
     assert out.iloc[0]["width"] == 2 and out.iloc[0]["height"] == 1
     assert out.iloc[0]["mean_value"] == 35.0  # raw-byte stats, unnormalized
+
+
+def test_minhash_lsh_audit_flips_on_tampered_pairs(spark, monkeypatch):
+    """Negative control for the r9 LSH ε-witness (VERDICT r8 #1): the
+    audit must not just pin TRUE on the honest pipeline — each boolean
+    has to FLIP when the candidate stream it audits is tampered with in
+    exactly the way that boolean guards against.  Tampering goes through
+    the registry entry, the audit's input contract."""
+    real = operators.QUERIES["q_minhash_lsh"]
+
+    honest = operators.QUERIES["q_minhash_lsh_audit"](spark, SF_DIR).collect()[0]
+    assert (
+        honest.pairs_banded
+        and honest.star_connected
+        and honest.ordered_distinct
+        and honest.est_floor
+    ), honest
+
+    # 1. inject a pair that shares NO band (partner id doesn't exist in
+    #    the corpus, so its band-set join comes back null) → pairs_banded
+    def bogus_pair(s, d):
+        df = real(s, d)
+        extra = s.createDataFrame(
+            [(0, 10**12, 0.5)], "doc_a long, doc_b long, est_jaccard double"
+        )
+        return df.unionByName(extra)
+
+    monkeypatch.setitem(operators.QUERIES, "q_minhash_lsh", bogus_pair)
+    row = operators.QUERIES["q_minhash_lsh_audit"](spark, SF_DIR).collect()[0]
+    assert row.pairs_banded is False
+    assert row.star_connected is True  # extra pairs can't break coverage
+
+    # 2. drop every pair → star edges go missing → star_connected
+    monkeypatch.setitem(
+        operators.QUERIES, "q_minhash_lsh", lambda s, d: real(s, d).limit(0)
+    )
+    row = operators.QUERIES["q_minhash_lsh_audit"](spark, SF_DIR).collect()[0]
+    assert row.star_connected is False
+
+    # 3. swap one pair's endpoints → canonical-order violation
+    def swapped(s, d):
+        df = real(s, d)
+        from pyspark.sql import functions as SF
+
+        first = df.orderBy("doc_a", "doc_b").limit(1)
+        rest = df.join(
+            first.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+        )
+        return rest.unionByName(
+            first.select(
+                SF.col("doc_b").alias("doc_a"),
+                SF.col("doc_a").alias("doc_b"),
+                "est_jaccard",
+            )
+        )
+
+    monkeypatch.setitem(operators.QUERIES, "q_minhash_lsh", swapped)
+    row = operators.QUERIES["q_minhash_lsh_audit"](spark, SF_DIR).collect()[0]
+    assert row.ordered_distinct is False
+
+    # 4. crush every estimate below the one-shared-band floor → est_floor
+    def lowball(s, d):
+        return real(s, d).withColumn("est_jaccard", F.lit(0.01))
+
+    monkeypatch.setitem(operators.QUERIES, "q_minhash_lsh", lowball)
+    row = operators.QUERIES["q_minhash_lsh_audit"](spark, SF_DIR).collect()[0]
+    assert row.est_floor is False
+
+
+def test_ann_recall_floor_witnesses_flip_on_broken_index(spark, monkeypatch):
+    """Negative control for the PQ / IVF+PQ recall-floor witnesses: an
+    index regression that returns WRONG neighbors (here: the worst case,
+    an empty result set) must flip recall_ok to FALSE, not stay green."""
+    for approx, witness in (
+        ("q_ann_pq", "q_ann_pq_recall_floor"),
+        ("q_ann_ivfpq", "q_ann_ivfpq_recall_floor"),
+    ):
+        honest = operators.QUERIES[witness](spark, SF_DIR).collect()[0]
+        assert honest.recall_ok is True, (witness, honest)
+        real = operators.QUERIES[approx]
+        monkeypatch.setitem(
+            operators.QUERIES, approx, lambda s, d, _r=real: _r(s, d).limit(0)
+        )
+        row = operators.QUERIES[witness](spark, SF_DIR).collect()[0]
+        assert row.recall_ok is False, witness
+        monkeypatch.setitem(operators.QUERIES, approx, real)
