@@ -1227,3 +1227,30 @@ def test_ann_recall_floor_witnesses_flip_on_broken_index(spark, monkeypatch):
         row = operators.QUERIES[witness](spark, SF_DIR).collect()[0]
         assert row.recall_ok is False, witness
         monkeypatch.setitem(operators.QUERIES, approx, real)
+
+
+def test_norm_corpus_cached_and_reused_across_ann_invocations(spark):
+    """VERDICT r8 #3: the unit-normalization pass (itself sequential-fold
+    work) must run once per (session, corpus) — the second invocation of
+    q_ann_bruteforce / q_knn_classify has to reuse the SAME cached
+    normalized frame through the _trained_session seam, and its executed
+    plan must scan the in-memory relation, not re-derive nv."""
+    from iceberg_data_gen_spark.operators import similarity as sim
+
+    app_id = spark.sparkContext.applicationId
+    key = ("ann_norm_corpus", app_id, SF_DIR)
+    sim._TRAINED.pop(key, None)
+
+    operators.QUERIES["q_ann_bruteforce"](spark, SF_DIR).collect()
+    assert key in sim._TRAINED
+    first = sim._TRAINED[key]
+
+    df2 = operators.QUERIES["q_ann_bruteforce"](spark, SF_DIR)
+    df2.collect()
+    assert sim._TRAINED[key] is first  # no retrain, no re-cache
+    plan = df2._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan[:2000]
+
+    # kNN shares the same entry (and adds none of its own)
+    operators.QUERIES["q_knn_classify"](spark, SF_DIR).collect()
+    assert sim._TRAINED[key] is first
