@@ -35,6 +35,16 @@ round-trip.
 The commit requirement is ``{"type": "assert-version", "version": N}`` —
 the catalog-side metadata VERSION the client based its update on
 (returned by every GET/commit), bumped on every successful commit.
+DELIBERATE DEVIATION from the real Iceberg REST contract (ADVICE r8):
+the spec allows an empty requirements list (an unconditional commit)
+and carries the CAS through other requirement types
+(assert-table-uuid, assert-ref-snapshot-id, ...); this server REQUIRES
+an assert-version on every commit because its only client is
+``RestMetadataIO`` (which always sends one) and an unconditional
+commit here would silently clobber a racing writer — the exact bug
+class the r8 review closed.  A spec-conforming external client doing
+an unconditional commit would get 400; that narrowing is intentional
+for a test double whose whole safety story is the CAS.
 Versioning the whole document (rather than asserting only the snapshot
 head) makes metadata-only racers safe too: a tag/schema/ref update
 racing a snapshot commit conflicts instead of being silently clobbered

@@ -363,6 +363,7 @@ class MoRTable:
         # state; same reason WAP staging passes staged=True here instead
         # of flag-then-resave
         advance_ref = extra.pop("_advance_ref", None)
+        mark_published = extra.pop("_mark_published", None)
         if parent is None:
             live = [
                 s for s in snaps if not s.get("staged") and not s.get("branch")
@@ -383,6 +384,14 @@ class MoRTable:
         snaps.append(snap)
         if advance_ref is not None:
             self._meta["refs"][advance_ref]["snapshot_id"] = snap["id"]
+        if mark_published is not None:
+            # stamp the STAGED snapshot with its publish id in the SAME
+            # atomic save (ADVICE r8): the idempotence guard reads this
+            # field, and unlike the published snapshot itself it cannot
+            # be expired away while the staged one survives
+            next(s for s in snaps if s["id"] == mark_published)[
+                "published_as"
+            ] = snap["id"]
         self._write_meta()
         return snap
 
@@ -899,13 +908,19 @@ class MoRTable:
             raise ValueError(f"snapshot {snapshot_id} is not a staged snapshot")
         if snap["operation"] != "append":
             raise ValueError("only append snapshots can be staged/published")
-        # idempotence guard (review r8): a second publish of the same
-        # staged id — e.g. a retry after a save timeout whose first
-        # commit actually landed — would reference the SAME files from a
-        # second main-visible snapshot, double-counting every row on
-        # scan.  The staged flag deliberately survives for audit
-        # lineage, so the guard checks prior cherry-picks instead.
-        already = next(
+        # idempotence guard (review r8 + ADVICE r8): a second publish of
+        # the same staged id — e.g. a retry after a save timeout whose
+        # first commit actually landed — would reference the SAME files
+        # from a second main-visible snapshot, double-counting every row
+        # on scan.  The publish is recorded on the STAGED snapshot
+        # itself (``published_as``, stamped in the same atomic commit):
+        # scanning for a surviving cherry_picked_from twin was not
+        # enough, because expire_snapshots can remove the published
+        # snapshot while the staged one survives — a late retry then
+        # re-published files that may already be unlinked.  The
+        # cherry-pick scan stays as a fallback for metadata written
+        # before the stamp existed.
+        already = snap.get("published_as") or next(
             (
                 s["id"]
                 for s in self._meta["snapshots"]
@@ -919,7 +934,10 @@ class MoRTable:
                 f"snapshot {already}"
             )
         return self._commit(
-            "append", list(snap["files"]), cherry_picked_from=snapshot_id
+            "append",
+            list(snap["files"]),
+            cherry_picked_from=snapshot_id,
+            _mark_published=snapshot_id,
         )
 
     # -- metadata tables (Iceberg .files / .snapshots equivalents) ----------
@@ -1132,10 +1150,28 @@ class MoRTable:
         # b1's head fast-forwarded b2's files onto main but left b1's
         # hidden, losing rows from every main read).  The ancestor check
         # above already proved the chain sits linearly on top of main.
+        chain = []
         cur = head
         while cur is not None and cur != main_head and by_id[cur].get("branch"):
-            by_id[cur].pop("branch")
+            chain.append(cur)
             cur = by_id[cur].get("parent")
+        if cur != main_head:
+            # ADVICE r8: the walk must terminate EXACTLY at the main
+            # head.  Stopping early means a snapshot between the branch
+            # head and main lacks a branch marker (hand-edited metadata,
+            # a staged snapshot inside the chain, a future unmarked
+            # commit type) — silently publishing only the upper part of
+            # the chain is the exact hidden-rows failure mode the r8
+            # stacked-branch fix targets, so fail loudly BEFORE any
+            # marker is touched (validate-then-mutate: the handle stays
+            # usable after the raise).
+            raise ValueError(
+                f"fast_forward({name!r}): branch chain does not terminate "
+                f"at main head {main_head} (walk stopped at {cur}) — "
+                "metadata is inconsistent; refusing to publish partially"
+            )
+        for sid in chain:
+            by_id[sid].pop("branch")
         self._write_meta()
         return head
 

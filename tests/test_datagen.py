@@ -1940,3 +1940,59 @@ def test_empty_equality_ids_raise_instead_of_silent_substitute(spark, tmp_path):
     with pytest.raises(ValueError, match="non-empty"):
         t.merge(_fix_rows_dg(spark, 0, 5), on_ids=[])
     assert t.scan().count() == 10  # nothing was deleted by the rejections
+
+
+def test_fast_forward_refuses_chain_with_unmarked_gap(spark, tmp_path):
+    """ADVICE r8: the fast_forward un-marking walk must terminate
+    EXACTLY at the main head.  If a snapshot between the branch head and
+    main lacks its branch marker (hand-edited metadata / a future
+    unmarked commit type), publishing only the upper part of the chain
+    would hide the lower commits from main with no error — the walk must
+    refuse loudly and leave every marker untouched."""
+    import pytest
+
+    t = _mk(spark, tmp_path, "ffgap")
+    t.append(_rows(spark, 0, 10), single_file=True)                 # main 1
+    t.create_branch("b")
+    t.append(_rows(spark, 10, 20), single_file=True, branch="b")    # 2 on b
+    t.append(_rows(spark, 20, 30), single_file=True, branch="b")    # 3 on b
+    # corrupt: turn the INTERMEDIATE snapshot into an unmarked STAGED
+    # one — a state no API path creates (branch-from-staged is
+    # rejected), i.e. precisely hand-edited / future-commit-type
+    # metadata.  A merely-unmarked snapshot would BECOME the derived
+    # main head and the walk would legitimately stop there; staged ones
+    # are skipped by the head derivation, so the walk strands between
+    # the branch head and main and must refuse.
+    mid = next(s for s in t._meta["snapshots"] if s["id"] == 2)
+    mid.pop("branch")
+    mid["staged"] = True
+    with pytest.raises(ValueError, match="does not terminate at main head"):
+        t.fast_forward("b")
+    # validate-then-mutate: the head's marker survived the refusal
+    head = next(s for s in t._meta["snapshots"] if s["id"] == 3)
+    assert head.get("branch") == "b"
+
+
+def test_publish_guard_survives_expiration_of_the_publish(spark, tmp_path):
+    """ADVICE r8: the publish-idempotence guard used to scan for a
+    surviving cherry_picked_from twin, so metadata that LOST the publish
+    snapshot (expiration/compaction paths) while the staged one survived
+    would let a late retry re-publish the same staged files.  The
+    publish is now stamped on the staged snapshot itself
+    (``published_as``, same atomic commit), which no expiration strips
+    while the staged snapshot lives."""
+    import pytest
+
+    t = _mk(spark, tmp_path, "pubexp")
+    t.append(_rows(spark, 0, 10), single_file=True)                 # main 1
+    staged = t.append_staged(_rows(spark, 10, 20), single_file=True)  # 2
+    pub = t.publish_snapshot(staged["id"])                          # 3
+    st = next(s for s in t._meta["snapshots"] if s["id"] == staged["id"])
+    assert st["published_as"] == pub["id"]  # stamped in the same save
+    # simulate metadata that lost the publish snapshot but kept staged
+    t._meta["snapshots"] = [
+        s for s in t._meta["snapshots"] if s["id"] != pub["id"]
+    ]
+    t._write_meta()
+    with pytest.raises(ValueError, match="already published"):
+        t.publish_snapshot(staged["id"])

@@ -185,7 +185,10 @@ def test_broadcast_hint_census():
     q_source_divergence's word totals, the MoR scan's delete sides).
     This census pins the per-file count so ADDING a hint forces the
     author to re-justify it here and at the call site; removals only
-    need the count updated."""
+    need the count updated.  Counted by walking the AST for real
+    ``F.broadcast(...)`` CALL nodes (ADVICE r8: a text count would tick
+    on comments/docstrings that merely mention the hint)."""
+    import ast
     from pathlib import Path
 
     import iceberg_data_gen_spark
@@ -205,7 +208,15 @@ def test_broadcast_hint_census():
     }
     got = {}
     for p in sorted(base.rglob("*.py")):
-        n = p.read_text().count("F.broadcast(")
+        n = sum(
+            1
+            for node in ast.walk(ast.parse(p.read_text()))
+            if isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "broadcast"
+            and isinstance(node.func.value, ast.Name)
+            and node.func.value.id == "F"
+        )
         if n:
             got[str(p.relative_to(base))] = n
     assert got == expected, (got, expected)
