@@ -430,6 +430,107 @@ def _stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bounded-state posture (VERDICT r8 #6).  The NoTimeout operator above
+# keeps one state row per user FOREVER — correct when user cardinality
+# is bounded (the 100x probe measured state linear in distinct users:
+# 109x rows at keys x100, bit-flat at keys x1).  Over UNBOUNDED user
+# cardinality a production pipeline needs eviction: the TTL variant
+# times out a user's state once the event-time watermark passes their
+# last event + TTL, emitting the final aggregate on eviction — state is
+# then bounded by users ACTIVE within the trailing TTL window, not by
+# all users ever seen.
+STATEFUL_TTL_MS = 30 * 60 * 1000  # 30 min of event time
+STATEFUL_TTL_WATERMARK = "10 minutes"
+STATEFUL_TTL_SCHEMA = STATEFUL_SCHEMA + ", final boolean"
+
+
+def make_stateful_count_ttl(ttl_ms: int):
+    """TTL twin of ``make_stateful_count`` for EventTimeTimeout: same
+    integer-cents accumulation, plus (a) a timed-out branch that emits
+    the user's FINAL row and removes the state, and (b) a per-trigger
+    ``setTimeoutTimestamp(last_event + ttl)`` clamped one ms above the
+    current watermark (Spark rejects a timeout at/behind the watermark;
+    the clamp matters for late events re-creating state that is already
+    expired — they get evicted at the next batch boundary instead of
+    crashing the query)."""
+
+    def fn(key, pdf_iter, state):
+        import pandas as _pd
+
+        if state.hasTimedOut:
+            n, cents, batches = state.get
+            state.remove()
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents / 100.0],
+                    "n_batches": [batches],
+                    "final": [True],
+                }
+            )
+            return
+        if state.exists:
+            n, cents, batches = state.get
+        else:
+            n, cents, batches = 0, 0, 0
+        batches += 1
+        last_ms = 0
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            cents += int(pdf["value_cents"].sum())
+            m = int(pdf["ts_ms"].max())
+            if m > last_ms:
+                last_ms = m
+        state.update((n, cents, batches))
+        state.setTimeoutTimestamp(
+            max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield _pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+                "n_batches": [batches],
+                "final": [False],
+            }
+        )
+
+    return fn
+
+
+def _stateful_agg_ttl(
+    spark: SparkSession, sf_dir: str, ttl_ms: int = STATEFUL_TTL_MS
+) -> DataFrame:
+    """Bounded-state per-user aggregation: EventTimeTimeout +
+    watermark, state evicted (with a final emission) once a user has
+    been idle for ``ttl_ms`` of event time.  Sizing formula (probe-
+    measured, scripts/probe_stream_100x.py): state rows ≈ users with an
+    event inside the trailing ``ttl + watermark`` window — independent
+    of total distinct users ever seen, which is the posture an
+    unbounded-cardinality production stream needs."""
+    ev = read_events_stream(spark, sf_dir).withWatermark(
+        "ts", STATEFUL_TTL_WATERMARK
+    )
+    keyed = ev.select(
+        "user_id",
+        "ts",  # carries the watermark attribute through the projection
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("value_cents"),
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        make_stateful_count_ttl(ttl_ms),
+        outputStructType=STATEFUL_TTL_SCHEMA,
+        stateStructType="n long, cents long, batches int",
+        outputMode="update",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
 # Operator-only scale probes (scripts/scale_probe.py): the same streaming
 # aggregations driven through the foreachBatch->noop sink instead of the
 # Complete-mode memory sink, so the 100x ratio measures state-store cost,
@@ -442,6 +543,9 @@ STREAM_OPERATOR_PROBES = {
     ),
     "q_stream_stateful": lambda spark, sf_dir: run_operator_only(
         _stateful_agg(spark, sf_dir), output_mode="update"
+    ),
+    "q_stream_stateful_ttl": lambda spark, sf_dir: run_operator_only(
+        _stateful_agg_ttl(spark, sf_dir), output_mode="update"
     ),
 }
 

@@ -19,8 +19,19 @@ distinct-key count exactly (its contract: one state row per user,
 forever — NoTimeout keeps per-key state, which is why its wall ratio
 tracks keys, not events).
 
+Round 9 adds the BOUNDED-STATE probe (VERDICT r8 #6): the TTL variant
+(``q_stream_stateful_ttl``, EventTimeTimeout) driven over a keys-x100
+dataset whose copies are ALSO time-shifted (disjoint event-time ranges,
+written as mtime-ordered chunks so micro-batches replay in event-time
+order — no late-data resurrection).  The NoTimeout operator on that
+dataset must hold ~100x keys of state; the TTL operator must end with
+state bounded by the users active inside the trailing ttl+watermark
+window — sub-linear in total distinct users, the unbounded-cardinality
+production posture.
+
 Run: python scripts/probe_stream_100x.py          (factor 100, sf0.1)
-Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_SCALE_FACTOR, SPARK_GRAFT_CPUS
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_SCALE_FACTOR, SPARK_GRAFT_CPUS,
+     SPARK_GRAFT_TTL_ONLY=1 (skip the r8 probes, run only the TTL one)
 Output: one JSON line per probe + a summary JSON line.
 """
 
@@ -43,7 +54,10 @@ FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "100"))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "16")
 DEST_KEYS = f"/tmp/spark_graft_stream_x{FACTOR}_keys"
 DEST_SAMEKEYS = f"/tmp/spark_graft_stream_x{FACTOR}_samekeys"
+DEST_KEYS_TIMED = f"/tmp/spark_graft_stream_x{FACTOR}_keystimed"
 KEY_SHIFT = 100_000_000
+TTL_ONLY = os.environ.get("SPARK_GRAFT_TTL_ONLY") == "1"
+TIMED_CHUNKS = 8  # chunk = one micro-batch of the time-ordered replay
 
 
 def build_events(spark, dest: str, shift_keys: bool) -> None:
@@ -74,6 +88,64 @@ def build_events(spark, dest: str, shift_keys: bool) -> None:
         os.path.join(dest, "events.parquet")
     )
     Path(marker).write_text(stamp)
+
+
+def build_events_timed(spark, dest: str) -> int:
+    """Keys-x{FACTOR} copies with DISJOINT, increasing event-time ranges
+    (copy i shifted by i * (span + 1h)), written as {TIMED_CHUNKS}
+    mtime-ordered chunks so the file stream replays them as event-time-
+    ordered micro-batches.  A user's events live entirely inside one
+    chunk, so an evicted user never receives later events (no late-data
+    state resurrection) — the clean geometry for measuring TTL eviction.
+    Returns the number of part files per chunk."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.session import load_table
+
+    files_per_chunk = 4
+    marker = os.path.join(dest, "_SUCCESS")
+    stamp = f"{SRC}|{FACTOR}|timed|{TIMED_CHUNKS}|{files_per_chunk}"
+    if os.path.isfile(marker) and Path(marker).read_text() == stamp:
+        return files_per_chunk
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest)
+    base = load_table(spark, SRC, "events")
+    lo, hi = base.agg(F.min("ts"), F.max("ts")).collect()[0]
+    step_s = int((hi - lo).total_seconds()) + 3600
+    out_dir = os.path.join(dest, "events.parquet")
+    per_chunk = math.ceil(FACTOR / TIMED_CHUNKS)
+    seen: set[str] = set()
+    chunk_idx = 0
+    for c0 in range(0, FACTOR, per_chunk):
+        copies = []
+        for i in range(c0, min(c0 + per_chunk, FACTOR)):
+            copies.append(
+                base.withColumn("event_id", F.col("event_id") + F.lit(i * KEY_SHIFT))
+                .withColumn("user_id", F.col("user_id") + F.lit(i * KEY_SHIFT))
+                .withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {i * step_s} SECONDS")
+                )
+            )
+        chunk = copies[0]
+        for c in copies[1:]:
+            chunk = chunk.unionByName(c)
+        chunk.coalesce(files_per_chunk).write.mode("append").parquet(out_dir)
+        # bump THIS chunk's new part files one second per chunk so the
+        # file source (oldest-mtime-first) replays chunks in time order
+        parts = {
+            os.path.join(out_dir, f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        }
+        now = _time.time()
+        for p in parts - seen:
+            os.utime(p, (now + chunk_idx, now + chunk_idx))
+        seen = parts
+        chunk_idx += 1
+    Path(marker).write_text(stamp)
+    return files_per_chunk
 
 
 def state_rows(progress: dict | None) -> int | None:
@@ -131,7 +203,8 @@ def main() -> None:
         return 1
 
     report: dict[str, dict] = {}
-    for name in ("q_stream_session", "q_stream_stateful"):
+    probed = () if TTL_ONLY else ("q_stream_session", "q_stream_stateful")
+    for name in probed:
         entry: dict = {}
         # 1x: single-file driver layout -> one batch (matches the
         # registered-query behavior the README 10x column measured)
@@ -151,6 +224,29 @@ def main() -> None:
             entry[f"state_rows_{label}"] = srows if srows is not None else srows2
         report[name] = entry
         print(name, entry, file=sys.stderr, flush=True)
+
+    # bounded-state probe (r9): NoTimeout vs TTL on the SAME time-shifted
+    # keys-x100 dataset — NoTimeout must hold ~keys_total state rows; the
+    # TTL variant must end with state bounded by the trailing activity
+    # window (sub-linear in total distinct users)
+    fpt = build_events_timed(spark, DEST_KEYS_TIMED)
+    ttl_entry: dict = {"keys_total": n_keys_1x * FACTOR}
+    for name in ("q_stream_stateful", "q_stream_stateful_ttl"):
+        t, srows = run_probe(name, DEST_KEYS_TIMED, fpt)
+        ttl_entry[f"{name}_t"] = round(t, 2)
+        ttl_entry[f"{name}_state_rows"] = srows
+    ttl_entry["state_reduction"] = (
+        round(
+            ttl_entry["q_stream_stateful_state_rows"]
+            / max(ttl_entry["q_stream_stateful_ttl_state_rows"], 1),
+            1,
+        )
+        if ttl_entry.get("q_stream_stateful_state_rows")
+        and ttl_entry.get("q_stream_stateful_ttl_state_rows") is not None
+        else None
+    )
+    report["stateful_ttl_bounded_state"] = ttl_entry
+    print("stateful_ttl_bounded_state", ttl_entry, file=sys.stderr, flush=True)
 
     print(
         json.dumps(

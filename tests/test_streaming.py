@@ -715,3 +715,79 @@ def test_fixseq_stream_offset_never_regresses():
     rows, off = reader.read({"g": 980})
     assert off == {"g": 1000}
     assert len(list(rows)) == 20
+
+
+def test_stateful_ttl_evicts_idle_users_and_emits_final_rows(spark):
+    """VERDICT r8 #6: the bounded-state variant must EVICT a user idle
+    past the TTL (state removed, final row emitted with final=True) and
+    keep accumulating for active users — state at end is bounded by the
+    trailing activity window, not by all users ever seen.
+
+    Layout: 3 mtime-ordered files / 1-file triggers.  User 1 appears
+    only in batch 1; user 2 appears in all three, two event-time hours
+    apart.  With a 30-min TTL and 10-min watermark, user 1's timeout
+    (t0+30m) is passed by the batch-3 watermark (t0+2h-10m), so batch 3
+    must emit user 1's final row and the last progress must report only
+    user 2's state row."""
+    import os
+    import time
+
+    from iceberg_data_gen_spark.operators.common import scratch_dir
+    from iceberg_data_gen_spark.streaming import events as ev_mod
+
+    base = scratch_dir("stateful-ttl-")
+    d = os.path.join(base, "events.parquet")
+    t0 = "2026-01-01 00:00:00"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, "
+            "event_type string, value double, props string"
+        ).select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+
+    batches = [
+        [(1, t0, 1, "a", 1.0, "{}"), (2, t0, 2, "a", 2.0, "{}")],
+        [(3, "2026-01-01 02:00:00", 2, "a", 3.0, "{}")],
+        [(4, "2026-01-01 04:00:00", 2, "a", 4.0, "{}")],
+    ]
+    seen: set[str] = set()
+    for i, rows in enumerate(batches):
+        mk(rows).coalesce(1).write.mode("append").parquet(d)
+        parts = {
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        }
+        (newest,) = parts - seen
+        seen = parts
+        os.utime(newest, (time.time() + i, time.time() + i))
+
+    out_rows = []
+    old_trigger = ev_mod.STREAM_MAX_FILES_PER_TRIGGER
+    ev_mod.STREAM_MAX_FILES_PER_TRIGGER = 1
+    try:
+        progress = ev_mod.run_operator_only(
+            ev_mod._stateful_agg_ttl(spark, base),
+            output_mode="update",
+            batch_fn=lambda df, _id: out_rows.extend(df.collect()),
+        )
+    finally:
+        ev_mod.STREAM_MAX_FILES_PER_TRIGGER = old_trigger
+
+    finals = [r for r in out_rows if r.final]
+    assert [(r.user_id, r.n_events, r.total_value) for r in finals] == [
+        (1, 1, 1.0)
+    ], out_rows
+    # user 2 kept accumulating across all three triggers
+    last_u2 = [r for r in out_rows if r.user_id == 2][-1]
+    assert (last_u2.n_events, last_u2.total_value, last_u2.final) == (3, 9.0, False)
+    # the state store holds ONLY the active user at the end
+    srows = sum(
+        op.get("numRowsTotal", 0) for op in (progress or {}).get("stateOperators", [])
+    )
+    assert srows == 1, progress
