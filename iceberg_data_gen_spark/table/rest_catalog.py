@@ -194,6 +194,15 @@ class RestMetadataIO(MetadataIO):
             raise CommitConflictError(_err(status, payload))
         if status != 200:
             raise RestCatalogError(status, _err(status, payload))
+        # shape-check the success body like _get does (review r9): a 200
+        # with no/odd JSON (proxy, wrong service) must raise the
+        # documented contract, not TypeError/KeyError — and it must NOT
+        # silently leave _based_on stale
+        if not isinstance(payload, dict) or "version" not in payload:
+            raise RestCatalogError(
+                status,
+                f"unexpected commit payload shape: {list(payload or {})!r}",
+            )
         # this handle's view IS the committed document now: subsequent
         # saves (e.g. tag after branch, no reload in between) assert the
         # version we just created, not the stale pre-commit one
@@ -209,10 +218,13 @@ class RestCatalog:
         self.spark = spark
         self.uri = uri.rstrip("/")
         self.warehouse = Path(warehouse)
-        self.warehouse.mkdir(parents=True, exist_ok=True)
+        # probe the catalog BEFORE creating the warehouse dir (review r9,
+        # same probe-before-mkdir order load_table uses): a typo'd URI
+        # must fail without littering an empty warehouse directory
         status, payload = _call("GET", f"{self.uri}/v1/config")
         if status != 200:
             raise RestCatalogError(status, _err(status, payload))
+        self.warehouse.mkdir(parents=True, exist_ok=True)
 
     # -- namespaces ---------------------------------------------------------
 
@@ -271,7 +283,20 @@ class RestCatalog:
         )
         if status != 200:
             raise RestCatalogError(status, _err(status, payload))
-        return [i["name"] for i in payload["identifiers"]]
+        # same 200-shape discipline as _get/save (review r9); tolerate
+        # spec-shaped identifier objects that omit "name"
+        if not isinstance(payload, dict) or not isinstance(
+            payload.get("identifiers"), list
+        ):
+            raise RestCatalogError(
+                status,
+                f"unexpected list-tables payload shape: {list(payload or {})!r}",
+            )
+        return [
+            i["name"]
+            for i in payload["identifiers"]
+            if isinstance(i, dict) and "name" in i
+        ]
 
     def create_table(
         self,

@@ -340,15 +340,7 @@ class MoRTable:
             if f.get("kind") == "data" and "spec_id" not in f:
                 f["spec_id"] = default_sid
         snaps = self._meta["snapshots"]
-        linear_head = snaps[-1]["id"] if snaps else None
-        on_disk = self._io.peek()
-        disk_snaps = on_disk["snapshots"]
-        disk_head = disk_snaps[-1]["id"] if disk_snaps else None
-        if disk_head != linear_head:
-            raise CommitConflictError(
-                f"concurrent commit detected: expected head {linear_head}, "
-                f"found {disk_head} — refresh() and retry"
-            )
+        self._assert_based_on_current()
         # branch commits parent at their BRANCH head (passed via extra
         # "parent"); main commits parent at the MAIN head (latest
         # non-staged, non-branch snapshot) — NOT the linear head, which
@@ -382,7 +374,9 @@ class MoRTable:
             **extra,
         }
         snaps.append(snap)
+        prev_ref = None
         if advance_ref is not None:
+            prev_ref = self._meta["refs"][advance_ref]["snapshot_id"]
             self._meta["refs"][advance_ref]["snapshot_id"] = snap["id"]
         if mark_published is not None:
             # stamp the STAGED snapshot with its publish id in the SAME
@@ -392,7 +386,23 @@ class MoRTable:
             next(s for s in snaps if s["id"] == mark_published)[
                 "published_as"
             ] = snap["id"]
-        self._write_meta()
+        try:
+            self._write_meta()
+        except BaseException:
+            # roll the in-memory document back (review r9): a save that
+            # never landed (transport error, REST 5xx, CAS conflict)
+            # must not leave a PHANTOM commit in the live handle — the
+            # handle would report the snapshot as committed, and a
+            # publish retry would trip its own idempotence guard on the
+            # in-memory published_as stamp even though nothing landed.
+            snaps.pop()
+            if advance_ref is not None:
+                self._meta["refs"][advance_ref]["snapshot_id"] = prev_ref
+            if mark_published is not None:
+                next(s for s in snaps if s["id"] == mark_published).pop(
+                    "published_as", None
+                )
+            raise
         return snap
 
     def _write_meta(self) -> None:
@@ -1076,8 +1086,15 @@ class MoRTable:
         Metadata-only."""
         self._assert_based_on_current()
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
-        if sid is None or sid not in {s["id"] for s in self._meta["snapshots"]}:
-            raise ValueError(f"snapshot {snapshot_id} does not exist")
+        if sid is None:
+            # distinguish "no main head to default to" from a bad id
+            # (review r9: the old message read 'snapshot None does not
+            # exist' when the real problem was an all-staged/branch table)
+            raise ValueError(
+                "table has no main-visible snapshot to tag; pass snapshot_id"
+            )
+        if sid not in {s["id"] for s in self._meta["snapshots"]}:
+            raise ValueError(f"snapshot {sid} does not exist")
         refs = self._new_ref_slot(name)
         refs[name] = {"type": "tag", "snapshot_id": sid}
         self._write_meta()
@@ -1632,15 +1649,54 @@ class MoRTable:
         if not data_files:
             return self.spark.createDataFrame([], self.schema.to_spark())
 
-        df = (
-            self.spark.read.schema(self.schema.to_spark())
-            .parquet(*[f["path"] for f in data_files])
-            .select(
-                *cols,
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "").alias("__file"),
-                F.col("_metadata.row_index").alias("__pos"),
+        def _read(paths: list[str]) -> DataFrame:
+            return (
+                self.spark.read.schema(self.schema.to_spark())
+                .parquet(*paths)
+                .select(
+                    *cols,
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:(//)?", ""
+                    ).alias("__file"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                )
             )
-        )
+
+        if partition_filter:
+            # split the surviving files by which keys still need the
+            # ROW-level residual (review r9): a file that is
+            # prune-eligible on k was kept because its STORED partition
+            # value equals the filter value, and the Iceberg contract
+            # (which the prune step above already trusts for exclusion)
+            # makes every row of such a file match — re-filtering those
+            # rows charged the transform (cast+pmod per key) to exactly
+            # the files the new layout promised would pay nothing.  Only
+            # ineligible-spec / field-less files keep the residual, per
+            # key.  Groups are tiny (one per residual-key combination —
+            # 1-2 in practice), so the union adds no shuffle.
+            groups: dict[frozenset, list[dict]] = {}
+            for f in data_files:
+                need = frozenset(
+                    k
+                    for k in partition_filter
+                    if k not in (f.get("partition") or {})
+                    or f.get("spec_id") not in eligible[k]
+                )
+                groups.setdefault(need, []).append(f)
+            parts = []
+            for need, fs in sorted(groups.items(), key=lambda kv: sorted(kv[0])):
+                part = _read([f["path"] for f in fs])
+                for k in sorted(need):
+                    part = part.where(
+                        self._transform_expr(self._spec_field(k))
+                        == F.lit(partition_filter[k])
+                    )
+                parts.append(part)
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        else:
+            df = _read([f["path"] for f in data_files])
 
         pos_files = self._files_of_kind("pos-delete", snapshot_id)
         if pos_files:
@@ -1699,9 +1755,8 @@ class MoRTable:
                     df = df.where(F.col(c) >= F.lit(lo))
                 if hi is not None:
                     df = df.where(F.col(c) <= F.lit(hi))
-        if partition_filter:  # residual transform predicate (old-spec files)
-            for k, v in partition_filter.items():
-                df = df.where(self._transform_expr(self._spec_field(k)) == F.lit(v))
+        # (partition_filter residual is applied per file group at read
+        # time above — value-matched newest-spec files pay nothing)
         return df
 
     # -- summary (O14) ------------------------------------------------------

@@ -1996,3 +1996,78 @@ def test_publish_guard_survives_expiration_of_the_publish(spark, tmp_path):
     t._write_meta()
     with pytest.raises(ValueError, match="already published"):
         t.publish_snapshot(staged["id"])
+
+
+def test_partition_filter_skips_residual_for_value_matched_files(spark, tmp_path):
+    """Review r9: a file kept by the file-level prune (eligible spec,
+    stored partition value == filter value) has every row matching by
+    the Iceberg partition contract — the row-level transform residual
+    (cast+pmod per key) must not be charged to those rows.  Newest-spec-
+    only table: no residual anywhere in the plan; mixed-spec table: the
+    residual applies ONLY to the old-layout file's branch, and results
+    stay exact."""
+    t = _mk_table(spark, tmp_path, "resid9")
+    t.update_spec([{"source": "bar", "transform": "bucket", "n": 4}])
+    t.append(_fix_rows_dg(spark, 0, 12))  # 4 bucket files, newest spec
+    df = t.scan(partition_filter={"bar_bucket": 1})
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "pmod" not in plan, plan[:2000]
+    assert sorted(r.bar for r in df.collect()) == [1, 5, 9]
+
+    # add an unpartitioned (field-less spec) file: residual returns, but
+    # only for that branch, and exactness holds across the union
+    t.update_spec([])
+    t.append(_fix_rows_dg(spark, 12, 24), single_file=True)
+    df2 = t.scan(partition_filter={"bar_bucket": 1})
+    plan2 = df2._jdf.queryExecution().optimizedPlan().toString()
+    assert "pmod" in plan2
+    assert sorted(r.bar for r in df2.collect()) == [
+        b for b in range(24) if b % 4 == 1
+    ]
+
+
+def test_failed_save_leaves_no_phantom_commit(spark, tmp_path):
+    """Review r9: _commit used to mutate the in-memory document (append
+    snapshot, advance ref, stamp published_as) BEFORE the store save, so
+    a save that never landed (transport error, REST 5xx) left a PHANTOM
+    commit in the live handle — scans reported uncommitted data and a
+    publish retry tripped its own idempotence guard on the in-memory
+    stamp.  A failed save must roll the document back and leave the
+    handle retryable."""
+    import pytest
+
+    t = _mk(spark, tmp_path, "phantom")
+    t.append(_rows(spark, 0, 10), single_file=True)
+    staged = t.append_staged(_rows(spark, 10, 20), single_file=True)
+
+    real_save = t._io.save
+    boom = {"on": True}
+
+    def flaky_save(meta):
+        if boom["on"]:
+            raise OSError("transport down")
+        return real_save(meta)
+
+    t._io.save = flaky_save
+    n_before = len(t._meta["snapshots"])
+    with pytest.raises(OSError):
+        t.publish_snapshot(staged["id"])
+    # no phantom snapshot, no premature published_as stamp
+    assert len(t._meta["snapshots"]) == n_before
+    st = next(s for s in t._meta["snapshots"] if s["id"] == staged["id"])
+    assert "published_as" not in st
+    assert t.scan().count() == 10  # staged rows still quarantined
+
+    # the retry on the SAME handle must succeed once transport recovers
+    boom["on"] = False
+    t.publish_snapshot(staged["id"])
+    assert t.scan().count() == 20
+
+    # branch-ref advance rolls back too
+    t.create_branch("b")
+    head_before = t.resolve_ref("b")
+    boom["on"] = True
+    with pytest.raises(OSError):
+        t.append(_rows(spark, 20, 30), single_file=True, branch="b")
+    assert t.resolve_ref("b") == head_before
+    assert len(t._meta["snapshots"]) == n_before + 1  # just the publish
