@@ -87,6 +87,28 @@ def _norm_query_matrix(en: DataFrame, n_queries: int):
     return q_ids, Q, rows
 
 
+def _ann_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brute-force top-{TOP_K} truth set (``query_id, neighbor_id``
+    — K·|queries| rows), cached and materialized ONCE per (session,
+    corpus) via the shared session cache.  ONE definition (review r9:
+    q_ann_recall and the recall-floor witnesses each built the same
+    'ann_ground_truth' cache entry from their own 8-line closure, so a
+    projection change in one site would silently redefine the schema
+    the other consumes)."""
+    from iceberg_data_gen_spark.operators import QUERIES
+
+    def _truth():
+        df = (
+            QUERIES["q_ann_bruteforce"](spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .cache()
+        )
+        df.count()  # materialize now: K·|queries| rows, trivially small
+        return df
+
+    return _trained_session("ann_ground_truth", spark, (sf_dir,), _truth)
+
+
 def _norm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The unit-normalized corpus ``(vec_id, label, nv)``, cached ONCE
     per (session, corpus) — VERDICT r8 #3: the normalization is itself
@@ -102,6 +124,46 @@ def _norm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sf_dir,),
         lambda: normalized_vectors(_emb(spark, sf_dir)).cache(),
     )
+
+
+def _grid_scores_kernel():
+    """ONE source of truth for the chunked left-to-right grid fold the
+    oracle-compared scoring kernels use (review r9: two byte-identical
+    inline copies in q_ann_bruteforce / q_knn_classify were exactly the
+    hand-sync hazard the module header warns about).  Returned as a
+    NESTED function so a mapInPandas kernel capturing it is pickled BY
+    VALUE and stays self-contained on executors (same pattern as
+    ``_flat_quantizer``).
+
+    The (query, candidate) grid accumulates as a strict LEFT-TO-RIGHT
+    fold over the dim axis: each step is one rounded mul + one rounded
+    add per cell — the exact order of the oracle's ``list_dot_product``
+    (review r8; einsum/BLAS partial sums drift in the last ulp).
+    Optimized without changing the arithmetic sequence: M transposed
+    once per batch (contiguous dim rows) and candidates processed in
+    L2-sized chunks with in-place multiply/add — measured bit-identical
+    to the naive fold and ~4× faster (54 vs 209 ms per 32×10k×64 batch;
+    einsum is 9 ms but inexact)."""
+    import numpy as np
+
+    def grid_scores(Q, M):
+        q, n = Q.shape[0], M.shape[0]
+        D = Q.shape[1]
+        MT = np.ascontiguousarray(M.T)
+        out = np.empty((q, n))
+        chunk = 4096
+        tmp = np.empty((q, min(chunk, max(n, 1))))
+        for c0 in range(0, n, chunk):
+            c = min(chunk, n - c0)
+            acc = out[:, c0 : c0 + c]
+            acc.fill(0.0)
+            t = tmp[:, :c]
+            for j in range(D):
+                np.multiply(Q[:, [j]], MT[j, c0 : c0 + c], out=t)
+                np.add(acc, t, out=acc)
+        return out
+
+    return grid_scores
 
 
 def _adc_tables(Q, B):
@@ -212,36 +274,9 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     en = _norm_corpus(spark, sf_dir).select("vec_id", "nv")
     q_ids, Q, _ = _norm_query_matrix(en, N_QUERIES)
+    grid_scores = _grid_scores_kernel()  # shared fold, pickled by value
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def grid_scores(Q: np.ndarray, M: np.ndarray) -> np.ndarray:
-            # (query, candidate) grid as a strict LEFT-TO-RIGHT fold
-            # over the dim axis: each step is one rounded mul + one
-            # rounded add per cell — the exact order of the oracle's
-            # list_dot_product (review r8; einsum/BLAS partial sums
-            # drift in the last ulp).  Optimized without changing the
-            # arithmetic sequence: M transposed once per batch
-            # (contiguous dim rows) and candidates processed in
-            # L2-sized chunks with in-place multiply/add — measured
-            # bit-identical to the naive fold and ~4× faster
-            # (54 vs 209 ms per 32×10k×64 batch; einsum is 9 ms but
-            # inexact).
-            q, n = Q.shape[0], M.shape[0]
-            D = Q.shape[1]
-            MT = np.ascontiguousarray(M.T)
-            out = np.empty((q, n))
-            chunk = 4096
-            tmp = np.empty((q, min(chunk, max(n, 1))))
-            for c0 in range(0, n, chunk):
-                c = min(chunk, n - c0)
-                acc = out[:, c0 : c0 + c]
-                acc.fill(0.0)
-                t = tmp[:, :c]
-                for j in range(D):
-                    np.multiply(Q[:, [j]], MT[j, c0 : c0 + c], out=t)
-                    np.add(acc, t, out=acc)
-            return out
-
         for pdf in batches:
             # pre-normalized by the cached _norm_corpus pass (same
             # JVM-side fold + clamped divide as the old in-kernel code)
@@ -836,29 +871,9 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = _norm_corpus(spark, sf_dir).select("vec_id", "label", "nv")
     q_ids, Q, qrows = _norm_query_matrix(en, KNN_QUERIES)
     q_labels = np.array([r.label for r in qrows], dtype=np.int32)
+    grid_scores = _grid_scores_kernel()  # shared fold, pickled by value
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def grid_scores(Q: np.ndarray, M: np.ndarray) -> np.ndarray:
-            # chunked in-place LEFT-TO-RIGHT grid fold + half-away
-            # rounding downstream: bit-equal to
-            # round(list_dot_product(...), 6) (review r8, see
-            # q_ann_bruteforce for the measured numbers)
-            q, n = Q.shape[0], M.shape[0]
-            D = Q.shape[1]
-            MT = np.ascontiguousarray(M.T)
-            out = np.empty((q, n))
-            chunk = 4096
-            tmp = np.empty((q, min(chunk, max(n, 1))))
-            for c0 in range(0, n, chunk):
-                c = min(chunk, n - c0)
-                acc = out[:, c0 : c0 + c]
-                acc.fill(0.0)
-                t = tmp[:, :c]
-                for j in range(D):
-                    np.multiply(Q[:, [j]], MT[j, c0 : c0 + c], out=t)
-                    np.add(acc, t, out=acc)
-            return out
-
         for pdf in batches:
             # pre-normalized by the cached _norm_corpus pass
             M = np.array(pdf["nv"].tolist(), dtype=np.float64)
@@ -1171,14 +1186,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT r6 #5)."""
     from iceberg_data_gen_spark.operators import QUERIES
 
-    def _truth():
-        df = QUERIES["q_ann_bruteforce"](spark, sf_dir).select(
-            "query_id", "neighbor_id"
-        ).cache()
-        df.count()  # materialize now: K·|queries| rows, trivially small
-        return df
-
-    bf = _trained_session("ann_ground_truth", spark, (sf_dir,), _truth)
+    bf = _ann_ground_truth(spark, sf_dir)
     lsh = (
         QUERIES["q_ann_lsh"](spark, sf_dir)
         .select(
@@ -1497,14 +1505,7 @@ def _recall_floor_witness(
     repeated witness runs pay one approximate-index probe each."""
     from iceberg_data_gen_spark.operators import QUERIES
 
-    def _truth():
-        df = QUERIES["q_ann_bruteforce"](spark, sf_dir).select(
-            "query_id", "neighbor_id"
-        ).cache()
-        df.count()
-        return df
-
-    bf = _trained_session("ann_ground_truth", spark, (sf_dir,), _truth)
+    bf = _ann_ground_truth(spark, sf_dir)
     ap = QUERIES[approx_name](spark, sf_dir).select(
         F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
     )

@@ -458,7 +458,7 @@ def make_stateful_count_ttl(ttl_ms: int):
         import pandas as _pd
 
         if state.hasTimedOut:
-            n, cents, batches = state.get
+            n, cents, batches, _last = state.get
             state.remove()
             yield _pd.DataFrame(
                 {
@@ -471,11 +471,10 @@ def make_stateful_count_ttl(ttl_ms: int):
             )
             return
         if state.exists:
-            n, cents, batches = state.get
+            n, cents, batches, last_ms = state.get
         else:
-            n, cents, batches = 0, 0, 0
+            n, cents, batches, last_ms = 0, 0, 0, 0
         batches += 1
-        last_ms = 0
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
@@ -484,7 +483,11 @@ def make_stateful_count_ttl(ttl_ms: int):
             m = int(pdf["ts_ms"].max())
             if m > last_ms:
                 last_ms = m
-        state.update((n, cents, batches))
+        # last_ms PERSISTS in state (review r9): computing the deadline
+        # from only the current batch's max ts would let an out-of-order
+        # (within-watermark) event move the timeout BACKWARD — premature
+        # eviction, a split aggregate, and two final rows for one user
+        state.update((n, cents, batches, last_ms))
         state.setTimeoutTimestamp(
             max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
         )
@@ -525,7 +528,7 @@ def _stateful_agg_ttl(
     return keyed.groupBy("user_id").applyInPandasWithState(
         make_stateful_count_ttl(ttl_ms),
         outputStructType=STATEFUL_TTL_SCHEMA,
-        stateStructType="n long, cents long, batches int",
+        stateStructType="n long, cents long, batches int, last_ms long",
         outputMode="update",
         timeoutConf="EventTimeTimeout",
     )

@@ -172,8 +172,11 @@ def main() -> None:
     from iceberg_data_gen_spark.streaming import events as ev_mod
 
     operators.load_all()
-    build_events(spark, DEST_KEYS, shift_keys=True)
-    build_events(spark, DEST_SAMEKEYS, shift_keys=False)
+    if not TTL_ONLY:
+        # only the r8 probes read these two datasets; TTL_ONLY must not
+        # pay their FACTOR-way union writes (review r9)
+        build_events(spark, DEST_KEYS, shift_keys=True)
+        build_events(spark, DEST_SAMEKEYS, shift_keys=False)
 
     n_keys_1x = load_table(spark, SRC, "events").select("user_id").distinct().count()
     n_events_1x = load_table(spark, SRC, "events").count()

@@ -791,3 +791,70 @@ def test_stateful_ttl_evicts_idle_users_and_emits_final_rows(spark):
         op.get("numRowsTotal", 0) for op in (progress or {}).get("stateOperators", [])
     )
     assert srows == 1, progress
+
+
+def test_stateful_ttl_out_of_order_event_does_not_shrink_deadline(spark):
+    """Review r9: the TTL kernel computed the eviction deadline from
+    only the CURRENT batch's max event time, so an out-of-order (but
+    within-watermark) event moved a user's timeout BACKWARD — premature
+    eviction, a split aggregate, and two final rows.  last_ms persists
+    in state now: the deadline is max over the user's whole history.
+
+    u1: 01:00 then out-of-order 00:55 — deadline must stay 01:30.
+    Batch 3 (u2 @ 01:38) pushes the watermark to 01:28: the buggy
+    deadline (01:25) would evict u1; the correct one (01:30) must not."""
+    import os
+    import time
+
+    from iceberg_data_gen_spark.operators.common import scratch_dir
+    from iceberg_data_gen_spark.streaming import events as ev_mod
+
+    base = scratch_dir("stateful-ttl-ooo-")
+    d = os.path.join(base, "events.parquet")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, "
+            "event_type string, value double, props string"
+        ).select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+
+    batches = [
+        [(1, "2026-01-01 01:00:00", 1, "a", 1.0, "{}")],
+        # out-of-order for u1 (watermark after batch 1 = 00:50)
+        [(2, "2026-01-01 00:55:00", 1, "a", 2.0, "{}")],
+        [(3, "2026-01-01 01:38:00", 2, "a", 3.0, "{}")],
+    ]
+    seen: set[str] = set()
+    for i, rows in enumerate(batches):
+        mk(rows).coalesce(1).write.mode("append").parquet(d)
+        parts = {
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        }
+        (newest,) = parts - seen
+        seen = parts
+        os.utime(newest, (time.time() + i, time.time() + i))
+
+    out_rows = []
+    old_trigger = ev_mod.STREAM_MAX_FILES_PER_TRIGGER
+    ev_mod.STREAM_MAX_FILES_PER_TRIGGER = 1
+    try:
+        progress = ev_mod.run_operator_only(
+            ev_mod._stateful_agg_ttl(spark, base),
+            output_mode="update",
+            batch_fn=lambda df, _id: out_rows.extend(df.collect()),
+        )
+    finally:
+        ev_mod.STREAM_MAX_FILES_PER_TRIGGER = old_trigger
+
+    u1_finals = [r for r in out_rows if r.user_id == 1 and r.final]
+    assert u1_finals == [], u1_finals  # deadline 01:30 > watermark 01:28
+    last_u1 = [r for r in out_rows if r.user_id == 1][-1]
+    assert (last_u1.n_events, last_u1.total_value) == (2, 3.0)
+    srows = sum(
+        op.get("numRowsTotal", 0) for op in (progress or {}).get("stateOperators", [])
+    )
+    assert srows == 2, progress  # u1 AND u2 still live
