@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from iceberg_data_gen_spark.operators import register
+from iceberg_data_gen_spark.operators.common import iso_weekday
 from iceberg_data_gen_spark.session import load_tables
 
 SESSION_GAP_SEC = 1800  # 30 min inactivity closes a session
@@ -569,7 +570,7 @@ def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, reuse that partitioning every iteration, and localCheckpoint
     the rank vector (as ``q_dedup_clusters`` does) to cut the lineage.
     """
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ordd = ev.select(
         "event_type", F.lead("event_type").over(w).alias("nxt")
@@ -664,7 +665,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ev = _events(spark, sf_dir)
 
     def ewma_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
@@ -943,8 +944,6 @@ def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines see the same session-zone timestamps.  168 output cells at
     any scale — the shuffle carries partial (cell, count, user-partials)
     rows only."""
-    from iceberg_data_gen_spark.operators.common import iso_weekday
-
     ev = _events(spark, sf_dir)
     return ev.groupBy(
         iso_weekday("ts").alias("iso_weekday"),

@@ -57,14 +57,13 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7_volume_shipping",
-    oracle="""
+    oracle=f"""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            EXTRACT(year FROM l.l_shipdate) AS l_year,
            -- price×(1-discount) is an exact 4-decimal value, so DECIMAL(18,4)
            -- accumulation is lossless and order-independent; no final round
            -- (engines disagree on .005 ties: HALF_UP vs half-even)
-           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
-                AS DOUBLE) AS revenue
+           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
     FROM supplier s, lineitem l, orders o, customer c, nation sn, nation cn
     WHERE s.s_suppkey = l.l_suppkey
       AND o.o_orderkey = l.l_orderkey
@@ -138,12 +137,12 @@ def q12_line_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q14_promo_revenue",
-    oracle="""
-    SELECT round(100.00 * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
-                                   THEN l_extendedprice * (1 - l_discount)
-                                   ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
-                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_revenue
+    oracle=f"""
+    SELECT round(100.00 * {dsum_sql(
+        "CASE WHEN p_type LIKE 'PROMO%' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+                 / {dsum_sql("l_extendedprice * (1 - l_discount)")},
+                 4) AS promo_revenue
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -214,9 +213,8 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q19_disjunctive_predicates",
-    oracle="""
-    SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                               AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+    oracle=f"""
+    SELECT round({dsum_sql("l_extendedprice * (1 - l_discount)")}, 2) AS revenue,
            count(*) AS n_lines
     FROM lineitem, part
     WHERE p_partkey = l_partkey
@@ -261,11 +259,11 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_scalar_subquery",
-    oracle="""
+    oracle=f"""
     SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
     FROM part
-    WHERE p_retailprice > (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,4)))
-                                       AS DOUBLE) / count(*) FROM part) * 1.5
+    WHERE p_retailprice > (SELECT {dsum_sql("p_retailprice")} / count(*)
+                           FROM part) * 1.5
     """,
 )
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,11 +277,11 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     division is bit-identical on both sides."""
     load_tables(spark, sf_dir, ("part",))
     return spark.sql(
-        """
+        f"""
         SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
         FROM part
-        WHERE p_retailprice > (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,4)))
-                                            AS DOUBLE) / count(*) FROM part) * 1.5
+        WHERE p_retailprice > (SELECT {dsum_sql("p_retailprice")} / count(*)
+                               FROM part) * 1.5
         """
     )
 

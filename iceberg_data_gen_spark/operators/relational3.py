@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from iceberg_data_gen_spark.operators import register
+from iceberg_data_gen_spark.operators.common import iso_weekday
 from iceberg_data_gen_spark.operators.common import tables as _t
 from iceberg_data_gen_spark.operators.common import scratch_dir as _scratch
 from iceberg_data_gen_spark.operators.relational import dsum, dsum_sql
@@ -932,8 +933,7 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     every reporting stack needs.  The SAME SQL text runs on Spark and
     on DuckDB as its own oracle (dialect-intersection SQL, decimal
     money sum for engine exactness)."""
-    t = load_tables(spark, sf_dir, ("orders",))
-    t["orders"].createOrReplaceTempView("orders")
+    load_tables(spark, sf_dir, ("orders",))  # view-registers orders
     return spark.sql(_RECURSIVE_SQL)
 
 
@@ -957,9 +957,8 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     written the SQL-standard way instead of a window.  Catalyst
     decorrelates the lateral into a ranked join (no per-customer
     re-execution); the identical SQL text is the DuckDB oracle."""
-    t = load_tables(spark, sf_dir, ("customer", "orders"))
-    t["customer"].createOrReplaceTempView("customer")
-    t["orders"].createOrReplaceTempView("orders")
+    # load_tables already view-registers every table it loads
+    load_tables(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_LATERAL_SQL)
 
 
@@ -1247,8 +1246,15 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders side; the only exchange left is the final tiny groupBy.
     """
 
+    import uuid
+
     orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
     base = _scratch("bucketed-")
+    # UNIQUE catalog names per invocation (review r9): fixed bjoin_*
+    # names were shared mutable state — a concurrent invocation's
+    # overwrite could re-point the table between this call's write and
+    # read, and a stale entry survived pointing at a cleaned scratch dir
+    tag = uuid.uuid4().hex[:12]
     sides = (
         ("orders", orders.select("o_orderkey", "o_orderpriority"), "o_orderkey"),
         ("lineitem", lineitem.select("l_orderkey", "l_extendedprice"), "l_orderkey"),
@@ -1260,10 +1266,10 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("path", f"{base}/{name}")
             .bucketBy(8, key)
             .sortBy(key)
-            .saveAsTable(f"bjoin_{name}")
+            .saveAsTable(f"bjoin_{name}_{tag}")
         )
-    o = spark.table("bjoin_orders")
-    li = spark.table("bjoin_lineitem")
+    o = spark.table(f"bjoin_orders_{tag}")
+    li = spark.table(f"bjoin_lineitem_{tag}")
     return (
         o.hint("merge")
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -1599,8 +1605,6 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     1=Sunday while DuckDB's isodow is 1=Monday, so both engines are
     normalized onto the ISO numbering explicitly.  One aggregation,
     DECIMAL revenue."""
-    from iceberg_data_gen_spark.operators.common import iso_weekday
-
     (orders,) = _t(spark, sf_dir, "orders")
     return orders.groupBy(iso_weekday("o_orderdate").alias("iso_weekday")).agg(
         F.count(F.lit(1)).alias("n_orders"),
