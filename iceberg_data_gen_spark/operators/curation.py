@@ -193,7 +193,12 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from iceberg_data_gen_spark.operators.common import run_length_fold
 
-    docs = _docs(spark, sf_dir)
+    # NULL-text docs drop on BOTH engines (review r9): the oracle's
+    # unnest(string_split(NULL, ' ')) yields zero rows, removing the doc
+    # before GROUP BY, while this pure projection would have emitted a
+    # (doc_id, NULL, NULL, NULL) row — a rowcount mismatch on the
+    # nullable corpus the fixture contract permits
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     words = F.split("text", " ")
 
     sum_sq = run_length_fold(
@@ -254,7 +259,8 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     only on the BOUNDED reductions — per-source totals (#sources rows)
     and the 1-row grand total; the word-totals side ``cw`` is
     VOCABULARY-sized and data-dependent, so it carries no hint (an
-    explicit hint never degrades — review r8): AQE broadcasts it while
+    explicit hint is honored UNCONDITIONALLY and would OOM the driver
+    at that size — review r8): AQE broadcasts it while
     small and keeps the word-keyed shuffled join, which reuses the
     contingency table's own exchange, at web scale.  Everything
     upstream is map-side combinable.

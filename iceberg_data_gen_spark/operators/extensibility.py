@@ -126,7 +126,15 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     class _PriorityExpand:
         def eval(self, o_orderkey: int, prio: str):
-            code, _, label = (prio or "").partition("-")
+            if prio is None:
+                # NULL stays NULL (review r9): the oracle's
+                # split_part(NULL, '-', k) is NULL, and folding it to ''
+                # was the exact over-correction class fixed in
+                # q_pandas_udf_scalar (commit 6a8a74b)
+                yield o_orderkey, "code", None
+                yield o_orderkey, "label", None
+                return
+            code, _, label = prio.partition("-")
             yield o_orderkey, "code", code
             yield o_orderkey, "label", label
 
@@ -141,6 +149,23 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders, LATERAL priority_expand(o_orderkey, o_orderpriority) t
         WHERE orders.o_orderkey <= 100
         """
+    )
+
+
+def _fixture_table(spark: SparkSession, prefix: str, rows_per_file: int = 1000,
+                   file_count: int = 1):
+    """Scratch MoR table with the reference fix-schema — ONE definition
+    of the FileConfig/FixSchemaGenerator/MoRTable.create fixture trio
+    that was hand-copied into 14 q_mor_* operators (review r9; same
+    drift hazard _fix_rows and _build_reference_warehouse already
+    closed)."""
+    from iceberg_data_gen_spark.datagen.config import FileConfig
+    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
+    from iceberg_data_gen_spark.table.table import MoRTable
+
+    fc = FileConfig(rows_per_file=rows_per_file, file_count=file_count)
+    return MoRTable.create(
+        spark, _scratch_dir(prefix), FixSchemaGenerator(fc, fc, fc).schema()
     )
 
 
@@ -377,13 +402,7 @@ def q_mor_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     The plan is a plain parquet scan of the window's files: no
     anti-joins, no shuffle — this is how a downstream pipeline consumes
     a 100 TB table in snapshot-sized increments."""
-    from iceberg_data_gen_spark.datagen.config import FileConfig
-    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
-    from iceberg_data_gen_spark.table.table import MoRTable
-
-    fc = FileConfig(rows_per_file=1000, file_count=1)
-    schema = FixSchemaGenerator(fc, fc, fc).schema()
-    t = MoRTable.create(spark, _scratch_dir("mor-incr-"), schema)
+    t = _fixture_table(spark, "mor-incr-")
 
 
     t.append(_fix_rows(spark, 0, 1000), single_file=True)  # snapshot 1
@@ -412,13 +431,7 @@ def q_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     files (equality-delete + data files, sequence-number rule keeps the
     same-commit inserts alive).  Expected state: 0..499 original +
     500..1499 from the source."""
-    from iceberg_data_gen_spark.datagen.config import FileConfig
-    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
-    from iceberg_data_gen_spark.table.table import MoRTable
-
-    fc = FileConfig(rows_per_file=1000, file_count=1)
-    schema = FixSchemaGenerator(fc, fc, fc).schema()
-    t = MoRTable.create(spark, _scratch_dir("mor-merge-"), schema)
+    t = _fixture_table(spark, "mor-merge-")
 
 
     t.append(_fix_rows(spark, 0, 1000, True), single_file=True)
@@ -445,13 +458,7 @@ def q_mor_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     CURRENT schema over every data file, so pre-evolution files surface
     NULL for the new column (Iceberg column-projection-by-id semantics,
     metadata-only DDL)."""
-    from iceberg_data_gen_spark.datagen.config import FileConfig
-    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
-    from iceberg_data_gen_spark.table.table import MoRTable
-
-    fc = FileConfig(rows_per_file=1000, file_count=1)
-    schema = FixSchemaGenerator(fc, fc, fc).schema()
-    t = MoRTable.create(spark, _scratch_dir("mor-evolve-"), schema)
+    t = _fixture_table(spark, "mor-evolve-")
 
 
     t.append(_fix_rows(spark, 0, 1000), single_file=True)
@@ -536,13 +543,7 @@ def q_mor_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     write time, checked at planning time — Iceberg manifest pruning) and
     applies the residual predicate for exactness.  The pruning is
     asserted in tests/test_datagen.py via inputFiles()."""
-    from iceberg_data_gen_spark.datagen.config import FileConfig
-    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
-    from iceberg_data_gen_spark.table.table import MoRTable
-
-    fc = FileConfig(rows_per_file=1000, file_count=4)
-    schema = FixSchemaGenerator(fc, fc, fc).schema()
-    t = MoRTable.create(spark, _scratch_dir("mor-prune-"), schema)
+    t = _fixture_table(spark, "mor-prune-", file_count=4)
 
 
     t.append_batches([_fix_rows(spark, i * 1000, (i + 1) * 1000) for i in range(4)])
@@ -564,13 +565,7 @@ def q_mor_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORIGINAL sequence number so the restored delete still applies to the
     first append but not to files of its own commit era.  Current state
     after rollback: 100..999."""
-    from iceberg_data_gen_spark.datagen.config import FileConfig
-    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
-    from iceberg_data_gen_spark.table.table import MoRTable
-
-    fc = FileConfig(rows_per_file=1000, file_count=1)
-    schema = FixSchemaGenerator(fc, fc, fc).schema()
-    t = MoRTable.create(spark, _scratch_dir("mor-rb-"), schema)
+    t = _fixture_table(spark, "mor-rb-")
 
 
     t.append(_fix_rows(spark, 0, 1000), single_file=True)                       # snap 1
@@ -645,13 +640,7 @@ def q_mor_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the evolved portion of the table answers partition queries
     from the manifest alone while history stays readable in place.
     """
-    from iceberg_data_gen_spark.datagen.config import FileConfig
-    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
-    from iceberg_data_gen_spark.table.table import MoRTable
-
-    fc = FileConfig(rows_per_file=1000, file_count=1)
-    schema = FixSchemaGenerator(fc, fc, fc).schema()
-    t = MoRTable.create(spark, _scratch_dir("mor-pspec-"), schema)
+    t = _fixture_table(spark, "mor-pspec-")
 
 
     t.append(_fix_rows(spark, 0, 1000), single_file=True)  # spec 0: unpartitioned
@@ -674,14 +663,7 @@ def q_mor_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join, so overlapping predicates never double-delete a position
     — the idempotence Iceberg's delete writer guarantees.
     """
-    from iceberg_data_gen_spark.datagen.config import FileConfig
-    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
-    from iceberg_data_gen_spark.table.table import MoRTable
-
-    fc = FileConfig(rows_per_file=1000, file_count=1)
-    t = MoRTable.create(
-        spark, _scratch_dir("mor-delw-"), FixSchemaGenerator(fc, fc, fc).schema()
-    )
+    t = _fixture_table(spark, "mor-delw-")
     t.append(_fix_rows(spark, 0, 1000), single_file=True)
     t.delete_where("bar % 10 = 3")
     t.delete_where("bar < 200")  # overlaps rows already deleted above
@@ -703,14 +685,7 @@ def q_mor_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit) are asserted inline — a failed audit would simply skip
     publish and expire the staged files.
     """
-    from iceberg_data_gen_spark.datagen.config import FileConfig
-    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
-    from iceberg_data_gen_spark.table.table import MoRTable
-
-    fc = FileConfig(rows_per_file=1000, file_count=1)
-    t = MoRTable.create(
-        spark, _scratch_dir("mor-wap-"), FixSchemaGenerator(fc, fc, fc).schema()
-    )
+    t = _fixture_table(spark, "mor-wap-")
 
 
     t.append(_fix_rows(spark, 0, 1000), single_file=True)
@@ -744,14 +719,7 @@ def q_mor_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unpartitioned history + bucket(bar,4) evolution): per partition
     tuple, live file and record counts — answered purely from commit
     metadata, no data file opened."""
-    from iceberg_data_gen_spark.datagen.config import FileConfig
-    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
-    from iceberg_data_gen_spark.table.table import MoRTable
-
-    fc = FileConfig(rows_per_file=1000, file_count=1)
-    t = MoRTable.create(
-        spark, _scratch_dir("mor-parts-"), FixSchemaGenerator(fc, fc, fc).schema()
-    )
+    t = _fixture_table(spark, "mor-parts-")
 
 
     t.append(_fix_rows(spark, 0, 1000), single_file=True)
@@ -776,13 +744,7 @@ def q_mor_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted in tests) — while the live state 100..1999 is untouched.
     Expiry is metadata bookkeeping plus storage deletes; no table scan,
     no Spark job."""
-    from iceberg_data_gen_spark.datagen.config import FileConfig
-    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
-    from iceberg_data_gen_spark.table.table import MoRTable
-
-    fc = FileConfig(rows_per_file=1000, file_count=1)
-    schema = FixSchemaGenerator(fc, fc, fc).schema()
-    t = MoRTable.create(spark, _scratch_dir("mor-expire-"), schema)
+    t = _fixture_table(spark, "mor-expire-")
 
 
     t.append(_fix_rows(spark, 0, 1000), single_file=True)                          # snap 1
@@ -809,13 +771,7 @@ def q_mor_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``scan(ref="v1")`` — the tag pins the exact pre-mutation state by
     name, metadata-only, and doubles as a retention anchor
     (expire_snapshots refuses to expire a tagged snapshot)."""
-    from iceberg_data_gen_spark.datagen.config import FileConfig
-    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
-    from iceberg_data_gen_spark.table.table import MoRTable
-
-    fc = FileConfig(rows_per_file=1000, file_count=1)
-    schema = FixSchemaGenerator(fc, fc, fc).schema()
-    t = MoRTable.create(spark, _scratch_dir("mor-tag-"), schema)
+    t = _fixture_table(spark, "mor-tag-")
 
 
     t.append(_fix_rows(spark, 0, 1000), single_file=True)                          # snap 1
@@ -839,13 +795,7 @@ def q_mor_branch_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-only ancestry check; no file is read or rewritten.  The
     mid-state is asserted: main stays at 1000 rows while the branch
     reads 3000 through its parent chain."""
-    from iceberg_data_gen_spark.datagen.config import FileConfig
-    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
-    from iceberg_data_gen_spark.table.table import MoRTable
-
-    fc = FileConfig(rows_per_file=1000, file_count=1)
-    schema = FixSchemaGenerator(fc, fc, fc).schema()
-    t = MoRTable.create(spark, _scratch_dir("mor-branch-"), schema)
+    t = _fixture_table(spark, "mor-branch-")
 
 
     t.append(_fix_rows(spark, 0, 1000), single_file=True)                      # main: snap 1
@@ -894,14 +844,9 @@ def q_mor_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~800-row tasks.  At 100 TB this is the planner that turns a million
     50 MB files into 10k rewrite tasks without touching a byte of data;
     the execution half is MoRTable.compact()/cluster_by()."""
-    from iceberg_data_gen_spark.datagen.config import FileConfig
-    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
-    from iceberg_data_gen_spark.table.table import MoRTable
     from pyspark.sql.window import Window
 
-    fc = FileConfig(rows_per_file=100, file_count=1)
-    schema = FixSchemaGenerator(fc, fc, fc).schema()
-    t = MoRTable.create(spark, _scratch_dir("mor-plan-"), schema)
+    t = _fixture_table(spark, "mor-plan-", rows_per_file=100)
     batches, lo = [], 0
     for i in range(16):
         n = 100 * ((i % 5) + 1)
@@ -1000,13 +945,9 @@ def q_mor_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches 300 rows inside the survivors.  The numbers are computed
     from live metadata + the real scan, then cross-checked in-function
     against the stats-overlap planner the scan itself uses."""
-    from iceberg_data_gen_spark.datagen.config import FileConfig
-    from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
-    from iceberg_data_gen_spark.table.table import MoRTable, _stats_overlap
+    from iceberg_data_gen_spark.table.table import _stats_overlap
 
-    fc = FileConfig(rows_per_file=100, file_count=1)
-    schema = FixSchemaGenerator(fc, fc, fc).schema()
-    t = MoRTable.create(spark, _scratch_dir("mor-prune-rep-"), schema)
+    t = _fixture_table(spark, "mor-prune-rep-", rows_per_file=100)
     # one commit, one file per batch with identical per-file stats — all
     # the stats-overlap planner needs (review r7: was 10 sequential
     # single-file commits = 10 write jobs + 10 metadata publishes)

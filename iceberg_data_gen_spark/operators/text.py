@@ -1386,8 +1386,16 @@ def q_ols_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("x") * F.col("x")).alias("sxx"),
         )
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # zero-variance guard (review r9): a source whose documents all have
+    # the same word count makes the LONG denominator n·sxx − sx² zero;
+    # ANSI Spark throws DIVIDE_BY_ZERO there while DuckDB returns NULL —
+    # emit NULL explicitly so both engines agree (intercept inherits the
+    # NULL through the slope term, same as the oracle's expression)
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        den != 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / den,
     )
     return s.select(
         "source",

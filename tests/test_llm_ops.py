@@ -1254,3 +1254,44 @@ def test_norm_corpus_cached_and_reused_across_ann_invocations(spark):
     # kNN shares the same entry (and adds none of its own)
     operators.QUERIES["q_knn_classify"](spark, SF_DIR).collect()
     assert sim._TRAINED[key] is first
+
+
+def test_contamination_detects_planted_overlap(spark, tmp_path):
+    """Review r9: no shipped corpus contains source='web', so
+    q_contamination's gram join, distinct-gram dedup, and >=3 threshold
+    were only ever exercised empty-vs-empty.  Plant a benchmark doc and
+    training docs sharing 0 / 1 / exactly-2 / exactly-3 distinct grams
+    and prove BOTH engines flag exactly the >=3 doc with the same count
+    (same planted-fixture pattern as test_pii_detection_on_injected_
+    fixtures)."""
+    import duckdb
+
+    rows = [
+        (1, "web", "a b c d e f"),          # benchmark: 4 distinct grams
+        (2, "src0", "a b c d e"),            # shares 3 -> flagged
+        (3, "src0", "a b c z z z"),          # shares 1 -> clean
+        (4, "src1", "q r s t u"),            # shares 0 -> clean
+        (5, "src1", "a b c d q q"),          # shares exactly 2 -> clean
+        (6, "src2", "a b c a b c d e"),      # 3 DISTINCT shared (dedup) -> flagged
+    ]
+    sf_dir = str(tmp_path / "sf-contam")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        r.doc_id: r.n_shared
+        for r in operators.QUERIES["q_contamination"](spark, sf_dir).collect()
+    }
+    assert got == {2: 3, 6: 3}, got
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    want = {
+        int(d): int(n)
+        for d, n in con.execute(operators.ORACLES["q_contamination"]).fetchall()
+    }
+    assert got == want
