@@ -292,7 +292,13 @@ def make_media_decode_batch(have_pil: bool):
             }
 
         def decode_ppm(b: bytes) -> dict:
-            if b[:2] != b"P6":
+            # the magic must be the complete first token: "P6" followed
+            # by whitespace or a comment (review r9: accepting any
+            # prefix let e.g. a "P61 ..." payload misparse as a 1-wide
+            # image and return confidently wrong stats)
+            if b[:2] != b"P6" or not (
+                len(b) > 2 and (b[2:3].isspace() or b[2:3] == b"#")
+            ):
                 raise ValueError("not a PPM P6 payload")
             # header = 4 whitespace-separated tokens: P6 w h maxval;
             # '#' starts a comment running to end-of-line (netpbm spec) —

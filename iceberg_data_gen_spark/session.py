@@ -13,9 +13,6 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-
-
 def get_spark(
     app_name: str = "iceberg-data-gen-spark",
     master: str | None = None,
@@ -27,6 +24,10 @@ def get_spark(
     All settings below are cluster-safe: on a real cluster ``master`` comes
     from spark-submit and only the SQL-level configs apply.
     """
+    # ONE env read for both the master thread count and the shuffle
+    # default (review r9): the module-level DEFAULT_SHUFFLE_PARTITIONS
+    # froze an import-time value, so setting SPARK_GRAFT_CPUS after
+    # import built local[N] with a stale partition count
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -35,7 +36,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+            str(shuffle_partitions or int(cpus)),
         )
         # dimension tables (region/nation/customer/supplier/part at test SF)
         # stay broadcastable; AQE will re-derive at runtime from actual sizes

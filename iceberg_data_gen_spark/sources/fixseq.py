@@ -42,11 +42,27 @@ def make_fixseq_datasource():
             self.start = start
             self.end = end
 
+    def _positive(options: dict, key: str, default: int) -> int:
+        # fail fast at reader construction (review r9): a zero/negative
+        # size option produced a source that yields nothing — or a
+        # stream whose offset never advances, idling forever with no
+        # diagnostic
+        v = int(options.get(key, default))
+        if v <= 0:
+            raise ValueError(f"fixseq option {key} must be > 0, got {v}")
+        return v
+
+    def _non_negative(options: dict, key: str, default: int) -> int:
+        v = int(options.get(key, default))
+        if v < 0:
+            raise ValueError(f"fixseq option {key} must be >= 0, got {v}")
+        return v
+
     class FixSeqReader(DataSourceReader):
         def __init__(self, options: dict) -> None:
-            self.rows_per_file = int(options.get("rows_per_file", 1000))
-            self.file_count = int(options.get("file_count", 1))
-            self.start_at = int(options.get("start_at", 0))
+            self.rows_per_file = _positive(options, "rows_per_file", 1000)
+            self.file_count = _positive(options, "file_count", 1)
+            self.start_at = _non_negative(options, "start_at", 0)
 
         def partitions(self) -> list:
             # one partition per reference "file": the unit the reference
@@ -70,12 +86,12 @@ def make_fixseq_datasource():
         the arithmetic — regenerating [start, end) is deterministic."""
 
         def __init__(self, options: dict) -> None:
-            self.rows_per_batch = int(options.get("rows_per_batch", 1000))
-            self.total_rows = int(options.get("total_rows", 5000))
+            self.rows_per_batch = _positive(options, "rows_per_batch", 1000)
+            self.total_rows = _non_negative(options, "total_rows", 5000)
             # honor start_at like the batch reader (review r7: the stream
             # silently ignored it, so the same option changed meaning
             # between read and readStream) — emit total_rows rows FROM it
-            self.start_at = int(options.get("start_at", 0))
+            self.start_at = _non_negative(options, "start_at", 0)
 
         def initialOffset(self) -> dict:
             return {"g": self.start_at}
