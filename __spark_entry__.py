@@ -78,6 +78,11 @@ def _fold_history(
     last_green: dict[str, int] = {}
     last_round: dict[str, int] = {}
     for rnd, rows in history:
+        if not isinstance(rows, dict):
+            # a history file holding valid-but-non-object JSON (e.g. an
+            # empty round written as []) must be SKIPPED like a parse
+            # error, not crash queries() for the whole round (review r9)
+            continue
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue

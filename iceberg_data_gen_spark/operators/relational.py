@@ -111,8 +111,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6_forecast_revenue",
-    oracle="""
-    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    oracle=f"""
+    SELECT {dsum_sql("l_extendedprice * l_discount")} AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -144,11 +144,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_distinct_agg",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus,
            count(DISTINCT o_custkey) AS n_customers,
            count(*)                  AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           {dsum_sql("o_totalprice", 2)} AS total
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -184,10 +184,10 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_cube",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+           round({dsum_sql("o_totalprice", 2)} / count(*), 6)
                AS avg_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -204,9 +204,9 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_having",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey, count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+           {dsum_sql("o_totalprice", 2)} AS spend
     FROM orders
     GROUP BY o_custkey
     HAVING count(*) >= 3
@@ -232,9 +232,9 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q3_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
            o_orderdate, o_orderpriority
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -263,7 +263,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(customer.where(F.col("c_mktsegment") == "BUILDING")),
+            # no hint: customer SCALES with SF (review r9) — the
+            # segment filter shrinks it, but a hard hint would still
+            # force a billions-row broadcast at 100 TB; the planner's
+            # size estimate / AQE broadcasts it whenever actually small
+            customer.where(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -276,9 +280,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5_local_supplier_volume",
-    oracle="""
+    oracle=f"""
     SELECT n_name,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -317,10 +321,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier/customer SCALE with SF: no hard hints (review r9) —
+        # size-estimate/AQE broadcasts them while small; asia_nations is
+        # bounded (≤25 rows) so its hint is a design invariant
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(
-            F.broadcast(customer),
+            customer,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -331,9 +338,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_returned_items",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
            round(c_acctbal, 2) AS c_acctbal, n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey
@@ -361,7 +368,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer scales with SF: unhinted (review r9); nation is a
+        # bounded 25-row dimension, its hint stays
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
@@ -596,10 +605,18 @@ def q_window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_topk",
     oracle="""
+    -- order in a subquery on the RAW column: DuckDB binds a same-named
+    -- ORDER BY to the rounded SELECT alias, Spark's orderBy to the raw
+    -- column — with >2dp prices straddling the LIMIT boundary the two
+    -- would pick different row sets (review r9; latent on current
+    -- 2dp-exact testdata)
     SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice
-    FROM lineitem
-    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
-    LIMIT 25
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 25
+    )
     """,
 )
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

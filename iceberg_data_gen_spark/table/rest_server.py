@@ -200,7 +200,12 @@ def _make_handler(state: _CatalogState):
                 self.wfile.write(payload)
 
         def _body(self) -> dict:
-            n = int(self.headers.get("Content-Length", 0))
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+            except ValueError as e:
+                # client fault, not a server bug: same 400-vs-500
+                # discipline as the JSON parse below (review r9)
+                raise _BadRequest(f"invalid Content-Length header: {e}") from e
             if not n:
                 return {}
             try:
@@ -214,11 +219,15 @@ def _make_handler(state: _CatalogState):
             return body
 
         def _route(self, method: str) -> tuple[int, dict | None]:
-            # split BEFORE unquoting so a %2F inside a name does not
-            # become a path separator
-            parts = [
-                urllib.parse.unquote(p) for p in self.path.split("/") if p
-            ]
+            # strip the query string first (review r9: self.path is the
+            # raw request target, so a spec-legal
+            # 'GET /v1/config?warehouse=wh' used to 404), then split
+            # BEFORE unquoting so a %2F inside a name does not become a
+            # path separator.  Query parameters themselves are ignored —
+            # this toy server implements none of the spec's optional
+            # behaviors they select.
+            path = urllib.parse.urlsplit(self.path).path
+            parts = [urllib.parse.unquote(p) for p in path.split("/") if p]
             if parts[:1] != ["v1"]:
                 return 404, {"error": "unknown route"}
             parts = parts[1:]
@@ -234,6 +243,10 @@ def _make_handler(state: _CatalogState):
                     not isinstance(ns, list)
                     or len(ns) != 1
                     or not isinstance(ns[0], str)
+                    # empty string would be unreachable by every
+                    # namespace-addressed route (the path splitter drops
+                    # empty segments) yet 409 on re-create (review r9)
+                    or not ns[0]
                 ):
                     return 400, {"error": "single-level namespaces only"}
                 return state.create_namespace(ns[0])

@@ -198,7 +198,7 @@ def test_broadcast_hint_census():
         "operators/analytics.py": 5,
         "operators/curation.py": 3,
         "operators/pipeline.py": 3,
-        "operators/relational.py": 7,
+        "operators/relational.py": 3,
         "operators/relational2.py": 8,
         "operators/relational3.py": 36,
         "operators/similarity.py": 3,

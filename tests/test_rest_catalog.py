@@ -1379,3 +1379,34 @@ def test_wire_map_covers_every_emitted_operation(spark, tmp_path):
     # and the fuzz vocabulary is the full map domain, nothing retyped
     assert {"append", "delete-position", "delete-equality", "overwrite",
             "replace", "rollback"} == set(SNAPSHOT_OP_TO_SPEC)
+
+
+def test_server_request_edge_cases(server):
+    """Review r9 wire-contract hardening: (a) a spec-legal query string
+    must not 404 the route; (b) a malformed Content-Length is a client
+    fault (400), not a 500; (c) the empty-string namespace — unreachable
+    by every namespace-addressed route — is rejected at create."""
+    import http.client
+    import json as _json
+
+    from iceberg_data_gen_spark.table import rest_catalog as rc
+
+    status, payload = rc._call("GET", f"{server.uri}/v1/config?warehouse=wh")
+    assert status == 200 and payload == {"defaults": {}, "overrides": {}}
+
+    status, payload = rc._call(
+        "POST", f"{server.uri}/v1/namespaces", {"namespace": [""]}
+    )
+    assert status == 400, payload
+
+    host = server.uri.split("//")[1]
+    conn = http.client.HTTPConnection(host, timeout=10)
+    body = _json.dumps({"namespace": ["x"]})
+    conn.putrequest("POST", "/v1/namespaces")
+    conn.putheader("Content-Type", "application/json")
+    conn.putheader("Content-Length", "abc")
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 400, resp.status
+    assert b"Content-Length" in resp.read()
+    conn.close()
