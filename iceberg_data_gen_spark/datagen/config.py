@@ -132,7 +132,10 @@ def redacted(cfg: Config) -> dict:
     if uri and "@" in uri:
         import re
 
-        uri = re.sub(r"//[^/@]+@", "//***@", uri)
+        # greedy to the LAST '@' in the authority (review r9): a raw
+        # unencoded '@' inside the password would otherwise leak its
+        # tail — exactly the sloppy input a redactor must assume
+        uri = re.sub(r"//[^/]*@", "//***@", uri)
     return {
         "catalog": {
             "type": cfg.catalog.catalog_type,

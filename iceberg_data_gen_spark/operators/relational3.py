@@ -1223,6 +1223,12 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# last q_bucketed_join generation per session (appId -> uuid tag): the
+# next invocation drops this pair so unique-named scratch tables do not
+# accumulate in the catalog (review r9)
+_BJOIN_LAST: dict[str, str] = {}
+
+
 @register(
     "q_bucketed_join",
     oracle=f"""
@@ -1253,8 +1259,16 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UNIQUE catalog names per invocation (review r9): fixed bjoin_*
     # names were shared mutable state — a concurrent invocation's
     # overwrite could re-point the table between this call's write and
-    # read, and a stale entry survived pointing at a cleaned scratch dir
+    # read, and a stale entry survived pointing at a cleaned scratch dir.
+    # The PREVIOUS invocation's pair is dropped here (its DataFrame
+    # consumers have long evaluated by the next call), bounding the
+    # session's catalog growth to one live generation.
     tag = uuid.uuid4().hex[:12]
+    prev = _BJOIN_LAST.pop(spark.sparkContext.applicationId, None)
+    if prev is not None:
+        for name in ("orders", "lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS bjoin_{name}_{prev}")
+    _BJOIN_LAST[spark.sparkContext.applicationId] = tag
     sides = (
         ("orders", orders.select("o_orderkey", "o_orderpriority"), "o_orderkey"),
         ("lineitem", lineitem.select("l_orderkey", "l_extendedprice"), "l_orderkey"),

@@ -1506,8 +1506,17 @@ def _recall_floor_witness(
     from iceberg_data_gen_spark.operators import QUERIES
 
     bf = _ann_ground_truth(spark, sf_dir)
-    ap = QUERIES[approx_name](spark, sf_dir).select(
-        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    # distinct() before the join (review r9): a broken top-k stage that
+    # emits each neighbor REPEATEDLY would otherwise multiply matched
+    # truth rows in numerator and denominator and inflate pooled recall
+    # past the floor — green for exactly the regression class the
+    # witness exists to catch
+    ap = (
+        QUERIES[approx_name](spark, sf_dir)
+        .select(
+            F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+        )
+        .distinct()
     )
     joined = bf.join(
         ap,

@@ -283,8 +283,10 @@ class RestCatalog:
         )
         if status != 200:
             raise RestCatalogError(status, _err(status, payload))
-        # same 200-shape discipline as _get/save (review r9); tolerate
-        # spec-shaped identifier objects that omit "name"
+        # same 200-shape discipline as _get/save (review r9): the spec's
+        # TableIdentifier REQUIRES name, so an identifier without one is
+        # the wrong-service/malformed condition — raise loudly instead
+        # of silently returning a shorter listing
         if not isinstance(payload, dict) or not isinstance(
             payload.get("identifiers"), list
         ):
@@ -292,11 +294,16 @@ class RestCatalog:
                 status,
                 f"unexpected list-tables payload shape: {list(payload or {})!r}",
             )
-        return [
-            i["name"]
+        bad = [
+            i
             for i in payload["identifiers"]
-            if isinstance(i, dict) and "name" in i
+            if not isinstance(i, dict) or "name" not in i
         ]
+        if bad:
+            raise RestCatalogError(
+                status, f"identifier objects without a name: {bad[:3]!r}"
+            )
+        return [i["name"] for i in payload["identifiers"]]
 
     def create_table(
         self,

@@ -1226,6 +1226,26 @@ def test_ann_recall_floor_witnesses_flip_on_broken_index(spark, monkeypatch):
         )
         row = operators.QUERIES[witness](spark, SF_DIR).collect()[0]
         assert row.recall_ok is False, witness
+
+        # review r9: a broken top-k that emits each neighbor REPEATEDLY
+        # must not inflate pooled recall past the floor (the join used
+        # to multiply matched truth rows in numerator and denominator);
+        # 25 copies of 2 correct neighbors per query = true recall 0.2
+        def duped(s, d, _r=real):
+            from pyspark.sql import functions as SF
+            from pyspark.sql.window import Window as W
+
+            df = _r(s, d)
+            two = df.withColumn(
+                "rr", SF.row_number().over(
+                    W.partitionBy("query_id").orderBy("neighbor_id")
+                )
+            ).where(SF.col("rr") <= 2).drop("rr")
+            return two.crossJoin(s.range(25)).drop("id")
+
+        monkeypatch.setitem(operators.QUERIES, approx, duped)
+        row = operators.QUERIES[witness](spark, SF_DIR).collect()[0]
+        assert row.recall_ok is False, (witness, "duplicate inflation")
         monkeypatch.setitem(operators.QUERIES, approx, real)
 
 
