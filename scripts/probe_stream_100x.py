@@ -66,7 +66,10 @@ def build_events(spark, dest: str, shift_keys: bool) -> None:
     from iceberg_data_gen_spark.session import load_table
 
     marker = os.path.join(dest, "_SUCCESS")
-    stamp = f"{SRC}|{FACTOR}|{shift_keys}"
+    # include the source mtime: the driver regenerates same-path testdata
+    # between rounds, and a path-only stamp would reuse a stale corpus
+    src_mt = int(os.path.getmtime(os.path.join(SRC, "events.parquet")))
+    stamp = f"{SRC}|{FACTOR}|{shift_keys}|{src_mt}"
     if os.path.isfile(marker) and Path(marker).read_text() == stamp:
         return
     shutil.rmtree(dest, ignore_errors=True)
@@ -106,7 +109,8 @@ def build_events_timed(spark, dest: str) -> int:
 
     files_per_chunk = 4
     marker = os.path.join(dest, "_SUCCESS")
-    stamp = f"{SRC}|{FACTOR}|timed|{TIMED_CHUNKS}|{files_per_chunk}"
+    src_mt = int(os.path.getmtime(os.path.join(SRC, "events.parquet")))
+    stamp = f"{SRC}|{FACTOR}|timed|{TIMED_CHUNKS}|{files_per_chunk}|{src_mt}"
     if os.path.isfile(marker) and Path(marker).read_text() == stamp:
         return files_per_chunk
     shutil.rmtree(dest, ignore_errors=True)

@@ -107,11 +107,19 @@ def build(spark) -> None:
 
     from iceberg_data_gen_spark.session import load_table
 
-    # _SUCCESS records (src, factor): a crash mid-build leaves no marker
-    # and a changed source/factor invalidates the cache — either way the
-    # corpus is rebuilt instead of silently probing partial/stale data
+    # _SUCCESS records (src, factor, source mtimes): a crash mid-build
+    # leaves no marker, and a changed source/factor — INCLUDING the
+    # driver regenerating the same-path testdata between rounds (review
+    # r9: a path-only stamp silently compared t1 on fresh data against
+    # tN on the previous round's 10× corpus) — invalidates the cache, so
+    # the corpus is rebuilt instead of silently probing stale data
     marker = os.path.join(DEST, "_SUCCESS")
-    stamp = f"{SRC}|{FACTOR}"
+    src_mtimes = ",".join(
+        f"{t}:{int(os.path.getmtime(os.path.join(SRC, f'{t}.parquet')))}"
+        for t in sorted((*SHIFT_COLS, *DIMENSION_TABLES))
+        if os.path.exists(os.path.join(SRC, f"{t}.parquet"))
+    )
+    stamp = f"{SRC}|{FACTOR}|{src_mtimes}"
     if (
         os.path.isfile(marker)
         and Path(marker).read_text() == stamp
