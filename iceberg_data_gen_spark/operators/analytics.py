@@ -252,7 +252,8 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dense frame comes from ``sequence``+``explode`` over a one-row
     min/max aggregate crossed with the distinct entity set — tiny, built
     without touching the fact table a second time beyond two cheap
-    aggregates, and the left join broadcasts the frame side.
+    aggregates; the left join broadcasts the OBS side (the only side a
+    left-outer join can build on), itself bounded at |types| × |days|.
     """
     e = _events(spark, sf_dir)
     day = F.to_date("ts")

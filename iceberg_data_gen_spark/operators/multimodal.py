@@ -517,3 +517,212 @@ def q_multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# codec audit: driver-checkable witness for the rows-only decode pair
+# ---------------------------------------------------------------------------
+
+CODEC_STAT_SLACK = 5.1e-7  # half-quantum of the decoder's round(x, 6)
+
+
+def _expected_codec_features(docs: DataFrame) -> DataFrame:
+    """Analytic twin of the encode/decode kernels: every feature the
+    decoder extracts is recomputed HERE from ``doc_id`` alone with JVM
+    higher-order functions — no Python, no shared code with the kernels —
+    because the fixture waveform/gradient is pure integer arithmetic.
+
+    Exactness: the PCM samples are integers in [-1024, 1023] and the
+    pixel bytes in [0, 255], so every partial sum (≤ 2^28) is exactly
+    representable; any summation order — numpy's pairwise mean on the
+    decode side, the sequential SQL ``aggregate`` fold here — produces
+    the identical integer, and the final mean/rms divisions see the same
+    exact operands in both paths.  The only divergence left is the
+    decoder's ``round(x, 6)``, bounded by ``CODEC_STAT_SLACK``.
+    """
+    wav = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .selectExpr(
+            "doc_id",
+            "CAST(64 + doc_id % 192 AS BIGINT) AS n",
+            "CAST(7 + doc_id % 13 AS BIGINT) AS k",
+        )
+        .selectExpr(
+            "doc_id",
+            "'wav' AS format_exp",
+            "CAST(44 + 2 * n AS BIGINT) AS n_bytes_exp",
+            "CAST(NULL AS INT) AS width_exp",
+            "CAST(NULL AS INT) AS height_exp",
+            "n AS n_samples_exp",
+            "CAST(8000 AS INT) AS rate_exp",
+            "1000.0D * n / 8000 AS dur_exp",
+            # samples[t] = ((t*k) % 2048) - 1024, t in [0, n)
+            """aggregate(
+                 sequence(CAST(0 AS BIGINT), n - 1),
+                 named_struct('s', CAST(0 AS BIGINT), 'q', CAST(0 AS BIGINT)),
+                 (acc, t) -> named_struct(
+                   's', acc.s + ((t * k) % 2048 - 1024),
+                   'q', acc.q + ((t * k) % 2048 - 1024) * ((t * k) % 2048 - 1024)),
+                 acc -> named_struct('m', acc.s / n, 'r', sqrt(acc.q / n))
+               ) AS st""",
+        )
+    )
+    # pixel (x, y): r = x*255 div (w-1), g = y*255 div (h-1),
+    # b = (x + y + doc_id) % 256; flattened as x = i % w, y = i div w
+    r = "(((i % w) * 255) div (w - 1))"
+    g = "(((i div w) * 255) div (h - 1))"
+    b = "((i % w + i div w + doc_id) % 256)"
+    ppm = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .selectExpr(
+            "doc_id",
+            "CAST(8 + doc_id % 24 AS BIGINT) AS w",
+            "CAST(6 + (doc_id * 3) % 18 AS BIGINT) AS h",
+        )
+        .selectExpr(
+            "doc_id",
+            "'ppm' AS format_exp",
+            # header 'P6\\n{w} {h}\\n255\\n' = 9 + len(w) + len(h) bytes
+            "CAST(9 + length(CAST(w AS STRING)) + length(CAST(h AS STRING))"
+            " + 3 * w * h AS BIGINT) AS n_bytes_exp",
+            "CAST(w AS INT) AS width_exp",
+            "CAST(h AS INT) AS height_exp",
+            "CAST(NULL AS BIGINT) AS n_samples_exp",
+            "CAST(NULL AS INT) AS rate_exp",
+            "CAST(NULL AS DOUBLE) AS dur_exp",
+            f"""aggregate(
+                 sequence(CAST(0 AS BIGINT), w * h - 1),
+                 named_struct('s', CAST(0 AS BIGINT), 'q', CAST(0 AS BIGINT)),
+                 (acc, i) -> named_struct(
+                   's', acc.s + {r} + {g} + {b},
+                   'q', acc.q + {r} * {r} + {g} * {g} + {b} * {b}),
+                 acc -> named_struct('m', acc.s / (3 * w * h),
+                                     'r', sqrt(acc.q / (3 * w * h)))
+               ) AS st""",
+        )
+    )
+    return wav.unionByName(ppm).select(
+        "doc_id",
+        "format_exp",
+        "n_bytes_exp",
+        "width_exp",
+        "height_exp",
+        "n_samples_exp",
+        "rate_exp",
+        "dur_exp",
+        F.col("st.m").alias("mean_exp"),
+        F.col("st.r").alias("rms_exp"),
+    )
+
+
+def _codec_audit_frame(spark: SparkSession, sf_dir: str, decoded: DataFrame) -> DataFrame:
+    """Audit core, parameterized on the decoded frame so the negative
+    controls in tests/test_llm_ops.py can feed perturbed variants and
+    assert each boolean flips (the q_minhash_lsh_audit convention)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
+    exp = _expected_codec_features(docs)
+    j = exp.join(decoded, "doc_id", "left")
+
+    dec_present = F.col("format").isNotNull()
+    wav_row = F.col("format_exp") == "wav"
+    slack = F.lit(CODEC_STAT_SLACK)
+    wav_ok = (
+        (F.col("n_bytes") == F.col("n_bytes_exp"))
+        & (F.col("n_samples") == F.col("n_samples_exp"))
+        & (F.col("sample_rate") == F.col("rate_exp"))
+        & (F.abs(F.col("duration_ms") - F.col("dur_exp")) <= slack)
+        & F.col("width").isNull()
+        & F.col("height").isNull()
+    )
+    ppm_ok = (
+        (F.col("n_bytes") == F.col("n_bytes_exp"))
+        & (F.col("width") == F.col("width_exp"))
+        & (F.col("height") == F.col("height_exp"))
+        & F.col("n_samples").isNull()
+        & F.col("sample_rate").isNull()
+        & F.col("duration_ms").isNull()
+    )
+    stats_ok = (F.abs(F.col("mean_value") - F.col("mean_exp")) <= slack) & (
+        F.abs(F.col("rms") - F.col("rms_exp")) <= slack
+    )
+
+    def bad(cond) -> F.Column:
+        # NULL-hostile counter: a NULL comparison (field unexpectedly
+        # missing) counts as BAD, never silently passes
+        return F.coalesce(
+            F.sum((dec_present & ~F.coalesce(cond, F.lit(False))).cast("long")),
+            F.lit(0),
+        )
+
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count_distinct(F.when(wav_row, F.col("doc_id"))).alias("n_wav"),
+        F.count_distinct(F.when(~wav_row, F.col("doc_id"))).alias("n_ppm"),
+        F.coalesce(F.sum((~dec_present).cast("long")), F.lit(0)).alias("missing"),
+        bad(F.col("format") == F.col("format_exp")).alias("fmt_bad"),
+        bad(~wav_row | wav_ok).alias("wav_bad"),
+        bad(wav_row | ppm_ok).alias("ppm_bad"),
+        bad(stats_ok).alias("stat_bad"),
+    )
+    return agg.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_wav").cast("long").alias("n_wav"),
+        F.col("n_ppm").cast("long").alias("n_ppm"),
+        ((F.col("missing") == 0) & (F.col("n_rows") == F.col("n_docs"))).alias(
+            "roundtrip_complete"
+        ),
+        (F.col("fmt_bad") == 0).alias("format_match"),
+        (F.col("wav_bad") == 0).alias("wav_exact"),
+        (F.col("ppm_bad") == 0).alias("ppm_exact"),
+        (F.col("stat_bad") == 0).alias("stats_match"),
+    )
+
+
+@register(
+    "q_multimodal_codec_audit",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS n_wav,
+           count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_ppm,
+           TRUE AS roundtrip_complete,
+           TRUE AS format_match,
+           TRUE AS wav_exact,
+           TRUE AS ppm_exact,
+           TRUE AS stats_match
+    FROM documents
+    """,
+)
+def q_multimodal_codec_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable witness for the REAL codec pair (the VERDICT r8
+    ε-witness pattern, extended to the last witness-less rows-only
+    queries): the encode fixture is pure integer arithmetic on
+    ``doc_id``, so every feature the decoder extracts — byte length,
+    dimensions, sample count/rate/duration, and the mean/RMS of the
+    decoded samples/pixels — is recomputed ANALYTICALLY in JVM
+    higher-order functions by ``_expected_codec_features`` and compared
+    row-by-row against the actual encode→decode pipeline.  Two fully
+    independent implementations (numpy byte-parse vs SQL integer folds)
+    must agree on every row for the booleans to hold:
+
+    * ``roundtrip_complete`` — exactly one decoded row per document
+      (none missing, none duplicated).
+    * ``format_match`` — parity routing (even→wav, odd→ppm) survived
+      the pipeline.
+    * ``wav_exact`` / ``ppm_exact`` — container-level features equal the
+      analytic values EXACTLY (integer equality), and the fields foreign
+      to the format are NULL.
+    * ``stats_match`` — decoded-data mean/RMS within the decoder's
+      round(x, 6) half-quantum of the analytic integer-exact values.
+
+    The oracle pins the booleans TRUE and recomputes the parity counts,
+    so a regression anywhere in the binary plumbing — header emit,
+    chunk-walk parse, ndarray reshape, stat computation — fails the
+    driver hash gate even though the decode output itself stays
+    rows-only.  SCALE: one ``mapInPandas`` pass (the pipeline under
+    audit) plus one HOF projection over |docs| rows and a co-keyed
+    left join; no payload byte ever leaves the executors."""
+    from iceberg_data_gen_spark.operators import QUERIES
+
+    decoded = QUERIES["q_multimodal_codec_roundtrip"](spark, sf_dir)
+    return _codec_audit_frame(spark, sf_dir, decoded)

@@ -77,6 +77,17 @@ PROBE = [
     "q_semdedup",
     "q_pii_scan",
     "q_event_pagerank",
+    # r9: the previously unprobed pipeline/analytics plans whose scale
+    # posture is non-obvious — cooccurrence (pair volume quadratic in
+    # per-doc DISTINCT vocab), curriculum (range-repartition global rank
+    # with driver-side offsets), ewma (grouped-map sequential kernel),
+    # retention (co-partitioned self-aggregate join), and the codec
+    # audit (HOF analytic twin + decode join)
+    "q_cooccurrence",
+    "q_curriculum_order",
+    "q_ewma",
+    "q_retention",
+    "q_multimodal_codec_audit",
 ]
 
 # State-heavy streams probed OPERATOR-ONLY (foreachBatch -> noop sink):
@@ -201,8 +212,17 @@ def main() -> None:
             "ratio": round(tN / t1, 2) if t1 > 0 else None,
         }
 
+    # optional argv name filter: probe just the named entries/labels
+    # (new-entry iteration without re-timing the whole 35-entry sweep)
+    only = set(sys.argv[1:])
+
+    def wanted(label: str) -> bool:
+        return not only or label in only
+
     report = {}
     for name in PROBE:
+        if not wanted(name):
+            continue
         report[name] = probe_one(name)
         print(name, report[name], file=sys.stderr, flush=True)
 
@@ -214,9 +234,13 @@ def main() -> None:
         return time.time() - t0
 
     for name in STREAM_PROBE:
+        if not wanted(f"{name}[operator]"):
+            continue
         report[f"{name}[operator]"] = probe_one(name, runner=run_stream)
         print(f"{name}[operator]", report[f"{name}[operator]"], file=sys.stderr, flush=True)
     for label, name, env in ENV_PROBE:
+        if not wanted(label):
+            continue
         os.environ[env] = "1"
         try:
             report[label] = probe_one(name)

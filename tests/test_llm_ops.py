@@ -1315,3 +1315,90 @@ def test_contamination_detects_planted_overlap(spark, tmp_path):
         for d, n in con.execute(operators.ORACLES["q_contamination"]).fetchall()
     }
     assert got == want
+
+
+def test_codec_audit_flips_on_tampered_decode(spark, monkeypatch):
+    """Negative control for the codec ε-witness (r9, extending VERDICT
+    r8 #1 to the last witness-less rows-only pair): each audit boolean
+    must FLIP when the decoded frame it audits is tampered with in
+    exactly the way that boolean guards against — and ONLY that boolean
+    (precise attribution), so a driver failure names the broken layer.
+    Tampering goes through the registry entry, the audit's input
+    contract (the q_minhash_lsh_audit convention)."""
+    real = operators.QUERIES["q_multimodal_codec_roundtrip"]
+
+    honest = operators.QUERIES["q_multimodal_codec_audit"](spark, SF_DIR).collect()[0]
+    assert (
+        honest.roundtrip_complete
+        and honest.format_match
+        and honest.wav_exact
+        and honest.ppm_exact
+        and honest.stats_match
+    ), honest
+    assert honest.n_wav + honest.n_ppm == honest.n_docs > 0
+
+    def tampered(fn):
+        monkeypatch.setitem(operators.QUERIES, "q_multimodal_codec_roundtrip", fn)
+        return operators.QUERIES["q_multimodal_codec_audit"](spark, SF_DIR).collect()[0]
+
+    min_id = real(spark, SF_DIR).agg(F.min("doc_id")).collect()[0][0]
+
+    # 1. a decoded row vanishes -> roundtrip_complete (missing side)
+    row = tampered(lambda s, d: real(s, d).where(F.col("doc_id") != min_id))
+    assert row.roundtrip_complete is False
+
+    # 2. a decoded row duplicates -> roundtrip_complete (dup side: the
+    #    distinct parity counts stay oracle-equal, the boolean catches it)
+    row = tampered(lambda s, d: real(s, d).unionByName(real(s, d).limit(1)))
+    assert row.roundtrip_complete is False
+    assert row.n_docs == honest.n_docs
+
+    # 3. parity misrouting on one row -> format_match alone (the decoded
+    #    feature columns are untouched, so wav/ppm exactness must HOLD)
+    row = tampered(
+        lambda s, d: real(s, d).withColumn(
+            "format",
+            F.when(F.col("doc_id") == min_id, F.lit("ppm")).otherwise(F.col("format")),
+        )
+    )
+    assert row.format_match is False
+    assert row.wav_exact is True and row.ppm_exact is True
+
+    # 4. header-level corruption: off-by-one byte length on wav rows
+    row = tampered(
+        lambda s, d: real(s, d).withColumn(
+            "n_bytes",
+            F.when(F.col("format") == "wav", F.col("n_bytes") + 1).otherwise(
+                F.col("n_bytes")
+            ),
+        )
+    )
+    assert row.wav_exact is False and row.ppm_exact is True
+
+    # 5. wrong raster dimensions on ppm rows
+    row = tampered(
+        lambda s, d: real(s, d).withColumn(
+            "width",
+            F.when(F.col("format") == "ppm", F.col("width") + 1).otherwise(
+                F.col("width")
+            ),
+        )
+    )
+    assert row.ppm_exact is False and row.wav_exact is True
+
+    # 6. a NULL where a feature belongs must count as BAD, not
+    #    NULL-propagate to a silent pass
+    row = tampered(
+        lambda s, d: real(s, d).withColumn(
+            "n_samples", F.lit(None).cast("bigint")
+        )
+    )
+    assert row.wav_exact is False and row.ppm_exact is True
+
+    # 7. stat drift past the decoder's round(x, 6) half-quantum ->
+    #    stats_match alone (container features untouched)
+    row = tampered(
+        lambda s, d: real(s, d).withColumn("mean_value", F.col("mean_value") + 2e-6)
+    )
+    assert row.stats_match is False
+    assert row.wav_exact is True and row.ppm_exact is True
