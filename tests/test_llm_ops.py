@@ -1402,3 +1402,36 @@ def test_codec_audit_flips_on_tampered_decode(spark, monkeypatch):
     )
     assert row.stats_match is False
     assert row.wav_exact is True and row.ppm_exact is True
+
+
+def test_codec_audit_holds_on_large_doc_ids(spark, tmp_path):
+    """The audit's value is that TWO independent implementations (numpy
+    byte-parse vs SQL integer HOF folds) agree on every row; testdata
+    doc_ids stay small, so pin the agreement where the id arithmetic
+    (modulo routing, waveform/gradient parameters, header lengths) is
+    actually stressed: ids at the key-shift scale the 100x probe corpus
+    uses (1e8..1e10) and at int32/int40 boundaries.  All sums stay well
+    inside int64, so both paths must agree exactly."""
+    ids = [
+        0, 1, 2, 3, 191, 192, 2047, 2048,
+        2**31 - 2, 2**31 - 1, 2**31, 2**31 + 1,
+        10**8, 10**8 + 1, 10**10 + 6, 10**10 + 7,
+        2**40 + 4, 2**40 + 5,
+    ]
+    sf_dir = str(tmp_path / "sf-bigid")
+    spark.createDataFrame(
+        [(i, "synthetic", "x") for i in ids],
+        "doc_id long, source string, text string",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    row = operators.QUERIES["q_multimodal_codec_audit"](spark, sf_dir).collect()[0]
+    assert row.n_docs == len(ids)
+    assert row.n_wav == sum(1 for i in ids if i % 2 == 0)
+    assert row.n_ppm == sum(1 for i in ids if i % 2 == 1)
+    assert (
+        row.roundtrip_complete
+        and row.format_match
+        and row.wav_exact
+        and row.ppm_exact
+        and row.stats_match
+    ), row
