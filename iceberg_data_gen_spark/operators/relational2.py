@@ -86,9 +86,13 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
     return (
-        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier/customer SCALE with SF — no hard hints (review r9,
+        # the q3/q5/q10 rule applied to this file): size-estimate/AQE
+        # broadcasts them while small; the nation projections sn/cn are
+        # bounded (≤25 rows), their hints are design invariants
+        lineitem.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(
             F.broadcast(cn),
@@ -150,7 +154,8 @@ def q12_line_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: promotional revenue share (broadcast part into lineitem)."""
+    """TPC-H Q14: promotional revenue share (the planner broadcasts part
+    into lineitem while it is small; no hard hint — part scales with SF)."""
     lineitem, part = _t(spark, sf_dir, "lineitem", "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
@@ -159,7 +164,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        # part SCALES with SF — no hard hint (review r9); the planner
+        # broadcasts it from its own size estimate while small
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         # DECIMAL accumulation (dsum) on both sums: plain double sums are
         # merge-order-dependent and can flip the 4dp rounding at a
         # boundary between engines
@@ -197,7 +204,8 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") == F.col("bo_key"),
             "left_semi",
         )
-        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        # customer SCALES with SF — no hard hint (review r9)
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
         .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
         .agg(F.sum("l_quantity").alias("total_qty"))
@@ -241,7 +249,8 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Brand#3", 20, 50, 20, 50
     )
     return (
-        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        # part SCALES with SF — no hard hint (review r9)
+        lineitem.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .where(cond)
         .agg(
             F.round(

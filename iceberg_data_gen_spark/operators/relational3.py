@@ -71,14 +71,17 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     nat_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0))
     return (
+        # customer/supplier SCALE with SF — no hard hints (review r9,
+        # the q3/q5/q10 rule applied here): size-estimate/AQE broadcasts
+        # them while small; nation/region projections are bounded
         lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
         .join(
             F.broadcast(region.where(F.col("r_name") == "AMERICA")),
             F.col("r_regionkey") == F.col("cn_region"),
         )
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(F.round(dsum(nat_rev, 4) / dsum(rev, 4), 6).alias("mkt_share"))
@@ -110,11 +113,13 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
+        # part/supplier SCALE with SF (the type filter keeps a constant
+        # FRACTION, not a bounded count) — no hard hints (review r9)
         lineitem.join(
-            F.broadcast(part.where(F.col("p_type") == "ECONOMY")),
+            part.where(F.col("p_type") == "ECONOMY"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
@@ -186,8 +191,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
+        # supplier SCALES with SF — no hard hint (review r9): after the
+        # 1-row max join the LEFT side is ~1 row and AQE broadcasts THAT
         revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(supplier, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -209,16 +216,16 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     part, lineitem, supplier = _t(spark, sf_dir, "part", "lineitem", "supplier")
     excluded = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
+        # part and the supplier exclusion list SCALE with SF — no hard
+        # hints (review r9); the planner broadcasts them while small
         lineitem.join(
-            F.broadcast(
-                part.where(
-                    (F.col("p_brand") != "Brand#3")
-                    & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
-                )
+            part.where(
+                (F.col("p_brand") != "Brand#3")
+                & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
             ),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(excluded, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -249,11 +256,14 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
+        # part and the per-part threshold aggregate are PART-cardinality
+        # (scale with SF) — no hard hints (review r9); the threshold join
+        # reuses the l_partkey partitioning when it outgrows a broadcast
         lineitem.join(
-            F.broadcast(part.where(F.col("p_brand") == "Brand#2")),
+            part.where(F.col("p_brand") == "Brand#2"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(F.broadcast(per_part_avg), F.col("ap_key") == F.col("l_partkey"))
+        .join(per_part_avg, F.col("ap_key") == F.col("l_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(
@@ -300,7 +310,9 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-order aggregates join WITHOUT broadcast hints (review r8: they
     are order-cardinality — billions of rows at 100 TB — and the
     aggregation already shuffled on l_orderkey, so the joins reuse that
-    partitioning; only the true dimension, supplier, broadcasts).
+    partitioning).  Review r9 extended the rule to supplier itself —
+    it scales with SF, so its hard hint is gone too and the planner
+    broadcasts it from its own size estimate while small.
     """
     supplier, lineitem, orders = _t(spark, sf_dir, "supplier", "lineitem", "orders")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
@@ -322,7 +334,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         late_rows.join(supp_per_order, F.col("so_key") == F.col("l_orderkey"))
         .join(late_supp_per_order, F.col("lo_key") == F.col("l_orderkey"))
         .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -1058,11 +1070,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2: cheapest regional supplier per selected part.
 
     The correlated min-cost subquery is de-correlated into a per-part
-    MIN over the region-restricted partsupp, broadcast back as an
-    equality join — one shuffle on ps_partkey for the aggregate, then
-    broadcast joins throughout (every dimension is small relative to the
-    derived partsupp).  Completes the 22-query TPC-H set together with
-    q11/q20 below (reference has no query layer; SURVEY.md §2.2).
+    MIN over the region-restricted partsupp joined back as an equality
+    join — one shuffle on ps_partkey for the aggregate, which the
+    min-cost join reuses at scale (only the bounded nation/region
+    projections carry hard broadcast hints; the supplier/part-cardinality
+    sides rely on size-estimate/AQE broadcasts while small — review r9).
+    Completes the 22-query TPC-H set together with q11/q20 below
+    (reference has no query layer; SURVEY.md §2.2).
     """
     part, lineitem, supplier, nation, region = _t(
         spark, sf_dir, "part", "lineitem", "supplier", "nation", "region"
@@ -1077,17 +1091,22 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # eu_supp is SUPPLIER-cardinality (a region keeps a constant fifth,
+    # not a bounded count) — no hard hint (review r9)
     regional = _partsupp(lineitem).join(
-        F.broadcast(eu_supp), F.col("ps_suppkey") == F.col("s_suppkey")
+        eu_supp, F.col("ps_suppkey") == F.col("s_suppkey")
     )
     min_cost = regional.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
         F.min("ps_supplycost").alias("min_cost")
     )
     wanted = part.where((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
     return (
-        regional.join(F.broadcast(wanted), F.col("p_partkey") == F.col("ps_partkey"))
+        # wanted (part-filtered) and min_cost (per-part aggregate) are
+        # PART-cardinality — no hard hints (review r9); the min_cost
+        # join reuses the ps_partkey shuffle when it outgrows a broadcast
+        regional.join(wanted, F.col("p_partkey") == F.col("ps_partkey"))
         .join(
-            F.broadcast(min_cost),
+            min_cost,
             (F.col("mc_partkey") == F.col("ps_partkey"))
             & (F.col("ps_supplycost") == F.col("min_cost")),
         )
@@ -1131,7 +1150,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey") == F.col("n_nationkey"),
     ).select("s_suppkey")
     national = (
-        lineitem.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # nat_supp is SUPPLIER-cardinality (one nation = a constant
+        # 1/25th, not a bounded count) — no hard hint (review r9)
+        lineitem.join(nat_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("part_value"))
     )
@@ -1204,7 +1225,8 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("a_suppkey"), F.col("l_partkey").alias("a_partkey")
     ).agg(dsum(F.col("l_quantity"), 2).alias("total_qty"))
     qualifying = (
-        recent.join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        # small_parts is PART-cardinality — no hard hint (review r9)
+        recent.join(small_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .join(
             alltime,
             (F.col("l_suppkey") == F.col("a_suppkey"))
@@ -1218,7 +1240,8 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(nation.where(F.col("n_name") == "NATION_3")),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
-        .join(F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        # qualifying is SUPPLIER-cardinality — no hard hint (review r9)
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
     )
 
@@ -1350,7 +1373,11 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             child.select(ck)
             .join(
-                F.broadcast(parent.select(pk).distinct()),
+                # no hard hint (review r9): the parent key sets include
+                # SF-scaling tables (orders/part/supplier/customer), so a
+                # forced broadcast is a driver OOM at 100 TB; the planner
+                # broadcasts the distinct key column while small
+                parent.select(pk).distinct(),
                 F.col(ck) == F.col(pk),
                 "left",
             )
@@ -1789,7 +1816,8 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     per_supp = (
-        lineitem.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        # supplier SCALES with SF — no hard hint (review r9)
+        lineitem.join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_nationkey", "l_suppkey")
         .agg(F.sum(rev).cast("decimal(18,4)").alias("rev"))
     )
@@ -1968,7 +1996,8 @@ def q_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("l_discount").cast("decimal(18,2)")
     y = F.col("l_quantity").cast("decimal(18,2)")
     s = (
-        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        # part SCALES with SF — no hard hint (review r9)
+        lineitem.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .select("p_brand", x.alias("x"), y.alias("y"))
         .groupBy("p_brand")
         .agg(

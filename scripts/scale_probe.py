@@ -88,6 +88,14 @@ PROBE = [
     "q_ewma",
     "q_retention",
     "q_multimodal_codec_audit",
+    # r9 second pass: the marquee join operators the sweep never timed —
+    # as-of (range-partitioned backward match) and the bucketed SMJ
+    # whose cost IS the two amortizable bucketBy writes.  q_mor_merge is
+    # deliberately absent: it builds a FIXED-SIZE fixture table
+    # regardless of sf_dir (measured ratio 0.95 — the probe corpus never
+    # reaches it), so probing it would report a meaningless flat line.
+    "q_asof_join",
+    "q_bucketed_join",
 ]
 
 # State-heavy streams probed OPERATOR-ONLY (foreachBatch -> noop sink):
@@ -96,7 +104,7 @@ PROBE = [
 # 100x events that artifact dominated the ratio (r6: 4.06x/4.69x were
 # sink numbers, not state-store numbers).  STREAM_OPERATOR_PROBES drives
 # the identical aggregations into a distributed discard sink.
-STREAM_PROBE = ["q_stream_session", "q_stream_stateful"]
+STREAM_PROBE = ["q_stream_session", "q_stream_stateful", "q_stream_stateful_ttl"]
 
 # (label, query, env) probes that force a scale-path branch: the forced
 # env var is set for the timing and removed after.  These are the
