@@ -546,3 +546,21 @@ def test_asof_join_single_exchange_per_side_composite_keys(spark):
     assert plan.count("Window") >= 1
     # and the result is still correct on a spot key
     assert out.count() == left.count()  # left join preserves every row
+
+
+def test_unhinted_star_dimensions_adapt_to_broadcast(spark):
+    """customer/supplier/part lost their hard broadcast hints (review
+    r9: they SCALE with SF — a hint is honored unconditionally and OOMs
+    the driver at 100 TB), so at test scale the broadcasts must come
+    from the planner's own size estimates instead: the executed plans
+    of the de-hinted star joins still carry one BroadcastHashJoin per
+    dimension side."""
+    for name, min_bhj in [
+        ("q7_volume_shipping", 3),   # supplier, customer + hinted sn/cn
+        ("q9_product_type_profit", 3),  # part, supplier + hinted sn
+    ]:
+        df = q(name, spark)
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        n = executed.count("BroadcastHashJoin")
+        assert n >= min_bhj, (name, n, executed[:400])
