@@ -4,8 +4,10 @@ construction, extended string/date scalar functions, and more TPC-H
 shapes (Q4/Q7/Q12/Q14/Q18/Q19 adapted to the driver schema).
 
 Same design rules as relational.py: declarative DataFrame/SQL only,
-broadcast hints for dimensions, aliases matched 1:1 with the oracle,
-floats rounded identically on both sides.
+broadcast hints ONLY on sides bounded by design (nation/region
+projections, 1-row aggregates — review r9: customer/supplier/part scale
+with SF and rely on size-estimate/AQE broadcasts), aliases matched 1:1
+with the oracle, floats rounded identically on both sides.
 """
 
 from __future__ import annotations
