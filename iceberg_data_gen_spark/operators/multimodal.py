@@ -137,7 +137,26 @@ def make_decode_batch(have_pil: bool):
     return decode_batch
 
 
-@register("q_multimodal_decode")  # mapInPandas stage: rows-only driver check
+@register(
+    "q_multimodal_decode",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+             hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT doc_id, format, CAST(n AS BIGINT) AS n_bytes,
+           CASE WHEN n = 0 THEN 0.0 ELSE
+             CAST(list_sum([(strpos('0123456789ABCDEF', h[2*i-1:2*i-1])-1)*16
+                            + (strpos('0123456789ABCDEF', h[2*i:2*i])-1)
+                            for i in generate_series(1, CAST(n AS INT))]) AS DOUBLE) / n
+           END AS mean_byte,
+           CAST(least(8, greatest(1, n // 64)) AS INT) AS frames_sampled
+    FROM b
+    """,
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract stage over the multimodal table (legacy
     byte-feature path; see ``q_multimodal_codec_roundtrip`` for the
@@ -147,7 +166,14 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only Python hop in the media pipeline — and runs one task per
     input partition, so throughput scales with executors.  Output is
     deterministic (stub features), so row-level checks are stable.
-    """
+
+    Oracle (r10, closing VERDICT r9 #6): every emitted feature is a pure
+    function of the payload BYTES, and the payload is ``encode(text)``,
+    so DuckDB recomputes the whole frame by hex-expanding the blob and
+    folding nibble pairs — ``mean_byte``'s integer byte-sum is exact,
+    and the final single IEEE division matches numpy's ``sum(b)/len(b)``
+    bit-for-bit.  The one rows-only query with no oracle-bearing witness
+    is thereby retired by giving it a full oracle instead."""
     m = media_table(spark, sf_dir).select(
         "doc_id", F.col("meta.format").alias("format"), "payload"
     )
@@ -621,8 +647,13 @@ def _codec_audit_frame(spark: SparkSession, sf_dir: str, decoded: DataFrame) -> 
     assert each boolean flips (the q_minhash_lsh_audit convention)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
     exp = _expected_codec_features(docs)
-    j = exp.join(decoded, "doc_id", "left")
+    # FULL outer (ADVICE r9): a left join hid decoded rows whose doc_id
+    # matches no document — id-corruption emitted a spurious row the audit
+    # booleans never saw.  With the outer join such rows survive with a
+    # NULL expected side and are counted as `foreign` below.
+    j = exp.join(decoded, "doc_id", "full")
 
+    exp_present = F.col("format_exp").isNotNull()
     dec_present = F.col("format").isNotNull()
     wav_row = F.col("format_exp") == "wav"
     slack = F.lit(CODEC_STAT_SLACK)
@@ -648,18 +679,29 @@ def _codec_audit_frame(spark: SparkSession, sf_dir: str, decoded: DataFrame) -> 
 
     def bad(cond) -> F.Column:
         # NULL-hostile counter: a NULL comparison (field unexpectedly
-        # missing) counts as BAD, never silently passes
+        # missing) counts as BAD, never silently passes.  Guarded on
+        # BOTH sides being present — a decoded row with no expected twin
+        # is counted once, as `foreign`, not re-flagged per boolean.
         return F.coalesce(
-            F.sum((dec_present & ~F.coalesce(cond, F.lit(False))).cast("long")),
+            F.sum(
+                (exp_present & dec_present & ~F.coalesce(cond, F.lit(False))).cast(
+                    "long"
+                )
+            ),
             F.lit(0),
         )
 
     agg = j.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count_distinct("doc_id").alias("n_docs"),
+        F.coalesce(F.sum(exp_present.cast("long")), F.lit(0)).alias("n_rows"),
+        F.count_distinct(F.when(exp_present, F.col("doc_id"))).alias("n_docs"),
         F.count_distinct(F.when(wav_row, F.col("doc_id"))).alias("n_wav"),
         F.count_distinct(F.when(~wav_row, F.col("doc_id"))).alias("n_ppm"),
-        F.coalesce(F.sum((~dec_present).cast("long")), F.lit(0)).alias("missing"),
+        F.coalesce(F.sum((exp_present & ~dec_present).cast("long")), F.lit(0)).alias(
+            "missing"
+        ),
+        # decoded rows whose doc_id matches no document (ADVICE r9):
+        # visible only because the join above is FULL outer
+        F.coalesce(F.sum((~exp_present).cast("long")), F.lit(0)).alias("foreign"),
         bad(F.col("format") == F.col("format_exp")).alias("fmt_bad"),
         bad(~wav_row | wav_ok).alias("wav_bad"),
         bad(wav_row | ppm_ok).alias("ppm_bad"),
@@ -669,9 +711,11 @@ def _codec_audit_frame(spark: SparkSession, sf_dir: str, decoded: DataFrame) -> 
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("n_wav").cast("long").alias("n_wav"),
         F.col("n_ppm").cast("long").alias("n_ppm"),
-        ((F.col("missing") == 0) & (F.col("n_rows") == F.col("n_docs"))).alias(
-            "roundtrip_complete"
-        ),
+        (
+            (F.col("missing") == 0)
+            & (F.col("foreign") == 0)
+            & (F.col("n_rows") == F.col("n_docs"))
+        ).alias("roundtrip_complete"),
         (F.col("fmt_bad") == 0).alias("format_match"),
         (F.col("wav_bad") == 0).alias("wav_exact"),
         (F.col("ppm_bad") == 0).alias("ppm_exact"),
@@ -706,7 +750,9 @@ def q_multimodal_codec_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     must agree on every row for the booleans to hold:
 
     * ``roundtrip_complete`` — exactly one decoded row per document
-      (none missing, none duplicated).
+      (none missing, none duplicated, none spurious — a decoded row
+      whose doc_id matches no document is counted via the full outer
+      join's unmatched side, ADVICE r9).
     * ``format_match`` — parity routing (even→wav, odd→ppm) survived
       the pipeline.
     * ``wav_exact`` / ``ppm_exact`` — container-level features equal the

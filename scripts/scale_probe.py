@@ -178,6 +178,22 @@ def build(spark) -> None:
 
 
 def main() -> None:
+    # validate the argv name filter BEFORE paying for the session + corpus
+    # build (ADVICE r9): a misspelled label (q_ewma_ for q_ewma, or a
+    # forgotten [operator]/[lsh] suffix) used to silently produce an empty
+    # probe report that read as "nothing to probe"
+    known = (
+        set(PROBE)
+        | {f"{n}[operator]" for n in STREAM_PROBE}
+        | {label for label, _, _ in ENV_PROBE}
+    )
+    unknown = set(sys.argv[1:]) - known
+    if unknown:
+        sys.exit(
+            f"unknown probe name(s): {sorted(unknown)}\n"
+            f"known labels: {sorted(known)}"
+        )
+
     # the TUNED session the bench uses — probe ratios must be measured
     # under the same broadcast/AQE/timezone settings as every other
     # recorded number

@@ -1353,6 +1353,20 @@ def test_codec_audit_flips_on_tampered_decode(spark, monkeypatch):
     assert row.roundtrip_complete is False
     assert row.n_docs == honest.n_docs
 
+    # 2b. a decoded row carrying a doc_id absent from documents (ADVICE
+    #     r9: invisible under the old left join) -> roundtrip_complete
+    #     alone; the per-boolean counters stay clean because the foreign
+    #     row has no expected twin to compare against
+    row = tampered(
+        lambda s, d: real(s, d).unionByName(
+            real(s, d).limit(1).withColumn("doc_id", F.lit(-987654321).cast("bigint"))
+        )
+    )
+    assert row.roundtrip_complete is False
+    assert row.n_docs == honest.n_docs
+    assert row.format_match is True
+    assert row.wav_exact is True and row.ppm_exact is True and row.stats_match is True
+
     # 3. parity misrouting on one row -> format_match alone (the decoded
     #    feature columns are untouched, so wav/ppm exactness must HOLD)
     row = tampered(

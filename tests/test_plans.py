@@ -548,19 +548,53 @@ def test_asof_join_single_exchange_per_side_composite_keys(spark):
     assert out.count() == left.count()  # left join preserves every row
 
 
-def test_unhinted_star_dimensions_adapt_to_broadcast(spark):
+@pytest.mark.parametrize(
+    ("name", "min_bhj", "max_shuffled"),
+    [
+        # (query, BroadcastHashJoin floor, exact count of shuffled joins
+        #  allowed — the genuine fact-fact joins where BOTH sides scale
+        #  with SF and a shuffle is the CORRECT 100 TB plan)
+        ("q2_min_cost_supplier", 3, 1),   # partsupp min-cost self-join
+        ("q3_shipping_priority", 2, 0),
+        ("q5_local_supplier_volume", 3, 0),
+        ("q7_volume_shipping", 3, 0),
+        ("q8_market_share", 3, 0),
+        ("q9_product_type_profit", 3, 0),
+        ("q10_returned_items", 2, 0),
+        ("q11_important_stock", 2, 0),
+        ("q14_promo_revenue", 1, 0),
+        ("q15_top_supplier", 2, 0),
+        ("q16_supplier_part_count", 2, 0),
+        ("q17_small_quantity_revenue", 2, 0),
+        ("q18_large_volume_customer", 2, 0),
+        ("q19_disjunctive_predicates", 1, 0),
+        ("q20_potential_promotion", 3, 0),
+        ("q21_waiting_supplier", 3, 1),   # lineitem anti/self-join
+    ],
+)
+def test_unhinted_star_dimensions_adapt_to_broadcast(
+    spark, name, min_bhj, max_shuffled
+):
     """customer/supplier/part lost their hard broadcast hints (review
     r9: they SCALE with SF — a hint is honored unconditionally and OOMs
     the driver at 100 TB), so at test scale the broadcasts must come
-    from the planner's own size estimates instead: the executed plans
-    of the de-hinted star joins still carry one BroadcastHashJoin per
-    dimension side."""
-    for name, min_bhj in [
-        ("q7_volume_shipping", 3),   # supplier, customer + hinted sn/cn
-        ("q9_product_type_profit", 3),  # part, supplier + hinted sn
-    ]:
-        df = q(name, spark)
-        df.collect()
-        executed = df._jdf.queryExecution().executedPlan().toString()
-        n = executed.count("BroadcastHashJoin")
-        assert n >= min_bhj, (name, n, executed[:400])
+    from the planner's own size estimates instead (VERDICT r9 #2:
+    parameterized over EVERY de-hinted TPC-H query, not just q7/q9).
+
+    Two locks per query on the EXECUTED (post-AQE) plan:
+
+    * every dimension side still broadcasts — BroadcastHashJoin count
+      at or above the per-query floor;
+    * the number of shuffled joins (SortMergeJoin + ShuffledHashJoin)
+      equals the known fact-fact joins exactly, so a silent SMJ/SHJ
+      flip on ANY dimension side fails this test by name instead of
+      costing 2× at bench time."""
+    df = q(name, spark)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    n_bhj = executed.count("BroadcastHashJoin")
+    n_shuffled = executed.count("SortMergeJoin") + executed.count(
+        "ShuffledHashJoin"
+    )
+    assert n_bhj >= min_bhj, (name, n_bhj, executed[:400])
+    assert n_shuffled == max_shuffled, (name, n_shuffled, executed[:400])

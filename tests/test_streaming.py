@@ -858,3 +858,38 @@ def test_stateful_ttl_out_of_order_event_does_not_shrink_deadline(spark):
         op.get("numRowsTotal", 0) for op in (progress or {}).get("stateOperators", [])
     )
     assert srows == 2, progress  # u1 AND u2 still live
+
+
+def test_stream_static_join_broadcasts_by_size_estimate(spark):
+    """q_stream_static_join lost its customer hard-hint (VERDICT r9 #1:
+    customer SCALES with SF — a hint is honored unconditionally and
+    OOMs the driver at 100 TB, the same scaling-table rule the batch
+    joins follow).  The micro-batch planner must therefore pick
+    BroadcastHashJoin from the static side's OWN size estimate at test
+    SF; a silent flip to a shuffled join on the dimension side fails
+    here by name instead of costing wall-clock per micro-batch.  The
+    AST census (test_oracle_queries) separately pins streaming/events.py
+    at zero F.broadcast calls."""
+    from iceberg_data_gen_spark.streaming.events import (
+        _static_join_agg,
+        stream_partitions,
+    )
+
+    agg = _static_join_agg(spark, SF_DIR)
+    name = "static_join_plan_probe"
+    with stream_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            plan = q._jsq.explainInternal(False)
+        finally:
+            q.stop()
+    n_rows = spark.table(name).count()
+    spark.catalog.dropTempView(name)
+    assert n_rows > 0
+    assert "BroadcastHashJoin" in plan, plan[:2000]
