@@ -37,6 +37,16 @@ def doc_order_key() -> F.Column:
     return F.md5(F.col("doc_id").cast("string").cast("binary"))
 
 
+def ttr_expr(words: F.Column) -> F.Column:
+    """Type-token ratio over a word array — ``distinct words / words``
+    as one double division (``len(list_distinct(...)) / len(...)`` on
+    the DuckDB side).  ONE definition (review r10: the expression was
+    hand-copied into q_text_stats, q_quality_filter_funnel, and
+    q_curriculum_order — a tokenization tweak to one copy would silently
+    diverge the others from their oracle twins)."""
+    return F.size(F.array_distinct(words)).cast("double") / F.size(words)
+
+
 def scratch_dir(prefix: str) -> str:
     """mkdtemp + atexit cleanup: operators that build throwaway table /
     parquet fixtures return LAZY scans over them, so the dirs cannot be

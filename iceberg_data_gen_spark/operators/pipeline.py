@@ -30,8 +30,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from iceberg_data_gen_spark.operators import register
-from iceberg_data_gen_spark.operators.common import doc_order_key
+from iceberg_data_gen_spark.operators.common import doc_order_key, ttr_expr
 from iceberg_data_gen_spark.operators.common import docs_table as _docs
+
+
+_CURRICULUM_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _shard_of(h: F.Column) -> F.Column:
@@ -67,8 +70,13 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", doc_order_key().alias("h")
     ).withColumn("shard", _shard_of(F.col("h")))
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    # long position (review r10): row_number() is int32 and a 100 TB
+    # shard can exceed 2^31 docs; the oracle side is already BIGINT
     return sharded.select(
-        "doc_id", "source", "shard", F.row_number().over(w).alias("position")
+        "doc_id",
+        "source",
+        "shard",
+        F.row_number().over(w).cast("long").alias("position"),
     )
 
 
@@ -234,17 +242,40 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     even though the sampled range boundaries are not: the key
     (ttr DESC, doc_id) is a total order, and offsets are computed from
     the actual partition sizes.
+
+    The range-partition count follows ``spark.sql.shuffle.partitions``
+    (review r10: a hard-coded 16 was a parallelism ceiling — at the
+    100 TB posture it would funnel the corpus through 16 sort tasks,
+    exactly the bottleneck the operator exists to avoid); the global
+    ranks are invariant to the count because the key is a total order.
+    The eager localCheckpoint is session-cached per (session, corpus)
+    like the pagerank edge table (review r10: a per-call checkpoint
+    pinned a fresh never-released corpus-sized copy in executor storage
+    on every invocation — bench loops run this repeatedly).
     """
 
     docs = _docs(spark, sf_dir)
-    words = F.split("text", " ")
-    ttr = F.size(F.array_distinct(words)).cast("double") / F.size(words)
-    d = docs.select("doc_id", ttr.alias("ttr"))
-    n_parts = 16
-    rp = d.repartitionByRange(n_parts, F.desc("ttr"), F.asc("doc_id")).withColumn(
-        "pid", F.spark_partition_id()
-    )
-    rp = rp.localCheckpoint(eager=True)  # pin partitioning: pid must be stable
+    d = docs.select("doc_id", ttr_expr(F.split("text", " ")).alias("ttr"))
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_parts = 16  # e.g. "auto" under some AQE configs
+    app_id = spark.sparkContext.applicationId
+    key = ("curriculum_rp", app_id, sf_dir, n_parts)
+    if key not in _CURRICULUM_CACHE:
+        for stale in [k for k in _CURRICULUM_CACHE if k != key]:
+            if stale[1] == app_id:
+                try:
+                    _CURRICULUM_CACHE[stale].unpersist()
+                except Exception:
+                    pass  # session died mid-unpersist: nothing to free
+            del _CURRICULUM_CACHE[stale]
+        rp = d.repartitionByRange(
+            n_parts, F.desc("ttr"), F.asc("doc_id")
+        ).withColumn("pid", F.spark_partition_id())
+        # pin partitioning: pid must be stable across the count + window
+        _CURRICULUM_CACHE[key] = rp.localCheckpoint(eager=True)
+    rp = _CURRICULUM_CACHE[key]
     # partition sizes -> exclusive prefix offsets (n_parts rows on the driver)
     sizes = {r["pid"]: r["cnt"] for r in rp.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets, acc = {}, 0
@@ -282,7 +313,7 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_chars) AS BIGINT) AS kept_chars,
            CAST(min(n_chars) AS BIGINT) AS cutoff_chars
     FROM scored
-    WHERE cum_chars - n_chars < 0.8 * total_chars
+    WHERE (cum_chars - n_chars) * 5 < total_chars * 4
     GROUP BY source
     """,
 )
@@ -295,8 +326,13 @@ def q_top_p_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     The keep rule uses the EXCLUSIVE cumulative sum (a doc is kept if
     the mass BEFORE it is still under the threshold), so exactly the
     boundary document crosses p.  Both windows (total + running) ride
-    ONE hash exchange on ``source``; integer character counts and one
-    0.8*total double product keep the cutoff engine-exact."""
+    ONE hash exchange on ``source``.  The 80% cutoff is compared as
+    ``prior_mass * 5 < total * 4`` — pure BIGINT arithmetic on BOTH
+    engines (review r10: the previous ``< 0.8 * total`` ran in double
+    on Spark but exact DECIMAL in DuckDB, where the 0.8 literal is
+    DECIMAL(2,1); the engines happened to agree below ~2e15 chars per
+    source, but the integer form is exact at ANY scale and immune to
+    'equivalent' threshold rewrites)."""
 
     docs = _docs(spark, sf_dir)
     w_total = Window.partitionBy("source")
@@ -314,7 +350,8 @@ def q_top_p_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.where(
-            F.col("cum_chars") - F.col("n_chars") < 0.8 * F.col("total_chars")
+            (F.col("cum_chars") - F.col("n_chars")) * 5
+            < F.col("total_chars") * 4
         )
         .groupBy("source")
         .agg(

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_data_gen_spark.operators import register
-from iceberg_data_gen_spark.operators.common import doc_order_key
+from iceberg_data_gen_spark.operators.common import doc_order_key, ttr_expr
 from iceberg_data_gen_spark.operators.common import docs_table as _docs
 
 # language-marker stopword lists for the n-gram/stopword language-ID
@@ -68,7 +68,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words, 4
         ).alias("avg_word_len"),
-        F.round(n_distinct.cast("double") / n_words, 4).alias("ttr"),
+        F.round(ttr_expr(words), 4).alias("ttr"),
     )
 
 
@@ -1173,7 +1173,7 @@ def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_chars",
         F.size(words).alias("n_words"),
-        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("ttr"),
+        ttr_expr(words).alias("ttr"),
     )
     s2 = F.col("n_chars") >= 150
     s3 = s2 & (F.col("n_words") >= 30)

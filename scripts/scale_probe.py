@@ -181,10 +181,14 @@ def main() -> None:
     # validate the argv name filter BEFORE paying for the session + corpus
     # build (ADVICE r9): a misspelled label (q_ewma_ for q_ewma, or a
     # forgotten [operator]/[lsh] suffix) used to silently produce an empty
-    # probe report that read as "nothing to probe"
+    # probe report that read as "nothing to probe".  stream_labels is the
+    # ONE definition of the '[operator]' suffix scheme — the probe loop
+    # below consumes the same dict, so the validation set cannot drift
+    # from the labels the loops actually run (review r10).
+    stream_labels = {n: f"{n}[operator]" for n in STREAM_PROBE}
     known = (
         set(PROBE)
-        | {f"{n}[operator]" for n in STREAM_PROBE}
+        | set(stream_labels.values())
         | {label for label, _, _ in ENV_PROBE}
     )
     unknown = set(sys.argv[1:]) - known
@@ -258,10 +262,11 @@ def main() -> None:
         return time.time() - t0
 
     for name in STREAM_PROBE:
-        if not wanted(f"{name}[operator]"):
+        label = stream_labels[name]
+        if not wanted(label):
             continue
-        report[f"{name}[operator]"] = probe_one(name, runner=run_stream)
-        print(f"{name}[operator]", report[f"{name}[operator]"], file=sys.stderr, flush=True)
+        report[label] = probe_one(name, runner=run_stream)
+        print(label, report[label], file=sys.stderr, flush=True)
     for label, name, env in ENV_PROBE:
         if not wanted(label):
             continue

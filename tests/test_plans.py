@@ -549,7 +549,7 @@ def test_asof_join_single_exchange_per_side_composite_keys(spark):
 
 
 @pytest.mark.parametrize(
-    ("name", "min_bhj", "max_shuffled"),
+    ("name", "min_bhj", "exact_shuffled"),
     [
         # (query, BroadcastHashJoin floor, exact count of shuffled joins
         #  allowed — the genuine fact-fact joins where BOTH sides scale
@@ -573,7 +573,7 @@ def test_asof_join_single_exchange_per_side_composite_keys(spark):
     ],
 )
 def test_unhinted_star_dimensions_adapt_to_broadcast(
-    spark, name, min_bhj, max_shuffled
+    spark, name, min_bhj, exact_shuffled
 ):
     """customer/supplier/part lost their hard broadcast hints (review
     r9: they SCALE with SF — a hint is honored unconditionally and OOMs
@@ -597,4 +597,4 @@ def test_unhinted_star_dimensions_adapt_to_broadcast(
         "ShuffledHashJoin"
     )
     assert n_bhj >= min_bhj, (name, n_bhj, executed[:400])
-    assert n_shuffled == max_shuffled, (name, n_shuffled, executed[:400])
+    assert n_shuffled == exact_shuffled, (name, n_shuffled, executed[:400])
