@@ -1,6 +1,8 @@
-"""Event-stream analytics over the ``events`` table: sessionization,
-funnel conversion, cohort retention, time-series gap fill, and
-distribution window functions.
+"""Event/behavior analytics (16 operators): sessionization, funnel
+conversion, cohort retention, time-series gap fill, distribution
+windows, source diversity, SCD2 history, column profiling, integer
+PageRank, EWMA, ntile binning, latest-state, lag features, MAD
+outliers, DAU/MAU stickiness, and the activity heatmap.
 
 These are the batch shapes a product/training-data pipeline runs at
 100 TB (the reference's datagen feeds exactly this kind of downstream —
@@ -12,10 +14,11 @@ Scale design
 * Sessionization is ONE shuffle (hash by ``user_id``); the session
   boundary flag, session index, and per-session aggregates all reuse the
   same partitioning, so Spark plans a single Exchange followed by
-  sort-based windows and a partial-agg groupBy.
-* Funnel and retention are conditional aggregations over one
-  per-user shuffle each — no self-joins, no explosion (the classic
-  mistake is N self-joins for N funnel stages).
+  sort-based windows and a partial-agg groupBy.  The same per-key
+  layout carries SCD2, latest-state, lag features, EWMA (the one
+  genuinely sequential recurrence, applyInPandas per user), and the
+  retention/funnel conditional aggregations — no self-joins, no
+  explosion (the classic mistake is N self-joins for N funnel stages).
 * Gap fill generates the dense (entity × day) frame with ``sequence`` +
   ``explode`` on a one-row bounds aggregate — the dense frame is tiny
   relative to the fact table and the join against observed counts is
@@ -23,6 +26,10 @@ Scale design
 * The distribution windows (ntile / percent_rank / cume_dist) ride one
   sort per partition key with tie-broken ordering so results are
   deterministic across any cluster layout.
+* Column profiling runs all per-column aggregates in ONE scan (Expand);
+  PageRank is integer-mass power iteration over a session-cached edge
+  table with node-bounded broadcasts; MAD/DAU-MAU are two-phase
+  aggregates whose intermediate is keys-not-events sized.
 """
 
 from __future__ import annotations
@@ -32,7 +39,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from iceberg_data_gen_spark.operators import register
-from iceberg_data_gen_spark.operators.common import iso_weekday
+from iceberg_data_gen_spark.operators.common import dsum, dsum_sql, iso_weekday
+from iceberg_data_gen_spark.operators.common import docs_table as _docs
 from iceberg_data_gen_spark.session import load_tables
 
 SESSION_GAP_SEC = 1800  # 30 min inactivity closes a session
@@ -66,7 +74,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(ts) AS session_start,
            max(ts) AS session_end,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           {dsum_sql("value", 2)} AS sum_value
     FROM sess
     GROUP BY user_id, session_idx
     """,
@@ -101,10 +109,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            # DECIMAL accumulation: events.value has <= 2 decimal places, so
-            # the sum is exact regardless of partition merge order; a raw
-            # double sum drifts with the session's partitioning (playbook).
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            # DECIMAL accumulation (shared dsum helper): events.value has
+            # <= 2 decimal places, so the sum is exact regardless of
+            # partition merge order; a raw double sum drifts with the
+            # session's partitioning (playbook).
+            dsum(F.col("value"), 2).alias("sum_value"),
         )
     )
 
@@ -192,7 +201,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.cohort_day,
            date_diff('day', c.cohort_day, a.active_day) AS day_offset,
-           count(DISTINCT a.user_id) AS n_users
+           count(*) AS n_users
     FROM cohort c JOIN active a ON c.user_id = a.user_id
     WHERE date_diff('day', c.cohort_day, a.active_day) BETWEEN 0 AND 7
     GROUP BY 1, 2
@@ -216,7 +225,12 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         cohort.join(active, "user_id")
         .where((off >= 0) & (off <= 7))
         .groupBy("cohort_day", off.alias("day_offset"))
-        .agg(F.count_distinct("user_id").alias("n_users"))
+        # plain count, not count_distinct (review r10): within a
+        # (cohort_day, day_offset) group each user contributes at most
+        # one row — `active` is distinct on (user, day), a user has ONE
+        # cohort_day, and the group's day_offset pins the active_day —
+        # so the distinct aggregation was provably redundant state
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
 
@@ -350,7 +364,7 @@ def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations partitioned by the same source key + a broadcast-sized
     totals join.
     """
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = _docs(spark, sf_dir)
     c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
     t = c.groupBy("source").agg(F.sum("n").alias("total"))
     return (
@@ -508,7 +522,13 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 PR_ITERS = 3
 _PR_EDGE_CACHE: dict[tuple, object] = {}
 
-PR_SCALE = 1_000_000  # integer mass per node; 15% base = 150_000
+PR_SCALE = 1_000_000  # integer mass per node
+# damping as an integer percentage, interpolated into BOTH the Spark
+# expression and the oracle CTEs (review r10: the 85 / 15%-base pair was
+# typed independently at four sites that must stay bit-identical for the
+# integer-exact parity to hold)
+PR_DAMP_PCT = 85
+PR_BASE = PR_SCALE * (100 - PR_DAMP_PCT) // 100  # 150_000
 
 
 def _pagerank_oracle() -> str:
@@ -516,7 +536,7 @@ def _pagerank_oracle() -> str:
     All arithmetic is BIGINT (floor division) so partition merge order
     cannot perturb a single bit — the playbook's integer-exactness rule
     applied to an iterative graph algorithm."""
-    base = PR_SCALE * 15 // 100
+    base = PR_BASE
     sql = """
     WITH ord AS (
         SELECT user_id, event_type,
@@ -537,7 +557,7 @@ def _pagerank_oracle() -> str:
         sql += """,
     c{i} AS (
         SELECT e.dst AS node,
-               sum((((m.mass * 85) // 100) * e.w) // o.tw) AS contrib
+               sum((((m.mass * {damp}) // 100) * e.w) // o.tw) AS contrib
         FROM edges e
         JOIN m{p} m ON m.node = e.src
         JOIN outw o ON o.src = e.src
@@ -547,7 +567,7 @@ def _pagerank_oracle() -> str:
         SELECT n.node, {base} + coalesce(c.contrib, 0) AS mass
         FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
     )
-    """.format(i=i, p=i - 1, base=base)
+    """.format(i=i, p=i - 1, base=base, damp=PR_DAMP_PCT)
     sql += f"SELECT node AS event_type, CAST(mass AS BIGINT) AS pagerank_mass FROM m{PR_ITERS}"
     return sql
 
@@ -558,12 +578,14 @@ def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph-algorithm shape (power iteration) as pure DataFrame joins.
 
     Graph: per-user event streams yield (type -> next type) edges with
-    transition counts (one window pass); {PR_ITERS} power iterations
-    propagate INTEGER mass (85% along out-edges proportional to weight
-    with floor division, 15% base), so results are bit-exact against the
-    chained-CTE oracle — float PageRank would diverge across partition
-    merge orders.  Dangling-node mass evaporates (documented classic
-    variant).
+    transition counts (one window pass); PR_ITERS power iterations
+    propagate INTEGER mass (PR_DAMP_PCT% along out-edges proportional
+    to weight with floor division, the rest as PR_BASE), so results are
+    bit-exact against the chained-CTE oracle — float PageRank would
+    diverge across partition merge orders.  Dangling-node mass
+    evaporates (documented classic variant).  The damping/base pair is
+    interpolated from the module constants into BOTH engines' arithmetic
+    (review r10: four independently typed copies).
 
     Scale: nodes here are event types, but the plan is the web-graph
     one — each iteration is contribution-join + groupBy(dst) + left
@@ -608,14 +630,16 @@ def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PR_EDGE_CACHE[key] = edges.join(outw, "src").cache()
     edges = _PR_EDGE_CACHE[key]
 
-    base = PR_SCALE * 15 // 100
+    base = PR_BASE
     mass = nodes.withColumn("mass", F.lit(PR_SCALE).cast("long"))
     for _ in range(PR_ITERS):
         contrib = (
             edges.join(F.broadcast(mass), edges["src"] == mass["node"])
             .select(
                 "dst",
-                F.expr("(((mass * 85) div 100) * w) div tw").alias("c"),
+                F.expr(
+                    f"(((mass * {PR_DAMP_PCT}) div 100) * w) div tw"
+                ).alias("c"),
             )
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
@@ -637,7 +661,7 @@ def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE s AS (
         SELECT user_id, event_id, value,
                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     r AS (
         SELECT user_id, rn, event_id, value, value AS ewma FROM s WHERE rn = 1
@@ -659,6 +683,11 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     division is exact in binary floating point and both engines evaluate
     the identical left-to-right recurrence (the oracle's recursive CTE
     steps in the same order), so results are bit-equal with no rounding.
+    NULL values are filtered on BOTH engines before the recurrence
+    (review r10: pandas turns a NULL into NaN, which the numpy loop
+    would propagate as NaN doubles while the CTE propagates SQL NULL —
+    different stringifications under the driver hash; testdata carries
+    no NULLs today, but it regenerates every round).
     Scale: per-user history is the only sequential span; users fan out
     across executors (one shuffle on user_id) — the canonical
     stateful-timeseries layout.
@@ -666,7 +695,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
 
     def ewma_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])

@@ -37,6 +37,24 @@ def doc_order_key() -> F.Column:
     return F.md5(F.col("doc_id").cast("string").cast("binary"))
 
 
+def dsum(c: F.Column, scale: int = 4) -> F.Column:
+    """Order-independent money sum: accumulate in DECIMAL (exact for
+    fixed-point inputs like prices/discounts), emit DOUBLE.
+
+    Plain double sums are order-dependent (Spark's partial-aggregate merge
+    order varies run to run), and rounding such a sum at a .005 boundary
+    flips between engines (HALF_UP vs half-even).  Exact accumulation
+    removes both failure modes — also how a production engine should sum
+    money at 100 TB.
+    """
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def dsum_sql(expr: str, scale: int = 4) -> str:
+    """The oracle-side twin of :func:`dsum` (identical semantics)."""
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
 def ttr_expr(words: F.Column) -> F.Column:
     """Type-token ratio over a word array — ``distinct words / words``
     as one double division (``len(list_distinct(...)) / len(...)`` on

@@ -40,22 +40,12 @@ def R2(c: Column) -> Column:
     return F.round(c, 2)
 
 
-def dsum(c: Column, scale: int = 4) -> Column:
-    """Order-independent money sum: accumulate in DECIMAL (exact for
-    fixed-point inputs like prices/discounts), emit DOUBLE.
-
-    Plain double sums are order-dependent (Spark's partial-aggregate merge
-    order varies run to run), and rounding such a sum at a .005 boundary
-    flips between engines (HALF_UP vs half-even).  Exact accumulation
-    removes both failure modes — also how a production engine should sum
-    money at 100 TB.
-    """
-    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
-
-
-def dsum_sql(expr: str, scale: int = 4) -> str:
-    """The oracle-side twin of :func:`dsum` (identical semantics)."""
-    return f"CAST(sum(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+# dsum/dsum_sql moved to registration-free common.py (review r10) so
+# modules that load BEFORE this one (analytics) can share them without
+# triggering this module's @register side effects out of order;
+# re-exported here because relational2/relational3 import them from this
+# module's namespace.
+from iceberg_data_gen_spark.operators.common import dsum, dsum_sql  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
