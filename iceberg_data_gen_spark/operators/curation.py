@@ -42,11 +42,11 @@ PII_LONG_DIGITS = r"\d{9,}"  # SSN/phone/account-number-shaped runs
                          THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_ip,
            CAST(sum(CASE WHEN regexp_matches(text, '{PII_LONG_DIGITS}')
                          THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_id_number,
-           CAST(sum(len(regexp_extract_all(text, '{PII_EMAIL}')))
+           CAST(sum(coalesce(len(regexp_extract_all(text, '{PII_EMAIL}')), 0))
                 AS BIGINT) AS n_emails,
-           CAST(sum(len(regexp_extract_all(text, '{PII_IPV4}')))
+           CAST(sum(coalesce(len(regexp_extract_all(text, '{PII_IPV4}')), 0))
                 AS BIGINT) AS n_ips,
-           CAST(sum(len(regexp_extract_all(text, '{PII_LONG_DIGITS}')))
+           CAST(sum(coalesce(len(regexp_extract_all(text, '{PII_LONG_DIGITS}')), 0))
                 AS BIGINT) AS n_id_numbers
     FROM documents
     GROUP BY source
@@ -70,14 +70,21 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_email = F.regexp_count("text", F.lit(PII_EMAIL))
     n_ip = F.regexp_count("text", F.lit(PII_IPV4))
     n_id = F.regexp_count("text", F.lit(PII_LONG_DIGITS))
+    # per-row coalesce (review r10): a NULL text yields NULL regexp
+    # counts, and F.sum over an all-NULL group returns NULL where the
+    # oracle's CASE...ELSE 0 / coalesce(len(...), 0) sums to 0 — the
+    # same NULL-text parity class the r9 q_simpson_diversity fix closed
+    def z(c) -> F.Column:
+        return F.sum(F.coalesce(c, F.lit(0)))
+
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum((n_email > 0).cast("long")).alias("docs_with_email"),
-        F.sum((n_ip > 0).cast("long")).alias("docs_with_ip"),
-        F.sum((n_id > 0).cast("long")).alias("docs_with_id_number"),
-        F.sum(n_email.cast("long")).alias("n_emails"),
-        F.sum(n_ip.cast("long")).alias("n_ips"),
-        F.sum(n_id.cast("long")).alias("n_id_numbers"),
+        z((n_email > 0).cast("long")).alias("docs_with_email"),
+        z((n_ip > 0).cast("long")).alias("docs_with_ip"),
+        z((n_id > 0).cast("long")).alias("docs_with_id_number"),
+        z(n_email.cast("long")).alias("n_emails"),
+        z(n_ip.cast("long")).alias("n_ips"),
+        z(n_id.cast("long")).alias("n_id_numbers"),
     )
 
 

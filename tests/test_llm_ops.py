@@ -1449,3 +1449,41 @@ def test_codec_audit_holds_on_large_doc_ids(spark, tmp_path):
         and row.ppm_exact
         and row.stats_match
     ), row
+
+
+def test_pii_scan_all_null_text_source_matches_oracle(spark, tmp_path):
+    """Review r10: a source whose every text is NULL summed to NULL in
+    Spark (F.sum over all-NULL per-row regexp counts) while the oracle's
+    CASE...ELSE 0 / coalesce(len(...), 0) sums to 0 — the same
+    NULL-text parity class the r9 q_simpson_diversity fix closed.
+    FIXTURES.md permits NULL documents.text and the driver regenerates
+    testdata every round, so pin parity on a planted corpus with one
+    all-NULL source and one mixed source."""
+    import duckdb
+
+    from iceberg_data_gen_spark.operators import ORACLES
+
+    sf_dir = str(tmp_path / "sf-pii-null")
+    spark.createDataFrame(
+        [
+            (1, "write to a@b.com today", "s1", "en", 22),
+            (2, None, "s1", "en", 0),
+            (3, None, "s2", "en", 0),
+            (4, None, "s2", "en", 0),
+        ],
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = sorted(
+        map(tuple, operators.QUERIES["q_pii_scan"](spark, sf_dir).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    oracle = sorted(map(tuple, con.execute(ORACLES["q_pii_scan"]).fetchall()))
+    assert got == oracle, (got, oracle)
+    by_source = {r[0]: r for r in got}
+    assert by_source["s2"][2:] == (0, 0, 0, 0, 0, 0)  # zeros, never NULL
+    assert by_source["s1"][2] == 1 and by_source["s1"][5] == 1  # email found
