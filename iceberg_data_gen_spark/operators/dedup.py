@@ -530,16 +530,32 @@ def q_minhash_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rows_per_band = MINHASH_PERMS // LSH_BANDS
+    # coalesce(0) on every bad-counter (review r10): over an EMPTY pair
+    # set F.sum returns NULL and `None == 0` is False — a fully distinct
+    # corpus (zero band collisions anywhere) would flip every boolean
+    # FALSE against the oracle's unconditional TRUEs.  Vacuous truth is
+    # correct there, and NOT a loophole for a broken LSH that emits zero
+    # pairs on a dup-bearing corpus: the star check below derives its
+    # expected pairs from the SIGNATURES, independent of the LSH output,
+    # so an empty output with collision-bearing buckets still fails
+    # star_connected.
     agg = checked.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.count_distinct("doc_a", "doc_b").alias("n_distinct"),
-        F.sum((~F.col("shares_band")).cast("long")).alias("bad_band"),
-        F.sum((F.col("doc_a") >= F.col("doc_b")).cast("long")).alias("bad_order"),
-        F.sum(
-            (
-                (F.col("est_jaccard") < rows_per_band / MINHASH_PERMS)
-                | (F.col("est_jaccard") > 1.0)
-            ).cast("long")
+        F.coalesce(
+            F.sum((~F.col("shares_band")).cast("long")), F.lit(0)
+        ).alias("bad_band"),
+        F.coalesce(
+            F.sum((F.col("doc_a") >= F.col("doc_b")).cast("long")), F.lit(0)
+        ).alias("bad_order"),
+        F.coalesce(
+            F.sum(
+                (
+                    (F.col("est_jaccard") < rows_per_band / MINHASH_PERMS)
+                    | (F.col("est_jaccard") > 1.0)
+                ).cast("long")
+            ),
+            F.lit(0),
         ).alias("bad_est"),
     ).collect()[0]
 
@@ -561,13 +577,20 @@ def q_minhash_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
     ).count()
 
-    n_docs = _docs(spark, sf_dir).count()
+    if sf_dir not in _DOC_COUNT:  # path-keyed memo (review r10: the
+        _DOC_COUNT[sf_dir] = _docs(spark, sf_dir).count()  # audit paid a
+    n_docs = _DOC_COUNT[sf_dir]  # fresh full-corpus count per call
     pairs.unpersist()
+    # pairs_banded is vacuously TRUE on a zero-pair corpus (matching the
+    # oracle's unconditional TRUE); star_connected independently fails a
+    # broken-empty LSH output whenever the signatures produce any ≥2
+    # bucket, so the old `n_pairs > 0` conjunct added no protection and
+    # falsely failed dup-free corpora (review r10).
     return spark.createDataFrame(
         [
             (
                 n_docs,
-                agg.bad_band == 0 and agg.n_pairs > 0,
+                agg.bad_band == 0,
                 n_missing == 0,
                 agg.bad_order == 0 and agg.n_pairs == agg.n_distinct,
                 agg.bad_est == 0,
@@ -821,8 +844,18 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     P = 4  # pair-space tiling factor: each task sees ≤ 2 buckets of one label
-    e = _emb(spark, sf_dir).select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    # NULL guards (review r10, FIXTURES.md permits NULLs in family-B
+    # columns): a NULL label would form its own Spark grouping key and
+    # pair its vectors while the oracle's `a.label = b.label` join never
+    # matches NULLs; a NULL embedding survives the cast as a None cell
+    # and crashes np.array on the mixed None/list column where the
+    # oracle's list_dot_product(NULL, ...) quietly drops the row.
+    e = (
+        _emb(spark, sf_dir)
+        .where(F.col("label").isNotNull() & F.col("embedding").isNotNull())
+        .select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
     bucket = F.pmod(F.xxhash64("vec_id"), F.lit(P))
     tiled = (
@@ -1075,9 +1108,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         # union-by-min: every link points to a SMALLER id, so each
-        # component's root IS its minimum node — find(n) is the label
+        # component's root IS its minimum node — find(n) is the label.
+        # Ship the labels back as an Arrow-backed pandas frame of two
+        # int64 arrays (review r10): a list of Python int-tuples at the
+        # CC_DRIVER_MAX_EDGES cap (~4M nodes) costs hundreds of MB of
+        # object overhead — the same blow-up the r8 toLocalIterator fix
+        # removed from the input side, recreated on the output side.
+        import numpy as np
+        import pandas as pd
+
+        nodes = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
+        nodes.sort()
+        reps = np.fromiter((find(int(n)) for n in nodes), dtype=np.int64,
+                           count=len(nodes))
         labels = spark.createDataFrame(
-            [(n, find(n)) for n in sorted(parent)],
+            pd.DataFrame({"doc_id": nodes, "cluster_rep": reps}),
             "doc_id long, cluster_rep long",
         )
         return _labels_to_clusters(spark, sf_dir, labels)
@@ -1300,7 +1345,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "source",
             F.when(F.col("ch").isNotNull(), "dup_of_corpus")
-            .when(F.col("rn") > 1, "dup_in_batch")
+            # h.isNotNull (review r10): NULL-text docs hash to NULL, and
+            # the window groups NULLs together — without the guard the
+            # second NULL-text batch doc classified 'dup_in_batch' while
+            # the oracle's NULL-hostile `b.h IN (...)` falls through to
+            # 'new'.  Two unhashable documents are not duplicates of
+            # each other on either engine.
+            .when((F.col("rn") > 1) & F.col("h").isNotNull(), "dup_in_batch")
             .otherwise("new")
             .alias("verdict"),
         )

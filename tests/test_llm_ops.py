@@ -1487,3 +1487,85 @@ def test_pii_scan_all_null_text_source_matches_oracle(spark, tmp_path):
     by_source = {r[0]: r for r in got}
     assert by_source["s2"][2:] == (0, 0, 0, 0, 0, 0)  # zeros, never NULL
     assert by_source["s1"][2] == 1 and by_source["s1"][5] == 1  # email found
+
+
+def test_dedup_incremental_null_text_stays_new_on_both_engines(spark, tmp_path):
+    """Review r10: two NULL-text batch docs hash to NULL; Spark's window
+    grouped the NULLs and marked the second 'dup_in_batch' while the
+    oracle's NULL-hostile `b.h IN (...)` fell through to 'new'.  Two
+    unhashable documents are not duplicates of each other — pin 'new'
+    on both engines with a planted corpus."""
+    import duckdb
+
+    from iceberg_data_gen_spark.operators import ORACLES
+
+    sf_dir = str(tmp_path / "sf-incr-null")
+    spark.createDataFrame(
+        [
+            (10, None, "s1", "en", 0),     # batch (doc_id % 10 == 0), NULL
+            (20, None, "s1", "en", 0),     # batch, NULL -> must stay 'new'
+            (30, "same text", "s1", "en", 9),   # batch dup pair ->
+            (40, "same text", "s1", "en", 9),   # min-id survives
+            (7, "corpus doc", "s1", "en", 10),  # corpus
+            (50, "corpus doc", "s1", "en", 10), # batch dup_of_corpus
+        ],
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = sorted(
+        (r.doc_id, r.verdict)
+        for r in operators.QUERIES["q_dedup_incremental"](spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    oracle = sorted(
+        (int(r[0]), r[3])
+        for r in con.execute(ORACLES["q_dedup_incremental"]).fetchall()
+    )
+    assert got == oracle, (got, oracle)
+    assert dict(got) == {
+        10: "new", 20: "new", 30: "new", 40: "dup_in_batch",
+        50: "dup_of_corpus",
+    }
+
+
+def test_embedding_neardup_null_label_and_null_vector(spark, tmp_path):
+    """Review r10: a NULL label formed its own Spark grouping key and
+    paired its vectors (the oracle's equality join never matches NULLs),
+    and a NULL embedding crashed np.array on the mixed None/list column.
+    Both now filter out on the Spark side, matching the oracle's silent
+    drop — pin on a planted corpus where the NULL rows would otherwise
+    pair with cosine 1.0."""
+    import duckdb
+
+    from iceberg_data_gen_spark.operators import ORACLES
+
+    sf_dir = str(tmp_path / "sf-emb-null")
+    v = [1.0, 0.0, 0.0, 0.0]
+    spark.createDataFrame(
+        [
+            (1, v, "a"), (2, v, "a"),          # real pair, cos = 1.0
+            (3, v, None), (4, v, None),        # NULL label: no pair
+            (5, None, "a"),                    # NULL vector: dropped
+        ],
+        "vec_id long, embedding array<double>, label string",
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    got = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in operators.QUERIES["q_embedding_neardup"](spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    oracle = sorted(
+        (int(a), int(b), float(c))
+        for a, b, c in con.execute(ORACLES["q_embedding_neardup"]).fetchall()
+    )
+    assert got == oracle, (got, oracle)
+    assert got == [(1, 2, 1.0)]
