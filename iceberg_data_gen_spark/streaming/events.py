@@ -107,6 +107,43 @@ def normalize_events_ts(df: DataFrame, ts_is_long: bool) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+# session-id -> the nanosAsLong conf value BEFORE a nanos-layout stream
+# first set it; consumed (and the conf restored) by the bounded runners
+_NANOS_CONF_PRIOR: dict[int, str | None] = {}
+_SENTINEL = object()
+
+
+def _restore_nanos_conf(spark: SparkSession) -> None:
+    """Restore ``nanosAsLong`` to its pre-stream value after a bounded
+    run (no-op unless ``read_events_stream`` set it for this session)."""
+    prior = _NANOS_CONF_PRIOR.pop(id(spark), _SENTINEL)
+    if prior is _SENTINEL:
+        return
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+    except Exception:
+        pass  # session stopped mid-restore: nothing to leak
+
+
+
+def _count_value_aggs() -> list:
+    """The n_events/sum_value aggregation pair every windowed stream in
+    this module shares: exact-decimal value accumulation emitted as
+    DOUBLE.  ONE definition (review r10: six hand copies — a precision
+    change applied to one site would silently diverge the others from
+    their oracles)."""
+    return [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    ]
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-source stream with microsecond timestamps,
     normalized to session-zone TimestampType exactly like the batch loader
@@ -116,10 +153,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema, ts_is_long = _events_raw_schema(sf_dir)
     if ts_is_long:
         # needed for the TIMESTAMP(NANOS) layout, and it must stay set
-        # while the stream runs; only set it when that layout is actually
-        # present so the common micros/INT96 case doesn't leak a conf
-        # that changes later batch reads of nanos parquet in this session
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # while the stream runs; only set when that layout is actually
+        # present.  The prior value is recorded so the bounded runners
+        # (run_to_completion / run_operator_only) can RESTORE it after
+        # the stream stops (review r10: the conf used to stay set for
+        # the session's lifetime, changing how later unrelated batch
+        # reads of nanos parquet behave — raw longs instead of the
+        # unsupported-type error).
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        sid = id(spark)
+        if sid not in _NANOS_CONF_PRIOR:
+            try:
+                prior = spark.conf.get(key)
+            except Exception:
+                prior = None
+            _NANOS_CONF_PRIOR[sid] = prior
+        spark.conf.set(key, "true")
     path = os.path.join(sf_dir, "events.parquet")
     reader = spark.readStream.schema(schema).format("parquet")
     if STREAM_MAX_FILES_PER_TRIGGER:
@@ -185,6 +234,7 @@ def run_operator_only(
             progress = q.lastProgress
         finally:
             q.stop()
+            _restore_nanos_conf(spark)
     return progress
 
 
@@ -233,6 +283,7 @@ def run_to_completion(sdf: DataFrame, output_mode: str = "complete") -> DataFram
             q.processAllAvailable()
         finally:
             q.stop()
+            _restore_nanos_conf(spark)
     return spark.table(name)
 
 
@@ -255,8 +306,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes"), "event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            *_count_value_aggs(),
         )
     )
     out = run_to_completion(agg)
@@ -294,8 +344,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "10 minutes", "5 minutes"))
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            *_count_value_aggs(),
         )
     )
     out = run_to_completion(agg)
@@ -312,8 +361,7 @@ def _session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("last_event_ts"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            *_count_value_aggs(),
         )
     )
 
@@ -480,9 +528,13 @@ def make_stateful_count_ttl(ttl_ms: int):
                 continue
             n += len(pdf)
             cents += int(pdf["value_cents"].sum())
-            m = int(pdf["ts_ms"].max())
-            if m > last_ms:
-                last_ms = m
+            # NaN-guard (review r10): a chunk whose ts values are ALL
+            # null gives max()=NaN and int(NaN) raises, killing the
+            # query mid-batch; such rows still count toward n/cents
+            # (like the non-TTL twin) but cannot move the deadline
+            m = pdf["ts_ms"].max()
+            if m == m and int(m) > last_ms:  # NaN != NaN
+                last_ms = int(m)
         # last_ms PERSISTS in state (review r9): computing the deadline
         # from only the current batch's max ts would let an out-of-order
         # (within-watermark) event move the timeout BACKWARD — premature
@@ -621,8 +673,7 @@ def _static_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"), "c_mktsegment")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            *_count_value_aggs(),
         )
     )
 
@@ -785,8 +836,7 @@ def q_stream_to_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes"), "event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            *_count_value_aggs(),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -867,22 +917,37 @@ def tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     class RunningTotal(StatefulProcessor):
         def init(self, handle):
-            self.tot = handle.getValueState("tot", "n long, total double")
+            # integer-cents state (review r10): `total += float(sum)`
+            # re-introduced the order-dependent double accumulation the
+            # r8 fix removed from make_stateful_count — the total was
+            # not a pure function of the event log across chunk orders
+            self.tot = handle.getValueState("tot", "n long, cents long")
 
         def handleInputRows(self, key, rows, timer_values):
-            n, total = (self.tot.get() if self.tot.exists() else (0, 0.0))
+            n, cents = (self.tot.get() if self.tot.exists() else (0, 0))
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-            self.tot.update((n, total))
+                cents += int(pdf["value_cents"].sum())
+            self.tot.update((n, cents))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents / 100.0],
+                }
             )
 
         def close(self):
             pass
 
-    ev = read_events_stream(spark, sf_dir)
+    # exact cents computed in the PLAN (decimal cast), same as
+    # _stateful_agg — the kernel only ever adds integers
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("value_cents"),
+    )
     out = ev.groupBy("user_id").transformWithStateInPandas(
         RunningTotal(),
         "user_id bigint, n_events bigint, total_value double",
@@ -988,7 +1053,6 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(sink)
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            *_count_value_aggs(),
         )
     )

@@ -4,6 +4,7 @@ single-batch run can't show)."""
 
 from __future__ import annotations
 
+import os
 import shutil
 from pathlib import Path
 
@@ -893,3 +894,63 @@ def test_stream_static_join_broadcasts_by_size_estimate(spark):
     spark.catalog.dropTempView(name)
     assert n_rows > 0
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_nanos_layout_stream_reads_and_restores_conf(spark, tmp_path):
+    """The INT64-nanos events layout (round-3 testdata shipped it; the
+    driver regenerates testdata every round so it can return) must (a)
+    stream with timestamps normalized exactly like the micros layout,
+    and (b) restore ``nanosAsLong`` to its pre-stream value once the
+    bounded run completes (review r10: the conf used to stay set for
+    the session's lifetime, changing how later unrelated batch reads
+    of nanos parquet behave)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_data_gen_spark.streaming import events as ev_mod
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(key)
+
+    base = str(tmp_path / "sf-nanos")
+    os.makedirs(base)
+    t0 = 1_700_000_000_000_000_000  # ns since epoch
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [t0, t0 + 60_000_000_000, t0 + 3_900_000_000_000],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([7, 7, 8], pa.int64()),
+            "event_type": pa.array(["click"] * 3),
+            "value": pa.array([1.5, 2.25, 3.0], pa.float64()),
+            "props": pa.array(["{}"] * 3),
+        }
+    )
+    # version 2.6 + no coercion => physical INT64 TIMESTAMP(NANOS)
+    pq.write_table(
+        table, os.path.join(base, "events.parquet"),
+        coerce_timestamps=None, version="2.6",
+    )
+    meta = pq.read_metadata(os.path.join(base, "events.parquet")).schema
+    assert "INT64" in meta.column(1).physical_type  # really nanos layout
+
+    schema, ts_is_long = ev_mod._events_raw_schema(base)
+    assert ts_is_long is True
+
+    agg = (
+        ev_mod.read_events_stream(spark, base)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(*ev_mod._count_value_aggs())
+    )
+    assert spark.conf.get(key) == "true"  # set while the stream runs
+    out = ev_mod.run_to_completion(agg)
+    rows = sorted(
+        (r["window"]["start"], r.n_events, r.sum_value) for r in out.collect()
+    )
+    assert [(r[1], r[2]) for r in rows] == [(2, 3.75), (1, 3.0)]
+    # restored to the pre-stream value after the bounded run
+    assert spark.conf.get(key) == prior
+    assert ev_mod._NANOS_CONF_PRIOR == {}
