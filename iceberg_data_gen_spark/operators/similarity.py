@@ -342,15 +342,23 @@ IVF_TWO_LEVEL_ENV = "IDG_IVF_TWO_LEVEL"
 _TWO_LEVEL_MIN_N = IVF_MAX_CENTROIDS * IVF_TARGET_ROWS_PER_CELL
 
 
+def _ivf_want(n_vectors: int) -> int:
+    """Uncapped cell count ``ceil(n / target-occupancy)`` — ONE
+    definition shared by ``_ivf_k`` and the flat/two-level switch in
+    ``_corpus_centroids`` (review r10: the same ceil was computed in
+    both places, so an occupancy-formula change in one would silently
+    diverge the switch threshold from the flat k)."""
+    import math
+
+    return math.ceil(max(n_vectors, 1) / IVF_TARGET_ROWS_PER_CELL)
+
+
 def _ivf_k(n_vectors: int) -> int:
     """Corpus-derived coarse-quantizer size: constant expected rows per
     cell, floored at {IVF_CENTROIDS} so tiny test corpora keep the
     recall-asserted 16-cell geometry, capped at {IVF_MAX_CENTROIDS}
     (see note above)."""
-    import math
-
-    k = math.ceil(max(n_vectors, 1) / IVF_TARGET_ROWS_PER_CELL)
-    return min(max(IVF_CENTROIDS, k), IVF_MAX_CENTROIDS)
+    return min(max(IVF_CENTROIDS, _ivf_want(n_vectors)), IVF_MAX_CENTROIDS)
 
 
 def _ivf_nprobe(k: int) -> int:
@@ -498,7 +506,7 @@ def _corpus_centroids(e: DataFrame, sf_dir: str):
     import os
 
     n = _trained(("count", sf_dir), e.count)
-    want = math.ceil(max(n, 1) / IVF_TARGET_ROWS_PER_CELL)
+    want = _ivf_want(n)
     forced = os.environ.get(IVF_TWO_LEVEL_ENV) == "1"
     if want <= IVF_MAX_CENTROIDS and not forced:
         k = _ivf_k(n)
@@ -656,8 +664,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def assign_and_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # input is the cached pre-normalized corpus (review r10):
+            # the per-invocation in-kernel normalize re-paid a full
+            # einsum pass the _norm_corpus cache already holds
             M = np.array(pdf["v"].tolist(), dtype=np.float64)
-            M = M / np.maximum(np.sqrt(np.einsum("ij,ij->i", M, M)), 1e-12)[:, None]
             ids = pdf["vec_id"].to_numpy()
             cells = assign(M)
             order = np.argsort(cells, kind="stable")
@@ -687,7 +697,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    scored = e.mapInPandas(
+    nv = _norm_corpus(spark, sf_dir).select("vec_id", F.col("nv").alias("v"))
+    scored = nv.mapInPandas(
         assign_and_score, "query_id long, neighbor_id long, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
@@ -1046,8 +1057,8 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def encode_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # pre-normalized corpus input (review r10, see q_ann_ivf)
             M = np.array(pdf["v"].tolist(), dtype=np.float64)
-            M = M / np.maximum(np.sqrt(np.einsum("ij,ij->i", M, M)), 1e-12)[:, None]
             ids = pdf["vec_id"].to_numpy()
             codes = np.empty((len(M), PQ_SUBSPACES), dtype=np.int64)
             for j in range(PQ_SUBSPACES):
@@ -1073,7 +1084,8 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    scored = e.mapInPandas(
+    nv = _norm_corpus(spark, sf_dir).select("vec_id", F.col("nv").alias("v"))
+    scored = nv.mapInPandas(
         encode_score, "query_id long, neighbor_id long, approx_cos double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("approx_cos"), "neighbor_id")
@@ -1119,10 +1131,14 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything is JVM-side array lambdas over the row's own vector:
     zero shuffles, zero Python.  The math uses only IEEE-exact ops
-    (multiply, divide, floor — round-half-up via floor(x+0.5), because
-    Spark round() is HALF_UP while DuckDB's is half-even), so the
-    checksums AND the raw double reconstruction-error column are
-    bit-identical across engines with no rounding in the output.
+    (multiply, divide, floor — round-half-up spelled as floor(x+0.5) so
+    BOTH engines evaluate the identical primitive expression; DuckDB's
+    round() is half-AWAY like Spark's HALF_UP, see the convention lock
+    in test_oracle_kernels_use_sequential_folds — an earlier version of
+    this comment claimed half-even, which is numpy's np.round, not
+    DuckDB), so the checksums AND the raw double reconstruction-error
+    column are bit-identical across engines with no rounding in the
+    output.
     """
     e = _emb(spark, sf_dir)
     ecol = F.transform("embedding", lambda x: x.cast("double"))
@@ -1314,8 +1330,8 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def assign_encode_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # pre-normalized corpus input (review r10, see q_ann_ivf)
             M = np.array(pdf["v"].tolist(), dtype=np.float64)
-            M = M / np.maximum(np.sqrt(np.einsum("ij,ij->i", M, M)), 1e-12)[:, None]
             ids = pdf["vec_id"].to_numpy()
             cells = assign(M)
             # PQ-encode ONLY vectors in probed cells (the IVF prune)
@@ -1363,7 +1379,8 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    scored = e.mapInPandas(
+    nv = _norm_corpus(spark, sf_dir).select("vec_id", F.col("nv").alias("v"))
+    scored = nv.mapInPandas(
         assign_encode_score, "query_id long, neighbor_id long, approx_cos double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("approx_cos"), "neighbor_id")
@@ -1490,7 +1507,8 @@ IVFPQ_RECALL_FLOOR = 0.15
 
 _RECALL_FLOOR_ORACLE = f"""
     SELECT count(DISTINCT vec_id) AS n_queries,
-           TRUE AS recall_ok
+           TRUE AS recall_ok,
+           TRUE AS topk_bounded
     FROM embeddings WHERE vec_id < {N_QUERIES}
     """
 
@@ -1524,11 +1542,29 @@ def _recall_floor_witness(
         & (F.col("neighbor_id") == F.col("a_nid")),
         "left",
     )
-    return joined.agg(
-        F.count_distinct("query_id").alias("n_queries"),
-        (
-            (F.count("a_nid").cast("double") / F.count(F.lit(1))) >= floor
-        ).alias("recall_ok"),
+    # topk_bounded closes the OTHER over-emission hole (review r10): a
+    # top-k stage that loses its rnk <= TOP_K filter emits every probed
+    # candidate as DISTINCT pairs, which inflates pooled recall toward
+    # 1.0 — the distinct() above cannot catch that.  Pinning max
+    # per-query emission <= TOP_K makes recall_ok meaningful again.
+    bound = (
+        ap.groupBy("a_qid")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(F.coalesce(F.max("k"), F.lit(0)).alias("max_k"))
+    )
+    return (
+        joined.agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            (
+                (F.count("a_nid").cast("double") / F.count(F.lit(1))) >= floor
+            ).alias("recall_ok"),
+        )
+        .crossJoin(F.broadcast(bound))  # 1-row x 1-row
+        .select(
+            "n_queries",
+            "recall_ok",
+            (F.col("max_k") <= TOP_K).alias("topk_bounded"),
+        )
     )
 
 
@@ -1606,7 +1642,10 @@ def q_semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kept").alias("e_kept"),
     )
     joined = v.join(ev, v["evidence_id"] == ev["e_id"], "left")
-    n_total = _emb(spark, sf_dir).count()
+    # path-keyed memo (review r10): the q_semdedup call above already
+    # populated ("count", sf_dir) via _corpus_centroids — an uncached
+    # second full-table count job per audit invocation is pure waste
+    n_total = _trained(("count", sf_dir), lambda: _emb(spark, sf_dir).count())
     agg = joined.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("vec_id").alias("n_distinct"),

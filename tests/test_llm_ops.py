@@ -1246,6 +1246,26 @@ def test_ann_recall_floor_witnesses_flip_on_broken_index(spark, monkeypatch):
         monkeypatch.setitem(operators.QUERIES, approx, duped)
         row = operators.QUERIES[witness](spark, SF_DIR).collect()[0]
         assert row.recall_ok is False, (witness, "duplicate inflation")
+        assert row.topk_bounded is True, (witness, "2 <= TOP_K per query")
+
+        # review r10: a top-k that loses its rnk <= TOP_K filter emits
+        # every probed candidate as DISTINCT pairs — distinct() can't
+        # catch that and pooled recall INFLATES toward 1.0, so the
+        # witness pins max per-query emission <= TOP_K instead
+        def over_emitting(s, d, _r=real):
+            from pyspark.sql import functions as SF
+
+            df = _r(s, d)
+            extra = df.select(
+                "query_id",
+                (SF.col("neighbor_id") + 1_000_000).alias("neighbor_id"),
+                *[c for c in df.columns if c not in ("query_id", "neighbor_id")],
+            )
+            return df.unionByName(extra.select(df.columns))
+
+        monkeypatch.setitem(operators.QUERIES, approx, over_emitting)
+        row = operators.QUERIES[witness](spark, SF_DIR).collect()[0]
+        assert row.topk_bounded is False, (witness, "over-emission")
         monkeypatch.setitem(operators.QUERIES, approx, real)
 
 

@@ -206,7 +206,9 @@ def test_broadcast_hint_census():
         # 1-row aggregates keep theirs
         "operators/relational2.py": 3,
         "operators/relational3.py": 17,
-        "operators/similarity.py": 3,
+        # similarity.py: 4 as of r10 — the recall-floor witness gained a
+        # 1-row max_k bound frame (bounded side, hint justified)
+        "operators/similarity.py": 4,
         "operators/text.py": 9,
         # streaming/events.py: 0 as of r10 — q_stream_static_join lost
         # its customer hard-hint (the last scaling-table hint; VERDICT
