@@ -29,6 +29,7 @@ import json
 import os
 import shutil
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -124,36 +125,68 @@ def _data_file_entry(path: str) -> dict:
     }
 
 
-def _hive_pval(v) -> str:
+def _hive_pval(v) -> str | None:
     """A partition probe value rendered the way Spark's Hive-style
     directories render it (the form ``_write_partitioned_entries`` lifts
     into file metadata): booleans are lowercase ``true``/``false`` —
     ``str(True)`` is ``'True'`` and would prune away every matching file
-    (review r7, silent empty scans on boolean identity partitions)."""
+    (review r7, silent empty scans on boolean identity partitions).
+
+    Returns ``None`` when the rendering is AMBIGUOUS (review r10 — the
+    same defect class as the boolean fix, for the remaining types):
+
+    * ``None`` / empty string — Spark writes both as
+      ``__HIVE_DEFAULT_PARTITION__``, so the stored value cannot
+      distinguish them;
+    * floats — the directory name carries Java's ``Double.toString``
+      (``1.0E-7``) whose scientific-notation thresholds differ from
+      Python's ``str`` (``1e-07``).
+
+    ``None`` means "cannot value-match: do NOT prune on this key, keep
+    the file and let the row-level residual decide" — the caller treats
+    it exactly like an ineligible spec.  Non-empty strings round-trip
+    exactly (the writer's %-escaping is reversed by ``unquote`` at
+    lift time), and ints render identically in both runtimes."""
     if isinstance(v, bool):
         return "true" if v else "false"
+    if v is None or v == "" or isinstance(v, float):
+        return None
     return str(v)
 
 
 def _stats_of(md) -> dict[str, list]:
+    """Per-column [min, max] file bounds from the parquet footer.
+
+    A column whose stats are missing or unusable in ANY row group is
+    dropped from the result entirely (review r10): keeping the bounds of
+    only the stats-bearing groups under-covers the file — a row in the
+    stats-less group can lie outside the recorded range, and
+    ``_stats_overlap`` would then prune a file that contains matching
+    rows.  No entry ⇒ "unknown" ⇒ the scan keeps the file."""
     stats: dict[str, list] = {}
+    invalid: set[str] = set()
     for rg in range(md.num_row_groups):
         row = md.row_group(rg)
         for ci in range(row.num_columns):
             col = row.column(ci)
+            name = col.path_in_schema
             st = col.statistics
             if st is None or not st.has_min_max:
+                invalid.add(name)
                 continue
             mn, mx = st.min, st.max
             if isinstance(mn, bytes) or isinstance(mx, bytes):
+                invalid.add(name)
                 continue
             if not isinstance(mn, (int, float, str, bool)):
+                invalid.add(name)
                 continue
-            name = col.path_in_schema
             if name in stats:
                 stats[name] = [min(stats[name][0], mn), max(stats[name][1], mx)]
             else:
                 stats[name] = [mn, mx]
+    for name in invalid:
+        stats.pop(name, None)
     return stats
 
 
@@ -417,6 +450,24 @@ class MoRTable:
         self._meta = self._io.load()
         return self
 
+    @contextmanager
+    def _meta_rollback(self):
+        """Restore ``self._meta`` if the wrapped mutate+save block raises
+        — the phantom-state discipline ``_commit`` already applies,
+        extended to the metadata-only mutators (review r10: a CAS
+        conflict mid-``fast_forward`` left the de-branched snapshots
+        main-visible in the live handle, ``expire_snapshots`` left the
+        in-memory history shrunk while disk kept it, and so on for every
+        mutator that edits the document in place before saving)."""
+        import copy
+
+        saved = copy.deepcopy(self._meta)
+        try:
+            yield
+        except BaseException:
+            self._meta = saved
+            raise
+
     def _assert_based_on_current(self) -> None:
         """Fail-fast guard for METADATA-ONLY mutations (schema/spec
         evolution, refs, fast-forward, expiration): they republish the
@@ -458,8 +509,9 @@ class MoRTable:
         # a real service would otherwise see the old id reused with
         # different fields and later snapshots pinned to the stale one
         schema.schema_id += 1
-        self._meta["schema"] = schema.to_json()
-        self._write_meta()
+        with self._meta_rollback():
+            self._meta["schema"] = schema.to_json()
+            self._write_meta()
         return schema
 
     # -- partition-spec evolution (Iceberg partition model) ------------------
@@ -506,7 +558,8 @@ class MoRTable:
                 ftype = next(
                     fl.type for fl in self.schema.fields if fl.name == f["source"]
                 ).lower()
-                if ftype not in ("int", "integer", "long", "bigint"):
+                if ftype not in ("int", "integer", "long", "bigint",
+                                 "smallint", "short", "tinyint", "byte"):
                     raise ValueError(
                         f"bucket transform needs an integer column, "
                         f"{f['source']!r} is {ftype!r}"
@@ -528,9 +581,10 @@ class MoRTable:
             raise ValueError(f"duplicate partition field names: {names}")
         specs = self.partition_specs
         spec = {"spec_id": specs[-1]["spec_id"] + 1, "fields": norm}
-        self._meta["partition_specs"] = specs + [spec]
-        self._meta["default_spec_id"] = spec["spec_id"]
-        self._write_meta()
+        with self._meta_rollback():
+            self._meta["partition_specs"] = specs + [spec]
+            self._meta["default_spec_id"] = spec["spec_id"]
+            self._write_meta()
         return spec
 
     def _transform_expr(self, field: dict):
@@ -867,20 +921,34 @@ class MoRTable:
             ]
         return self._commit("overwrite", files, equality_ids=ids)
 
-    def delete_where(self, condition) -> dict:
+    def delete_where(
+        self,
+        condition,
+        where: dict[str, tuple] | None = None,
+        partition_filter: dict[str, object] | None = None,
+    ) -> dict:
         """``DELETE FROM t WHERE <condition>`` lowered to POSITION deletes
         — the merge-on-read row-level delete: the scan (with its
         MoR anti-joins, so already-deleted rows never re-delete) finds
         the live rows matching the predicate, and only their
         (file, position) pairs are written; NO data file is rewritten.
 
-        At 100 TB the predicate's file pruning applies before the scan
-        (pass the same bounds via ``scan(where=...)`` conventions), so a
-        selective delete touches only matching files' row positions.
+        At 100 TB pass the predicate's bounds as ``where=`` (footer
+        min/max pruning) and/or ``partition_filter=`` — the same
+        conventions ``scan`` takes — so a selective delete plans a scan
+        over only the files that can match instead of every live file
+        (review r10: the docstring promised this but no parameter
+        existed to forward the bounds).  ``condition`` remains the
+        exact row-level predicate; the bounds only prune, never decide.
         """
         if not self._files_of_kind("data", None):
             return self._commit("delete-position", [])
-        live = self._scan_resolved(None, keep_meta=True).where(condition)
+        live = self._scan_resolved(
+            None,
+            where=where,
+            partition_filter=partition_filter,
+            keep_meta=True,
+        ).where(condition)
         dels = live.select(
             F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
         )
@@ -1093,12 +1161,27 @@ class MoRTable:
             raise ValueError(
                 "table has no main-visible snapshot to tag; pass snapshot_id"
             )
-        if sid not in {s["id"] for s in self._meta["snapshots"]}:
+        snap = next(
+            (s for s in self._meta["snapshots"] if s["id"] == sid), None
+        )
+        if snap is None:
             raise ValueError(f"snapshot {sid} does not exist")
-        refs = self._new_ref_slot(name)
-        refs[name] = {"type": "tag", "snapshot_id": sid}
-        self._write_meta()
-        return refs[name]
+        # quarantine guard (review r10): a tag on a WAP-staged or
+        # branch-only snapshot gives unaudited data a stable named ref
+        # that scan(ref=...) serves and expire_snapshots anchors — the
+        # same invariant rollback / create_branch / incremental_scan
+        # already enforce; create_tag was the one entry point missing it
+        if snap.get("staged") or snap.get("branch"):
+            kind = "staged" if snap.get("staged") else f"branch {snap['branch']!r}"
+            raise ValueError(
+                f"snapshot {sid} is {kind}, not main lineage — "
+                "publish or fast-forward it before tagging"
+            )
+        with self._meta_rollback():
+            refs = self._new_ref_slot(name)
+            refs[name] = {"type": "tag", "snapshot_id": sid}
+            self._write_meta()
+        return self._meta["refs"][name]
 
     def create_branch(self, name: str, snapshot_id: int | None = None) -> dict:
         """Named WRITABLE ref (Iceberg branch): forks at ``snapshot_id``
@@ -1125,10 +1208,11 @@ class MoRTable:
             raise ValueError(
                 "cannot branch from a WAP-staged snapshot: publish it first"
             )
-        refs = self._new_ref_slot(name)
-        refs[name] = {"type": "branch", "snapshot_id": sid}
-        self._write_meta()
-        return refs[name]
+        with self._meta_rollback():
+            refs = self._new_ref_slot(name)
+            refs[name] = {"type": "branch", "snapshot_id": sid}
+            self._write_meta()
+        return self._meta["refs"][name]
 
     def fast_forward(self, name: str) -> int:
         """Iceberg ``fast_forward('main', branch)``: land a branch on
@@ -1187,9 +1271,10 @@ class MoRTable:
                 f"at main head {main_head} (walk stopped at {cur}) — "
                 "metadata is inconsistent; refusing to publish partially"
             )
-        for sid in chain:
-            by_id[sid].pop("branch")
-        self._write_meta()
+        with self._meta_rollback():
+            for sid in chain:
+                by_id[sid].pop("branch")
+            self._write_meta()
         return head
 
     def drop_tag(self, name: str) -> None:
@@ -1197,8 +1282,9 @@ class MoRTable:
         refs = self._meta.get("refs", {})
         if name not in refs:
             raise ValueError(f"no such ref: {name}")
-        del refs[name]
-        self._write_meta()
+        with self._meta_rollback():
+            del refs[name]
+            self._write_meta()
 
     def resolve_ref(self, name: str) -> int:
         refs = self._meta.get("refs", {})
@@ -1303,7 +1389,11 @@ class MoRTable:
             if c not in by_name:
                 raise ValueError(f"unknown column: {c}")
             t = by_name[c].type.lower()
-            if t not in ("int", "bigint", "long", "smallint", "tinyint", "double", "float"):
+            # "integer"/"short"/"byte" are valid Spark DDL aliases this
+            # file's own update_spec accepts — the two allowlists used to
+            # disagree on which integer spellings are integers (review r10)
+            if t not in ("int", "integer", "bigint", "long", "smallint",
+                         "short", "tinyint", "byte", "double", "float"):
                 raise ValueError(f"cluster_by supports numeric columns, got {c}: {t}")
         # the interleaved z-value must fit the 63 usable bits of a signed
         # long: at bits=16 a 4th column would write bit 63 (sign — rows
@@ -1460,8 +1550,9 @@ class MoRTable:
         # PUBLISH the shrunken metadata FIRST, unlink after: in the other
         # order a failed/conflicting save leaves committed metadata
         # pointing at files this handle already deleted — unrecoverable
-        self._meta["snapshots"] = kept
-        self._write_meta()
+        with self._meta_rollback():
+            self._meta["snapshots"] = kept
+            self._write_meta()
         keep_paths = {_canon_path(f["path"]) for s in kept for f in s["files"]}
         # de-duplicate across expired snapshots (review r8): a rollback
         # baseline re-references earlier files, so one path can appear in
@@ -1641,6 +1732,9 @@ class MoRTable:
                 if all(
                     k not in (f.get("partition") or {})
                     or f.get("spec_id") not in eligible[k]
+                    # ambiguous rendering (None) ⇒ never prune on this
+                    # key; the residual group below re-checks the rows
+                    or _hive_pval(v) is None
                     or (f.get("partition") or {})[k] == _hive_pval(v)
                     for k, v in partition_filter.items()
                 )
@@ -1678,18 +1772,26 @@ class MoRTable:
             for f in data_files:
                 need = frozenset(
                     k
-                    for k in partition_filter
+                    for k, v in partition_filter.items()
                     if k not in (f.get("partition") or {})
                     or f.get("spec_id") not in eligible[k]
+                    # ambiguous rendering: the value-match above was
+                    # skipped, so the rows must be re-checked (r10)
+                    or _hive_pval(v) is None
                 )
                 groups.setdefault(need, []).append(f)
             parts = []
             for need, fs in sorted(groups.items(), key=lambda kv: sorted(kv[0])):
                 part = _read([f["path"] for f in fs])
                 for k in sorted(need):
+                    # eqNullSafe: identical to == for non-null probes,
+                    # and lets partition_filter={'c': None} actually
+                    # select the null partition instead of NULL-ing the
+                    # predicate away (r10)
                     part = part.where(
-                        self._transform_expr(self._spec_field(k))
-                        == F.lit(partition_filter[k])
+                        self._transform_expr(self._spec_field(k)).eqNullSafe(
+                            F.lit(partition_filter[k])
+                        )
                     )
                 parts.append(part)
             df = parts[0]
@@ -1741,7 +1843,11 @@ class MoRTable:
                     dels = dels.unionAll(p)
                 cond = F.col("__data_seq") < F.col("__del_seq")
                 for c in key_cols:
-                    cond = cond & (df[c] == dels[c])
+                    # eqNullSafe (review r10): Iceberg equality deletes
+                    # match null to null; a plain == evaluates NULL for
+                    # a NULL key and the anti-join kept the row forever
+                    # while summary()'s derived count subtracted it
+                    cond = cond & df[c].eqNullSafe(dels[c])
                 # unhinted like the pos-delete side above: eq-delete key
                 # sets are data-dependent too (review r8)
                 df = df.join(dels, cond, "left_anti")

@@ -2116,3 +2116,169 @@ def test_fixseq_rejects_non_positive_sizes(spark):
         spark.read.format("fixseq").option("rows_per_file", 0).load().collect()
     with pytest.raises(Exception, match="file_count must be > 0"):
         spark.read.format("fixseq").option("file_count", -2).load().collect()
+
+
+def test_equality_delete_matches_null_keys(spark, tmp_path):
+    """Review r10 (Iceberg semantics): equality deletes match null to
+    null.  The anti-join used plain `==`, which evaluates NULL for a
+    NULL key — the targeted row survived forever while summary()'s
+    derived count subtracted the delete, silently diverging derived
+    from measured."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.table.table import Field, MoRTable, TableSchema
+
+    schema = TableSchema(
+        fields=[Field(1, "foo", "string"), Field(2, "bar", "int")],
+        identifier_field_ids=[2],
+    )
+    t = MoRTable.create(spark, str(tmp_path / "t-nullkey"), schema)
+    data = spark.createDataFrame(
+        [("a", 1), (None, 2), ("c", 3)], "foo string, bar int"
+    )
+    t.append_batches([data])
+    # delete the (NULL, 2) row by equality on both key columns
+    t.add_equality_deletes(
+        spark.createDataFrame([(None, 2)], "foo string, bar int"),
+        equality_ids=[1, 2],
+    )
+    got = sorted((r.foo, r.bar) for r in t.scan().collect())
+    assert got == [("a", 1), ("c", 3)], got
+    s = t.summary(measure=True)
+    assert s["derived_total"] == s["measured_total"] == 2
+
+
+def test_partition_prune_keeps_empty_string_and_double_values(spark, tmp_path):
+    """Review r10 (same class as the r7 boolean fix): Spark's
+    dynamic-partition writer renders ''/NULL as __HIVE_DEFAULT_PARTITION__
+    and doubles via Java's Double.toString — both diverge from Python
+    str(), so value-match pruning silently dropped files containing
+    matching rows.  Ambiguous renderings must skip the prune and let the
+    row residual decide."""
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.table.table import Field, MoRTable, TableSchema
+
+    schema = TableSchema(
+        fields=[Field(1, "foo", "string"), Field(2, "bar", "int")],
+        identifier_field_ids=[2],
+    )
+    t = MoRTable.create(spark, str(tmp_path / "t-hive"), schema)
+    t.update_spec([{"source": "foo", "transform": "identity"}])
+    data = spark.createDataFrame(
+        [("", 1), ("x", 2), (None, 3)], "foo string, bar int"
+    )
+    t.append(data)
+    # the empty-string row must survive a partition_filter probe for ''
+    got = sorted(r.bar for r in t.scan(partition_filter={"foo": ""}).collect())
+    assert got == [1], got
+    # a None probe selects exactly the null-partition row (eqNullSafe)
+    got = sorted(r.bar for r in t.scan(partition_filter={"foo": None}).collect())
+    assert got == [3], got
+    # ordinary strings still value-match
+    got = sorted(r.bar for r in t.scan(partition_filter={"foo": "x"}).collect())
+    assert got == [2], got
+
+
+def test_stats_of_drops_columns_with_partial_row_group_stats():
+    """Review r10: a column whose stats are missing in ANY row group must
+    vanish from the file bounds entirely — keeping the stats-bearing
+    groups' range under-covers the file and prunes rows that exist."""
+    from iceberg_data_gen_spark.table.table import _stats_of, _stats_overlap
+
+    class _St:
+        def __init__(self, mn, mx):
+            self.has_min_max = mn is not None
+            self.min, self.max = mn, mx
+
+    class _Col:
+        def __init__(self, name, st):
+            self.path_in_schema = name
+            self.statistics = st
+
+    class _Rg:
+        def __init__(self, cols):
+            self._cols = cols
+            self.num_columns = len(cols)
+
+        def column(self, i):
+            return self._cols[i]
+
+    class _Md:
+        def __init__(self, rgs):
+            self._rgs = rgs
+            self.num_row_groups = len(rgs)
+
+        def row_group(self, i):
+            return self._rgs[i]
+
+    md = _Md([
+        _Rg([_Col("c", _St("a", "m")), _Col("k", _St(1, 5))]),
+        _Rg([_Col("c", None), _Col("k", _St(6, 9))]),  # c: stats gap
+    ])
+    stats = _stats_of(md)
+    assert "c" not in stats          # unknown -> scan keeps the file
+    assert stats["k"] == [1, 9]      # fully-covered column still folds
+    assert _stats_overlap(stats, {"c": ("x", "z")}) is True
+
+
+def test_create_tag_refuses_staged_and_branch_snapshots(spark, tmp_path):
+    """Review r10: a tag on a WAP-staged snapshot would give unaudited
+    data a stable named ref scan(ref=...) serves and expiration anchors
+    — the same quarantine invariant rollback/create_branch enforce."""
+    import pytest
+
+    t = _mk(spark, tmp_path, "tagguard")
+    t.append(_rows(spark, 0, 5), single_file=True)
+    staged = t.append_staged(_rows(spark, 5, 10), single_file=True)
+    with pytest.raises(ValueError, match="staged"):
+        t.create_tag("bad", staged["id"])
+    # main-lineage tagging still works
+    t.create_tag("ok", t.current_snapshot_id())
+
+
+def test_metadata_only_mutators_roll_back_on_failed_save(spark, tmp_path):
+    """Review r10: fast_forward / expire_snapshots / create_tag mutate
+    self._meta in place before saving; a CAS conflict or transport error
+    must roll the in-memory document back (the discipline _commit got in
+    r9), or the handle serves phantom state until a refresh."""
+    import pytest
+
+    t = _mk(spark, tmp_path, "mutroll")
+    t.append(_rows(spark, 0, 5), single_file=True)
+    t.append(_rows(spark, 5, 8), single_file=True)  # expirable history
+    t.create_branch("b")
+    t.append(_rows(spark, 8, 13), single_file=True, branch="b")
+
+    real_save = t._io.save
+
+    def boom(meta):
+        raise OSError("transport down")
+
+    t._io.save = boom
+    branch_marked = [s["id"] for s in t._meta["snapshots"] if s.get("branch")]
+    with pytest.raises(OSError):
+        t.fast_forward("b")
+    # branch markers intact: the de-branching never became visible
+    assert [s["id"] for s in t._meta["snapshots"] if s.get("branch")] == branch_marked
+
+    with pytest.raises(OSError):
+        t.create_tag("tg")
+    assert "tg" not in t._meta.get("refs", {})
+
+    # expiration rollback needs genuinely expirable history: a plain
+    # table with compaction superseding the early snapshots
+    t2 = _mk(spark, tmp_path, "mutroll2")
+    t2.append(_rows(spark, 0, 5), single_file=True)
+    t2.append(_rows(spark, 5, 8), single_file=True)
+    t2.compact()
+    t2._io.save = boom
+    n_snaps = len(t2._meta["snapshots"])
+    with pytest.raises(OSError):
+        t2.expire_snapshots(keep_last=1)
+    assert len(t2._meta["snapshots"]) == n_snaps  # history intact
+
+    # recovery: the same handle succeeds once transport is back
+    t._io.save = real_save
+    t.fast_forward("b")
+    assert t.scan().count() == 13
