@@ -55,6 +55,26 @@ def dsum_sql(expr: str, scale: int = 4) -> str:
     return f"CAST(sum(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
 
 
+def round_half_up(col: F.Column, n: int) -> F.Column:
+    """``floor(x·10^n + 0.5) / 10^n`` — fixed-decimal rounding spelled as
+    the SAME IEEE primitive expression on both engines (twin:
+    :func:`round_half_up_sql`).  Native ``round()`` is representation-
+    dependent across engines: Spark rounds the exact binary expansion
+    via BigDecimal HALF_UP while DuckDB multiplies then rounds, so a
+    representable tie like 0.52165 at 4dp yields 0.5217 vs 0.5216
+    (review r10, reproduced — the q_quality_score incident class).  For
+    negative inputs this form is round-half-toward-+inf; deterministic
+    and engine-identical either way.  NULL propagates."""
+    p = F.lit(float(10**n))
+    return F.floor(col * p + F.lit(0.5)).cast("double") / p
+
+
+def round_half_up_sql(expr: str, n: int) -> str:
+    """DuckDB twin of :func:`round_half_up` (identical primitives)."""
+    p = float(10**n)
+    return f"(floor(({expr}) * {p} + 0.5) / {p})"
+
+
 def ttr_expr(words: F.Column) -> F.Column:
     """Type-token ratio over a word array — ``distinct words / words``
     as one double division (``len(list_distinct(...)) / len(...)`` on

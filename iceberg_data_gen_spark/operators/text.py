@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_data_gen_spark.operators import register
-from iceberg_data_gen_spark.operators.common import doc_order_key, ttr_expr
+from iceberg_data_gen_spark.operators.common import (
+    doc_order_key,
+    ngram_expr,
+    round_half_up,
+    ttr_expr,
+)
 from iceberg_data_gen_spark.operators.common import docs_table as _docs
 
 # language-marker stopword lists for the n-gram/stopword language-ID
@@ -47,10 +52,12 @@ def _spark_marker_count(lang: str):
            length(text)                                        AS text_len,
            len(string_split(text, ' '))                        AS n_words,
            len(list_distinct(string_split(text, ' ')))         AS n_distinct_words,
-           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                 / len(string_split(text, ' ')), 4)            AS avg_word_len,
-           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                 / len(string_split(text, ' ')), 4)            AS ttr
+           floor(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')) * 10000.0 + 0.5) / 10000.0
+                                                               AS avg_word_len,
+           floor(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) * 10000.0 + 0.5) / 10000.0
+                                                               AS ttr
     FROM documents
     """,
 )
@@ -65,10 +72,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("text_len"),
         n_words.alias("n_words"),
         n_distinct.alias("n_distinct_words"),
-        F.round(
+        # round_half_up, not F.round (review r10): native round() is
+        # representation-dependent across engines on representable ties
+        round_half_up(
             F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words, 4
         ).alias("avg_word_len"),
-        F.round(ttr_expr(words), 4).alias("ttr"),
+        round_half_up(ttr_expr(words), 4).alias("ttr"),
     )
 
 
@@ -203,14 +212,21 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical — whereas rounding can land on a representable tie
     (0.52165 at 4dp did, at sf0.1) where HALF_UP and half-even engines
     disagree.  No rounding = no tie to disagree on.
+
+    ``try_divide`` on both ratios (review r10): an EMPTY document makes
+    ``n = 0``, which under Spark's default ANSI mode raised
+    DIVIDE_BY_ZERO and killed the whole query while the DuckDB oracle
+    returned a NULL-ratio row — the q_ols_per_source zero-variance
+    class.  NULL ratios propagate to a NULL quality and a 'drop'
+    verdict on both engines.
     """
     docs = _docs(spark, sf_dir)
     n = F.length("text")
     n_words = F.size(F.split("text", " "))
     n_punct = n - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
     n_stop = _spark_marker_count("en")
-    punct_ratio = n_punct.cast("double") / n
-    stop_ratio = n_stop.cast("double") / n_words
+    punct_ratio = F.try_divide(n_punct.cast("double"), n)
+    stop_ratio = F.try_divide(n_stop.cast("double"), n_words)
     length_score = F.least(F.lit(1.0), n / 500.0)
     quality = 0.4 * length_score + 0.4 * stop_ratio + 0.2 * (1.0 - punct_ratio)
     return docs.select(
@@ -262,7 +278,8 @@ def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT term, count(*) AS df FROM tf GROUP BY term
     ),
     n AS (SELECT count(*) AS n_docs FROM documents)
-    SELECT doc_id, term, tf, df, round(score, 6) AS tfidf, rn
+    SELECT doc_id, term, tf, df,
+           floor(score * 1000000.0 + 0.5) / 1000000.0 AS tfidf, rn
     FROM (
         SELECT doc_id, term, tf, df,
                tf * (n_docs + 1.0) / (df + 1.0) AS score,
@@ -307,7 +324,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_docs))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
-        .select("doc_id", "term", "tf", "df", F.round(score, 6).alias("tfidf"), "rn")
+        .select(
+            "doc_id", "term", "tf", "df",
+            round_half_up(score, 6).alias("tfidf"),
+            "rn",
+        )
     )
 
 
@@ -513,7 +534,8 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(sum(cnt) AS BIGINT) AS n_bigrams,
-           round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS top_bigram_frac
+           floor(CAST(max(cnt) AS DOUBLE) / sum(cnt) * 10000.0 + 0.5) / 10000.0
+               AS top_bigram_frac
     FROM c
     GROUP BY doc_id
     """,
@@ -551,7 +573,7 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             n.cast("bigint").alias("n_bigrams"),
-            F.round(top_cnt.cast("double") / n, 4).alias("top_bigram_frac"),
+            round_half_up(top_cnt.cast("double") / n, 4).alias("top_bigram_frac"),
         )
     )
 
@@ -699,18 +721,19 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     scored AS (
         SELECT tf.doc_id,
-               sum(
+               list_sum(list(
                    ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
                    * (tf * 2.2)
                    / (tf + 1.2 * (0.25 + 0.75 * (dlen / avgdl)))
-               ) AS score
+                   ORDER BY term
+               )) AS score
         FROM tf
         JOIN df USING (term)
         JOIN dl ON tf.doc_id = dl.doc_id
         CROSS JOIN stats
         GROUP BY tf.doc_id
     )
-    SELECT doc_id, round(score, 6) AS bm25
+    SELECT doc_id, floor(score * 1000000.0 + 0.5) / 1000000.0 AS bm25
     FROM scored
     ORDER BY score DESC, doc_id
     LIMIT 20
@@ -775,10 +798,25 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
-        .agg(F.sum(score_term).alias("score"))
+        # deterministic fold (review r10): a plain double sum's
+        # accumulation order follows the partial-aggregate merge order
+        # and could drift from the oracle in the last ulp near the
+        # top-20 cutoff; both engines now fold the (<= 3) per-term
+        # scores in ascending term order — bit-identical by construction
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("term"), score_term.alias("s")))
+            ).alias("ts")
+        )
+        .select(
+            "doc_id",
+            F.aggregate(
+                "ts", F.lit(0.0), lambda acc, x: acc + x["s"]
+            ).alias("score"),
+        )
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
-        .select("doc_id", F.round("score", 6).alias("bm25"))
+        .select("doc_id", round_half_up(F.col("score"), 6).alias("bm25"))
     )
 
 
@@ -1149,8 +1187,9 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND lang IN ('en', 'de', 'fr', 'es', 'zh')
     )
     SELECT stage_no, stage, survivors,
-           round(CAST(survivors AS DOUBLE)
-                 / (SELECT count(*) FROM scored), 4) AS keep_rate
+           floor(CAST(survivors AS DOUBLE)
+                 / (SELECT count(*) FROM scored) * 10000.0 + 0.5) / 10000.0
+               AS keep_rate
     FROM stages
     """,
 )
@@ -1206,7 +1245,9 @@ def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.stage_no").alias("stage_no"),
             F.col("s.stage").alias("stage"),
             F.col("s.survivors").alias("survivors"),
-            F.round(F.col("s.survivors").cast("double") / F.col("c1"), 4).alias("keep_rate"),
+            round_half_up(
+                F.col("s.survivors").cast("double") / F.col("c1"), 4
+            ).alias("keep_rate"),
         )
     )
 
@@ -1304,13 +1345,11 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             # single-symbol words have no pairs; also guards Spark's
             # sequence(1, 0) which counts DOWN ([1, 0]) instead of empty
             .where(F.size("ss") >= 2)
+            # shared gram construction (review r10: this was the fifth
+            # hand-rolled copy of the bigram transform ngram_expr exists
+            # to consolidate; same 'a b' strings, 0-based indexing)
             .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(ss) - 1), "
-                        "j -> concat(element_at(ss, j), ' ', element_at(ss, j + 1)))"
-                    )
-                ).alias("pair"),
+                F.explode(F.expr(ngram_expr("ss", 2))).alias("pair"),
                 "wf",
             )
             .groupBy("pair")
@@ -1468,7 +1507,8 @@ def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT md5(lower(trim(text)))) AS n_unique_docs,
            CAST(count(*) - count(DISTINCT md5(lower(trim(text)))) AS DOUBLE)
                / count(*) AS dup_rate,
-           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS mean_doc_chars
+           floor(CAST(sum(n_chars) AS DOUBLE) / count(*) * 10000.0 + 0.5)
+               / 10000.0 AS mean_doc_chars
     FROM documents
     """,
 )
@@ -1493,6 +1533,6 @@ def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(h).alias("n_unique_docs"),
         ((F.count(F.lit(1)) - F.countDistinct(h)).cast("double") / F.count(F.lit(1)))
         .alias("dup_rate"),
-        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4)
+        round_half_up(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4)
         .alias("mean_doc_chars"),
     )

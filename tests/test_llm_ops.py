@@ -1589,3 +1589,36 @@ def test_embedding_neardup_null_label_and_null_vector(spark, tmp_path):
     )
     assert got == oracle, (got, oracle)
     assert got == [(1, 2, 1.0)]
+
+
+def test_quality_score_empty_doc_matches_oracle(spark, tmp_path):
+    """Review r10: an empty document made length(text)=0 and Spark's
+    ANSI division raised DIVIDE_BY_ZERO, killing the whole query, while
+    the DuckDB oracle returned a NULL-ratio row.  try_divide on both
+    ratios restores parity: NULL ratios, NULL quality, 'drop' verdict
+    on both engines."""
+    import duckdb
+
+    from iceberg_data_gen_spark.operators import ORACLES
+
+    sf_dir = str(tmp_path / "sf-qs-empty")
+    spark.createDataFrame(
+        [
+            (1, "", "s", "en", 0),
+            (2, "the cat of the hat is here to win", "s", "en", 33),
+        ],
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = sorted(
+        map(tuple, operators.QUERIES["q_quality_score"](spark, sf_dir).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    oracle = sorted(map(tuple, con.execute(ORACLES["q_quality_score"]).fetchall()))
+    assert got == oracle, (got, oracle)
+    empty = got[0]
+    assert empty[1] is None and empty[4] is None and empty[5] == "drop"
