@@ -22,6 +22,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_data_gen_spark.operators import register
+from iceberg_data_gen_spark.operators.common import docs_table
+from iceberg_data_gen_spark.operators.common import dsum, dsum_sql
+from iceberg_data_gen_spark.operators.common import scratch_dir as _scratch_dir
 from iceberg_data_gen_spark.operators.common import tables as _t
 from iceberg_data_gen_spark.session import load_tables
 
@@ -45,8 +48,11 @@ from iceberg_data_gen_spark.session import load_tables
 def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized scalar pandas UDF: position-weighted alphabet sum of the
     lowercased text (an integer text checksum both engines can compute
-    exactly).  The UDF receives Arrow batches and answers with one numpy
-    pass per batch — the correct shape for custom element-wise logic."""
+    exactly).  The UDF receives Arrow batches; inside the batch the loop
+    is per-row Python (encode + np.frombuffer per text) — acceptable for
+    an API-surface exerciser, but NOT the hot-path shape (review r10:
+    the docstring used to claim one numpy pass per batch; the hot paths
+    use the truly vectorized mapInPandas kernels in text/similarity)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
@@ -69,7 +75,7 @@ def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(int((alpha * np.arange(1, len(cp) + 1)).sum()))
         return pd.Series(out, dtype="object")
 
-    (docs,) = _t(spark, sf_dir, "documents")
+    docs = docs_table(spark, sf_dir)
     return docs.select(
         "doc_id", weighted_alpha(F.lower("text")).alias("weighted_alpha_sum")
     )
@@ -152,18 +158,21 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fixture_table(spark: SparkSession, prefix: str, rows_per_file: int = 1000,
-                   file_count: int = 1):
+def _fixture_table(spark: SparkSession, prefix: str):
     """Scratch MoR table with the reference fix-schema — ONE definition
     of the FileConfig/FixSchemaGenerator/MoRTable.create fixture trio
     that was hand-copied into 14 q_mor_* operators (review r9; same
     drift hazard _fix_rows and _build_reference_warehouse already
-    closed)."""
+    closed).  No size parameters (review r10: rows_per_file/file_count
+    were DEAD — .schema() is a constant TableSchema that ignores the
+    FileConfigs, so call sites passing values were asserting a fixture
+    contract that did not exist; the real shape comes from the explicit
+    _fix_rows/append_batches calls)."""
     from iceberg_data_gen_spark.datagen.config import FileConfig
     from iceberg_data_gen_spark.datagen.generator import FixSchemaGenerator
     from iceberg_data_gen_spark.table.table import MoRTable
 
-    fc = FileConfig(rows_per_file=rows_per_file, file_count=file_count)
+    fc = FileConfig(rows_per_file=1000, file_count=1)
     return MoRTable.create(
         spark, _scratch_dir(prefix), FixSchemaGenerator(fc, fc, fc).schema()
     )
@@ -185,8 +194,6 @@ def _fix_rows(spark: SparkSession, a: int, b: int, baz: bool = True) -> DataFram
 # serve a dead session's (possibly tmp-reaped) warehouse to a new one.
 _MOR_CACHE: dict[str, str] = {}
 
-
-from iceberg_data_gen_spark.operators.common import scratch_dir as _scratch_dir
 
 
 def _build_reference_warehouse(spark: SparkSession, prefix: str) -> str:
@@ -499,9 +506,9 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_format_orc_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, count(*) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           {dsum_sql("o_totalprice", 2)} AS total
     FROM orders WHERE o_orderkey <= 1000
     GROUP BY o_orderstatus
     """,
@@ -525,7 +532,9 @@ def q_format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError("ORC round-trip diverged from the parquet slice")
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("o_totalprice").cast("double").alias("total"),
+        # shared exact-decimal money sum (review r10: this inlined both
+        # halves of dsum/dsum_sql at scale=2)
+        dsum(F.col("o_totalprice"), 2).alias("total"),
     )
 
 
@@ -543,7 +552,7 @@ def q_mor_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     write time, checked at planning time — Iceberg manifest pruning) and
     applies the residual predicate for exactness.  The pruning is
     asserted in tests/test_datagen.py via inputFiles()."""
-    t = _fixture_table(spark, "mor-prune-", file_count=4)
+    t = _fixture_table(spark, "mor-prune-")
 
 
     t.append_batches([_fix_rows(spark, i * 1000, (i + 1) * 1000) for i in range(4)])
@@ -846,7 +855,7 @@ def q_mor_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the execution half is MoRTable.compact()/cluster_by()."""
     from pyspark.sql.window import Window
 
-    t = _fixture_table(spark, "mor-plan-", rows_per_file=100)
+    t = _fixture_table(spark, "mor-plan-")
     batches, lo = [], 0
     for i in range(16):
         n = 100 * ((i % 5) + 1)
@@ -897,13 +906,17 @@ def q_observed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Observation
 
-    docs = _t(spark, sf_dir, "documents")[0]
+    docs = docs_table(spark, sf_dir)
     obs = Observation("ingest_qa")
     keep = (F.col("n_chars") >= 100) & F.col("lang").isin("en", "de", "fr", "es", "zh")
     observed = docs.observe(
         obs,
         F.count(F.lit(1)).alias("n_seen"),
-        F.sum((~keep).cast("long")).alias("n_rejected"),
+        # coalesce(keep, false): a NULL predicate row (NULL n_chars or
+        # lang) is dropped by where(keep) but (~keep) is NULL too, so it
+        # counted in n_seen yet in NEITHER bucket and the cross-check
+        # below raised on correct output (review r10)
+        F.sum((~F.coalesce(keep, F.lit(False))).cast("long")).alias("n_rejected"),
         F.sum(F.col("n_chars")).alias("chars_seen"),
     ).where(keep)
     out = observed.select("doc_id", "lang", "n_chars")
@@ -945,19 +958,23 @@ def q_mor_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches 300 rows inside the survivors.  The numbers are computed
     from live metadata + the real scan, then cross-checked in-function
     against the stats-overlap planner the scan itself uses."""
-    from iceberg_data_gen_spark.table.table import _stats_overlap
-
-    t = _fixture_table(spark, "mor-prune-rep-", rows_per_file=100)
+    t = _fixture_table(spark, "mor-prune-rep-")
     # one commit, one file per batch with identical per-file stats — all
     # the stats-overlap planner needs (review r7: was 10 sequential
     # single-file commits = 10 write jobs + 10 metadata publishes)
     t.append_batches([_fix_rows(spark, i * 100, (i + 1) * 100) for i in range(10)])
     where = {"bar": (250, 549)}
-    files = t._files_of_kind("data", None)
-    surviving = [f for f in files if _stats_overlap(f.get("stats"), where)]
+    # supported planning-report API (review r10: this used to reach into
+    # the table's private _files_of_kind/_stats_overlap internals)
+    pr = t.plan_report(where)
     rows_matched = t.scan(where=where).count()
     report = [
-        (len(files), len(files) - len(surviving), len(surviving), rows_matched)
+        (
+            pr["total_files"],
+            pr["pruned_files"],
+            pr["surviving_files"],
+            rows_matched,
+        )
     ]
     return spark.createDataFrame(
         report,

@@ -1865,6 +1865,21 @@ class MoRTable:
         # time above — value-matched newest-spec files pay nothing)
         return df
 
+    def plan_report(self, where: dict[str, tuple]) -> dict:
+        """Planning-time pruning report: how many live data files the
+        footer-stats planner keeps vs prunes for ``where`` — the SAME
+        ``_stats_overlap`` decision ``scan(where=...)`` makes, exposed
+        as supported surface (review r10: the q_mor_prune_report
+        operator reached into the private ``_files_of_kind`` /
+        ``_stats_overlap`` internals, which churn across rounds)."""
+        files = self._files_of_kind("data", None)
+        surviving = [f for f in files if _stats_overlap(f.get("stats"), where)]
+        return {
+            "total_files": len(files),
+            "pruned_files": len(files) - len(surviving),
+            "surviving_files": len(surviving),
+        }
+
     # -- summary (O14) ------------------------------------------------------
 
     def summary(self, measure: bool = False) -> dict:
