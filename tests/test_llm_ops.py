@@ -1622,3 +1622,24 @@ def test_quality_score_empty_doc_matches_oracle(spark, tmp_path):
     assert got == oracle, (got, oracle)
     empty = got[0]
     assert empty[1] is None and empty[4] is None and empty[5] == "drop"
+
+
+def test_observed_ingest_check_survives_null_predicate_rows(spark, tmp_path, monkeypatch):
+    """Review r10: a row with NULL lang/n_chars is dropped by the keep
+    filter but (~keep) is NULL too, so it counted in n_seen and in
+    NEITHER bucket — the SPARK_GRAFT_OBSERVE_CHECK invariant raised on
+    correct output.  The coalesced rejected-counter must hold the
+    n_seen = n_rejected + n_kept identity with NULL-predicate rows
+    planted."""
+    sf_dir = str(tmp_path / "sf-obs-null")
+    spark.createDataFrame(
+        [
+            (1, "x" * 120, "s", "en", 120),
+            (2, "y" * 120, "s", None, 120),   # NULL lang -> keep is NULL
+            (3, "short", "s", "en", 5),       # rejected by n_chars
+        ],
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    monkeypatch.setenv("SPARK_GRAFT_OBSERVE_CHECK", "1")
+    rows = operators.QUERIES["q_observed_ingest"](spark, sf_dir).collect()
+    assert sorted(r.doc_id for r in rows) == [1]
