@@ -120,17 +120,39 @@ def make_decode_batch(have_pil: bool):
         import pandas as _pd
 
         for pdf in batches:
-            payloads = pdf["payload"]
+            # NULL payloads (encode(NULL text) is NULL — FIXTURES.md permits
+            # NULL text and the testdata regenerates every round) flow
+            # through as NULL features, not a TypeError from len(None)
+            # (ADVICE r10 medium).  Nullable extension dtypes, NOT numpy
+            # NaN floats: the Arrow serializer turns pd.NA into a true
+            # SQL NULL, while a NaN would survive as NaN and diverge from
+            # the oracle's NULL (the q_ewma NaN-vs-NULL class, r10).
+            payloads = [None if b is None else bytes(b) for b in pdf["payload"]]
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "format": pdf["format"],
-                    "n_bytes": payloads.map(len).astype("int64"),
+                    "n_bytes": _pd.array(
+                        [None if b is None else len(b) for b in payloads],
+                        dtype="Int64",
+                    ),
                     # deterministic stand-in for a pixel statistic
-                    "mean_byte": payloads.map(lambda b: sum(b) / len(b) if len(b) else 0.0),
-                    "frames_sampled": payloads.map(
-                        lambda b: min(8, max(1, len(b) // 64))
-                    ).astype("int32"),
+                    "mean_byte": _pd.array(
+                        [
+                            None
+                            if b is None
+                            else (sum(b) / len(b) if len(b) else 0.0)
+                            for b in payloads
+                        ],
+                        dtype="Float64",
+                    ),
+                    "frames_sampled": _pd.array(
+                        [
+                            None if b is None else min(8, max(1, len(b) // 64))
+                            for b in payloads
+                        ],
+                        dtype="Int32",
+                    ),
                 }
             )
 
@@ -153,7 +175,11 @@ def make_decode_batch(have_pil: bool):
                             + (strpos('0123456789ABCDEF', h[2*i:2*i])-1)
                             for i in generate_series(1, CAST(n AS INT))]) AS DOUBLE) / n
            END AS mean_byte,
-           CAST(least(8, greatest(1, n // 64)) AS INT) AS frames_sampled
+           -- explicit NULL guard: DuckDB's greatest() SKIPS NULL operands
+           -- (greatest(1, NULL) = 1), so without it a NULL-text row would
+           -- get frames_sampled = 1 while the kernel emits NULL (ADVICE r10)
+           CASE WHEN n IS NULL THEN NULL
+                ELSE CAST(least(8, greatest(1, n // 64)) AS INT) END AS frames_sampled
     FROM b
     """,
 )

@@ -1591,6 +1591,45 @@ def test_embedding_neardup_null_label_and_null_vector(spark, tmp_path):
     assert got == [(1, 2, 1.0)]
 
 
+def test_multimodal_decode_null_text_matches_oracle(spark, tmp_path):
+    """ADVICE r10 (medium): a NULL documents.text made payload =
+    encode(text) NULL and the decode kernel's len()/sum() lambdas raised
+    TypeError, while the DuckDB oracle returned a NULL-feature row.  The
+    kernel now emits true SQL NULLs (pandas nullable dtypes, not NaN)
+    for all three features, and the oracle gained an explicit NULL guard
+    on frames_sampled (DuckDB's greatest() SKIPS NULL operands, so it
+    would otherwise emit 1 where Spark emits NULL).  Pin parity on a
+    planted corpus with NULL, empty, and normal text."""
+    import duckdb
+
+    from iceberg_data_gen_spark.operators import ORACLES
+
+    sf_dir = str(tmp_path / "sf-decode-null")
+    spark.createDataFrame(
+        [
+            (1, None, "s", "en", None),   # NULL text -> NULL features
+            (2, "", "s", "en", 0),        # empty text -> 0-byte payload
+            (3, "abc", "s", "en", 3),
+        ],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = sorted(
+        map(tuple, operators.QUERIES["q_multimodal_decode"](spark, sf_dir).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    oracle = sorted(map(tuple, con.execute(ORACLES["q_multimodal_decode"]).fetchall()))
+    assert got == oracle, (got, oracle)
+    by_id = {r[0]: r for r in got}
+    assert by_id[1][2:] == (None, None, None)  # NULLs, never a crash or 1
+    assert by_id[2][2:] == (0, 0.0, 1)
+    assert by_id[3][2] == 3
+
+
 def test_quality_score_empty_doc_matches_oracle(spark, tmp_path):
     """Review r10: an empty document made length(text)=0 and Spark's
     ANSI division raised DIVIDE_BY_ZERO, killing the whole query, while
