@@ -204,20 +204,29 @@ def main() -> None:
     # identical code, with one contiguous window of queries 10-20x slow);
     # back-to-back repeats land both samples inside one burst, while
     # pass-separated samples are minutes apart — at most one is hit.
-    timings: dict[str, float] = {}
-    extra: dict[str, float] = {}
-    datagen_s = float("inf")
-    for _pass in range(2):
+    # Per-pass timings are RECORDED SEPARATELY (VERDICT r10 #1 "what's
+    # wrong"): driver-side totals rose three rounds straight while the
+    # same-code builder band stayed flat, and adjudicating "stalled cold
+    # pass vs warm-plan regression" took three files and a judge.  With
+    # {cold, warm} in the JSON itself, a host-stall burst shows up as an
+    # inflated `cold` with `warm` inside its pinned budget (README
+    # "Bench variance"), while a genuine plan regression inflates `warm`
+    # — self-adjudicating from BENCH_r{N}.json alone.
+    passes: list[dict[str, float]] = [{}, {}]
+    extra_passes: list[dict[str, float]] = [{}, {}]
+    for i in range(2):
         for name in HEADLINE:
-            t = run_once(operators.QUERIES[name])
-            timings[name] = round(min(t, timings.get(name, t)), 3)
-        datagen_s = min(datagen_s, bench_datagen(spark))
+            passes[i][name] = round(run_once(operators.QUERIES[name]), 3)
+        passes[i]["datagen_2m_rows_mor"] = round(bench_datagen(spark), 3)
         # round-2+ operators, timed but reported OUTSIDE the headline
         # total so `value` stays comparable round-over-round
         for name in EXTRA:
-            t = run_once(operators.QUERIES[name])
-            extra[name] = round(min(t, extra.get(name, t)), 3)
-    timings["datagen_2m_rows_mor"] = round(datagen_s, 3)
+            extra_passes[i][name] = round(run_once(operators.QUERIES[name]), 3)
+    cold, warm = passes
+    # `queries` stays min-of-passes — the steady-state number every prior
+    # round recorded, so `value` remains comparable across all rounds
+    timings = {n: min(cold[n], warm[n]) for n in cold}
+    extra = {n: min(extra_passes[0][n], extra_passes[1][n]) for n in extra_passes[0]}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -228,6 +237,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extra_queries": extra,
+                "passes": {
+                    "cold": cold,
+                    "warm": warm,
+                    "cold_total": round(sum(cold.values()), 3),
+                    "warm_total": round(sum(warm.values()), 3),
+                    "extra_cold": extra_passes[0],
+                    "extra_warm": extra_passes[1],
+                },
                 "sf": sf,
             }
         )

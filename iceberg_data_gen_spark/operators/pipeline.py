@@ -263,12 +263,12 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     key = ("curriculum_rp", app_id, sf_dir, n_parts)
     if key not in _CURRICULUM_CACHE:
+        # Dropping the dict entry is the WHOLE eviction (ADVICE r10):
+        # localCheckpoint blocks are not registered with the CacheManager,
+        # so DataFrame.unpersist() on them is a no-op — release happens
+        # when the checkpointed RDD is garbage-collected and the
+        # ContextCleaner reclaims its blocks, which this del enables.
         for stale in [k for k in _CURRICULUM_CACHE if k != key]:
-            if stale[1] == app_id:
-                try:
-                    _CURRICULUM_CACHE[stale].unpersist()
-                except Exception:
-                    pass  # session died mid-unpersist: nothing to free
             del _CURRICULUM_CACHE[stale]
         rp = d.repartitionByRange(
             n_parts, F.desc("ttr"), F.asc("doc_id")

@@ -224,7 +224,7 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     n AS (
         SELECT vec_id, list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS nv
@@ -644,8 +644,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from typing import Iterator
 
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    e = (
+        _emb(spark, sf_dir)
+        # NULL embeddings drop out (NULL sweep r11): a NULL v crashes
+        # the numpy batch kernels and cannot be assigned/encoded/scored;
+        # matches normalized_vectors' filter and the oracles' WHERE
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     assign, probe, k = _corpus_centroids(e, sf_dir)
     q_ids, Q, _ = _query_matrix(e, N_QUERIES)
@@ -735,7 +740,7 @@ def _lsh_oracle() -> str:
     return f"""
     WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     n AS (
         SELECT vec_id, list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS nv
@@ -824,9 +829,14 @@ KNN_K = 16
     "q_knn_classify",
     oracle=f"""
     WITH e AS (
+        -- NULL embeddings cannot be scored and NULL labels cannot vote
+        -- or be voted for (a NULL clabel tie-break sorts NULLS FIRST in
+        -- Spark vs NULLS LAST in DuckDB) — both drop, matching the
+        -- Spark side (NULL sweep r11)
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
     ),
     n AS (
         SELECT vec_id, label,
@@ -879,7 +889,14 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from typing import Iterator
 
-    en = _norm_corpus(spark, sf_dir).select("vec_id", "label", "nv")
+    # NULL labels drop on BOTH the corpus side (cannot vote; a NULL
+    # clabel group's tie-break sorts engine-differently) and the query
+    # side (np.int32(None) raises) — the oracle's e CTE mirrors this
+    en = (
+        _norm_corpus(spark, sf_dir)
+        .where(F.col("label").isNotNull())
+        .select("vec_id", "label", "nv")
+    )
     q_ids, Q, qrows = _norm_query_matrix(en, KNN_QUERIES)
     q_labels = np.array([r.label for r in qrows], dtype=np.int32)
     grid_scores = _grid_scores_kernel()  # shared fold, pickled by value
@@ -1043,8 +1060,13 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from typing import Iterator
 
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    e = (
+        _emb(spark, sf_dir)
+        # NULL embeddings drop out (NULL sweep r11): a NULL v crashes
+        # the numpy batch kernels and cannot be assigned/encoded/scored;
+        # matches normalized_vectors' filter and the oracles' WHERE
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     C = _trained(
         ("pq", sf_dir, PQ_SUBSPACES, PQ_CODES, PQ_ITERS),
@@ -1312,8 +1334,13 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from typing import Iterator
 
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    e = (
+        _emb(spark, sf_dir)
+        # NULL embeddings drop out (NULL sweep r11): a NULL v crashes
+        # the numpy batch kernels and cannot be assigned/encoded/scored;
+        # matches normalized_vectors' filter and the oracles' WHERE
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     assign, probe, k = _corpus_centroids(e, sf_dir)
     B = _trained(
@@ -1425,8 +1452,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    e = (
+        _emb(spark, sf_dir)
+        # NULL embeddings drop out (NULL sweep r11): a NULL v crashes
+        # the numpy batch kernels and cannot be assigned/encoded/scored;
+        # matches normalized_vectors' filter and the oracles' WHERE
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     cell_of, _probe, _k = _corpus_centroids(e, sf_dir)
 
@@ -1509,7 +1541,8 @@ _RECALL_FLOOR_ORACLE = f"""
     SELECT count(DISTINCT vec_id) AS n_queries,
            TRUE AS recall_ok,
            TRUE AS topk_bounded
-    FROM embeddings WHERE vec_id < {N_QUERIES}
+    FROM embeddings
+    WHERE vec_id < {N_QUERIES} AND embedding IS NOT NULL
     """
 
 
@@ -1615,7 +1648,7 @@ def q_ann_ivfpq_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS one_verdict_each,
            TRUE AS pruned_witnessed,
            TRUE AS kept_below_tau
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
     """,
 )
 def q_semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1645,7 +1678,14 @@ def q_semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path-keyed memo (review r10): the q_semdedup call above already
     # populated ("count", sf_dir) via _corpus_centroids — an uncached
     # second full-table count job per audit invocation is pure waste
-    n_total = _trained(("count", sf_dir), lambda: _emb(spark, sf_dir).count())
+    # the shared ("count", sf_dir) memo counts the VECTOR-BEARING corpus
+    # (NULL embeddings are outside the semdedup universe — r11), matching
+    # _corpus_centroids' count over the filtered frame and the oracle's
+    # WHERE embedding IS NOT NULL
+    n_total = _trained(
+        ("count", sf_dir),
+        lambda: _emb(spark, sf_dir).where(F.col("embedding").isNotNull()).count(),
+    )
     agg = joined.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("vec_id").alias("n_distinct"),

@@ -17,6 +17,7 @@ O(active windows × groups), independent of stream length.
 from __future__ import annotations
 
 import uuid
+import weakref
 from collections import deque
 from contextlib import contextmanager
 
@@ -107,18 +108,36 @@ def normalize_events_ts(df: DataFrame, ts_is_long: bool) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-# session-id -> the nanosAsLong conf value BEFORE a nanos-layout stream
-# first set it; consumed (and the conf restored) by the bounded runners
-_NANOS_CONF_PRIOR: dict[int, str | None] = {}
-_SENTINEL = object()
+# session -> [prior nanosAsLong value, active nanos-stream count].
+# WeakKeyDictionary (ADVICE r10): the old id(spark)-keyed dict let a new
+# session reuse a GC'd session's id and replay the dead session's prior
+# value; weak keying drops the entry with the session.  The count
+# refcounts nanos-stream constructions so a bounded run finishing while
+# a SECOND nanos stream is still executing on the same session (the
+# _static_join_agg plan-probe pattern) no longer flips the conf back
+# under the live stream — restore happens when the LAST active run
+# completes.  Residual (documented): a bounded run whose source never
+# registered (non-nanos layout) still consumes one decrement if mixed
+# with active nanos streams on one session; no such mixed-corpus
+# interleave exists in-repo, and the failure mode reverts to the
+# pre-r11 behavior (early restore), never a crash.
+_NANOS_CONF_PRIOR: "weakref.WeakKeyDictionary[SparkSession, list]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _restore_nanos_conf(spark: SparkSession) -> None:
     """Restore ``nanosAsLong`` to its pre-stream value after a bounded
-    run (no-op unless ``read_events_stream`` set it for this session)."""
-    prior = _NANOS_CONF_PRIOR.pop(id(spark), _SENTINEL)
-    if prior is _SENTINEL:
+    run (no-op unless ``read_events_stream`` set it for this session
+    and this is the last active nanos run)."""
+    ent = _NANOS_CONF_PRIOR.get(spark)
+    if ent is None:
         return
+    ent[1] -= 1
+    if ent[1] > 0:
+        return  # another nanos stream on this session is still running
+    prior = ent[0]
+    del _NANOS_CONF_PRIOR[spark]
     key = "spark.sql.legacy.parquet.nanosAsLong"
     try:
         if prior is None:
@@ -161,13 +180,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # reads of nanos parquet behave — raw longs instead of the
         # unsupported-type error).
         key = "spark.sql.legacy.parquet.nanosAsLong"
-        sid = id(spark)
-        if sid not in _NANOS_CONF_PRIOR:
+        ent = _NANOS_CONF_PRIOR.get(spark)
+        if ent is None:
             try:
                 prior = spark.conf.get(key)
             except Exception:
                 prior = None
-            _NANOS_CONF_PRIOR[sid] = prior
+            ent = _NANOS_CONF_PRIOR.setdefault(spark, [prior, 0])
+        ent[1] += 1  # refcount: restore fires on the LAST run's completion
         spark.conf.set(key, "true")
     path = os.path.join(sf_dir, "events.parquet")
     reader = spark.readStream.schema(schema).format("parquet")
@@ -258,8 +278,6 @@ def run_to_completion(sdf: DataFrame, output_mode: str = "complete") -> DataFram
     (review r7: one bench pass creates dozens).  Sessions are held via
     weakref so the retention queue never pins a stopped SparkSession
     (ADVICE r7)."""
-    import weakref
-
     spark = sdf.sparkSession
     while len(_SINK_VIEWS) >= _SINK_VIEWS_KEEP:
         old_ref, old_name = _SINK_VIEWS.popleft()

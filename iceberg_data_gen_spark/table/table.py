@@ -939,7 +939,16 @@ class MoRTable:
         over only the files that can match instead of every live file
         (review r10: the docstring promised this but no parameter
         existed to forward the bounds).  ``condition`` remains the
-        exact row-level predicate; the bounds only prune, never decide.
+        exact row-level predicate applied WITHIN the pruned file set.
+
+        CONTRACT (ADVICE r10): the bounds MUST be implied by
+        ``condition`` — every row the predicate matches must lie inside
+        them.  Rows in files the bounds prune away are NOT deleted, so
+        bounds narrower than the predicate silently change which rows
+        this call removes (the same contract ``scan(where=...)``
+        documents for reads, where the failure mode is merely a smaller
+        result).  When in doubt pass no bounds: correctness never
+        requires them, they are purely a scan-cost optimization.
         """
         if not self._files_of_kind("data", None):
             return self._commit("delete-position", [])

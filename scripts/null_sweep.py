@@ -1,0 +1,169 @@
+"""NULL-robustness sweep (VERDICT r10 #1): inject NULLs into family-B
+columns of a testdata copy, then run the engine-pair compare over every
+oracle-bearing registered query on the nulled corpus.
+
+FIXTURES.md declares every family-B column nullable and the driver
+regenerates testdata each round, but the shipped corpora carry zero
+NULLs — so any Spark-vs-DuckDB NULL-semantics divergence (NaN vs NULL,
+NULL grouping keys, NULL-hostile IN, ANSI division, greatest/least NULL
+skipping...) stays latent until a regeneration surfaces it in the
+driver's hash gate.  R10's review waves found six such holes one query
+at a time; this sweep exercises ALL 200+ oracle queries against a
+NULL-bearing corpus in one pass.
+
+Join/id keys stay non-NULL by default (TPC-H referential conventions —
+the reference corpus generator never nulls keys), everything else gets
+a seeded ~NULL_FRAC of NULLs.  --null-keys adds the key columns too for
+an exploratory pass.
+
+Usage:
+    python scripts/null_sweep.py                 # full sweep, tmp corpus
+    python scripts/null_sweep.py q_ewma q_gini   # just these names
+    python scripts/null_sweep.py --frac 0.15     # heavier injection
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import zlib
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+# columns that stay intact unless --null-keys: join/identity keys whose
+# NULLing changes query semantics wholesale rather than probing parity
+KEY_COLS = {
+    "r_regionkey",
+    "n_nationkey",
+    "n_regionkey",
+    "c_custkey",
+    "c_nationkey",
+    "s_suppkey",
+    "s_nationkey",
+    "p_partkey",
+    "o_orderkey",
+    "o_custkey",
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "event_id",
+    "user_id",
+    "doc_id",
+    "vec_id",
+}
+
+
+def _mask(table: str, col: str, n: int, frac: float, seed: int):
+    """Deterministic per-(table, column) NULL mask — crc32-keyed RNG so
+    re-runs and cross-machine runs inject the identical cells."""
+    import numpy as np
+
+    key = zlib.crc32(f"{seed}:{table}:{col}".encode()) & 0xFFFFFFFF
+    rng = np.random.default_rng(key)
+    return rng.random(n) < frac
+
+
+def build_nulled_corpus(
+    src: str, dst: str, frac: float, seed: int, null_keys: bool
+) -> dict[str, dict[str, int]]:
+    """Copy every parquet table from src to dst with NULLs injected.
+    Returns {table: {column: n_nulled}} for the report."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_data_gen_spark.session import TABLES
+
+    os.makedirs(dst, exist_ok=True)
+    report: dict[str, dict[str, int]] = {}
+    for t in TABLES:
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        cols, injected = [], {}
+        for field in tbl.schema:
+            arr = tbl.column(field.name)
+            if field.name in KEY_COLS and not null_keys:
+                cols.append(arr)
+                continue
+            m = _mask(t, field.name, len(tbl), frac, seed)
+            if not m.any():
+                cols.append(arr)
+                continue
+            combined = arr.combine_chunks()
+            # keep the arrow type EXACTLY (events.ts is timestamp[ns];
+            # the repo's footer sniffer distinguishes physical types)
+            keep = pa.array(~m)
+            nulled = pa.compute.if_else(
+                keep, combined, pa.nulls(len(tbl), type=field.type)
+            )
+            injected[field.name] = int(m.sum())
+            cols.append(nulled)
+        out = pa.table(cols, schema=tbl.schema)
+        pq.write_table(out, f"{dst}/{t}.parquet")
+        report[t] = injected
+    return report
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(allow_abbrev=False)
+    ap.add_argument("names", nargs="*", help="query names (default: all oracles)")
+    ap.add_argument("--src", default="/root/testdata/sf0.001")
+    ap.add_argument("--dst", default=None, help="nulled-corpus dir (default: tmp)")
+    ap.add_argument("--frac", type=float, default=0.08)
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--null-keys", action="store_true")
+    ap.add_argument("--reuse", action="store_true", help="skip corpus rebuild")
+    args = ap.parse_args()
+
+    from iceberg_data_gen_spark import operators
+    from iceberg_data_gen_spark.operators import load_all
+
+    load_all()
+    unknown = [n for n in args.names if n not in operators.ORACLES]
+    if unknown:
+        ap.error(f"not oracle-bearing registered queries: {unknown}")
+
+    dst = args.dst or os.path.join(
+        tempfile.gettempdir(), f"nulled-{Path(args.src).name}-f{args.frac}-s{args.seed}"
+    )
+    if not (args.reuse and os.path.exists(f"{dst}/lineitem.parquet")):
+        report = build_nulled_corpus(args.src, dst, args.frac, args.seed, args.null_keys)
+        n_cells = sum(sum(v.values()) for v in report.values())
+        print(f"corpus: {dst}  ({n_cells} cells nulled)", flush=True)
+    else:
+        print(f"corpus: {dst}  (reused)", flush=True)
+
+    from iceberg_data_gen_spark.session import get_spark
+    from tests.oracle import compare
+
+    spark = get_spark("null-sweep", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = args.names or sorted(operators.ORACLES)
+    failures: dict[str, list[str]] = {}
+    for i, name in enumerate(names, 1):
+        try:
+            errors = compare(
+                spark, name, operators.QUERIES[name], operators.ORACLES[name], dst
+            )
+        except Exception as exc:  # a crash IS a finding, keep sweeping
+            errors = [f"{name}: EXCEPTION {type(exc).__name__}: {exc}"]
+        status = "ok" if not errors else "FAIL"
+        print(f"[{i}/{len(names)}] {name}: {status}", flush=True)
+        if errors:
+            failures[name] = errors
+            for e in errors[:4]:
+                print(f"    {e}", flush=True)
+
+    print(f"\n=== {len(names) - len(failures)}/{len(names)} clean on nulled corpus ===")
+    if failures:
+        print("failing:", " ".join(sorted(failures)))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

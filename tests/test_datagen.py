@@ -2179,6 +2179,28 @@ def test_partition_prune_keeps_empty_string_and_double_values(spark, tmp_path):
     got = sorted(r.bar for r in t.scan(partition_filter={"foo": "x"}).collect())
     assert got == [2], got
 
+    # double partition values (ADVICE r10: this branch was claimed by the
+    # test name but never exercised): Spark's writer renders 1e-7 as
+    # Java's '1.0E-7' while str() gives '1e-07' — a value-match prune
+    # would drop the file; the float branch must return None (no prune)
+    # and let the row residual keep the matching row
+    from iceberg_data_gen_spark.table.table import _hive_pval
+
+    assert _hive_pval(1e-7) is None
+    dschema = TableSchema(
+        fields=[Field(1, "d", "double"), Field(2, "bar", "int")],
+        identifier_field_ids=[2],
+    )
+    td = MoRTable.create(spark, str(tmp_path / "t-hive-double"), dschema)
+    td.update_spec([{"source": "d", "transform": "identity"}])
+    td.append(
+        spark.createDataFrame([(1e-7, 1), (2.5, 2)], "d double, bar int")
+    )
+    got = sorted(r.bar for r in td.scan(partition_filter={"d": 1e-7}).collect())
+    assert got == [1], got
+    got = sorted(r.bar for r in td.scan(partition_filter={"d": 2.5}).collect())
+    assert got == [2], got
+
 
 def test_stats_of_drops_columns_with_partial_row_group_stats():
     """Review r10: a column whose stats are missing in ANY row group must

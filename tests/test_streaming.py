@@ -954,3 +954,57 @@ def test_nanos_layout_stream_reads_and_restores_conf(spark, tmp_path):
     # restored to the pre-stream value after the bounded run
     assert spark.conf.get(key) == prior
     assert ev_mod._NANOS_CONF_PRIOR == {}
+
+
+def test_nanos_conf_restore_waits_for_last_active_stream(spark, tmp_path):
+    """ADVICE r10: _restore_nanos_conf fired after EVERY bounded run, so
+    finishing one nanos run flipped the conf back while a second,
+    separately-driven nanos stream was still executing on the same
+    session.  The registry now refcounts nanos-stream constructions per
+    session (weakly keyed — id(spark) reuse after GC could replay a dead
+    session's prior value): the first run's completion leaves the conf
+    set, the last run's completion restores it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_data_gen_spark.streaming import events as ev_mod
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(key)
+
+    base = str(tmp_path / "sf-nanos-two")
+    os.makedirs(base)
+    t0 = 1_700_000_000_000_000_000
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([t0, t0 + 60_000_000_000], pa.timestamp("ns")),
+            "user_id": pa.array([7, 8], pa.int64()),
+            "event_type": pa.array(["click"] * 2),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}"] * 2),
+        }
+    )
+    pq.write_table(
+        table, os.path.join(base, "events.parquet"),
+        coerce_timestamps=None, version="2.6",
+    )
+
+    def make_agg():
+        return (
+            ev_mod.read_events_stream(spark, base)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(*ev_mod._count_value_aggs())
+        )
+
+    # two constructions BEFORE either run completes (the plan-probe shape)
+    agg1, agg2 = make_agg(), make_agg()
+    assert ev_mod._NANOS_CONF_PRIOR[spark][1] == 2
+    ev_mod.run_to_completion(agg1).collect()
+    # first completion must NOT restore: agg2 is still registered
+    assert spark.conf.get(key) == "true"
+    assert ev_mod._NANOS_CONF_PRIOR[spark][1] == 1
+    ev_mod.run_to_completion(agg2).collect()
+    assert spark.conf.get(key) == prior
+    assert ev_mod._NANOS_CONF_PRIOR == {}
