@@ -54,6 +54,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sessionize",
     oracle=f"""
     WITH flagged AS (
+        -- ts IS NOT NULL on BOTH engines (NULL sweep r11): an event
+        -- with no timestamp cannot be placed in a session — and the
+        -- engines otherwise disagree structurally (Spark's NULLS FIRST
+        -- opened a fresh session per NULL row, DuckDB's NULLS LAST
+        -- merged them into the trailing session).  Matches the
+        -- streaming twin, whose session window drops NULL event times.
         SELECT user_id, event_id, ts, value,
                CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -62,6 +68,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
                         IS NULL
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
+        WHERE ts IS NOT NULL
     ),
     sess AS (
         SELECT user_id, ts, value,
@@ -88,7 +95,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan has a single Exchange).  This is the batch twin of the
     streaming session window in streaming/events.py.
     """
-    e = _events(spark, sf_dir)
+    # NULL-ts events cannot be sessionized — dropped on both engines
+    # (NULL sweep r11; see the oracle comment)
+    e = _events(spark, sf_dir).where(F.col("ts").isNotNull())
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_us = F.lag(F.unix_micros("ts")).over(order)
     new_sess = F.when(
@@ -304,8 +313,9 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(cume_dist() OVER w, 6) AS cume,
            round(o_totalprice, 2) AS price
     FROM orders
+    -- NULLS FIRST = Spark's ASC default (NULL sweep r11)
     WINDOW w AS (PARTITION BY o_orderpriority
-                 ORDER BY o_totalprice, o_orderkey)
+                 ORDER BY o_totalprice NULLS FIRST, o_orderkey)
     """,
 )
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,17 +401,22 @@ def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_scd2",
     oracle="""
+    -- NULLS FIRST = Spark's ASC default (NULL sweep r11): a NULL ts
+    -- otherwise changes WHICH rows count as state changes
     WITH seq AS (
       SELECT user_id, event_type, ts, event_id,
-             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts NULLS FIRST, event_id) AS prev
       FROM events
     ), chg AS (
       SELECT user_id, event_type, ts, event_id FROM seq
       WHERE prev IS NULL OR prev <> event_type
     )
     SELECT user_id, event_type, ts AS valid_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts NULLS FIRST, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts NULLS FIRST, event_id) IS NULL
              AS is_current
     FROM chg
     """,
@@ -541,7 +556,10 @@ def _pagerank_oracle() -> str:
     WITH ord AS (
         SELECT user_id, event_type,
                lead(event_type) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
+                   -- NULLS FIRST = Spark's ASC default (NULL sweep
+                   -- r11): a NULL ts otherwise sits at the other end
+                   -- of the user's stream and flips its edges
+                   PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                ) AS nxt
         FROM events
     ),
@@ -720,8 +738,10 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ntile_binning",
     oracle="""
     WITH b AS (
+        -- NULLS FIRST = Spark's ASC default (NULL sweep r11): NULL
+        -- prices bin into decile 1 on both engines, not decile 10
         SELECT o_totalprice,
-               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+               ntile(10) OVER (ORDER BY o_totalprice NULLS FIRST, o_orderkey) AS bin
         FROM orders
     )
     SELECT bin, count(*) AS n_orders,
@@ -799,12 +819,14 @@ def q_event_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
            lag(value, 1) OVER w AS lag1,
            lag(value, 2) OVER w AS lag2,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
-                PARTITION BY user_id ORDER BY ts, event_id
+                PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
                / least(row_number() OVER w, 3) AS rolling_mean3,
            CAST(row_number() OVER w AS BIGINT) AS event_seq
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    -- NULLS FIRST = Spark's ASC default (NULL sweep r11): NULL-ts
+    -- events must occupy the same sequence slots on both engines
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     """,
 )
 def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:

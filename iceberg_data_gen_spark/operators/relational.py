@@ -520,14 +520,17 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_window_running",
     oracle="""
+    -- NULLS FIRST pins DuckDB to Spark's ASC default (NULL sweep r11):
+    -- a NULL o_orderdate otherwise sorts last here and first in Spark,
+    -- shifting every running sum and lag in the partition
     SELECT o_custkey, o_orderkey,
            round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                PARTITION BY o_custkey
-               ORDER BY o_orderdate, o_orderkey
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE), 2) AS running_spend,
            lag(o_orderkey) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
            ) AS prev_orderkey
     FROM orders
     """,

@@ -494,7 +494,11 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
            first_value(o_orderkey) OVER w AS first_key,
            nth_value(o_orderkey, 2) OVER w AS second_key
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    -- NULLS FIRST = Spark's ASC default (NULL sweep r11): a NULL
+    -- o_totalprice otherwise lands in the last quartile in DuckDB and
+    -- the first in Spark
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice NULLS FIRST, o_orderkey)
     """,
 )
 def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1554,18 +1558,39 @@ def q_group_concat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_revenue_mom_change",
     oracle=f"""
+    -- NO window in this oracle (NULL sweep r11): DuckDB 1.0's window
+    -- sort over a GROUP BY output whose INPUT rows carry NULL group-key
+    -- sources misplaces one peer group NONDETERMINISTICALLY — measured
+    -- run-to-run flips with NULLS FIRST, NULLS LAST, threads=1, and
+    -- even a coalesce-to-sentinel non-null key.  The lag is therefore
+    -- spelled as a predecessor join (max month strictly below mine)
+    -- over the ~|months|-row aggregate — window-free, deterministic.
+    -- The sentinel keeps b.mkey < a.mkey well-defined for the NULL
+    -- month and orders it first, matching Spark's NULLS FIRST default.
     WITH monthly AS (
-        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        -- CASE, not coalesce: DuckDB 1.0 wrongly NULL-propagates
+        -- coalesce(CAST(date_trunc(x) AS DATE), <const>) over table
+        -- columns (constant inputs fold correctly; the columnar path
+        -- returns NULL) — measured in this repo's NULL sweep r11
+        SELECT CASE WHEN o_orderdate IS NULL THEN DATE '0001-01-01'
+                    ELSE CAST(date_trunc('month', o_orderdate) AS DATE)
+               END AS mkey,
                {dsum_sql('o_totalprice', 2)} AS revenue
         FROM orders
         GROUP BY 1
+    ),
+    prevs AS (
+        SELECT a.mkey, max(b.mkey) AS pkey
+        FROM monthly a LEFT JOIN monthly b ON b.mkey < a.mkey
+        GROUP BY a.mkey
     )
-    SELECT month, revenue,
-           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
-           revenue - lag(revenue) OVER (ORDER BY month) AS abs_change,
-           round((revenue - lag(revenue) OVER (ORDER BY month))
-                 / lag(revenue) OVER (ORDER BY month), 6) AS rel_change
-    FROM monthly
+    SELECT nullif(a.mkey, DATE '0001-01-01') AS month, a.revenue,
+           p.revenue AS prev_revenue,
+           a.revenue - p.revenue AS abs_change,
+           round((a.revenue - p.revenue) / p.revenue, 6) AS rel_change
+    FROM monthly a
+    JOIN prevs pr ON pr.mkey = a.mkey
+    LEFT JOIN monthly p ON p.mkey = pr.pkey
     """,
 )
 def q_revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2120,20 +2145,29 @@ def q_customer_order_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_cumulative_order_volume",
     oracle=f"""
+    -- NO window in this oracle (NULL sweep r11): the running totals
+    -- are an inequality self-join over the ~|months|-row aggregate —
+    -- DuckDB 1.0's window-over-GROUP-BY is nondeterministic when the
+    -- aggregate input carries NULL group-key sources (see
+    -- q_revenue_mom_change for the measured failure).  Sentinel-first
+    -- == Spark's NULLS FIRST default order.
     WITH monthly AS (
-        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        -- CASE, not coalesce: DuckDB 1.0 wrongly NULL-propagates
+        -- coalesce(CAST(date_trunc(x) AS DATE), <const>) over table
+        -- columns (constant inputs fold correctly; the columnar path
+        -- returns NULL) — measured in this repo's NULL sweep r11
+        SELECT CASE WHEN o_orderdate IS NULL THEN DATE '0001-01-01'
+                    ELSE CAST(date_trunc('month', o_orderdate) AS DATE)
+               END AS mkey,
                count(*) AS n_orders,
                {dsum_sql('o_totalprice', 2)} AS revenue
         FROM orders GROUP BY 1
     )
-    SELECT month, n_orders,
-           CAST(sum(n_orders) OVER (ORDER BY month
-                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
-               AS cum_orders,
-           CAST(sum(CAST(revenue AS DECIMAL(18,2)))
-                    OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-               AS cum_revenue
-    FROM monthly
+    SELECT nullif(a.mkey, DATE '0001-01-01') AS month, a.n_orders,
+           CAST(sum(b.n_orders) AS BIGINT) AS cum_orders,
+           CAST(sum(CAST(b.revenue AS DECIMAL(18,2))) AS DOUBLE) AS cum_revenue
+    FROM monthly a JOIN monthly b ON b.mkey <= a.mkey
+    GROUP BY a.mkey, a.n_orders
     """,
 )
 def q_cumulative_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
