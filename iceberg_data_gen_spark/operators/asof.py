@@ -100,11 +100,24 @@ def asof_join(
         SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
         FROM orders GROUP BY o_custkey, o_orderdate
     )
+    -- NULL-ts/NULL-key left rows BYPASS the ASOF and union back with a
+    -- NULL match (NULL sweep r11): DuckDB's ASOF sorts a NULL left
+    -- timestamp LAST and matches it to the key's LATEST right row,
+    -- while predicate semantics (and the Spark operator) say
+    -- o_orderdate <= NULL is never true — the render_asof_parts
+    -- convention the fuzz family has pinned since r7, now applied to
+    -- the registered oracle too.
     SELECT e.event_id, e.user_id, e.ts,
            o.o_orderkey AS last_orderkey, o.o_orderdate AS last_orderdate
-    FROM events e
+    FROM (SELECT * FROM events
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL) e
     ASOF LEFT JOIN o
       ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    UNION ALL
+    SELECT event_id, user_id, ts,
+           CAST(NULL AS BIGINT) AS last_orderkey,
+           CAST(NULL AS TIMESTAMP) AS last_orderdate
+    FROM events WHERE ts IS NULL OR user_id IS NULL
     """,
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

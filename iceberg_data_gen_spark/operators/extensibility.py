@@ -100,7 +100,14 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def weighted_sum(q: pd.Series, ln: pd.Series) -> float:
-        return float((q.to_numpy() * ln.to_numpy()).sum())
+        # pandas skipna sum == SQL sum-skips-NULL (NULL sweep r11: the
+        # old to_numpy() product turned one NULL quantity into a NaN
+        # that poisoned the whole group's sum while the oracle skipped
+        # it); an all-NULL group returns None like SQL's sum
+        prod = q * ln
+        if int(prod.notna().sum()) == 0:
+            return None
+        return float(prod.sum())
 
     @pandas_udf("long")
     def n_rows(q: pd.Series) -> int:
@@ -118,10 +125,17 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_python_udtf",
     oracle="""
-    SELECT o_orderkey, 'code' AS part, split_part(o_orderpriority, '-', 1) AS val
+    -- CASE guards (NULL sweep r11): DuckDB's split_part(NULL, '-', k)
+    -- is '' — NOT NULL as the r9 note assumed (never exercised until
+    -- testdata carried NULL priorities); the UDTF yields NULL
+    SELECT o_orderkey, 'code' AS part,
+           CASE WHEN o_orderpriority IS NULL THEN NULL
+                ELSE split_part(o_orderpriority, '-', 1) END AS val
     FROM orders WHERE o_orderkey <= 100
     UNION ALL
-    SELECT o_orderkey, 'label' AS part, split_part(o_orderpriority, '-', 2) AS val
+    SELECT o_orderkey, 'label' AS part,
+           CASE WHEN o_orderpriority IS NULL THEN NULL
+                ELSE split_part(o_orderpriority, '-', 2) END AS val
     FROM orders WHERE o_orderkey <= 100
     """,
 )

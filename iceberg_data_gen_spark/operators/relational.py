@@ -672,7 +672,10 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            upper(o_orderstatus)                         AS status_u,
            substr(o_orderpriority, 1, 1)                AS prio_code,
            length(o_orderpriority)                      AS prio_len,
-           concat(o_orderstatus, '-', o_orderpriority)  AS status_prio,
+           -- concat_ws, not concat (NULL sweep r11): Spark's concat_ws
+           -- SKIPS NULL operands while concat() renders them as '' —
+           -- a NULL o_orderstatus gave '1-URGENT' vs '-1-URGENT'
+           concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
            EXTRACT(year FROM o_orderdate)               AS o_year,
            EXTRACT(month FROM o_orderdate)              AS o_month,
            EXTRACT(day FROM o_orderdate)                AS o_day,

@@ -513,9 +513,15 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_array_agg",
     oracle="""
+    -- FILTER drops NULL names (NULL sweep r11): Spark's collect_list
+    -- never collects NULLs, but DuckDB's list() keeps them — the
+    -- serialized string matched (array_to_string skips NULLs) while
+    -- len() counted one extra per NULL c_name
     SELECT n_name,
-           array_to_string(list(c_name ORDER BY c_name), '|') AS customers,
-           len(list(c_name ORDER BY c_name)) AS n_customers
+           array_to_string(list(c_name ORDER BY c_name)
+                           FILTER (c_name IS NOT NULL), '|') AS customers,
+           len(list(c_name ORDER BY c_name)
+               FILTER (c_name IS NOT NULL)) AS n_customers
     FROM nation JOIN customer ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,
@@ -548,7 +554,11 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            lpad(s_name, 20, '.')            AS name_padded,
            reverse(s_name)                  AS name_rev,
            replace(s_name, '#', '-')        AS name_repl,
-           split_part(s_name, '#', 2)       AS name_num,
+           -- CASE guard (NULL sweep r11): DuckDB's split_part returns
+           -- '' for a NULL input string; Spark's split_part propagates
+           -- NULL
+           CASE WHEN s_name IS NULL THEN NULL
+                ELSE split_part(s_name, '#', 2) END AS name_num,
            strpos(s_name, '#')              AS hash_pos,
            left(s_name, 8)                  AS name_left,
            repeat('ab', 3)                  AS abab,

@@ -983,7 +983,11 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH base AS (SELECT * FROM events WHERE event_id <= 2000),
     final AS (
-      SELECT event_type, value FROM base WHERE event_type <> 'click'
+      -- IS DISTINCT FROM (NULL sweep r11): NULL-type events live in the
+      -- __HIVE_DEFAULT_PARTITION__, which the dynamic overwrite never
+      -- touches — `<> 'click'` silently dropped them from the oracle
+      SELECT event_type, value FROM base
+      WHERE event_type IS DISTINCT FROM 'click'
       UNION ALL
       SELECT event_type, value * 2 AS value FROM base WHERE event_type = 'click'
     )

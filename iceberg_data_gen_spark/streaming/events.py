@@ -308,11 +308,16 @@ def run_to_completion(sdf: DataFrame, output_mode: str = "complete") -> DataFram
 @register(
     "q_stream_tumbling",
     oracle="""
+    -- ts IS NOT NULL (NULL sweep r11): Spark's window() plants an
+    -- implicit IS NOT NULL filter on the time column (TimeWindowing
+    -- rule), so a NULL-ts event never reaches the streaming aggregate;
+    -- without the filter the oracle emits a NULL-window group
     SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS window_start,
            event_type,
            count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -340,7 +345,10 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_sliding",
     oracle="""
     WITH b AS (
-        SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS bucket, value FROM events
+        -- ts IS NOT NULL: window()'s implicit time-column filter
+        -- (see q_stream_tumbling; NULL sweep r11)
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS bucket, value
+        FROM events WHERE ts IS NOT NULL
     ),
     expanded AS (
         SELECT bucket AS window_start, value FROM b
@@ -388,12 +396,15 @@ def _session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_session",
     oracle="""
     WITH gaps AS (
+        -- ts IS NOT NULL: session_window() drops NULL event times the
+        -- same way window() does (NULL sweep r11)
         SELECT user_id, ts, value,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                          >= INTERVAL 30 MINUTE
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
+        WHERE ts IS NOT NULL
     ),
     sessions AS (
         SELECT user_id, ts, value,
@@ -704,6 +715,7 @@ def _static_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.ts IS NOT NULL  -- window()'s implicit filter (NULL sweep r11)
     GROUP BY 1, 2
     """,
 )
@@ -819,11 +831,16 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_stream_to_mor",
     oracle="""
+    -- ts IS NOT NULL (NULL sweep r11): Spark's window() plants an
+    -- implicit IS NOT NULL filter on the time column (TimeWindowing
+    -- rule), so a NULL-ts event never reaches the streaming aggregate;
+    -- without the filter the oracle emits a NULL-window group
     SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS window_start,
            event_type,
            count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )

@@ -96,6 +96,11 @@ PROBE = [
     # reaches it), so probing it would report a meaningless flat line.
     "q_asof_join",
     "q_bucketed_join",
+    # r11: the cogroup API seam — cost is ONE Python invocation per key
+    # (VERDICT r10 #6: measure the per-key-invocation curve instead of
+    # carrying the item; the relational twin in its oracle is the
+    # production plan, this probe prices the seam itself)
+    "q_cogroup",
 ]
 
 # State-heavy streams probed OPERATOR-ONLY (foreachBatch -> noop sink):
