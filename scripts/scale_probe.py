@@ -101,6 +101,11 @@ PROBE = [
     # carrying the item; the relational twin in its oracle is the
     # production plan, this probe prices the seam itself)
     "q_cogroup",
+    # r11 (VERDICT r10 #5): the most expensive extra in the bench — the
+    # single-scan multi-distinct Expand plan whose documented 100 TB
+    # swap is approx_count_distinct; probed at 10× AND 100× to pin the
+    # swap point with measured numbers
+    "q_column_profile",
 ]
 
 # State-heavy streams probed OPERATOR-ONLY (foreachBatch -> noop sink):
