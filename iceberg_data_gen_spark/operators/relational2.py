@@ -516,12 +516,16 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- FILTER drops NULL names (NULL sweep r11): Spark's collect_list
     -- never collects NULLs, but DuckDB's list() keeps them — the
     -- serialized string matched (array_to_string skips NULLs) while
-    -- len() counted one extra per NULL c_name
+    -- len() counted one extra per NULL c_name.  coalesce closes the
+    -- one-deeper hole (r11 review): a group whose EVERY name is NULL
+    -- makes the filtered list() NULL, while Spark's collect_list is an
+    -- empty array ('' / 0).
     SELECT n_name,
-           array_to_string(list(c_name ORDER BY c_name)
-                           FILTER (c_name IS NOT NULL), '|') AS customers,
-           len(list(c_name ORDER BY c_name)
-               FILTER (c_name IS NOT NULL)) AS n_customers
+           coalesce(array_to_string(list(c_name ORDER BY c_name)
+                                    FILTER (c_name IS NOT NULL), '|'),
+                    '') AS customers,
+           coalesce(len(list(c_name ORDER BY c_name)
+                        FILTER (c_name IS NOT NULL)), 0) AS n_customers
     FROM nation JOIN customer ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,

@@ -116,14 +116,33 @@ def normalize_events_ts(df: DataFrame, ts_is_long: bool) -> DataFrame:
 # a SECOND nanos stream is still executing on the same session (the
 # _static_join_agg plan-probe pattern) no longer flips the conf back
 # under the live stream — restore happens when the LAST active run
-# completes.  Residual (documented): a bounded run whose source never
-# registered (non-nanos layout) still consumes one decrement if mixed
-# with active nanos streams on one session; no such mixed-corpus
-# interleave exists in-repo, and the failure mode reverts to the
-# pre-r11 behavior (early restore), never a crash.
+# completes.  A query constructing N sources driven by ONE bounded run
+# must call _release_nanos_refs(spark, N-1) before the run (r11 review:
+# q_stream_stream_join's second source otherwise leaks the count at 1
+# forever and the conf never restores).  Residual (documented): a
+# bounded run whose source never registered (non-nanos layout) still
+# consumes one decrement if mixed with active nanos streams on one
+# session; no such mixed-corpus interleave exists in-repo, and the
+# failure mode reverts to the pre-r11 behavior (early restore), never
+# a crash.
 _NANOS_CONF_PRIOR: "weakref.WeakKeyDictionary[SparkSession, list]" = (
     weakref.WeakKeyDictionary()
 )
+
+
+def _release_nanos_refs(spark: SparkSession, n: int) -> None:
+    """Fold ``n`` surplus nanos-stream registrations into one, WITHOUT
+    restoring the conf (r11 review): the refcount pairs one
+    ``read_events_stream`` construction with one bounded-run
+    completion, so a query that constructs N sources but drives them
+    through ONE run (q_stream_stream_join: two sources, one
+    run_to_completion) must release N-1 here or the count never
+    reaches zero and ``nanosAsLong`` leaks set for the session's
+    lifetime — the exact r10 bug the restore exists to prevent.
+    Restore itself stays with the runner's decrement."""
+    ent = _NANOS_CONF_PRIOR.get(spark)
+    if ent is not None:
+        ent[1] = max(0, ent[1] - n)
 
 
 def _restore_nanos_conf(spark: SparkSession) -> None:
@@ -785,6 +804,10 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES"))
         & (F.col("view_ts") <= F.col("click_ts")),
     )
+    # TWO nanos-source constructions, ONE bounded run: fold the surplus
+    # registration or the refcount never reaches zero and the nanos
+    # conf leaks set after the run (r11 review)
+    _release_nanos_refs(spark, 1)
     out = run_to_completion(joined, output_mode="append")
     return out.select(
         "click_id",

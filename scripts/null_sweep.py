@@ -75,7 +75,9 @@ def build_nulled_corpus(
     """Copy every parquet table from src to dst with NULLs injected.
     Returns {table: {column: n_nulled}} for the report."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
+    import pyarrow.compute as pc  # r11 review: pa.compute is NOT bound by
+    import pyarrow.parquet as pq  # `import pyarrow` alone — it only worked
+    # via a transitive import inside operators.load_all()
 
     from iceberg_data_gen_spark.session import TABLES
 
@@ -97,7 +99,7 @@ def build_nulled_corpus(
             # keep the arrow type EXACTLY (events.ts is timestamp[ns];
             # the repo's footer sniffer distinguishes physical types)
             keep = pa.array(~m)
-            nulled = pa.compute.if_else(
+            nulled = pc.if_else(
                 keep, combined, pa.nulls(len(tbl), type=field.type)
             )
             injected[field.name] = int(m.sum())

@@ -1630,6 +1630,49 @@ def test_multimodal_decode_null_text_matches_oracle(spark, tmp_path):
     assert by_id[3][2] == 3
 
 
+def test_array_agg_all_null_name_group_matches_oracle(spark, tmp_path):
+    """R11 review (one notch past the sweep's FILTER fix): a nation whose
+    EVERY customer name is NULL makes DuckDB's filtered list() NULL
+    ('customers' NULL, len NULL) while Spark's collect_list is an empty
+    array ('' / 0).  The oracle now coalesces to ''/0; pin on a planted
+    two-nation corpus."""
+    import duckdb
+
+    from iceberg_data_gen_spark.operators import ORACLES
+
+    sf_dir = str(tmp_path / "sf-arragg-null")
+    spark.createDataFrame(
+        [(1, "NATION_A", 1), (2, "NATION_B", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).write.parquet(f"{sf_dir}/nation.parquet")
+    spark.createDataFrame(
+        [
+            (10, None, 1, 0.0, "SEG"),     # nation A: ALL names NULL
+            (11, None, 1, 0.0, "SEG"),
+            (12, "Customer#12", 2, 0.0, "SEG"),
+            (13, None, 2, 0.0, "SEG"),     # nation B: mixed
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.parquet(f"{sf_dir}/customer.parquet")
+
+    got = sorted(
+        map(tuple, operators.QUERIES["q_array_agg"](spark, sf_dir).collect())
+    )
+    con = duckdb.connect()
+    for t in ("nation", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
+        )
+    oracle = sorted(map(tuple, con.execute(ORACLES["q_array_agg"]).fetchall()))
+    assert got == oracle, (got, oracle)
+    assert dict((r[0], r[1:]) for r in got) == {
+        "NATION_A": ("", 0),
+        "NATION_B": ("Customer#12", 1),
+    }
+
+
 def test_quality_score_empty_doc_matches_oracle(spark, tmp_path):
     """Review r10: an empty document made length(text)=0 and Spark's
     ANSI division raised DIVIDE_BY_ZERO, killing the whole query, while

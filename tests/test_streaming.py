@@ -1008,3 +1008,48 @@ def test_nanos_conf_restore_waits_for_last_active_stream(spark, tmp_path):
     ev_mod.run_to_completion(agg2).collect()
     assert spark.conf.get(key) == prior
     assert ev_mod._NANOS_CONF_PRIOR == {}
+
+
+def test_stream_stream_join_restores_nanos_conf(spark, tmp_path):
+    """R11 review: q_stream_stream_join constructs TWO nanos sources but
+    drives them through ONE bounded run, so the construction-paired
+    refcount sat at 1 forever and nanosAsLong leaked set for the
+    session's lifetime — the exact r10 regression class the restore
+    exists for.  The query now folds the surplus registration
+    (_release_nanos_refs) before its single run."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_data_gen_spark import operators
+    from iceberg_data_gen_spark.streaming import events as ev_mod
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(key)
+
+    base = str(tmp_path / "sf-nanos-ssj")
+    os.makedirs(base)
+    t0 = 1_700_000_000_000_000_000
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [t0, t0 + 120_000_000_000, t0 + 240_000_000_000],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([7, 7, 7], pa.int64()),
+            "event_type": pa.array(["view", "click", "view"]),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(["{}"] * 3),
+        }
+    )
+    pq.write_table(
+        table, os.path.join(base, "events.parquet"),
+        coerce_timestamps=None, version="2.6",
+    )
+
+    out = operators.QUERIES["q_stream_stream_join"](spark, base)
+    rows = {(r.click_id, r.view_id) for r in out.collect()}
+    assert rows == {(2, 1)}  # the view 2 min before the click matches
+    # the leak: pre-fix this held count 1 and the conf stayed 'true'
+    assert ev_mod._NANOS_CONF_PRIOR == {}
+    assert spark.conf.get(key) == prior
