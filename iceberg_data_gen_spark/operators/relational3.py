@@ -1517,9 +1517,14 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_group_concat_topk",
     oracle="""
     WITH ranked AS (
+        -- c_name NULLS FIRST (NULL sweep r11, seed-17 pass): on an
+        -- acctbal TIE a NULL-name customer takes the rank-3 slot in
+        -- Spark (ASC default NULLS FIRST) but lost it in DuckDB
+        -- (NULLS LAST) — same balance sum, different serialized names
         SELECT n_name, c_name, c_acctbal,
                row_number() OVER (PARTITION BY n_name
-                                  ORDER BY c_acctbal DESC, c_name) AS rk
+                                  ORDER BY c_acctbal DESC,
+                                           c_name NULLS FIRST) AS rk
         FROM customer JOIN nation ON n_nationkey = c_nationkey
     )
     SELECT n_name,

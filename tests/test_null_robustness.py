@@ -58,6 +58,7 @@ NULL_SENSITIVE = [
     "q_scd2",
     "q_event_pagerank",
     "q_event_latest_state",
+    "q_group_concat_topk",  # NULL-name on an acctbal tie (seed-17 pass)
     # streaming: window()/session_window() drop NULL event times
     "q_stream_tumbling",
     "q_stream_sliding",
