@@ -406,7 +406,7 @@ def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts NULLS FIRST, event_id) AS prev
+                                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev
       FROM events
     ), chg AS (
       SELECT user_id, event_type, ts, event_id FROM seq
@@ -414,9 +414,9 @@ def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, event_type, ts AS valid_from,
            lead(ts) OVER (PARTITION BY user_id
-                          ORDER BY ts NULLS FIRST, event_id) AS valid_to,
+                          ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS valid_to,
            lead(ts) OVER (PARTITION BY user_id
-                          ORDER BY ts NULLS FIRST, event_id) IS NULL
+                          ORDER BY ts NULLS FIRST, event_id NULLS FIRST) IS NULL
              AS is_current
     FROM chg
     """,
@@ -559,7 +559,7 @@ def _pagerank_oracle() -> str:
                    -- NULLS FIRST = Spark's ASC default (NULL sweep
                    -- r11): a NULL ts otherwise sits at the other end
                    -- of the user's stream and flips its edges
-                   PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
+                   PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                ) AS nxt
         FROM events
     ),
@@ -679,7 +679,10 @@ def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE s AS (
         SELECT user_id, event_id, value,
                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        FROM events WHERE value IS NOT NULL
+        -- user_id IS NOT NULL (r11 keys pass): per-entity state needs an
+        -- entity — Spark's groupBy forms a NULL-key group while the
+        -- recursion's equality join can never walk it
+        FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
     ),
     r AS (
         SELECT user_id, rn, event_id, value, value AS ewma FROM s WHERE rn = 1
@@ -728,7 +731,9 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        ev.select("user_id", "event_id", "ts", "value")
+        # entity rule (r11 keys pass — see the oracle comment)
+        ev.where(F.col("user_id").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
         .groupBy("user_id")
         .applyInPandas(ewma_fn, "user_id long, event_id long, ewma double")
     )
@@ -819,14 +824,14 @@ def q_event_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
            lag(value, 1) OVER w AS lag1,
            lag(value, 2) OVER w AS lag2,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
-                PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
+                PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
                / least(row_number() OVER w, 3) AS rolling_mean3,
            CAST(row_number() OVER w AS BIGINT) AS event_seq
     FROM events
     -- NULLS FIRST = Spark's ASC default (NULL sweep r11): NULL-ts
     -- events must occupy the same sequence slots on both engines
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
     """,
 )
 def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:

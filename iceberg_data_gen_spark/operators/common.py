@@ -176,14 +176,17 @@ def normalized_vectors(df: DataFrame) -> DataFrame:
     keeps the aggregate as a separate project column, measured ~25%
     faster at dim 64 and asymptotically O(d))."""
     v = F.col("embedding").cast("array<double>")
-    # NULL vectors are dropped HERE, at the one choke point the whole
-    # ANN family shares (NULL sweep r11): FIXTURES.md permits NULL
-    # embeddings, a NULL nv crashes every numpy grid kernel downstream
-    # (np.array over a mixed None/list column is inhomogeneous), and a
-    # vector-less row cannot participate in any similarity operation.
-    # Every consumer's oracle carries the matching
-    # `WHERE embedding IS NOT NULL`.
-    df = df.where(F.col("embedding").isNotNull())
+    # NULL vectors and NULL ids are dropped HERE, at the one choke
+    # point the whole ANN family shares (NULL sweep r11): FIXTURES.md
+    # permits NULLs in every column, a NULL nv crashes every numpy grid
+    # kernel downstream (np.array over a mixed None/list column is
+    # inhomogeneous), a NULL vec_id turns the kernels' int64 id arrays
+    # into NaN floats (the `q.vec_id != c.vec_id` self-exclusion then
+    # DISAGREES with SQL's NULL-hostile predicate — keys-pass sweep),
+    # and a row with no id or no vector cannot participate in any
+    # similarity operation.  Every consumer's oracle carries the
+    # matching `WHERE embedding IS NOT NULL AND vec_id IS NOT NULL`.
+    df = df.where(F.col("embedding").isNotNull() & F.col("vec_id").isNotNull())
     # norm clamped at 1e-12 — the ONE zero-norm convention the whole ANN
     # family shares (numpy kernels use np.maximum(norm, 1e-12), oracles
     # use greatest(..., 1e-12)): a zero vector normalizes to zeros and

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from iceberg_data_gen_spark.operators import register
 from iceberg_data_gen_spark.operators.common import docs_table as _docs
+from iceberg_data_gen_spark.operators.common import round_half_up, round_half_up_sql
 
 # PII patterns, chosen from the RE2 ∩ java.util.regex common syntax so
 # Spark (Java regex) and DuckDB (RE2) match identically: no lookarounds,
@@ -171,15 +172,22 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_simpson_diversity",
-    oracle="""
+    # round_half_up, not native round (r11 review: the same
+    # representation-dependent tie class review r10 closed in text.py —
+    # Spark BigDecimal HALF_UP vs DuckDB multiply-then-round)
+    oracle=f"""
     WITH tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        -- doc_id IS NOT NULL (r11 keys pass): the oracle GROUPs BY
+        -- doc_id (merging id-less docs) while Spark projects per row
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id IS NOT NULL
     ),
     c AS (SELECT doc_id, w, count(*) AS n FROM tok GROUP BY doc_id, w)
     SELECT doc_id,
            CAST(sum(n) AS BIGINT)      AS n_tokens,
            CAST(sum(n * n) AS BIGINT)  AS sum_sq_counts,
-           round(1.0 - CAST(sum(n * n) AS DOUBLE) / (sum(n) * sum(n)), 6)
+           {round_half_up_sql(
+               '1.0 - CAST(sum(n * n) AS DOUBLE) / (sum(n) * sum(n))', 6)}
                AS simpson_diversity
     FROM c
     GROUP BY doc_id
@@ -205,7 +213,11 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before GROUP BY, while this pure projection would have emitted a
     # (doc_id, NULL, NULL, NULL) row — a rowcount mismatch on the
     # nullable corpus the fixture contract permits
-    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    docs = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull()
+        # id-less docs drop too (r11 keys pass — see the oracle comment)
+        & F.col("doc_id").isNotNull()
+    )
     words = F.split("text", " ")
 
     sum_sq = run_length_fold(
@@ -225,7 +237,7 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n.alias("n_tokens"),
         sum_sq.alias("sum_sq_counts"),
-        F.round(
+        round_half_up(
             F.lit(1.0) - F.col("sum_sq_counts").cast("double") / (n * n), 6
         ).alias("simpson_diversity"),
     )
@@ -233,7 +245,9 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_source_divergence",
-    oracle="""
+    # round_half_up, not native round (r11 review — see
+    # q_simpson_diversity)
+    oracle=f"""
     WITH tok AS (
         SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
     ),
@@ -244,11 +258,11 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            n_s AS n_tokens,
            count(*) AS n_shared_terms,
-           round(CAST(sum(CAST(
+           {round_half_up_sql('''CAST(sum(CAST(
                (CAST(c_sw AS DOUBLE) / n_s - CAST(c_w AS DOUBLE) / n)
                * (CAST(c_sw AS DOUBLE) / n_s - CAST(c_w AS DOUBLE) / n)
                / (CAST(c_w AS DOUBLE) / n)
-               AS DECIMAL(28, 18))) AS DOUBLE), 6) AS chi2_divergence
+               AS DECIMAL(28, 18))) AS DOUBLE)''', 6)} AS chi2_divergence
     FROM sw JOIN st USING (source) CROSS JOIN tot JOIN cw USING (w)
     GROUP BY source, n_s
     """,
@@ -288,7 +302,7 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "n_s")
         .agg(
             F.count(F.lit(1)).alias("n_shared_terms"),
-            F.round(F.sum(term).cast("double"), 6).alias("chi2_divergence"),
+            round_half_up(F.sum(term).cast("double"), 6).alias("chi2_divergence"),
         )
         .select(
             "source",
@@ -317,7 +331,7 @@ ZIPF_TOP = 10
     top1 AS (SELECT freq AS f1 FROM ranked WHERE rnk = 1)
     SELECT rnk, w AS word, CAST(freq AS BIGINT) AS freq,
            CAST(freq * rnk AS BIGINT) AS freq_x_rank,
-           round(CAST(f1 AS DOUBLE) / freq, 4) AS rank1_ratio
+           {round_half_up_sql('CAST(f1 AS DOUBLE) / freq', 4)} AS rank1_ratio
     FROM ranked CROSS JOIN top1
     WHERE rnk <= {ZIPF_TOP}
     """,
@@ -332,8 +346,9 @@ def q_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: explode → map-side-combined word count → top-ZIPF_TOP via a
     rank window over the vocabulary-sized aggregate (WindowGroupLimit
-    keeps it a partial top-k at scale); the 1-row top frequency is a
-    broadcast.
+    keeps it a partial top-k at scale); the top frequency is a second
+    window over the already-filtered ZIPF_TOP rows, so the heavy
+    explode/count pipeline is planned exactly once (r11 review).
     """
     from pyspark.sql.window import Window
 
@@ -346,11 +361,17 @@ def q_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = freq.withColumn(
         "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), "w"))
     ).where(F.col("rnk") <= ZIPF_TOP)
-    top1 = ranked.where(F.col("rnk") == 1).select(F.col("freq").alias("f1"))
-    return ranked.crossJoin(F.broadcast(top1)).select(
+    # f1 as a second window over the ALREADY-FILTERED <= ZIPF_TOP rows
+    # (r11 review): the old rnk==1 branch + crossJoin re-planned the
+    # whole explode/count/rank pipeline a second time (ReuseExchange
+    # dedupes only the exchange, not the aggregation and window above
+    # it) — this window sees ZIPF_TOP rows and stays in one lineage.
+    # round_half_up, not native round (see q_simpson_diversity).
+    f1 = F.max("freq").over(Window.partitionBy(F.lit(1)))
+    return ranked.select(
         "rnk",
         F.col("w").alias("word"),
         "freq",
         (F.col("freq") * F.col("rnk")).cast("long").alias("freq_x_rank"),
-        F.round(F.col("f1").cast("double") / F.col("freq"), 4).alias("rank1_ratio"),
+        round_half_up(f1.cast("double") / F.col("freq"), 4).alias("rank1_ratio"),
     )

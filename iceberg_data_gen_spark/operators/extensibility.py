@@ -147,10 +147,10 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     class _PriorityExpand:
         def eval(self, o_orderkey: int, prio: str):
             if prio is None:
-                # NULL stays NULL (review r9): the oracle's
-                # split_part(NULL, '-', k) is NULL, and folding it to ''
-                # was the exact over-correction class fixed in
-                # q_pandas_udf_scalar (commit 6a8a74b)
+                # NULL stays NULL; the oracle mirrors this with CASE
+                # guards (r11: DuckDB's split_part(NULL) is actually
+                # '' — the r9 assumption this comment used to state
+                # was wrong and never exercised until NULLs shipped)
                 yield o_orderkey, "code", None
                 yield o_orderkey, "label", None
                 return
@@ -318,12 +318,16 @@ def q_mor_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cogroup",
     oracle="""
     WITH o AS (
+        -- key IS NOT NULL on both sides (r11 keys pass): Spark's
+        -- cogroup meets the two NULL-key groups in ONE merge call
+        -- while SQL's full outer equality never matches NULL = NULL —
+        -- the entity rule drops id-less rows from both engines
         SELECT o_custkey AS k, count(*) AS n_orders, max(o_totalprice) AS max_price
-        FROM orders GROUP BY o_custkey
+        FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
     ),
     e AS (
         SELECT user_id AS k, count(*) AS n_events, max(value) AS max_value
-        FROM events GROUP BY user_id
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     )
     SELECT coalesce(o.k, e.k) AS user_id,
            coalesce(n_orders, 0) AS n_orders,
@@ -370,8 +374,10 @@ def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        orders.groupBy("o_custkey")
-        .cogroup(events.groupBy("user_id"))
+        # entity rule (r11 keys pass — see the oracle comment)
+        orders.where(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .cogroup(events.where(F.col("user_id").isNotNull()).groupBy("user_id"))
         .applyInPandas(
             merge,
             "user_id long, n_orders long, n_events long, max_price double, max_value double",

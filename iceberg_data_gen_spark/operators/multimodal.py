@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_data_gen_spark.operators import register
-from iceberg_data_gen_spark.session import load_tables
+from iceberg_data_gen_spark.operators.common import (
+    docs_table,
+    round_half_up,
+    round_half_up_sql,
+)
 
 try:  # real decoders, absent from this container by design
     import PIL.Image  # noqa: F401
@@ -49,7 +53,15 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar and prunable so filters like ``meta.format = 'png'`` never
     touch payload bytes.
     """
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # docs_table, not a hand-rolled load (r11 review): common.py's
+    # loader is the declared single choke point for documents loading.
+    # NULL doc_id rows drop (r11 keys-pass review): the format routing,
+    # synthetic dimensions, and shard windows are all functions of
+    # doc_id — Spark's element_at(array, NULL) yields NULL format where
+    # the oracles' CASE ... ELSE 'wav' yields 'wav', and an id-less blob
+    # is unaddressable by any media pipeline.  Every consumer oracle
+    # carries the matching WHERE doc_id IS NOT NULL.
+    docs = docs_table(spark, sf_dir).where(F.col("doc_id").isNotNull())
     payload = F.encode("text", "utf-8")
     return docs.select(
         "doc_id",
@@ -75,7 +87,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((doc_id * 7) % 480 AS INT) AS height,
            octet_length(encode(text)) AS n_bytes,
            md5(text) AS payload_md5
-    FROM documents
+    FROM documents WHERE doc_id IS NOT NULL
     """,
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,7 +179,7 @@ def make_decode_batch(have_pil: bool):
              CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
              hex(encode(text)) AS h,
              octet_length(encode(text)) AS n
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     )
     SELECT doc_id, format, CAST(n AS BIGINT) AS n_bytes,
            CASE WHEN n = 0 THEN 0.0 ELSE
@@ -461,7 +473,11 @@ def q_multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-encoded blobs from parquet/tar shards.  Deterministic
     output; the encode↔decode agreement is asserted row-exactly in
     ``tests/test_llm_ops.py``."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # NULL doc_id rows drop (r11 keys-pass review): the encode kernel's
+    # ids.astype("int64") raises on the NaN a nulled long column arrives
+    # as, and the audit's analytic twin derives every feature from
+    # doc_id — an id-less row has no defined fixture bytes
+    docs = docs_table(spark, sf_dir).where(F.col("doc_id").isNotNull())
     src = docs.select("doc_id").repartition(8, "doc_id")
     encoded = src.mapInPandas(
         make_media_encode_batch(), "doc_id long, format string, payload binary"
@@ -473,18 +489,27 @@ def q_multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_multimodal_frame_stats",
-    oracle="""
+    oracle=f"""
     WITH d AS (
         SELECT doc_id,
                CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
                octet_length(encode(text)) AS n_bytes
-        FROM documents
+        FROM documents WHERE doc_id IS NOT NULL
     )
     SELECT format,
            count(*) AS n_docs,
            CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-           round(avg(n_bytes), 4) AS avg_bytes,
-           CAST(sum(least(8, greatest(1, n_bytes // 64))) AS BIGINT) AS total_frames
+           -- round_half_up, not native round (r11 review: the
+           -- representation-dependent tie class review r10 closed)
+           {round_half_up_sql('avg(n_bytes)', 4)} AS avg_bytes,
+           -- NULL payloads contribute NO frame budget (r11 review:
+           -- greatest() SKIPS NULLs on both engines, so a NULL-byte
+           -- doc counted 1 frame here while the decode stage emits
+           -- frames_sampled NULL for it — the scheduler view and the
+           -- decode view now agree)
+           CAST(sum(CASE WHEN n_bytes IS NULL THEN NULL
+                         ELSE least(8, greatest(1, n_bytes // 64)) END)
+                AS BIGINT) AS total_frames
     FROM d GROUP BY format
     """,
 )
@@ -493,13 +518,18 @@ def q_multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-only aggregation (what a scheduler would run before
     launching the decode stage)."""
     m = media_table(spark, sf_dir)
-    frames = F.least(
-        F.lit(8), F.greatest(F.lit(1), F.floor(F.col("meta.n_bytes") / 64))
+    # NULL guard: Spark's greatest() also SKIPS NULLs, so without it a
+    # NULL-payload doc budgeted 1 frame the decode stage will never
+    # sample (r11 review — see the oracle comment)
+    frames = F.when(
+        F.col("meta.n_bytes").isNull(), F.lit(None).cast("long")
+    ).otherwise(
+        F.least(F.lit(8), F.greatest(F.lit(1), F.floor(F.col("meta.n_bytes") / 64)))
     )
     return m.groupBy(F.col("meta.format").alias("format")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("meta.n_bytes").alias("total_bytes"),
-        F.round(F.avg("meta.n_bytes"), 4).alias("avg_bytes"),
+        round_half_up(F.avg("meta.n_bytes"), 4).alias("avg_bytes"),
         F.sum(frames).alias("total_frames"),
     )
 
@@ -515,7 +545,7 @@ SHARD_BYTE_BUDGET = 16 * 1024  # bytes of payload per training shard
                CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END
                    AS format,
                octet_length(encode(text)) AS n_bytes
-        FROM documents
+        FROM documents WHERE doc_id IS NOT NULL
     ),
     placed AS (
         SELECT doc_id, format, n_bytes,
@@ -671,7 +701,13 @@ def _codec_audit_frame(spark: SparkSession, sf_dir: str, decoded: DataFrame) -> 
     """Audit core, parameterized on the decoded frame so the negative
     controls in tests/test_llm_ops.py can feed perturbed variants and
     assert each boolean flips (the q_minhash_lsh_audit convention)."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
+    # same NULL-id drop as the pipeline under audit (r11 keys pass):
+    # the analytic twin cannot derive fixture bytes for an id-less row
+    docs = (
+        docs_table(spark, sf_dir)
+        .where(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
     exp = _expected_codec_features(docs)
     # FULL outer (ADVICE r9): a left join hid decoded rows whose doc_id
     # matches no document — id-corruption emitted a spurious row the audit
@@ -760,7 +796,7 @@ def _codec_audit_frame(spark: SparkSession, sf_dir: str, decoded: DataFrame) -> 
            TRUE AS wav_exact,
            TRUE AS ppm_exact,
            TRUE AS stats_match
-    FROM documents
+    FROM documents WHERE doc_id IS NOT NULL
     """,
 )
 def q_multimodal_codec_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

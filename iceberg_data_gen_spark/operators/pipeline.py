@@ -88,11 +88,15 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY source
                                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                    AS rk
-        FROM documents
+        -- doc_id IS NOT NULL (r11 keys pass): md5(NULL) order keys and
+        -- checksums of unidentifiable docs are undefined — the entity
+        -- rule: id-less rows drop from id-keyed computations
+        FROM documents WHERE doc_id IS NOT NULL
     ),
     cap AS (
         SELECT min(cnt) AS cap
-        FROM (SELECT count(*) AS cnt FROM documents GROUP BY source)
+        FROM (SELECT count(*) AS cnt FROM documents
+              WHERE doc_id IS NOT NULL GROUP BY source)
     )
     SELECT source,
            count(*)    AS kept,
@@ -114,7 +118,8 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap per source comes from a target-weights table instead of min() —
     same plan shape with the cap joined by source.
     """
-    docs = _docs(spark, sf_dir)
+    # id-less docs drop (r11 keys pass — see the oracle comment)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
     h = doc_order_key()
     w = Window.partitionBy("source").orderBy("h", "doc_id")
     ranked = docs.select("doc_id", "source", h.alias("h")).withColumn(
@@ -173,9 +178,12 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cooccurrence",
     oracle="""
     WITH toks AS (
+        -- doc_id IS NOT NULL (r11 keys pass): the oracle's self-join on
+        -- doc_id never matches NULL while Spark's per-row HOF pairs
+        -- need no id — drop id-less docs on both engines
         SELECT doc_id,
                unnest(list_sort(list_distinct(string_split(text, ' ')))) AS tok
-        FROM documents
+        FROM documents WHERE doc_id IS NOT NULL
     )
     SELECT t1.tok AS term_a, t2.tok AS term_b, count(*) AS pair_count
     FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t1.tok < t2.tok
@@ -198,7 +206,8 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds pairs per doc at V².  Counts are exact integers, so the
     oracle match is bit-for-bit.
     """
-    docs = _docs(spark, sf_dir)
+    # id-less docs drop (r11 keys pass — see the oracle comment)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
     toks = F.array_sort(F.array_distinct(F.split("text", " ")))
     pairs = F.expr(
         "flatten(transform(toks, (x, i) -> "
@@ -224,7 +233,8 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / len(string_split(text, ' ')) DESC,
                         doc_id
            ) AS BIGINT) AS global_rank
-    FROM documents
+    -- doc_id IS NOT NULL (r11 keys pass): the rank tie-break is doc_id
+    FROM documents WHERE doc_id IS NOT NULL
     """,
 )
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,7 +264,8 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     on every invocation — bench loops run this repeatedly).
     """
 
-    docs = _docs(spark, sf_dir)
+    # id-less docs drop (r11 keys pass): the rank tie-break is doc_id
+    docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
     d = docs.select("doc_id", ttr_expr(F.split("text", " ")).alias("ttr"))
     try:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -526,11 +526,11 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey,
            round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                PARTITION BY o_custkey
-               ORDER BY o_orderdate NULLS FIRST, o_orderkey
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE), 2) AS running_spend,
            lag(o_orderkey) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
+               PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
            ) AS prev_orderkey
     FROM orders
     """,
@@ -561,7 +561,10 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_rank_dense",
     oracle="""
     SELECT p_brand, p_partkey, p_size,
-           rank()       OVER (PARTITION BY p_brand ORDER BY p_size DESC, p_partkey) AS size_rank,
+           rank()       OVER (PARTITION BY p_brand
+                              -- NULLS FIRST on the ASC tie-break =
+                              -- Spark's default (r11 keys pass)
+                              ORDER BY p_size DESC, p_partkey NULLS FIRST) AS size_rank,
            dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC)            AS size_dense_rank,
            round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,4)))
                           OVER (PARTITION BY p_brand) AS DOUBLE)

@@ -224,7 +224,8 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
     ),
     n AS (
         SELECT vec_id, list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS nv
@@ -646,10 +647,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = (
         _emb(spark, sf_dir)
-        # NULL embeddings drop out (NULL sweep r11): a NULL v crashes
-        # the numpy batch kernels and cannot be assigned/encoded/scored;
-        # matches normalized_vectors' filter and the oracles' WHERE
-        .where(F.col("embedding").isNotNull())
+        # NULL embeddings/ids drop out (NULL sweep r11): a NULL v
+        # crashes the numpy batch kernels, a NULL vec_id NaN-poisons
+        # their int64 id arrays; matches normalized_vectors' filter and
+        # the oracles' WHERE
+        .where(F.col("embedding").isNotNull() & F.col("vec_id").isNotNull())
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     assign, probe, k = _corpus_centroids(e, sf_dir)
@@ -740,7 +742,8 @@ def _lsh_oracle() -> str:
     return f"""
     WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
     ),
     n AS (
         SELECT vec_id, list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS nv
@@ -837,6 +840,7 @@ KNN_K = 16
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
         WHERE embedding IS NOT NULL AND label IS NOT NULL
+              AND vec_id IS NOT NULL
     ),
     n AS (
         SELECT vec_id, label,
@@ -1062,10 +1066,11 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = (
         _emb(spark, sf_dir)
-        # NULL embeddings drop out (NULL sweep r11): a NULL v crashes
-        # the numpy batch kernels and cannot be assigned/encoded/scored;
-        # matches normalized_vectors' filter and the oracles' WHERE
-        .where(F.col("embedding").isNotNull())
+        # NULL embeddings/ids drop out (NULL sweep r11): a NULL v
+        # crashes the numpy batch kernels, a NULL vec_id NaN-poisons
+        # their int64 id arrays; matches normalized_vectors' filter and
+        # the oracles' WHERE
+        .where(F.col("embedding").isNotNull() & F.col("vec_id").isNotNull())
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     C = _trained(
@@ -1336,10 +1341,11 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = (
         _emb(spark, sf_dir)
-        # NULL embeddings drop out (NULL sweep r11): a NULL v crashes
-        # the numpy batch kernels and cannot be assigned/encoded/scored;
-        # matches normalized_vectors' filter and the oracles' WHERE
-        .where(F.col("embedding").isNotNull())
+        # NULL embeddings/ids drop out (NULL sweep r11): a NULL v
+        # crashes the numpy batch kernels, a NULL vec_id NaN-poisons
+        # their int64 id arrays; matches normalized_vectors' filter and
+        # the oracles' WHERE
+        .where(F.col("embedding").isNotNull() & F.col("vec_id").isNotNull())
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     assign, probe, k = _corpus_centroids(e, sf_dir)
@@ -1454,10 +1460,11 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = (
         _emb(spark, sf_dir)
-        # NULL embeddings drop out (NULL sweep r11): a NULL v crashes
-        # the numpy batch kernels and cannot be assigned/encoded/scored;
-        # matches normalized_vectors' filter and the oracles' WHERE
-        .where(F.col("embedding").isNotNull())
+        # NULL embeddings/ids drop out (NULL sweep r11): a NULL v
+        # crashes the numpy batch kernels, a NULL vec_id NaN-poisons
+        # their int64 id arrays; matches normalized_vectors' filter and
+        # the oracles' WHERE
+        .where(F.col("embedding").isNotNull() & F.col("vec_id").isNotNull())
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     cell_of, _probe, _k = _corpus_centroids(e, sf_dir)
@@ -1648,7 +1655,8 @@ def q_ann_ivfpq_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS one_verdict_each,
            TRUE AS pruned_witnessed,
            TRUE AS kept_below_tau
-    FROM embeddings WHERE embedding IS NOT NULL
+    FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
     """,
 )
 def q_semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1684,7 +1692,9 @@ def q_semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # WHERE embedding IS NOT NULL
     n_total = _trained(
         ("count", sf_dir),
-        lambda: _emb(spark, sf_dir).where(F.col("embedding").isNotNull()).count(),
+        lambda: _emb(spark, sf_dir)
+        .where(F.col("embedding").isNotNull() & F.col("vec_id").isNotNull())
+        .count(),
     )
     agg = joined.agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -454,7 +454,9 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                    PARTITION BY lang
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                ) AS rn
-        FROM documents
+        -- doc_id IS NOT NULL (r11 keys pass): md5(NULL) sample keys
+        -- sort engine-differently; id-less docs drop (entity rule)
+        FROM documents WHERE doc_id IS NOT NULL
     )
     WHERE rn <= 20
     """,
@@ -466,7 +468,8 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partition layout and seed stream).  The per-stratum quota is a
     rank-filter window, which Spark executes as a partial top-k
     (WindowGroupLimit) — no full sort of any stratum."""
-    docs = _docs(spark, sf_dir)
+    # id-less docs drop (r11 keys pass — see the oracle comment)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
     from pyspark.sql.window import Window
 
     h = doc_order_key()
@@ -523,7 +526,10 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
         SELECT doc_id, string_split(text, ' ') AS ws
         FROM documents
-        WHERE len(string_split(text, ' ')) >= 2
+        -- doc_id IS NOT NULL (r11 keys pass): the oracle GROUPs BY
+        -- doc_id (merging id-less docs into one row) while Spark is a
+        -- per-row projection — entity rule on both engines
+        WHERE len(string_split(text, ' ')) >= 2 AND doc_id IS NOT NULL
     ),
     g AS (
         SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
@@ -553,7 +559,8 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a corpus-sized exchange for a per-document statistic; this plan is
     a pure map over the scan, in WholeStageCodegen end-to-end.
     """
-    docs = _docs(spark, sf_dir)
+    # id-less docs drop (r11 keys pass — see the oracle comment)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
     with_words = docs.select("doc_id", F.split("text", " ").alias("w"))
     grams = _ngrams("w", 2)
 
@@ -585,8 +592,10 @@ PACK_BUDGET = 2048  # tokens per packed training sequence
     "q_pack_sequences",
     oracle=f"""
     WITH d AS (
+        -- doc_id IS NOT NULL (r11 keys pass): the packing order IS
+        -- doc_id — id-less docs have no deterministic slot
         SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
-        FROM documents
+        FROM documents WHERE doc_id IS NOT NULL
     ),
     c AS (
         SELECT lang, doc_id, n_tokens,
@@ -618,7 +627,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard to parallelize beyond |langs| — the per-shard plan is this
     exact plan with a composite key.
     """
-    docs = _docs(spark, sf_dir)
+    # id-less docs drop (r11 keys pass — see the oracle comment)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
     from pyspark.sql.window import Window
 
     n_tokens = F.size(F.split("text", " "))
@@ -880,7 +890,10 @@ def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_boilerplate_strip",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+      -- doc_id IS NOT NULL (r11 keys pass): the oracle GROUPs BY doc_id
+      -- while Spark emits per-row — entity rule on both engines
+      SELECT doc_id, string_split(text, ' ') AS arr
+      FROM documents WHERE doc_id IS NOT NULL
     ), flat AS (
       SELECT doc_id, unnest(arr) AS tok,
              unnest(range(1, len(arr) + 1)) AS pos
@@ -911,7 +924,9 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     step); the strip itself is a shuffle-free higher-order filter against
     a literal array, applied per-row with order preserved — no second
     explode, no re-grouping, no sort."""
-    docs = _docs(spark, sf_dir)
+    # id-less docs drop (r11 keys pass — see the oracle comment);
+    # the top-10 token census runs over the SAME filtered corpus
+    docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
     toks = F.split("text", " ")
     top = (
         docs.select(F.explode(toks).alias("tok"))
@@ -937,10 +952,16 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_length_band_filter",
     oracle="""
     WITH ranked AS (
+      -- the percentile spine excludes NULL n_chars (they cannot rank —
+      -- Spark puts them first, DuckDB last, shifting every edge rank)
+      -- and NULL doc_id (the rank tie-break) on BOTH engines; the final
+      -- band filter below is unchanged — NULL n_chars rows fail BETWEEN
+      -- identically on both (r11 keys pass)
       SELECT doc_id, n_chars,
              row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
              count(*) OVER () AS n
       FROM documents
+      WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
     ), edges AS (
       SELECT max(CASE WHEN rn = ((n - 1) * 10) // 100 + 1 THEN n_chars END) AS p10_chars,
              max(CASE WHEN rn = ((n - 1) * 90) // 100 + 1 THEN n_chars END) AS p90_chars
@@ -967,11 +988,14 @@ def q_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
+    # percentile spine over non-null (n_chars, doc_id) only — see the
+    # oracle comment (r11 keys pass); the band filter keeps `docs` whole
+    spine = docs.where(F.col("n_chars").isNotNull() & F.col("doc_id").isNotNull())
     w = Window.orderBy("n_chars", "doc_id")
-    ranked = docs.select(
+    ranked = spine.select(
         "n_chars",
         F.row_number().over(w).alias("rn"),
-    ).crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("n"))))
+    ).crossJoin(F.broadcast(spine.agg(F.count(F.lit(1)).alias("n"))))
     edges = ranked.agg(
         F.max(
             F.when(

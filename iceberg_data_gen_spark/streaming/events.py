@@ -821,8 +821,12 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_stream_dedup",
     oracle="""
+    -- user_id IS NOT NULL (r11 keys pass): dropDuplicates keeps ONE
+    -- row for the NULL-user key per type while count(DISTINCT user_id)
+    -- skips NULLs entirely — dedup per user needs a user
     SELECT event_type, count(DISTINCT user_id) AS n_users
     FROM events
+    WHERE user_id IS NOT NULL
     GROUP BY event_type
     """,
 )
@@ -842,7 +846,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch ⇒ no mid-stream eviction); the multi-batch recount
     semantics are pinned by
     ``test_stream_dedup_recounts_after_watermark_eviction``."""
-    ev = read_events_stream(spark, sf_dir)
+    # entity rule (r11 keys pass — see the oracle comment)
+    ev = read_events_stream(spark, sf_dir).where(F.col("user_id").isNotNull())
     deduped = ev.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["event_type", "user_id"]
     )

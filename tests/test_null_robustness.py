@@ -83,6 +83,39 @@ NULL_SENSITIVE = [
     "q_embedding_neardup",
 ]
 
+# The r11 KEYS pass (--null-keys: id/join keys nulled too) found a
+# second class: entity-keyed computations meeting id-less rows.  The
+# uniform rule applied on BOTH engines — a row whose entity id is NULL
+# drops from id-keyed computations (it cannot be ranked, joined,
+# deduplicated, checksummed, or given per-entity state), and pure ASC
+# tie-breaks on nullable keys pin NULLS FIRST (Spark's default).
+KEY_NULL_SENSITIVE = [
+    "q_boilerplate_strip",
+    "q_cogroup",
+    "q_cooccurrence",
+    "q_curriculum_order",
+    "q_domain_mixture",
+    "q_event_pagerank",
+    "q_ewma",
+    "q_knn_classify",
+    "q_lag_features",
+    "q_length_band_filter",
+    "q_multimodal_meta",
+    "q_multimodal_decode",
+    "q_multimodal_frame_stats",
+    "q_multimodal_shard_manifest",
+    "q_multimodal_codec_audit",
+    "q_pack_sequences",
+    "q_repetition_score",
+    "q_scd2",
+    "q_semdedup_audit",
+    "q_simpson_diversity",
+    "q_stratified_sample",
+    "q_stream_dedup",
+    "q_window_rank_dense",
+    "q_window_running",
+]
+
 
 def _load_sweep_module():
     spec = importlib.util.spec_from_file_location(
@@ -110,10 +143,33 @@ def nulled_sf_dir(tmp_path_factory):
     return dst
 
 
+@pytest.fixture(scope="session")
+def nulled_keys_sf_dir(tmp_path_factory):
+    from tests.conftest import SF_SMALL
+
+    sweep = _load_sweep_module()
+    dst = str(tmp_path_factory.mktemp("nulled-keys-corpus"))
+    sweep.build_nulled_corpus(SF_SMALL, dst, frac=0.04, seed=5, null_keys=True)
+    return dst
+
+
 @pytest.mark.parametrize("name", NULL_SENSITIVE)
 def test_query_matches_oracle_on_nulled_corpus(spark, nulled_sf_dir, name):
     assert name in operators.ORACLES, f"{name} lost its oracle"
     errors = compare(
         spark, name, operators.QUERIES[name], operators.ORACLES[name], nulled_sf_dir
+    )
+    assert not errors, errors
+
+
+@pytest.mark.parametrize("name", KEY_NULL_SENSITIVE)
+def test_query_matches_oracle_on_nulled_keys_corpus(spark, nulled_keys_sf_dir, name):
+    assert name in operators.ORACLES, f"{name} lost its oracle"
+    errors = compare(
+        spark,
+        name,
+        operators.QUERIES[name],
+        operators.ORACLES[name],
+        nulled_keys_sf_dir,
     )
     assert not errors, errors

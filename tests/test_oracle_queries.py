@@ -196,7 +196,10 @@ def test_broadcast_hint_census():
     base = Path(iceberg_data_gen_spark.__file__).parent
     expected = {
         "operators/analytics.py": 5,
-        "operators/curation.py": 3,
+        # r11: 3 → 2 — q_zipf_check's broadcast(top1) crossJoin is gone
+        # (the top frequency is now a second window over the 10 already-
+        # filtered rows, removing the double-planned explode pipeline)
+        "operators/curation.py": 2,
         "operators/pipeline.py": 3,
         "operators/relational.py": 3,
         # r9 second pass: the q3/q5/q10 scaling-table rule applied to the
