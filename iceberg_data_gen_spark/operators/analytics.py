@@ -62,9 +62,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- streaming twin, whose session window drops NULL event times.
         SELECT user_id, event_id, ts, value,
                CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST)
                         > {SESSION_GAP_SEC} * 1000000
-                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST)
                         IS NULL
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
@@ -72,7 +72,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, ts, value,
-               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST
                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
                    AS session_idx
         FROM flagged
@@ -678,6 +678,9 @@ def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE s AS (
         SELECT user_id, event_id, value,
+               -- deliberately NO NULLS FIRST pin here (r11): the ewma
+               -- kernel's pandas sort_values places NaN/NaT LAST,
+               -- which matches DuckDB's ASC default exactly
                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         -- user_id IS NOT NULL (r11 keys pass): per-entity state needs an
         -- entity — Spark's groupBy forms a NULL-key group while the

@@ -49,10 +49,13 @@ def _shard_of(h: F.Column) -> F.Column:
            row_number() OVER (PARTITION BY shard
                               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                AS position
+    -- doc_id IS NOT NULL (r11 keys pass, entity rule): id-less docs
+    -- all hash to the NULL shard with fully-tied order keys, so their
+    -- positions are assigned arbitrarily and differently per engine
     FROM (SELECT doc_id, source,
                  strpos('0123456789abcdef',
                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS shard
-          FROM documents)
+          FROM documents WHERE doc_id IS NOT NULL)
     """,
 )
 def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,7 +68,8 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage; at 1000 executors this is one hash exchange on ``shard``
     plus embarrassingly parallel local sorts.
     """
-    docs = _docs(spark, sf_dir)
+    # entity rule (r11 keys pass — see the oracle comment)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
     sharded = docs.select(
         "doc_id", "source", doc_order_key().alias("h")
     ).withColumn("shard", _shard_of(F.col("h")))
@@ -315,7 +319,9 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, source, n_chars,
                sum(n_chars) OVER (PARTITION BY source) AS total_chars,
                sum(n_chars) OVER (PARTITION BY source
-                                  ORDER BY n_chars DESC, doc_id
+                                  -- NULLS FIRST on the ASC tie-break =
+                                  -- Spark's default (r11 latent-tie pin)
+                                  ORDER BY n_chars DESC, doc_id NULLS FIRST
                                   ROWS UNBOUNDED PRECEDING) AS cum_chars
         FROM documents
     )

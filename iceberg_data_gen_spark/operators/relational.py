@@ -489,7 +489,9 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey, o_orderkey, o_totalprice,
                row_number() OVER (
                    PARTITION BY o_custkey
-                   ORDER BY o_totalprice DESC, o_orderkey
+                   -- NULLS FIRST on the ASC tie-break = Spark's
+                   -- default (r11 latent-tie pin)
+                   ORDER BY o_totalprice DESC, o_orderkey NULLS FIRST
                ) AS rn
         FROM orders
     )

@@ -114,6 +114,12 @@ KEY_NULL_SENSITIVE = [
     "q_stream_dedup",
     "q_window_rank_dense",
     "q_window_running",
+    # latent-tie hygiene pass (r11): pins/filters added BEFORE a tied
+    # NULL key ever coincided on a regenerated corpus
+    "q_top_p_per_source",
+    "q_window_topk_per_group",
+    "q_sessionize",
+    "q_global_shuffle",
 ]
 
 
