@@ -69,6 +69,21 @@ def round_half_up(col: F.Column, n: int) -> F.Column:
     return F.floor(col * p + F.lit(0.5)).cast("double") / p
 
 
+def md5_hash32_sql(expr: str) -> str:
+    """First 8 md5 hex digits of ``expr`` as a 32-bit uint, folded
+    digit-by-digit (portable to engines without a hex-string cast).
+    ONE definition (r11 review): text.py's temperature-sampling key and
+    dedup.py's simhash word hash were byte-identical hand copies that
+    must stay bit-identical — a portability tweak to one would silently
+    diverge the other from its Spark twin."""
+    return (
+        "CAST(list_sum(list_transform(range(8), i -> "
+        f"(strpos('0123456789abcdef', substr(md5({expr}), "
+        "CAST(i+1 AS INT), 1)) - 1)::BIGINT"
+        " << (4*(7-i)))) AS BIGINT)"
+    )
+
+
 def round_half_up_sql(expr: str, n: int) -> str:
     """DuckDB twin of :func:`round_half_up` (identical primitives)."""
     p = float(10**n)

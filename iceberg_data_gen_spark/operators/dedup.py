@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 
 from iceberg_data_gen_spark.operators import QUERIES, register
 from iceberg_data_gen_spark.operators.common import docs_table as _docs
-from iceberg_data_gen_spark.operators.common import ngram_expr
+from iceberg_data_gen_spark.operators.common import md5_hash32_sql, ngram_expr
+from iceberg_data_gen_spark.operators.common import (
+    round_half_up,
+    round_half_up_sql,
+)
 from iceberg_data_gen_spark.session import load_tables
 
 SIMHASH_BITS = 32
@@ -143,7 +147,12 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND len(b.s) * 10 >= len(a.s) * 9
     )
     SELECT doc_a, doc_b,
-           round(CAST(i AS DOUBLE) / (sz - i), 4) AS jaccard
+           -- floor(x*1e4+0.5)/1e4 == common.round_half_up_sql's
+           -- primitive (r11 review: native round() is
+           -- representation-dependent across engines on
+           -- representable 4dp ties — the r10 class)
+           floor(CAST(i AS DOUBLE) / (sz - i) * 10000.0 + 0.5)
+               / 10000.0 AS jaccard
     FROM pairs
     WHERE CAST(i AS DOUBLE) / (sz - i) >= 0.9
     """,
@@ -248,7 +257,7 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(j, 4).alias("jaccard"),
+            round_half_up(j, 4).alias("jaccard"),
         )
     )
 
@@ -625,7 +634,12 @@ def q_minhash_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND len(b.sh) * 5 >= len(a.sh) * 4
     )
     SELECT doc_a, doc_b,
-           round(CAST(i AS DOUBLE) / (sz - i), 4) AS jaccard
+           -- floor(x*1e4+0.5)/1e4 == common.round_half_up_sql's
+           -- primitive (r11 review: native round() is
+           -- representation-dependent across engines on
+           -- representable 4dp ties — the r10 class)
+           floor(CAST(i AS DOUBLE) / (sz - i) * 10000.0 + 0.5)
+               / 10000.0 AS jaccard
     FROM pairs
     WHERE CAST(i AS DOUBLE) / (sz - i) >= 0.8
     """,
@@ -725,7 +739,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (cand["lang_b"] == F.col("sb.lang")),
         )
         .where(_safe(j >= 0.8))
-        .select("doc_a", "doc_b", F.round(j, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", round_half_up(j, 4).alias("jaccard"))
     )
 
 
@@ -737,12 +751,9 @@ _HEX = "0123456789abcdef"
 
 
 def _simhash_oracle_sql() -> str:
-    # per-word 32-bit hash from the first 8 md5 hex digits (engine-portable)
-    word_hash = (
-        "CAST(list_sum(list_transform(range(8), i -> "
-        f"(strpos('{_HEX}', substr(md5(w), CAST(i+1 AS INT), 1)) - 1)::BIGINT"
-        " << (4*(7-i)))) AS BIGINT)"
-    )
+    # per-word 32-bit hash — the ONE md5_hash32_sql definition shared
+    # with text.py's temperature-sampling key (r11 review)
+    word_hash = md5_hash32_sql("w")
     bit_votes = ", ".join(
         f"CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
         f"THEN 1::BIGINT << {b} ELSE 0 END AS v{b}"

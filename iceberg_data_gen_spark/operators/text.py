@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from iceberg_data_gen_spark.operators import register
 from iceberg_data_gen_spark.operators.common import (
     doc_order_key,
+    md5_hash32_sql,
     ngram_expr,
     round_half_up,
     ttr_expr,
@@ -109,8 +110,6 @@ def _ngrams(arr: str, k: int) -> F.Column:
     """Positional k-grams over an ALIASED word-array column named ``arr``
     (the shared ``common.ngram_expr`` definition — see its docstring for
     the aliasing and ``size >= k`` guard contract)."""
-    from iceberg_data_gen_spark.operators.common import ngram_expr
-
     return F.expr(ngram_expr(arr, k))
 
 
@@ -649,15 +648,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HEX16 = "0123456789abcdef"
-# first 8 md5 hex digits of the doc_id as a 32-bit uint, digit-by-digit so
-# the formula is portable to engines without a hex-string cast (the same
-# construction the simhash oracle uses)
-_SQL_HASH32 = (
-    "CAST(list_sum(list_transform(range(8), i -> "
-    f"(strpos('{_HEX16}', substr(md5(CAST(doc_id AS VARCHAR)), CAST(i+1 AS INT), 1)) - 1)::BIGINT"
-    " << (4*(7-i)))) AS BIGINT)"
-)
+# first 8 md5 hex digits of the doc_id as a 32-bit uint — the ONE
+# md5_hash32_sql definition shared with the simhash oracle (r11 review)
+_SQL_HASH32 = md5_hash32_sql("CAST(doc_id AS VARCHAR)")
 
 
 @register(

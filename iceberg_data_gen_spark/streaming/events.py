@@ -477,9 +477,9 @@ def make_stateful_count():
         import pandas as _pd
 
         if state.exists:
-            n, cents, batches = state.get
+            n, cents, batches, nvals = state.get
         else:
-            n, cents, batches = 0, 0, 0
+            n, cents, batches, nvals = 0, 0, 0, 0
         # pdf_iter yields one pandas frame per ARROW CHUNK, not per
         # micro-batch — a key with > arrow.maxRecordsPerBatch rows (10k
         # default) arrives as several chunks within ONE trigger, so
@@ -489,15 +489,21 @@ def make_stateful_count():
         batches += 1
         for pdf in pdf_iter:
             n += len(pdf)
+            # nvals tracks NON-NULL values (r11 review): the integer
+            # cents accumulator cannot represent "no value seen", so a
+            # user whose every event value is NULL emitted 0.0 where
+            # the oracle's sum() is NULL
+            nvals += int(pdf["value_cents"].notna().sum())
             cents += int(pdf["value_cents"].sum())
-        state.update((n, cents, batches))
+        state.update((n, cents, batches, nvals))
         yield _pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
                 # correctly-rounded double of the exact rational cents/100,
-                # identical to DuckDB's CAST(sum(DECIMAL(18,2)) AS DOUBLE)
-                "total_value": [cents / 100.0],
+                # identical to DuckDB's CAST(sum(DECIMAL(18,2)) AS DOUBLE);
+                # SQL-NULL (not 0.0, not NaN) when no non-NULL value seen
+                "total_value": [cents / 100.0 if nvals else None],
                 "n_batches": [batches],
             }
         )
@@ -520,7 +526,7 @@ def _stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.groupBy("user_id").applyInPandasWithState(
         make_stateful_count(),
         outputStructType=STATEFUL_SCHEMA,
-        stateStructType="n long, cents long, batches int",
+        stateStructType="n long, cents long, batches int, nvals long",
         outputMode="update",
         timeoutConf="NoTimeout",
     )
@@ -554,27 +560,29 @@ def make_stateful_count_ttl(ttl_ms: int):
         import pandas as _pd
 
         if state.hasTimedOut:
-            n, cents, batches, _last = state.get
+            n, cents, batches, _last, nvals = state.get
             state.remove()
             yield _pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [n],
-                    "total_value": [cents / 100.0],
+                    "total_value": [cents / 100.0 if nvals else None],
                     "n_batches": [batches],
                     "final": [True],
                 }
             )
             return
         if state.exists:
-            n, cents, batches, last_ms = state.get
+            n, cents, batches, last_ms, nvals = state.get
         else:
-            n, cents, batches, last_ms = 0, 0, 0, 0
+            n, cents, batches, last_ms, nvals = 0, 0, 0, 0, 0
         batches += 1
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
             n += len(pdf)
+            # all-NULL-value guard, same as make_stateful_count (r11)
+            nvals += int(pdf["value_cents"].notna().sum())
             cents += int(pdf["value_cents"].sum())
             # NaN-guard (review r10): a chunk whose ts values are ALL
             # null gives max()=NaN and int(NaN) raises, killing the
@@ -587,7 +595,7 @@ def make_stateful_count_ttl(ttl_ms: int):
         # from only the current batch's max ts would let an out-of-order
         # (within-watermark) event move the timeout BACKWARD — premature
         # eviction, a split aggregate, and two final rows for one user
-        state.update((n, cents, batches, last_ms))
+        state.update((n, cents, batches, last_ms, nvals))
         state.setTimeoutTimestamp(
             max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
         )
@@ -595,7 +603,7 @@ def make_stateful_count_ttl(ttl_ms: int):
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [cents / 100.0],
+                "total_value": [cents / 100.0 if nvals else None],
                 "n_batches": [batches],
                 "final": [False],
             }
@@ -628,7 +636,8 @@ def _stateful_agg_ttl(
     return keyed.groupBy("user_id").applyInPandasWithState(
         make_stateful_count_ttl(ttl_ms),
         outputStructType=STATEFUL_TTL_SCHEMA,
-        stateStructType="n long, cents long, batches int, last_ms long",
+        stateStructType="n long, cents long, batches int, last_ms long,"
+        " nvals long",
         outputMode="update",
         timeoutConf="EventTimeTimeout",
     )
@@ -984,19 +993,25 @@ def tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             # re-introduced the order-dependent double accumulation the
             # r8 fix removed from make_stateful_count — the total was
             # not a pure function of the event log across chunk orders
-            self.tot = handle.getValueState("tot", "n long, cents long")
+            self.tot = handle.getValueState(
+                "tot", "n long, cents long, nvals long"
+            )
 
         def handleInputRows(self, key, rows, timer_values):
-            n, cents = (self.tot.get() if self.tot.exists() else (0, 0))
+            n, cents, nvals = (
+                self.tot.get() if self.tot.exists() else (0, 0, 0)
+            )
             for pdf in rows:
                 n += len(pdf)
+                # all-NULL-value guard, same as make_stateful_count (r11)
+                nvals += int(pdf["value_cents"].notna().sum())
                 cents += int(pdf["value_cents"].sum())
-            self.tot.update((n, cents))
+            self.tot.update((n, cents, nvals))
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [n],
-                    "total_value": [cents / 100.0],
+                    "total_value": [cents / 100.0 if nvals else None],
                 }
             )
 
@@ -1111,7 +1126,17 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", ckpt)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # the ONE streaming query driven outside the shared bounded
+        # runners (Trigger.AvailableNow owns its own termination), so it
+        # must balance the nanos-conf registration itself (r11 review:
+        # this was the last site re-creating the r10 session-lifetime
+        # nanosAsLong leak) — and stop a failed query instead of
+        # leaking it
+        q.stop()
+        _restore_nanos_conf(spark)
     return (
         spark.read.parquet(sink)
         .groupBy("event_type")

@@ -1010,6 +1010,88 @@ def test_nanos_conf_restore_waits_for_last_active_stream(spark, tmp_path):
     assert ev_mod._NANOS_CONF_PRIOR == {}
 
 
+def test_stream_foreach_batch_restores_nanos_conf(spark, tmp_path):
+    """R11 review wave 3: q_stream_foreach_batch drives its stream via
+    Trigger.AvailableNow + awaitTermination OUTSIDE the shared bounded
+    runners, so the nanos-conf registration its read_events_stream made
+    was never balanced — the conf leaked set for the session's lifetime
+    (the same class the stream-stream join fix closed).  The query now
+    stops + restores in a finally block."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_data_gen_spark import operators
+    from iceberg_data_gen_spark.streaming import events as ev_mod
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(key)
+
+    base = str(tmp_path / "sf-nanos-fb")
+    os.makedirs(base)
+    t0 = 1_700_000_000_000_000_000
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([t0, t0 + 60_000_000_000], pa.timestamp("ns")),
+            "user_id": pa.array([7, 8], pa.int64()),
+            "event_type": pa.array(["click", "view"]),
+            "value": pa.array([15.0, 5.0], pa.float64()),
+            "props": pa.array(["{}"] * 2),
+        }
+    )
+    pq.write_table(
+        table, os.path.join(base, "events.parquet"),
+        coerce_timestamps=None, version="2.6",
+    )
+
+    out = operators.QUERIES["q_stream_foreach_batch"](spark, base)
+    rows = {(r.event_type, r.n_events) for r in out.collect()}
+    assert rows == {("click", 1)}  # only value >= 10 survives the sink
+    assert ev_mod._NANOS_CONF_PRIOR == {}
+    assert spark.conf.get(key) == prior
+
+
+def test_stateful_all_null_values_emit_null_total(spark, tmp_path):
+    """R11 review wave 3: the integer-cents state accumulator cannot
+    represent 'no non-NULL value seen', so a user whose every event
+    value is NULL emitted total_value 0.0 where the pinned SQL oracle's
+    sum() is NULL.  The state now carries an nvals counter and emits a
+    true SQL NULL for such users — engine-pair-compared on a planted
+    corpus."""
+    import duckdb
+
+    from iceberg_data_gen_spark import operators
+    from iceberg_data_gen_spark.operators import ORACLES
+
+    sf_dir = str(tmp_path / "sf-stateful-nullval")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, "click", None, "{}"),
+            (2, "2024-01-01 00:01:00", 7, "click", None, "{}"),  # all-NULL user
+            (3, "2024-01-01 00:02:00", 8, "view", 2.5, "{}"),
+            (4, "2024-01-01 00:03:00", 8, "view", None, "{}"),   # mixed user
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    got = sorted(
+        (r.user_id, r.n_events, r.total_value, r.n_batches)
+        for r in operators.QUERIES["q_stream_stateful"](spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    oracle = sorted(map(tuple, con.execute(ORACLES["q_stream_stateful"]).fetchall()))
+    assert got == oracle, (got, oracle)
+    assert got == [(7, 2, None, 1), (8, 2, 2.5, 1)]
+
+
 def test_stream_stream_join_restores_nanos_conf(spark, tmp_path):
     """R11 review: q_stream_stream_join constructs TWO nanos sources but
     drives them through ONE bounded run, so the construction-paired
