@@ -267,16 +267,39 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Subquery forms (correlated scalar / scalar / IN) — via Spark SQL views
 # ---------------------------------------------------------------------------
 
+# ONE SQL text per identical-on-both-engines query (r11 wave 4): these
+# four queries pasted the same ~10-line string into the oracle kwarg AND
+# the spark.sql body — the relational3 _RECURSIVE_SQL/_LATERAL_SQL
+# shared-constant pattern exists precisely so an edit cannot
+# desynchronize the pair.
 
-@register(
-    "q_scalar_subquery",
-    oracle=f"""
+_SCALAR_SUBQ_SQL = f"""
     SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
     FROM part
     WHERE p_retailprice > (SELECT {dsum_sql("p_retailprice")} / count(*)
                            FROM part) * 1.5
-    """,
-)
+    """
+
+_CORRELATED_SUBQ_SQL = """
+    SELECT c_custkey, c_name,
+           (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           round(CAST((SELECT coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0)
+                       FROM orders o WHERE o.o_custkey = c.c_custkey) AS DOUBLE), 2)
+               AS spend
+    FROM customer c
+    """
+
+_IN_SUBQ_SQL = """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_nationkey IN (
+        SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'EUROPE')
+    )
+    """
+
+
+@register("q_scalar_subquery", oracle=_SCALAR_SUBQ_SQL)
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery (broadcast single-value join).
 
@@ -287,27 +310,10 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     mismatch, not just a value drift.  The exact sum → one double
     division is bit-identical on both sides."""
     load_tables(spark, sf_dir, ("part",))
-    return spark.sql(
-        f"""
-        SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
-        FROM part
-        WHERE p_retailprice > (SELECT {dsum_sql("p_retailprice")} / count(*)
-                               FROM part) * 1.5
-        """
-    )
+    return spark.sql(_SCALAR_SUBQ_SQL)
 
 
-@register(
-    "q_correlated_scalar_subquery",
-    oracle="""
-    SELECT c_custkey, c_name,
-           (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
-           round(CAST((SELECT coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0)
-                       FROM orders o WHERE o.o_custkey = c.c_custkey) AS DOUBLE), 2)
-               AS spend
-    FROM customer c
-    """,
-)
+@register("q_correlated_scalar_subquery", oracle=_CORRELATED_SUBQ_SQL)
 def q_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subqueries — Catalyst de-correlates both into
     ONE left outer aggregate join (inspect: no per-row subquery plans).
@@ -317,42 +323,14 @@ def q_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines with partial-merge order; the exact sum makes the rounded
     cents identical."""
     load_tables(spark, sf_dir, ("customer", "orders"))
-    return spark.sql(
-        """
-        SELECT c_custkey, c_name,
-               (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
-               round(CAST((SELECT coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0)
-                           FROM orders o WHERE o.o_custkey = c.c_custkey) AS DOUBLE), 2)
-                   AS spend
-        FROM customer c
-        """
-    )
+    return spark.sql(_CORRELATED_SUBQ_SQL)
 
 
-@register(
-    "q_in_subquery",
-    oracle="""
-    SELECT s_suppkey, s_name
-    FROM supplier
-    WHERE s_nationkey IN (
-        SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
-        WHERE r_name IN ('ASIA', 'EUROPE')
-    )
-    """,
-)
+@register("q_in_subquery", oracle=_IN_SUBQ_SQL)
 def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN subquery → left semi join."""
     load_tables(spark, sf_dir, ("supplier", "nation", "region"))
-    return spark.sql(
-        """
-        SELECT s_suppkey, s_name
-        FROM supplier
-        WHERE s_nationkey IN (
-            SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
-            WHERE r_name IN ('ASIA', 'EUROPE')
-        )
-        """
-    )
+    return spark.sql(_IN_SUBQ_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -404,28 +382,20 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_grouping_sets",
-    oracle="""
+_GROUPING_SETS_SQL = """
     SELECT l_returnflag, l_linestatus, count(*) AS n,
            CAST(grouping(l_returnflag) AS INT) AS g_rf,
            CAST(grouping(l_linestatus) AS INT) AS g_ls
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    """,
-)
+    """
+
+
+@register("q_grouping_sets", oracle=_GROUPING_SETS_SQL)
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS with grouping() indicators."""
     load_tables(spark, sf_dir, ("lineitem",))
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus, count(*) AS n,
-               CAST(grouping(l_returnflag) AS INT) AS g_rf,
-               CAST(grouping(l_linestatus) AS INT) AS g_ls
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
-    )
+    return spark.sql(_GROUPING_SETS_SQL)
 
 
 @register(

@@ -206,7 +206,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM part JOIN lineitem ON l_partkey = p_partkey
     WHERE p_brand <> 'Brand#3'
       AND p_size IN (1, 5, 10, 15, 20, 25)
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      -- NOT EXISTS, not NOT IN (r11 wave 4): one NULL s_suppkey in
+      -- the exclusion list makes NOT IN UNKNOWN for EVERY row and
+      -- empties the oracle, while Spark's left_anti ignores NULL
+      -- build rows (the q_anti_join convention)
+      AND NOT EXISTS (SELECT 1 FROM supplier
+                      WHERE s_acctbal < 0 AND s_suppkey = l_suppkey)
     GROUP BY p_brand, p_size
     """,
 )
@@ -498,7 +503,7 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- o_totalprice otherwise lands in the last quartile in DuckDB and
     -- the first in Spark
     WINDOW w AS (PARTITION BY o_orderstatus
-                 ORDER BY o_totalprice NULLS FIRST, o_orderkey)
+                 ORDER BY o_totalprice NULLS FIRST, o_orderkey NULLS FIRST)
     """,
 )
 def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -960,7 +965,7 @@ LATERAL (
     SELECT o_orderkey, round(o_totalprice, 2) AS price
     FROM orders o
     WHERE o.o_custkey = c.c_custkey
-    ORDER BY o_totalprice DESC, o_orderkey
+    ORDER BY o_totalprice DESC, o_orderkey NULLS FIRST
     LIMIT 2
 ) t
 """
@@ -1528,7 +1533,11 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer JOIN nation ON n_nationkey = c_nationkey
     )
     SELECT n_name,
-           array_to_string(list(c_name ORDER BY rk), '|') AS top3_customers,
+           -- coalesce (r11 wave 4): an all-NULL top-3 name list
+           -- serializes to NULL in DuckDB but '' via Spark's
+           -- array_join (the q_array_agg hole, here too)
+           coalesce(array_to_string(list(c_name ORDER BY rk), '|'), '')
+               AS top3_customers,
            CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS top3_balance
     FROM ranked WHERE rk <= 3
     GROUP BY n_name
@@ -1691,17 +1700,26 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_customer_rfm",
     oracle=f"""
     WITH per_cust AS (
+        -- o_custkey IS NOT NULL (r11 wave 4, entity rule) — and it
+        -- keeps NULL group-key source rows away from the windows
+        -- below, the DuckDB 1.0 window-over-GROUP-BY trigger
         SELECT o_custkey AS custkey,
                max(o_orderdate) AS last_order,
                count(*) AS frequency,
                {dsum_sql('o_totalprice', 2)} AS monetary
-        FROM orders GROUP BY o_custkey
+        FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
     ),
     binned AS (
+        -- NULLS FIRST = Spark's ASC default (r11 wave 4): a customer
+        -- whose every date/price is NULL otherwise bins 5 in DuckDB
+        -- and 1 in Spark; probed deterministic 25x with non-null
+        -- group keys
         SELECT custkey,
-               ntile(5) OVER (ORDER BY last_order, custkey)  AS r_bin,
-               ntile(5) OVER (ORDER BY frequency, custkey)   AS f_bin,
-               ntile(5) OVER (ORDER BY monetary, custkey)    AS m_bin,
+               ntile(5) OVER (ORDER BY last_order NULLS FIRST, custkey)
+                   AS r_bin,
+               ntile(5) OVER (ORDER BY frequency, custkey) AS f_bin,
+               ntile(5) OVER (ORDER BY monetary NULLS FIRST, custkey)
+                   AS m_bin,
                monetary
         FROM per_cust
     )
@@ -1725,10 +1743,15 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulates in DECIMAL twice (per customer, then per segment)."""
     (orders,) = _t(spark, sf_dir, "orders")
 
-    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        dsum(F.col("o_totalprice"), 2).alias("monetary"),
+    # entity rule (r11 wave 4 — see the oracle comment)
+    per_cust = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum(F.col("o_totalprice"), 2).alias("monetary"),
+        )
     )
     binned = per_cust.select(
         "custkey",

@@ -59,6 +59,7 @@ NULL_SENSITIVE = [
     "q_event_pagerank",
     "q_event_latest_state",
     "q_group_concat_topk",  # NULL-name on an acctbal tie (seed-17 pass)
+    "q_customer_rfm",  # all-NULL date/price customers bin differently (wave 4)
     # streaming: window()/session_window() drop NULL event times
     "q_stream_tumbling",
     "q_stream_sliding",
@@ -120,6 +121,14 @@ KEY_NULL_SENSITIVE = [
     "q_window_topk_per_group",
     "q_sessionize",
     "q_global_shuffle",
+    # wave 4 (review-confirmed at heavier fractions): rfm entity rule +
+    # bin pins, the all-NULL top-3 list, NOT IN's three-valued
+    # emptying, and two more o_orderkey tie pins
+    "q_customer_rfm",
+    "q_group_concat_topk",
+    "q16_supplier_part_count",
+    "q_window_frames",
+    "q_lateral_topk",
 ]
 
 
