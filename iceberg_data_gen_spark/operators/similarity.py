@@ -28,7 +28,7 @@ from iceberg_data_gen_spark.operators import register
 # ONE home for the sequential-dot / unit-normalize helpers: the
 # oracle-parity argument depends on the exact left-to-right fold, so a
 # second copy here would have to stay bit-identical by hand (review r6)
-from iceberg_data_gen_spark.operators.common import normalized_vectors
+from iceberg_data_gen_spark.operators.common import normalized_vectors, round_half_up
 from iceberg_data_gen_spark.operators.common import vec_dot as _dot
 from iceberg_data_gen_spark.session import load_tables
 
@@ -124,6 +124,24 @@ def _norm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sf_dir,),
         lambda: normalized_vectors(_emb(spark, sf_dir)).cache(),
     )
+
+
+def _round6_half_away_kernel():
+    """DuckDB-exact 6dp half-away rounding for scored cosines, returned
+    as a nested function so kernels capture it BY VALUE (the
+    _grid_scores_kernel pattern).  ONE definition (r11 wave 5: the
+    np.where/±floor block lived byte-identically in the bruteforce and
+    knn kernels — the hand-sync hazard r9's grid-fold extraction
+    eliminated for the scoring loop).  Sign-aware: -floor(-x*1e6+0.5)
+    yields -0.0 for x in (-5e-7, 0), matching DuckDB's round()."""
+    import numpy as np
+
+    def round6(x):
+        return np.where(
+            x >= 0, np.floor(x * 1e6 + 0.5), -np.floor(-x * 1e6 + 0.5)
+        ) / 1e6
+
+    return round6
 
 
 def _grid_scores_kernel():
@@ -276,6 +294,7 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = _norm_corpus(spark, sf_dir).select("vec_id", "nv")
     q_ids, Q, _ = _norm_query_matrix(en, N_QUERIES)
     grid_scores = _grid_scores_kernel()  # shared fold, pickled by value
+    round6 = _round6_half_away_kernel()  # shared rounding, by value
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -292,14 +311,7 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "query_id": qq[keep],
                     "neighbor_id": cc[keep],
-                    # DuckDB-exact half-away rounding (np.round is
-                    # half-even; cosines can be negative here)
-                    "cos_sim": np.where(
-                        kept >= 0,
-                        np.floor(kept * 1e6 + 0.5),
-                        -np.floor(-kept * 1e6 + 0.5),
-                    )
-                    / 1e6,
+                    "cos_sim": round6(kept),  # DuckDB-exact half-away
                 }
             )
 
@@ -655,7 +667,14 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     assign, probe, k = _corpus_centroids(e, sf_dir)
-    q_ids, Q, _ = _query_matrix(e, N_QUERIES)
+    # query head off the CACHED normalized corpus (r11 wave 5): the
+    # raw-scan _query_matrix re-read parquet + re-normalized per
+    # invocation to collect a handful of query rows;
+    # _norm_query_matrix is bit-identical by construction (one
+    # arithmetic convention, see its docstring)
+    q_ids, Q, _ = _norm_query_matrix(
+        _norm_corpus(spark, sf_dir).select("vec_id", "nv"), N_QUERIES
+    )
     # per-query probe list: the nprobe closest centroid cells, inverted to
     # a cell -> [query row] lookup (the "inverted file") carried in the
     # kernel closure — probing is then a dict lookup per corpus vector,
@@ -760,7 +779,14 @@ def _lsh_oracle() -> str:
     ),
     cand AS (
         SELECT q.query_id, c.vec_id AS neighbor_id,
-               round(list_dot_product(q.qv, c.nv), 6) AS cos_sim
+               -- floor(x*1e6+0.5)/1e6 on BOTH engines (r11 wave 5):
+               -- native round() emits -0.0 for cosines in (-5e-7, 0)
+               -- on DuckDB but +0.0 via Spark's F.round, a
+               -- stringified-hash break; the shared primitive emits
+               -- +0.0 on both and removes the representable-tie
+               -- class too
+               floor(list_dot_product(q.qv, c.nv) * 1000000.0 + 0.5)
+                   / 1000000.0 AS cos_sim
         FROM b c JOIN q ON c.bucket = q.qb AND c.vec_id != q.query_id
     )
     SELECT query_id, neighbor_id, cos_sim, rnk
@@ -817,7 +843,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cos, 6).alias("cos_sim"),
+            round_half_up(cos, 6).alias("cos_sim"),
         )
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= TOP_K)
@@ -904,6 +930,7 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ids, Q, qrows = _norm_query_matrix(en, KNN_QUERIES)
     q_labels = np.array([r.label for r in qrows], dtype=np.int32)
     grid_scores = _grid_scores_kernel()  # shared fold, pickled by value
+    round6 = _round6_half_away_kernel()  # shared rounding, by value
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -924,12 +951,7 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "true_label": tl[keep],
                     "cid": cc[keep],
                     "clabel": cl[keep],
-                    "cos_sim": np.where(
-                        kept >= 0,
-                        np.floor(kept * 1e6 + 0.5),
-                        -np.floor(-kept * 1e6 + 0.5),
-                    )
-                    / 1e6,
+                    "cos_sim": round6(kept),
                 }
             )
 
@@ -1078,7 +1100,14 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _pq_codebooks(e),
     )  # (subspaces, codes, d)
     d = C.shape[2]
-    q_ids, Q, _ = _query_matrix(e, N_QUERIES)
+    # query head off the CACHED normalized corpus (r11 wave 5): the
+    # raw-scan _query_matrix re-read parquet + re-normalized per
+    # invocation to collect a handful of query rows;
+    # _norm_query_matrix is bit-identical by construction (one
+    # arithmetic convention, see its docstring)
+    q_ids, Q, _ = _norm_query_matrix(
+        _norm_corpus(spark, sf_dir).select("vec_id", "nv"), N_QUERIES
+    )
     # ADC tables: T[q, j, c] = dot(Q[q] subspace j, C[j, c])
     T = _adc_tables(Q, C)
 
@@ -1304,8 +1333,15 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
+            # when/otherwise mirrors the oracle's CASE...ELSE 0 (r11
+            # wave 5): F.sum over a group whose every condition is NULL
+            # (all-NULL norms under heavy NULL injection) returned NULL
+            # where DuckDB sums 0
             F.sum(
-                (F.abs(F.col("l2_norm") - F.col("med")) > 3 * F.col("mad")).cast("long")
+                F.when(
+                    F.abs(F.col("l2_norm") - F.col("med")) > 3 * F.col("mad"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
             ).alias("n_outliers"),
         )
     )
@@ -1354,7 +1390,14 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _pq_codebooks(e),
     )  # (subspaces, codes, d)
     d = B.shape[2]
-    q_ids, Q, _ = _query_matrix(e, N_QUERIES)
+    # query head off the CACHED normalized corpus (r11 wave 5): the
+    # raw-scan _query_matrix re-read parquet + re-normalized per
+    # invocation to collect a handful of query rows;
+    # _norm_query_matrix is bit-identical by construction (one
+    # arithmetic convention, see its docstring)
+    q_ids, Q, _ = _norm_query_matrix(
+        _norm_corpus(spark, sf_dir).select("vec_id", "nv"), N_QUERIES
+    )
     # ADC tables: T[q, j, c] = dot(Q[q] subspace j, B[j, c])
     T = _adc_tables(Q, B)
     # inverted file: cell -> [query rows probing it]
@@ -1696,7 +1739,8 @@ def q_semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("embedding").isNotNull() & F.col("vec_id").isNotNull())
         .count(),
     )
-    agg = joined.agg(
+    try:
+        agg = joined.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("vec_id").alias("n_distinct"),
         # pruned: evidence exists, is kept, same cell, smaller id, cos >= tau
@@ -1725,11 +1769,13 @@ def q_semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("bad_kept"),
     ).collect()[0]
-    # everything the audit needs is in `agg` now — release the cached
-    # verdict set so repeated invocations (driver rounds, bench loops)
-    # don't accumulate storage entries (review r8; same leak class as
-    # _PR_EDGE_CACHE)
-    v.unpersist()
+    finally:
+        # unpersist in a finally (r11 wave 5): an exception in the
+        # collect otherwise leaks the cached verdict set, and a
+        # retrying caller (driver rounds, the sweep's keep-sweeping
+        # except) accumulates corpus-sized storage entries — the
+        # _PR_EDGE_CACHE leak class
+        v.unpersist()
     return spark.createDataFrame(
         [
             (

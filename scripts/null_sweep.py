@@ -130,7 +130,12 @@ def main() -> int:
         ap.error(f"not oracle-bearing registered queries: {unknown}")
 
     dst = args.dst or os.path.join(
-        tempfile.gettempdir(), f"nulled-{Path(args.src).name}-f{args.frac}-s{args.seed}"
+        tempfile.gettempdir(),
+        # -k1 encodes --null-keys (r11 wave 5): without it, --reuse
+        # silently served a keys-intact corpus to the exploratory keys
+        # pass, reporting vacuous "clean" for every key-NULL divergence
+        f"nulled-{Path(args.src).name}-f{args.frac}-s{args.seed}"
+        f"{'-k1' if args.null_keys else ''}",
     )
     if not (args.reuse and os.path.exists(f"{dst}/lineitem.parquet")):
         report = build_nulled_corpus(args.src, dst, args.frac, args.seed, args.null_keys)

@@ -54,7 +54,11 @@ def _canon_value(v):
     if isinstance(v, Decimal):
         return float(v)
     if isinstance(v, float):
-        return v
+        # normalize -0.0 to +0.0 (r11 wave 5): repr-keyed row sorting
+        # otherwise places one engine's '(-0.0, ...' row far from the
+        # other's '(0.0, ...', misaligning the zipped compare and
+        # reporting false mismatches on rows that are equal under ==
+        return 0.0 if v == 0.0 else v
     if isinstance(v, datetime):
         # aware datetimes convert to the UTC instant BEFORE stripping
         # tzinfo (review r7): plain replace() compared wall-clock text,

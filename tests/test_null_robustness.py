@@ -164,7 +164,19 @@ def nulled_keys_sf_dir(tmp_path_factory):
 
     sweep = _load_sweep_module()
     dst = str(tmp_path_factory.mktemp("nulled-keys-corpus"))
-    sweep.build_nulled_corpus(SF_SMALL, dst, frac=0.04, seed=5, null_keys=True)
+    report = sweep.build_nulled_corpus(
+        SF_SMALL, dst, frac=0.04, seed=5, null_keys=True
+    )
+    # the gate must not pass vacuously (r11 wave 5): assert cells were
+    # nulled AND that KEY columns were actually injected — a broken
+    # null_keys plumbing otherwise serves a NULL-free corpus to every
+    # keys-class compare
+    n_cells = sum(sum(v.values()) for v in report.values())
+    assert n_cells > 500, report
+    key_hits = {
+        c for cols in report.values() for c in cols if c in sweep.KEY_COLS
+    }
+    assert {"doc_id", "o_custkey", "user_id", "vec_id"} <= key_hits, report
     return dst
 
 
