@@ -250,30 +250,108 @@ def main() -> None:
     extra = {n: min(extra_passes[0][n], extra_passes[1][n]) for n in extra_passes[0]}
 
     total = round(sum(timings.values()), 3)
+
+    # The r10 final line measured 1,955 chars WITH extra_queries and the
+    # r11 one 5,722 WITH the passes block — the driver captures only a
+    # 2,000-char stdout tail, so r11's official record lost its headline
+    # (`BENCH_r11.json parsed: null`).  The detail (per-pass timings,
+    # extras, host_ref, warm ratios) therefore goes to a round-keyed
+    # side file + one EARLIER stdout line, and the LAST printed line is
+    # the compact r10-shaped record the driver can always hold.
+    warm_med = _median(list(warm.values()))
+    detail = {
+        "extra_queries": extra,
+        "passes": {
+            "cold": cold,
+            "warm": warm,
+            "cold_total": round(sum(cold.values()), 3),
+            "warm_total": round(sum(warm.values()), 3),
+            "extra_cold": extra_passes[0],
+            "extra_warm": extra_passes[1],
+            # fixed-work CPU constant per pass (see host_ref): divides
+            # CPU-frequency slowdown out of cross-round comparisons
+            "host_ref_sec": host_refs,
+            # host-proof drift rule (VERDICT r11 #2): per-query warm
+            # time as a RATIO to the same-run suite-wide warm median —
+            # both numerator and denominator ride the same host window,
+            # so the README budgets compare ratios, not absolutes
+            "warm_median_sec": warm_med,
+            "warm_ratio": {
+                n: round(t / warm_med, 3) for n, t in warm.items()
+            },
+        },
+        "sf": sf,
+    }
+    detail_path = _detail_path()
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+        print(f"detail: {os.path.relpath(detail_path, REPO)}")
+    except OSError as exc:  # the headline line must survive a read-only repo
+        print(f"detail: unwritable ({exc})")
+
     print(
-        json.dumps(
-            {
-                "metric": "headline-query wall time (noop sink, tuned session)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extra_queries": extra,
-                "passes": {
-                    "cold": cold,
-                    "warm": warm,
-                    "cold_total": round(sum(cold.values()), 3),
-                    "warm_total": round(sum(warm.values()), 3),
-                    "extra_cold": extra_passes[0],
-                    "extra_warm": extra_passes[1],
-                    # fixed-work CPU constant per pass (see host_ref):
-                    # divides environment slowdown out of cross-round
-                    # comparisons
-                    "host_ref_sec": host_refs,
-                },
-                "sf": sf,
-            }
+        render_final_line(
+            final_record(
+                "headline-query wall time (noop sink, tuned session)",
+                total,
+                timings,
+                sf,
+            )
         )
     )
+
+
+# the driver records only a 2,000-char tail of stdout and parses the last
+# line; BENCH_r11's 5.7 KB line clipped mid-JSON and the round lost its
+# official headline.  1,800 leaves slack for the driver's own framing.
+MAX_FINAL_LINE = 1800
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    mid = n // 2
+    return round(s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2, 3)
+
+
+def _detail_path() -> str:
+    """Round-keyed side file: BENCH_r{N}.json for round N is written by
+    the driver AFTER bench runs, so the current round is one past the
+    highest recorded one (falls back to r00 on a fresh checkout)."""
+    import glob
+
+    rounds = [0]
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append(int(m.group(1)))
+    return os.path.join(REPO, f"BENCH_DETAIL_r{max(rounds) + 1:02d}.json")
+
+
+def final_record(metric: str, total: float, timings: dict, sf: float) -> dict:
+    """The compact record the driver parses — the r10 shape, which is the
+    LAST stdout line and must stay under MAX_FINAL_LINE (pinned by
+    tests/test_bench_contract.py)."""
+    return {
+        "metric": metric,
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+
+def render_final_line(record: dict) -> str:
+    line = json.dumps(record)
+    if len(line) >= MAX_FINAL_LINE:
+        # defense in depth: a clipped line loses the ROUND'S WHOLE
+        # headline (BENCH_r11), so if a future field/entry ever grows
+        # the record past the budget, drop the per-query map rather
+        # than lose `value` — the detail file still has everything
+        slim = {k: v for k, v in record.items() if k != "queries"}
+        line = json.dumps(slim)
+    return line
 
 
 if __name__ == "__main__":

@@ -1134,9 +1134,13 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # must balance the nanos-conf registration itself (r11 review:
         # this was the last site re-creating the r10 session-lifetime
         # nanosAsLong leak) — and stop a failed query instead of
-        # leaking it
-        q.stop()
-        _restore_nanos_conf(spark)
+        # leaking it.  Nested finally (ADVICE r11): stop() on a query
+        # that failed mid-stream can itself raise, and the conf restore
+        # must survive that or nanosAsLong leaks for the session.
+        try:
+            q.stop()
+        finally:
+            _restore_nanos_conf(spark)
     return (
         spark.read.parquet(sink)
         .groupBy("event_type")

@@ -54,11 +54,7 @@ def _canon_value(v):
     if isinstance(v, Decimal):
         return float(v)
     if isinstance(v, float):
-        # normalize -0.0 to +0.0 (r11 wave 5): repr-keyed row sorting
-        # otherwise places one engine's '(-0.0, ...' row far from the
-        # other's '(0.0, ...', misaligning the zipped compare and
-        # reporting false mismatches on rows that are equal under ==
-        return 0.0 if v == 0.0 else v
+        return v
     if isinstance(v, datetime):
         # aware datetimes convert to the UTC instant BEFORE stripping
         # tzinfo (review r7): plain replace() compared wall-clock text,
@@ -74,10 +70,28 @@ def _canon_value(v):
     return v
 
 
+def _zero_fold(v):
+    """-0.0 → +0.0, recursively — used ONLY in the row-sort key.
+
+    r11 wave 5 folded -0.0 inside _canon_value itself so repr-keyed row
+    sorting wouldn't place one engine's '(-0.0, ...' row far from the
+    other's '(0.0, ...'; ADVICE r11 flagged that the fold also blinded
+    the exact-match strictness probe to a real sign-of-zero divergence
+    the driver's STRINGIFIED hash does distinguish ('-0.0' != '0.0').
+    The fold now lives only in the sort key: rows still align for the
+    zipped compare, but the stored values keep their sign so _exact_eq
+    stays as strict as the driver."""
+    if isinstance(v, float) and v == 0.0:
+        return 0.0
+    if isinstance(v, tuple):
+        return tuple(_zero_fold(x) for x in v)
+    return v
+
+
 def _canon_rows(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_canon_value(r[i]) for i in order) for r in rows]
-    return sorted(out, key=repr)
+    return sorted(out, key=lambda t: repr(_zero_fold(t)))
 
 
 def _values_close(a, b, rel=1e-9):
@@ -133,7 +147,12 @@ def compare(spark, name: str, query_fn, oracle: str, sf_dir: str) -> list[str]:
     # probe (review r8).
     def _exact_eq(a, b) -> bool:
         if isinstance(a, float) and isinstance(b, float):
-            return a == b or (math.isnan(a) and math.isnan(b))
+            if a == b:
+                # sign-of-zero aware (ADVICE r11): -0.0 == 0.0 in
+                # Python, but the driver hashes the stringified values
+                # and '-0.0' != '0.0' — mirror the driver's strictness
+                return a != 0.0 or math.copysign(1.0, a) == math.copysign(1.0, b)
+            return math.isnan(a) and math.isnan(b)
         if isinstance(a, tuple) and isinstance(b, tuple):
             return len(a) == len(b) and all(_exact_eq(x, y) for x, y in zip(a, b))
         return a == b

@@ -1,0 +1,70 @@
+"""Pins the bench stdout contract (VERDICT r11 #1).
+
+The round driver captures only a 2,000-char tail of bench.py's stdout and
+parses the LAST line as the round's official perf record.  Round 11's
+`passes` block grew that line to 5,722 bytes, the tail clipped it
+mid-JSON, and `BENCH_r11.json` recorded `parsed: null` — the round lost
+its headline number.  bench.py now prints a compact r10-shaped final
+line ({metric, value, unit, queries, sf}) and routes the detail (per-pass
+timings, extras, host_ref, warm ratios) to a round-keyed side file; these
+tests pin the final line under the budget so a future field addition
+cannot silently re-break the record.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import bench
+
+METRIC = "headline-query wall time (noop sink, tuned session)"
+
+
+def _worst_case_timings() -> dict[str, float]:
+    # every headline entry plus the datagen row, each at the widest
+    # plausible rendering (5-digit seconds would mean a ~28h query)
+    names = list(bench.HEADLINE) + ["datagen_2m_rows_mor"]
+    return {n: 99999.999 for n in names}
+
+
+def test_final_line_stays_under_driver_tail_budget():
+    record = bench.final_record(METRIC, 99999.999, _worst_case_timings(), 0.1)
+    line = json.dumps(record)
+    assert len(line) < bench.MAX_FINAL_LINE, len(line)
+    # and the renderer passes it through unmodified (no fallback taken)
+    assert bench.render_final_line(record) == line
+
+
+def test_render_final_line_drops_queries_rather_than_clip():
+    # a future bug that balloons the per-query map must degrade to a
+    # still-parseable headline-only line, never an unparseable clip
+    bloated = {f"q_{i:04d}_some_long_query_name": 12345.678 for i in range(200)}
+    record = bench.final_record(METRIC, 42.0, bloated, 0.1)
+    line = bench.render_final_line(record)
+    assert len(line) < bench.MAX_FINAL_LINE
+    parsed = json.loads(line)
+    assert parsed["value"] == 42.0
+    assert parsed["metric"] == METRIC
+    assert parsed["unit"] == "sec"
+    assert "queries" not in parsed
+
+
+def test_detail_path_is_keyed_to_the_upcoming_round():
+    # BENCH_r{N}.json is written by the driver AFTER bench runs, so the
+    # detail file for the in-flight round is max(recorded)+1
+    recorded = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(bench.REPO, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    expected = f"BENCH_DETAIL_r{max(recorded, default=0) + 1:02d}.json"
+    assert os.path.basename(bench._detail_path()) == expected
+
+
+def test_median_is_the_warm_ratio_denominator_shape():
+    assert bench._median([3.0, 1.0, 2.0]) == 2.0
+    assert bench._median([4.0, 1.0, 2.0, 3.0]) == 2.5
+    assert bench._median([1.2345678]) == 1.235

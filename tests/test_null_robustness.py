@@ -200,3 +200,22 @@ def test_query_matches_oracle_on_nulled_keys_corpus(spark, nulled_keys_sf_dir, n
         nulled_keys_sf_dir,
     )
     assert not errors, errors
+
+
+def test_doc_counts_match_the_parametrized_lists():
+    """VERDICT r11 #7: README/SURVEY advertise this module's coverage as
+    'NN family-B + MM key-class' and all three copies drifted to
+    different mid-round numbers.  One source of truth: the docs must
+    state exactly len(NULL_SENSITIVE) / len(KEY_NULL_SENSITIVE)."""
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    claim = rf"{len(NULL_SENSITIVE)} family-B \+ {len(KEY_NULL_SENSITIVE)} key-class"
+    stale = rf"\d+ family-B \+ \d+ key-class"
+    for doc in ("README.md", "SURVEY.md"):
+        text = (repo / doc).read_text()
+        hits = re.findall(stale, text)
+        assert hits, f"{doc} no longer states the NULL-program counts"
+        bad = [h for h in hits if not re.fullmatch(claim, h)]
+        assert not bad, f"{doc} states stale counts {bad}; lists are {claim!r}"

@@ -291,3 +291,40 @@ def test_oracle_kernels_use_sequential_folds():
         f"function: {sorted(offenders)} — use the sequential fold + "
         "half-away rounding pattern (see similarity.grid_scores)"
     )
+
+
+def test_compare_exact_probe_is_sign_of_zero_aware(spark):
+    """ADVICE r11: the driver hashes STRINGIFIED values, so '-0.0' vs
+    '0.0' is a driver mismatch — compare()'s exact-match strictness
+    probe must flag it even though -0.0 == 0.0 in Python.  The -0.0
+    fold now lives only in the row-sort key, so rows still align for
+    the zipped tolerance compare (no false row mismatches), but the
+    probe sees the sign."""
+    from pyspark.sql import functions as F
+
+    from tests.oracle import compare
+
+    def neg_zero(s, _sf):
+        return s.range(1).select(
+            F.lit(-0.0).cast("double").alias("x"), F.lit("a").alias("y")
+        )
+
+    errors = compare(
+        spark,
+        "sign_probe",
+        neg_zero,
+        # a true IEEE -0.0: DuckDB's bare -0.0 literal is DECIMAL where
+        # -0 == +0, so it must arrive via a string cast
+        "SELECT CAST('-0.0' AS DOUBLE) AS x, 'a' AS y",
+        SF_DIR,
+    )
+    assert not errors, errors  # same sign on both engines: clean
+
+    errors = compare(
+        spark,
+        "sign_probe_drift",
+        neg_zero,
+        "SELECT CAST(0.0 AS DOUBLE) AS x, 'a' AS y",
+        SF_DIR,
+    )
+    assert len(errors) == 1 and "EXACT-match drift" in errors[0], errors
