@@ -279,6 +279,11 @@ def main() -> None:
             "warm_ratio": {
                 n: round(t / warm_med, 3) for n, t in warm.items()
             },
+            # extras share the headline suite's median as denominator so
+            # one reference prices the whole run's host window
+            "extra_warm_ratio": {
+                n: round(t / warm_med, 3) for n, t in extra_passes[1].items()
+            },
         },
         "sf": sf,
     }

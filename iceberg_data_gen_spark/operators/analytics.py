@@ -313,9 +313,11 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(cume_dist() OVER w, 6) AS cume,
            round(o_totalprice, 2) AS price
     FROM orders
-    -- NULLS FIRST = Spark's ASC default (NULL sweep r11)
+    -- NULLS FIRST = Spark's ASC default on BOTH sort keys (NULL sweep
+    -- r11; the o_orderkey tie-break pin was missing until the r12 keys
+    -- sweep, seed 7, nulled enough orderkeys to misplace 77 rows)
     WINDOW w AS (PARTITION BY o_orderpriority
-                 ORDER BY o_totalprice NULLS FIRST, o_orderkey)
+                 ORDER BY o_totalprice NULLS FIRST, o_orderkey NULLS FIRST)
     """,
 )
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -746,10 +748,14 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ntile_binning",
     oracle="""
     WITH b AS (
-        -- NULLS FIRST = Spark's ASC default (NULL sweep r11): NULL
-        -- prices bin into decile 1 on both engines, not decile 10
+        -- NULLS FIRST = Spark's ASC default on BOTH keys (NULL sweep
+        -- r11/r12): NULL prices bin into decile 1, and NULL orderkey
+        -- tie-breaks place identically (the aggregate is permutation-
+        -- invariant within equal-price runs, but bit-identical bucket
+        -- assignment is the stronger, cheaper property)
         SELECT o_totalprice,
-               ntile(10) OVER (ORDER BY o_totalprice NULLS FIRST, o_orderkey) AS bin
+               ntile(10) OVER (ORDER BY o_totalprice NULLS FIRST,
+                               o_orderkey NULLS FIRST) AS bin
         FROM orders
     )
     SELECT bin, count(*) AS n_orders,

@@ -612,7 +612,11 @@ def q_window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT l_orderkey, l_linenumber, l_extendedprice
         FROM lineitem
-        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        -- NULLS FIRST on the ASC tie-breaks = Spark's default (r12
+        -- keys-sweep audit): a NULL orderkey row tying on price at the
+        -- LIMIT boundary would otherwise pick different row sets
+        ORDER BY l_extendedprice DESC,
+                 l_orderkey NULLS FIRST, l_linenumber NULLS FIRST
         LIMIT 25
     )
     """,

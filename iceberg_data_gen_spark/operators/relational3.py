@@ -2130,7 +2130,12 @@ def q_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
         SELECT n_orders,
-               row_number() OVER (ORDER BY n_orders, o_custkey) AS i,
+               -- NULLS FIRST = Spark's ASC default (r12 keys-sweep
+               -- audit): the NULL-custkey group ties a real customer
+               -- on n_orders only rarely, but when it does the rank i
+               -- (and the Gini weight) would shift between engines
+               row_number() OVER (ORDER BY n_orders,
+                                  o_custkey NULLS FIRST) AS i,
                count(*) OVER ()            AS n,
                sum(n_orders) OVER ()       AS total
         FROM per_cust

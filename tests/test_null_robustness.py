@@ -129,6 +129,15 @@ KEY_NULL_SENSITIVE = [
     "q16_supplier_part_count",
     "q_window_frames",
     "q_lateral_topk",
+    # r12 keys sweep (seed 7) misplaced 77 q_window_distribution rows —
+    # the o_orderkey tie-break lacked its NULLS FIRST pin; the audit
+    # over every unpinned ASC key-column sort found three latent
+    # siblings (ntile bucket assignment, LIMIT-boundary top-k, the
+    # Gini rank weight), each pinned before a corpus hit them
+    "q_window_distribution",
+    "q_ntile_binning",
+    "q_topk",
+    "q_customer_order_gini",
 ]
 
 
