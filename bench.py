@@ -284,6 +284,15 @@ def main() -> None:
             "extra_warm_ratio": {
                 n: round(t / warm_med, 3) for n, t in extra_passes[1].items()
             },
+            # self-adjudicating breach report: any budgeted entry whose
+            # warm ratio exceeds its pin (README ratio-budget table) —
+            # empty means no plan regression regardless of host state
+            "ratio_breaches": {
+                n: round(t / warm_med, 3)
+                for n, t in {**warm, **extra_passes[1]}.items()
+                if n in WARM_RATIO_BUDGETS
+                and t / warm_med > WARM_RATIO_BUDGETS[n]
+            },
         },
         "sf": sf,
     }
@@ -311,6 +320,28 @@ def main() -> None:
 # line; BENCH_r11's 5.7 KB line clipped mid-JSON and the round lost its
 # official headline.  1,800 leaves slack for the driver's own framing.
 MAX_FINAL_LINE = 1800
+
+# Host-proof warm budgets (README "Round 12 made the budgets
+# host-proof"): each value bounds the query's WARM time divided by the
+# same run's HEADLINE warm median.  Ratios ride the host window with
+# the query (r12: ratio spread ±0.15 across runs whose absolutes
+# spread ±25%), so a breach is a plan regression, not host drift.
+WARM_RATIO_BUDGETS = {
+    "q3_shipping_priority": 1.5,
+    "q5_local_supplier_volume": 1.4,
+    "q_ann_bruteforce": 0.7,
+    "q_ann_lsh": 0.7,
+    "q_ann_recall": 1.0,
+    "q_knn_classify": 0.9,
+    "q_ngram_jaccard_pairs": 2.6,
+    "q_referential_integrity": 2.1,
+    "q_stream_tumbling": 2.5,
+    "q_bm25": 2.0,
+    "q_value_outliers_mad": 1.7,
+    "q_curriculum_order": 1.6,
+    "q_dedup_incremental": 0.9,
+    "q_mor_merge": 2.3,
+}
 
 
 def _median(xs: list[float]) -> float:

@@ -68,3 +68,28 @@ def test_median_is_the_warm_ratio_denominator_shape():
     assert bench._median([3.0, 1.0, 2.0]) == 2.0
     assert bench._median([4.0, 1.0, 2.0, 3.0]) == 2.5
     assert bench._median([1.2345678]) == 1.235
+
+
+def test_ratio_budgets_cover_live_bench_entries():
+    # a renamed/removed query must not leave a budget silently detached
+    live = set(bench.HEADLINE) | set(bench.EXTRA) | {"datagen_2m_rows_mor"}
+    dead = set(bench.WARM_RATIO_BUDGETS) - live
+    assert not dead, f"budgeted entries not benched: {sorted(dead)}"
+
+
+def test_readme_budget_table_matches_bench_budgets():
+    """The README ratio-budget table and bench.WARM_RATIO_BUDGETS must
+    agree — the README is the decision rule the judge reads, bench.py is
+    the one that executes (same one-source-of-truth pattern as the
+    NULL-program counts)."""
+    import re
+    from pathlib import Path
+
+    text = (Path(bench.REPO) / "README.md").read_text()
+    rows = re.findall(r"\| `(q[\w]+)` \| [\d.]+ \| ≤([\d.]+) \|", text)
+    table = {name: float(b) for name, b in rows}
+    assert table == bench.WARM_RATIO_BUDGETS, (
+        sorted(set(table) ^ set(bench.WARM_RATIO_BUDGETS)),
+        {k: (table.get(k), bench.WARM_RATIO_BUDGETS.get(k)) for k in table
+         if table.get(k) != bench.WARM_RATIO_BUDGETS.get(k)},
+    )
