@@ -258,7 +258,42 @@ def main() -> None:
     # extras, host_ref, warm ratios) therefore goes to a round-keyed
     # side file + one EARLIER stdout line, and the LAST printed line is
     # the compact r10-shaped record the driver can always hold.
-    warm_med = _median(list(warm.values()))
+    # NOTHING from here to the final print may kill the process —
+    # losing the headline line is the BENCH_r11 failure mode this block
+    # exists to prevent, so detail CONSTRUCTION and the file write both
+    # sit under one deliberately broad catch (review r12: the
+    # OSError-only guard let any detail-side bug abort main() before
+    # the record printed).
+    try:
+        _emit_detail(cold, warm, extra, extra_passes, host_refs, sf)
+    except Exception as exc:  # noqa: BLE001 — headline must survive
+        print(f"detail: failed ({exc})")
+
+    print(
+        render_final_line(
+            final_record(
+                "headline-query wall time (noop sink, tuned session)",
+                total,
+                timings,
+                sf,
+            )
+        )
+    )
+
+
+def _emit_detail(cold, warm, extra, extra_passes, host_refs, sf) -> None:
+    """Build + write BENCH_DETAIL_r{N}.json and print its one stdout
+    line.  Called under main()'s broad guard: nothing here may prevent
+    the compact final line from printing."""
+    # QUERY-ONLY median (review r12): datagen_2m_rows_mor is the one
+    # disk-bound pipeline entry and its position relative to the query
+    # median moves run-to-run — including it lifted the denominator 16%
+    # on one run and would have silently swallowed a q5 ratio breach.
+    # Floor guards a smoke corpus whose warm times all round to 0.000.
+    warm_med = max(
+        _median([t for n, t in warm.items() if n != "datagen_2m_rows_mor"]),
+        0.001,
+    )
     detail = {
         "extra_queries": extra,
         "passes": {
@@ -297,23 +332,9 @@ def main() -> None:
         "sf": sf,
     }
     detail_path = _detail_path()
-    try:
-        with open(detail_path, "w") as f:
-            json.dump(detail, f, indent=1, sort_keys=True)
-        print(f"detail: {os.path.relpath(detail_path, REPO)}")
-    except OSError as exc:  # the headline line must survive a read-only repo
-        print(f"detail: unwritable ({exc})")
-
-    print(
-        render_final_line(
-            final_record(
-                "headline-query wall time (noop sink, tuned session)",
-                total,
-                timings,
-                sf,
-            )
-        )
-    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(f"detail: {os.path.relpath(detail_path, REPO)}")
 
 
 # the driver records only a 2,000-char tail of stdout and parses the last
@@ -327,34 +348,33 @@ MAX_FINAL_LINE = 1800
 # the query (r12: ratio spread ±0.15 across runs whose absolutes
 # spread ±25%), so a breach is a plan regression, not host drift.
 WARM_RATIO_BUDGETS = {
-    "q3_shipping_priority": 1.5,
-    "q5_local_supplier_volume": 1.4,
-    "q_ann_bruteforce": 0.7,
-    "q_ann_lsh": 0.7,
-    "q_ann_recall": 1.0,
-    "q_knn_classify": 0.9,
-    "q_ngram_jaccard_pairs": 2.6,
-    "q_referential_integrity": 2.1,
-    "q_stream_tumbling": 2.5,
-    "q_bm25": 2.0,
-    "q_value_outliers_mad": 1.7,
-    "q_curriculum_order": 1.6,
-    "q_dedup_incremental": 0.9,
-    "q_mor_merge": 2.3,
+    "q3_shipping_priority": 1.8,
+    "q5_local_supplier_volume": 2.1,
+    "q_ann_bruteforce": 0.8,
+    "q_ann_lsh": 0.9,
+    "q_ann_recall": 1.3,
+    "q_knn_classify": 1.3,
+    "q_ngram_jaccard_pairs": 3.1,
+    "q_referential_integrity": 2.4,
+    "q_stream_tumbling": 2.9,
+    "q_bm25": 2.3,
+    "q_value_outliers_mad": 2.0,
+    "q_curriculum_order": 2.2,
+    "q_dedup_incremental": 1.1,
+    "q_mor_merge": 2.8,
 }
 
 
 def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    mid = n // 2
-    return round(s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2, 3)
+    import statistics
+
+    return round(statistics.median(xs), 3)
 
 
 def _detail_path() -> str:
     """Round-keyed side file: BENCH_r{N}.json for round N is written by
     the driver AFTER bench runs, so the current round is one past the
-    highest recorded one (falls back to r00 on a fresh checkout)."""
+    highest recorded one (a fresh checkout writes r01)."""
     import glob
 
     rounds = [0]

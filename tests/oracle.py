@@ -88,10 +88,27 @@ def _zero_fold(v):
     return v
 
 
+def _zero_signs(v):
+    """Sign tag for every zero float, recursively — the SECONDARY sort
+    key.  Without it, duplicate rows differing only in ±0.0 tie under
+    the folded primary key, so Python's stable sort preserves each
+    engine's input order and the zipped exact probe can false-fire on
+    an identical multiset held in opposite orders (review r12).  With
+    the sign as tie-break, both engines place +0.0 rows before -0.0
+    rows among folded ties ('+' < '-' in ASCII), aligning equal rows
+    and still zipping a genuine -0.0-vs-0.0 divergence into the same
+    row pair."""
+    if isinstance(v, float) and v == 0.0:
+        return "-" if math.copysign(1.0, v) < 0 else "+"
+    if isinstance(v, tuple):
+        return tuple(_zero_signs(x) for x in v)
+    return ""
+
+
 def _canon_rows(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_canon_value(r[i]) for i in order) for r in rows]
-    return sorted(out, key=lambda t: repr(_zero_fold(t)))
+    return sorted(out, key=lambda t: (repr(_zero_fold(t)), _zero_signs(t)))
 
 
 def _values_close(a, b, rel=1e-9):

@@ -328,3 +328,18 @@ def test_compare_exact_probe_is_sign_of_zero_aware(spark):
         SF_DIR,
     )
     assert len(errors) == 1 and "EXACT-match drift" in errors[0], errors
+
+
+def test_canon_rows_aligns_duplicate_signed_zero_rows():
+    """Review r12: two engines holding the identical multiset
+    {(-0.0, 'a'), (0.0, 'a')} in opposite input orders must sort to the
+    same canonical order — the zero-fold makes the primary keys tie, so
+    without the sign tie-break Python's stable sort kept each engine's
+    input order and the exact probe false-fired on equal results."""
+    from tests.oracle import _canon_rows
+
+    a = _canon_rows([(-0.0, "a"), (0.0, "a")], ["x", "y"])
+    b = _canon_rows([(0.0, "a"), (-0.0, "a")], ["x", "y"])
+    assert [tuple(map(repr, r)) for r in a] == [tuple(map(repr, r)) for r in b]
+    # the sign tie-break places +0.0 first deterministically ('+' < '-')
+    assert repr(a[0][0]) == "0.0" and repr(a[1][0]) == "-0.0"
