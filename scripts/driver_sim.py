@@ -56,6 +56,16 @@ def main() -> int:
     n_head = len(head.collect())
     print(f"entry(): {n_head} rows, schema={head.columns} "
           f"({time.monotonic() - t0:.1f}s)")
+    # the smoke step must GATE, not just narrate (review r12): a
+    # degenerate entry() — zero rows or a drifted schema — previously
+    # printed and proceeded to exit 0, passing a sim the real driver's
+    # smoke check could fail
+    expected_cols = ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                     "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
+                     "avg_disc", "count_order"]
+    if n_head <= 0 or head.columns != expected_cols:
+        print(f"entry() SMOKE FAIL: rows={n_head} schema={head.columns}")
+        return 1
 
     ordered = list(entry_mod.queries())
     picked = ordered[:slots]

@@ -88,6 +88,17 @@ def main() -> int:
     sf_dir = ns.sf_dir
 
     operators.load_all()
+    # validate names BEFORE paying Spark+DuckDB startup (review r12): a
+    # typo'd name surfaced as a per-query KeyError and a rows-only name
+    # was counted as a NO_ORACLE failure even though that is by design
+    unknown = [n for n in ns.names if n not in operators.QUERIES]
+    if unknown:
+        ap.error(f"not registered queries: {unknown}")
+    rows_only = [n for n in ns.names if n not in operators.ORACLES]
+    if rows_only:
+        ap.error(
+            f"rows-only by design (no oracle to twin-check): {rows_only}"
+        )
     names = ns.names or [n for n in operators.QUERIES if n in operators.ORACLES]
 
     from iceberg_data_gen_spark.session import get_spark

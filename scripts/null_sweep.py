@@ -25,6 +25,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import tempfile
@@ -107,7 +108,30 @@ def build_nulled_corpus(
         out = pa.table(cols, schema=tbl.schema)
         pq.write_table(out, f"{dst}/{t}.parquet")
         report[t] = injected
+    # manifest written LAST (review r12): it is both the completion
+    # sentinel (a crash mid-build leaves no manifest, so --reuse
+    # rebuilds instead of serving a partial corpus forever) and the
+    # parameter record --reuse validates against (an explicit --dst
+    # previously served a corpus built with different frac/seed/keys —
+    # the exact vacuous-clean mode the r11 '-k1' dirname fix closed
+    # only for the DEFAULT dir)
+    with open(f"{dst}/_manifest.json", "w") as f:
+        json.dump(
+            {"src": src, "frac": frac, "seed": seed, "null_keys": null_keys},
+            f,
+        )
     return report
+
+
+def _reusable(dst: str, src: str, frac: float, seed: int, null_keys: bool) -> bool:
+    """A corpus is reusable only if its manifest exists AND matches the
+    requested build parameters exactly."""
+    try:
+        with open(f"{dst}/_manifest.json") as f:
+            m = json.load(f)
+    except (OSError, ValueError):
+        return False
+    return m == {"src": src, "frac": frac, "seed": seed, "null_keys": null_keys}
 
 
 def main() -> int:
@@ -137,7 +161,10 @@ def main() -> int:
         f"nulled-{Path(args.src).name}-f{args.frac}-s{args.seed}"
         f"{'-k1' if args.null_keys else ''}",
     )
-    if not (args.reuse and os.path.exists(f"{dst}/lineitem.parquet")):
+    if not (
+        args.reuse
+        and _reusable(dst, args.src, args.frac, args.seed, args.null_keys)
+    ):
         report = build_nulled_corpus(args.src, dst, args.frac, args.seed, args.null_keys)
         n_cells = sum(sum(v.values()) for v in report.values())
         print(f"corpus: {dst}  ({n_cells} cells nulled)", flush=True)
