@@ -25,6 +25,13 @@ def register(name: str, oracle: str | None = None):
     check (reserved for genuinely non-SQL-expressible operators)."""
 
     def deco(fn):
+        # loud collision (review r12): a silent overwrite made the first
+        # registration vanish from driver coverage, and a re-registration
+        # WITHOUT an oracle would have left the previous oracle attached
+        # to the new query — the driver would compare the new query
+        # against the old query's SQL
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -64,9 +64,19 @@ def round_half_up(col: F.Column, n: int) -> F.Column:
     representable tie like 0.52165 at 4dp yields 0.5217 vs 0.5216
     (review r10, reproduced — the q_quality_score incident class).  For
     negative inputs this form is round-half-toward-+inf; deterministic
-    and engine-identical either way.  NULL propagates."""
+    and engine-identical either way.  NULL propagates.
+
+    The floor is DOUBLE-NATIVE (``xs - pmod(xs, 1)``; review r12):
+    Spark's ``floor(double)`` returns LONG and silently CLAMPS beyond
+    ±2^63 (measured: 1e15 at 4dp → 9.223e18 vs DuckDB's exact 1e19 —
+    a wrong-results divergence), while pmod stays in double space and
+    is bit-identical to long-floor for every smaller magnitude
+    (verified over 200k random values incl. the representable-tie
+    cases).  pmod's remainder is in [0, 1) for negatives too, so the
+    subtraction IS floor, not trunc."""
     p = F.lit(float(10**n))
-    return F.floor(col * p + F.lit(0.5)).cast("double") / p
+    xs = col * p + F.lit(0.5)
+    return (xs - F.pmod(xs, F.lit(1.0))) / p
 
 
 def md5_hash32_sql(expr: str) -> str:
@@ -182,6 +192,23 @@ def vec_dot(u: F.Column, v: F.Column) -> F.Column:
     )
 
 
+def vec_complete(col: str = "embedding") -> F.Column:
+    """TRUE iff the vector is present AND contains no NULL element —
+    the r12 element-NULL rule, extending r11's entity rule one level
+    down: a vector with a missing dimension is not a vector.  It cannot
+    be dotted (DuckDB's list_inner_product raises outright; Spark's
+    fold propagates NULL into every score), normalized, or quantized,
+    so it drops from the vector universe on BOTH engines.  SQL twin:
+    :func:`vec_complete_sql` — the two spellings must stay paired."""
+    c = F.col(col)
+    return c.isNotNull() & ~F.exists(c, lambda x: x.isNull())
+
+
+def vec_complete_sql(col: str = "embedding") -> str:
+    """DuckDB twin of :func:`vec_complete` (identical semantics)."""
+    return f"({col} IS NOT NULL AND len(list_filter({col}, x -> x IS NULL)) = 0)"
+
+
 def normalized_vectors(df: DataFrame) -> DataFrame:
     """(vec_id, label, nv): unit-normalized double vectors — the norm is
     computed ONCE per row in its own projection, then the per-element
@@ -200,8 +227,11 @@ def normalized_vectors(df: DataFrame) -> DataFrame:
     # DISAGREES with SQL's NULL-hostile predicate — keys-pass sweep),
     # and a row with no id or no vector cannot participate in any
     # similarity operation.  Every consumer's oracle carries the
-    # matching `WHERE embedding IS NOT NULL AND vec_id IS NOT NULL`.
-    df = df.where(F.col("embedding").isNotNull() & F.col("vec_id").isNotNull())
+    # matching `WHERE vec_complete_sql() AND vec_id IS NOT NULL`.
+    # r12 element-NULL pass: vec_complete also drops vectors CONTAINING
+    # a NULL element — they crashed DuckDB's list_inner_product and
+    # turned the numpy grid kernels' input inhomogeneous.
+    df = df.where(vec_complete() & F.col("vec_id").isNotNull())
     # norm clamped at 1e-12 — the ONE zero-norm convention the whole ANN
     # family shares (numpy kernels use np.maximum(norm, 1e-12), oracles
     # use greatest(..., 1e-12)): a zero vector normalizes to zeros and

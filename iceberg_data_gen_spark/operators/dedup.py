@@ -32,6 +32,7 @@ from iceberg_data_gen_spark.operators.common import md5_hash32_sql, ngram_expr
 from iceberg_data_gen_spark.operators.common import (
     round_half_up,
     round_half_up_sql,
+    vec_complete,
 )
 from iceberg_data_gen_spark.session import load_tables
 
@@ -820,6 +821,7 @@ _COS_SQL = """
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
+        WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0)
     ),
     n AS (
         SELECT vec_id, label,
@@ -863,7 +865,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's list_dot_product(NULL, ...) quietly drops the row.
     e = (
         _emb(spark, sf_dir)
-        .where(F.col("label").isNotNull() & F.col("embedding").isNotNull())
+        .where(F.col("label").isNotNull() & vec_complete())
         .select(
             "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
         )

@@ -28,7 +28,11 @@ from iceberg_data_gen_spark.operators import register
 # ONE home for the sequential-dot / unit-normalize helpers: the
 # oracle-parity argument depends on the exact left-to-right fold, so a
 # second copy here would have to stay bit-identical by hand (review r6)
-from iceberg_data_gen_spark.operators.common import normalized_vectors, round_half_up
+from iceberg_data_gen_spark.operators.common import (
+    normalized_vectors,
+    round_half_up,
+    vec_complete,
+)
 from iceberg_data_gen_spark.operators.common import vec_dot as _dot
 from iceberg_data_gen_spark.session import load_tables
 
@@ -202,6 +206,7 @@ def _adc_tables(Q, B):
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
+        WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0)
     )
     SELECT label,
            count(*) AS n_vectors,
@@ -221,7 +226,7 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition order, so Spark and DuckDB could land on opposite sides of
     the 6th-decimal rounding boundary; the decimal sum is
     order-independent and bit-identical across engines."""
-    e = _emb(spark, sf_dir).select(
+    e = _emb(spark, sf_dir).where(vec_complete()).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     norm = F.sqrt(_dot(F.col("v"), F.col("v")))
@@ -243,7 +248,8 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
-        WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+        WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+              AND vec_id IS NOT NULL
     ),
     n AS (
         SELECT vec_id, list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS nv
@@ -578,6 +584,11 @@ def _kmeans_centroids(
         .limit(k)
         .collect()
     )
+    if not seed:
+        raise ValueError("k-means training needs at least one complete vector")
+    # fewer complete vectors than k degrades gracefully: C simply has
+    # n < k rows, every argmin/count below sizes off len(C) (r12 — the
+    # PQ trainer had a fixed-size assumption here and crashed)
     C = np.array([r.v for r in seed], dtype=np.float64)[:, lo:hi]
     C = C / np.maximum(np.sqrt(np.einsum("ij,ij->i", C, C)), 1e-12)[:, None]
 
@@ -663,7 +674,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # crashes the numpy batch kernels, a NULL vec_id NaN-poisons
         # their int64 id arrays; matches normalized_vectors' filter and
         # the oracles' WHERE
-        .where(F.col("embedding").isNotNull() & F.col("vec_id").isNotNull())
+        .where(vec_complete() & F.col("vec_id").isNotNull())
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     assign, probe, k = _corpus_centroids(e, sf_dir)
@@ -762,7 +773,8 @@ def _lsh_oracle() -> str:
     WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
-        WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+        WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+              AND vec_id IS NOT NULL
     ),
     n AS (
         SELECT vec_id, list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS nv
@@ -865,8 +877,8 @@ KNN_K = 16
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
-        WHERE embedding IS NOT NULL AND label IS NOT NULL
-              AND vec_id IS NOT NULL
+        WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+              AND label IS NOT NULL AND vec_id IS NOT NULL
     ),
     n AS (
         SELECT vec_id, label,
@@ -1006,8 +1018,18 @@ def _pq_codebooks(e: DataFrame):
         .limit(PQ_CODES)
         .collect()
     )
+    if not seed:
+        raise ValueError("PQ training needs at least one complete vector")
     S = np.array([r.v for r in seed], dtype=np.float64)
     S = S / np.maximum(np.sqrt(np.einsum("ij,ij->i", S, S)), 1e-12)[:, None]
+    if S.shape[0] < PQ_CODES:
+        # degenerate corpus (fewer complete vectors than codes — the r12
+        # element-NULL sweep's heavy seed shrank sf0.001 to 15 vectors):
+        # pad by cycling the seeds.  Duplicate centroids are harmless —
+        # argmin ties pick the first copy and the Lloyd update keeps an
+        # empty cell's old centroid (`if r.n > 0` below).
+        reps = -(-PQ_CODES // S.shape[0])
+        S = np.tile(S, (reps, 1))[:PQ_CODES]
     d = S.shape[1] // PQ_SUBSPACES
     # C[j]: (PQ_CODES, d) codebook for subspace j
     C = np.stack([S[:, j * d : (j + 1) * d] for j in range(PQ_SUBSPACES)])
@@ -1092,7 +1114,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         # crashes the numpy batch kernels, a NULL vec_id NaN-poisons
         # their int64 id arrays; matches normalized_vectors' filter and
         # the oracles' WHERE
-        .where(F.col("embedding").isNotNull() & F.col("vec_id").isNotNull())
+        .where(vec_complete() & F.col("vec_id").isNotNull())
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     C = _trained(
@@ -1157,6 +1179,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings
+        WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0)
     ),
     s AS (
         SELECT vec_id, label, e,
@@ -1196,7 +1219,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     column are bit-identical across engines with no rounding in the
     output.
     """
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir).where(vec_complete())
     ecol = F.transform("embedding", lambda x: x.cast("double"))
     maxabs = F.array_max(F.transform(ecol, lambda x: F.abs(x)))
     d = e.select(
@@ -1289,6 +1312,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                sqrt(list_sum(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
         FROM embeddings
+        WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0)
     ),
     med AS (SELECT quantile_cont(l2_norm, 0.5) AS med FROM norms),
     mad AS (
@@ -1313,7 +1337,7 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated percentiles broadcast back as one row, and the final
     pass counts outliers per label.  No shuffle touches the vectors
     themselves after the norm projection."""
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir).where(vec_complete())
     sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
     norms = e.select(
         "vec_id",
@@ -1381,7 +1405,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         # crashes the numpy batch kernels, a NULL vec_id NaN-poisons
         # their int64 id arrays; matches normalized_vectors' filter and
         # the oracles' WHERE
-        .where(F.col("embedding").isNotNull() & F.col("vec_id").isNotNull())
+        .where(vec_complete() & F.col("vec_id").isNotNull())
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     assign, probe, k = _corpus_centroids(e, sf_dir)
@@ -1507,7 +1531,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # crashes the numpy batch kernels, a NULL vec_id NaN-poisons
         # their int64 id arrays; matches normalized_vectors' filter and
         # the oracles' WHERE
-        .where(F.col("embedding").isNotNull() & F.col("vec_id").isNotNull())
+        .where(vec_complete() & F.col("vec_id").isNotNull())
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     cell_of, _probe, _k = _corpus_centroids(e, sf_dir)
@@ -1592,7 +1616,8 @@ _RECALL_FLOOR_ORACLE = f"""
            TRUE AS recall_ok,
            TRUE AS topk_bounded
     FROM embeddings
-    WHERE vec_id < {N_QUERIES} AND embedding IS NOT NULL
+    WHERE vec_id < {N_QUERIES}
+          AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0)
     """
 
 
@@ -1699,7 +1724,8 @@ def q_ann_ivfpq_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS pruned_witnessed,
            TRUE AS kept_below_tau
     FROM embeddings
-        WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+        WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+              AND vec_id IS NOT NULL
     """,
 )
 def q_semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1736,7 +1762,7 @@ def q_semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = _trained(
         ("count", sf_dir),
         lambda: _emb(spark, sf_dir)
-        .where(F.col("embedding").isNotNull() & F.col("vec_id").isNotNull())
+        .where(vec_complete() & F.col("vec_id").isNotNull())
         .count(),
     )
     try:

@@ -13,6 +13,15 @@ import os
 
 from pyspark.sql import SparkSession
 
+def _external_master() -> bool:
+    """True when a launcher outside this process owns the master setting
+    (spark-submit's gateway env, or an explicit SPARK_MASTER opt-out)."""
+    return (
+        "PYSPARK_GATEWAY_PORT" in os.environ  # spark-submit launched the JVM
+        or "SPARK_MASTER" in os.environ
+    )
+
+
 def get_spark(
     app_name: str = "iceberg-data-gen-spark",
     master: str | None = None,
@@ -27,8 +36,18 @@ def get_spark(
     # ONE env read for both the master thread count and the shuffle
     # default (review r9): the module-level DEFAULT_SHUFFLE_PARTITIONS
     # froze an import-time value, so setting SPARK_GRAFT_CPUS after
-    # import built local[N] with a stale partition count
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # import built local[N] with a stale partition count.  Validated at
+    # the read (review r12): a non-numeric or <1 value used to surface
+    # as a bare int() ValueError or an opaque local[0] context error.
+    cpus_raw = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        cpus = int(cpus_raw)
+    except ValueError:
+        raise ValueError(
+            f"SPARK_GRAFT_CPUS must be a positive integer, got {cpus_raw!r}"
+        ) from None
+    if cpus < 1:
+        raise ValueError(f"SPARK_GRAFT_CPUS must be >= 1, got {cpus}")
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
@@ -36,7 +55,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or int(cpus)),
+            str(shuffle_partitions or cpus),
         )
         # dimension tables (region/nation/customer/supplier/part at test SF)
         # stay broadcastable; AQE will re-derive at runtime from actual sizes
@@ -52,7 +71,15 @@ def get_spark(
     )
     if master is not None:
         builder = builder.master(master)
-    elif "SPARK_MASTER" not in os.environ:
+    elif _external_master():
+        # cluster-safe (review r12): under spark-submit the master comes
+        # from --master via the already-launched gateway JVM, and calling
+        # .master() here would override it with local[N] — the exact
+        # failure the docstring promises against.  spark-submit drivers
+        # are detected by the gateway env it always sets; SPARK_MASTER
+        # remains an explicit opt-out for other launchers.
+        pass
+    else:
         builder = builder.master(f"local[{cpus}]")
     if extra_conf:
         for k, v in extra_conf.items():

@@ -70,8 +70,35 @@ def _mask(table: str, col: str, n: int, frac: float, seed: int):
     return rng.random(n) < frac
 
 
+def _null_elements(arr, table: str, col: str, frac: float, seed: int):
+    """NULL a deterministic ~frac of the ELEMENTS inside a list column
+    (r12 element-NULL pass): a row whose array survives cell-level
+    injection can still carry NULL elements — the class that turns a
+    numpy kernel's np.array into an inhomogeneous object array.  A
+    plain-Python rebuild on purpose: pyarrow's flatten/offsets
+    arithmetic is treacherous around parent nulls, and the sweep's
+    corpora are small enough that foolproof beats fast."""
+    import numpy as np
+    import pyarrow as pa
+
+    vals = arr.to_pylist()
+    key = zlib.crc32(f"{seed}:{table}:{col}:elem".encode()) & 0xFFFFFFFF
+    rng = np.random.default_rng(key)
+    n_nulled = 0
+    out = []
+    for row in vals:
+        if row is None:
+            out.append(None)
+            continue
+        mask = rng.random(len(row)) < frac
+        n_nulled += int(mask.sum())
+        out.append([None if m else x for x, m in zip(row, mask)])
+    return pa.array(out, type=arr.type), n_nulled
+
+
 def build_nulled_corpus(
-    src: str, dst: str, frac: float, seed: int, null_keys: bool
+    src: str, dst: str, frac: float, seed: int, null_keys: bool,
+    null_elements: float = 0.0,
 ) -> dict[str, dict[str, int]]:
     """Copy every parquet table from src to dst with NULLs injected.
     Returns {table: {column: n_nulled}} for the report."""
@@ -93,7 +120,10 @@ def build_nulled_corpus(
                 cols.append(arr)
                 continue
             m = _mask(t, field.name, len(tbl), frac, seed)
-            if not m.any():
+            want_elem = bool(null_elements) and pa.types.is_list(field.type)
+            # the empty-mask shortcut must not skip ELEMENT injection
+            # (--frac 0 --null-elements X is a legitimate ask)
+            if not m.any() and not want_elem:
                 cols.append(arr)
                 continue
             combined = arr.combine_chunks()
@@ -104,6 +134,11 @@ def build_nulled_corpus(
                 keep, combined, pa.nulls(len(tbl), type=field.type)
             )
             injected[field.name] = int(m.sum())
+            if want_elem:
+                nulled, n_elem = _null_elements(
+                    nulled, t, field.name, null_elements, seed
+                )
+                injected[f"{field.name}[]"] = n_elem
             cols.append(nulled)
         out = pa.table(cols, schema=tbl.schema)
         pq.write_table(out, f"{dst}/{t}.parquet")
@@ -117,21 +152,28 @@ def build_nulled_corpus(
     # only for the DEFAULT dir)
     with open(f"{dst}/_manifest.json", "w") as f:
         json.dump(
-            {"src": src, "frac": frac, "seed": seed, "null_keys": null_keys},
+            {"src": src, "frac": frac, "seed": seed,
+             "null_keys": null_keys, "null_elements": null_elements},
             f,
         )
     return report
 
 
-def _reusable(dst: str, src: str, frac: float, seed: int, null_keys: bool) -> bool:
+def _reusable(
+    dst: str, src: str, frac: float, seed: int, null_keys: bool,
+    null_elements: float,
+) -> bool:
     """A corpus is reusable only if its manifest exists AND matches the
-    requested build parameters exactly."""
+    requested build parameters exactly — EVERY parameter, including the
+    r12 element-NULL fraction (a stale-manifest reuse is the precise
+    vacuous-clean mode the manifest exists to prevent)."""
     try:
         with open(f"{dst}/_manifest.json") as f:
             m = json.load(f)
     except (OSError, ValueError):
         return False
-    return m == {"src": src, "frac": frac, "seed": seed, "null_keys": null_keys}
+    return m == {"src": src, "frac": frac, "seed": seed,
+                 "null_keys": null_keys, "null_elements": null_elements}
 
 
 def main() -> int:
@@ -142,6 +184,11 @@ def main() -> int:
     ap.add_argument("--frac", type=float, default=0.08)
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--null-keys", action="store_true")
+    ap.add_argument(
+        "--null-elements", type=float, default=0.0, metavar="FRAC",
+        help="also NULL ~FRAC of the ELEMENTS inside list columns "
+             "(embedding) — the r12 element-NULL pass",
+    )
     ap.add_argument("--reuse", action="store_true", help="skip corpus rebuild")
     args = ap.parse_args()
 
@@ -159,13 +206,18 @@ def main() -> int:
         # silently served a keys-intact corpus to the exploratory keys
         # pass, reporting vacuous "clean" for every key-NULL divergence
         f"nulled-{Path(args.src).name}-f{args.frac}-s{args.seed}"
-        f"{'-k1' if args.null_keys else ''}",
+        f"{'-k1' if args.null_keys else ''}"
+        f"{f'-e{args.null_elements}' if args.null_elements else ''}",
     )
     if not (
         args.reuse
-        and _reusable(dst, args.src, args.frac, args.seed, args.null_keys)
+        and _reusable(dst, args.src, args.frac, args.seed, args.null_keys,
+                      args.null_elements)
     ):
-        report = build_nulled_corpus(args.src, dst, args.frac, args.seed, args.null_keys)
+        report = build_nulled_corpus(
+            args.src, dst, args.frac, args.seed, args.null_keys,
+            null_elements=args.null_elements,
+        )
         n_cells = sum(sum(v.values()) for v in report.values())
         print(f"corpus: {dst}  ({n_cells} cells nulled)", flush=True)
     else:

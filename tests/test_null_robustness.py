@@ -228,3 +228,82 @@ def test_doc_counts_match_the_parametrized_lists():
         assert hits, f"{doc} no longer states the NULL-program counts"
         bad = [h for h in hits if not re.fullmatch(claim, h)]
         assert not bad, f"{doc} states stale counts {bad}; lists are {claim!r}"
+
+
+# r12 element-NULL class: vectors CONTAINING a NULL element (the corpus
+# generator can't emit them and cell-level injection can't create them,
+# but FIXTURES.md's nullability contract doesn't forbid them) — DuckDB's
+# list_inner_product raises outright on such input and the numpy grid
+# kernels see an inhomogeneous object array.  The uniform rule, one
+# level below the r11 entity rule: a vector with a missing dimension is
+# not a vector — it drops from the vector universe on BOTH engines
+# (common.vec_complete / vec_complete_sql, applied at normalized_vectors
+# and every embeddings-reading oracle).
+ELEMENT_NULL_SENSITIVE = [
+    "q_ann_bruteforce",
+    "q_ann_lsh",
+    "q_ann_recall",
+    "q_ann_ivf_recall_floor",
+    "q_ann_pq_recall_floor",
+    "q_ann_ivfpq_recall_floor",
+    "q_knn_classify",
+    "q_embedding_stats",
+    "q_embedding_quantize",
+    "q_embedding_norm_outliers",
+    "q_embedding_neardup",
+    "q_semdedup_audit",
+]
+
+
+@pytest.fixture(scope="session")
+def nulled_elements_sf_dir(tmp_path_factory):
+    from tests.conftest import SF_SMALL
+
+    sweep = _load_sweep_module()
+    dst = str(tmp_path_factory.mktemp("nulled-elements-corpus"))
+    report = sweep.build_nulled_corpus(
+        SF_SMALL, dst, frac=0.05, seed=11, null_keys=False, null_elements=0.02
+    )
+    # not vacuous: element cells must actually have been nulled
+    assert report["embeddings"].get("embedding[]", 0) > 100, report
+    return dst
+
+
+@pytest.mark.parametrize("name", ELEMENT_NULL_SENSITIVE)
+def test_query_matches_oracle_on_element_nulled_corpus(
+    spark, nulled_elements_sf_dir, name
+):
+    assert name in operators.ORACLES, f"{name} lost its oracle"
+    errors = compare(
+        spark,
+        name,
+        operators.QUERIES[name],
+        operators.ORACLES[name],
+        nulled_elements_sf_dir,
+    )
+    assert not errors, errors
+
+
+def test_rows_only_vector_kernels_survive_element_nulls(
+    spark, nulled_elements_sf_dir
+):
+    """The rows-only ANN/semdedup kernels have no oracle to diverge from,
+    but they consume the same corpus — pre-guard they crashed on the
+    inhomogeneous np.array.  Surviving with sane output shapes is their
+    element-NULL contract."""
+    for name in ("q_ann_ivf", "q_ann_pq", "q_ann_ivfpq", "q_semdedup"):
+        df = operators.QUERIES[name](spark, nulled_elements_sf_dir)
+        assert df.count() > 0, name
+
+
+def test_vector_universe_guard_is_uniform():
+    """Every embeddings-reading oracle must carry vec_complete_sql()
+    VERBATIM — a hand-respelled guard can drift from the Spark twin
+    (the md5_hash32_sql lesson, r11)."""
+    from iceberg_data_gen_spark.operators.common import vec_complete_sql
+
+    frag = vec_complete_sql()
+    for name in ELEMENT_NULL_SENSITIVE:
+        assert frag in operators.ORACLES[name], (
+            f"{name} oracle lacks the verbatim vector-universe guard"
+        )
