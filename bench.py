@@ -294,6 +294,10 @@ def _emit_detail(cold, warm, extra, extra_passes, host_refs, sf) -> None:
         _median([t for n, t in warm.items() if n != "datagen_2m_rows_mor"]),
         0.001,
     )
+    cold_med = max(
+        _median([t for n, t in cold.items() if n != "datagen_2m_rows_mor"]),
+        0.001,
+    )
     detail = {
         "extra_queries": extra,
         "passes": {
@@ -321,9 +325,24 @@ def _emit_detail(cold, warm, extra, extra_passes, host_refs, sf) -> None:
             },
             # self-adjudicating breach report: any budgeted entry whose
             # warm ratio exceeds its pin (README ratio-budget table) —
-            # empty means no plan regression regardless of host state
+            # empty means no plan regression regardless of host state.
+            # Each breach carries BOTH passes' ratios (r12 run 6: an
+            # IO-sided host burst inflated streaming/MoR entries 3-8×
+            # in ONE pass while CPU entries barely moved — a suite-wide
+            # median can't normalize heterogeneous degradation).  A
+            # genuine plan regression inflates both passes; a stall
+            # inflates one — `both_passes` makes that call mechanical,
+            # and a one-pass breach means re-run, not revert.
             "ratio_breaches": {
-                n: round(t / warm_med, 3)
+                n: {
+                    "warm": round(t / warm_med, 3),
+                    "cold": round(
+                        (cold.get(n) or extra_passes[0][n]) / cold_med, 3
+                    ),
+                    "both_passes": (cold.get(n) or extra_passes[0][n])
+                    / cold_med
+                    > WARM_RATIO_BUDGETS[n],
+                }
                 for n, t in {**warm, **extra_passes[1]}.items()
                 if n in WARM_RATIO_BUDGETS
                 and t / warm_med > WARM_RATIO_BUDGETS[n]
