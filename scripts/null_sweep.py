@@ -96,9 +96,74 @@ def _null_elements(arr, table: str, col: str, frac: float, seed: int):
     return pa.array(out, type=arr.type), n_nulled
 
 
+def _type_has_nested(typ) -> bool:
+    """True if *typ* contains a struct or map anywhere — the columns the
+    --null-struct-fields pass can inject into."""
+    import pyarrow as pa
+
+    if pa.types.is_struct(typ) or pa.types.is_map(typ):
+        return True
+    if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        return _type_has_nested(typ.value_type)
+    return False
+
+
+def _null_struct_fields(arr, table: str, col: str, frac: float, seed: int):
+    """NULL a deterministic ~frac of struct FIELDS (the parent struct
+    stays non-NULL) and map VALUES (keys untouched — a NULL map key is
+    invalid parquet) inside a nested column, recursing through structs,
+    maps, and lists-of-structs (r13 struct-NULL pass, VERDICT r12 #5).
+
+    This is the structure-level sibling of the r12 element pass: a row
+    whose struct survives cell-level injection can still carry NULL
+    *fields*, the shape ``F.struct(nullable_col, ...)`` produces
+    naturally and engines disagree on more readily than whole-cell
+    NULLs.  Plain-Python rebuild on purpose, same rationale as
+    ``_null_elements``: foolproof beats fast at sweep-corpus sizes."""
+    import numpy as np
+    import pyarrow as pa
+
+    key = zlib.crc32(f"{seed}:{table}:{col}:struct".encode()) & 0xFFFFFFFF
+    rng = np.random.default_rng(key)
+    n_nulled = 0
+
+    def walk(v, typ):
+        nonlocal n_nulled
+        if v is None:
+            return None
+        if pa.types.is_struct(typ):
+            out = {}
+            for f in typ:
+                x = v.get(f.name)
+                if x is not None and rng.random() < frac:
+                    n_nulled += 1
+                    out[f.name] = None
+                else:
+                    out[f.name] = walk(x, f.type)
+            return out
+        if pa.types.is_map(typ):
+            # to_pylist() yields [(key, value), ...] per row
+            out = []
+            for k, val in v:
+                if val is not None and rng.random() < frac:
+                    n_nulled += 1
+                    out.append((k, None))
+                else:
+                    out.append((k, walk(val, typ.item_type)))
+            return out
+        if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+            # element-NULLing belongs to --null-elements; here the list
+            # is only a container on the way to nested structs/maps
+            return [walk(x, typ.value_type) for x in v]
+        return v
+
+    out = [walk(v, arr.type) for v in arr.to_pylist()]
+    return pa.array(out, type=arr.type), n_nulled
+
+
 def build_nulled_corpus(
     src: str, dst: str, frac: float, seed: int, null_keys: bool,
-    null_elements: float = 0.0,
+    null_elements: float = 0.0, null_struct_fields: float = 0.0,
 ) -> dict[str, dict[str, int]]:
     """Copy every parquet table from src to dst with NULLs injected.
     Returns {table: {column: n_nulled}} for the report."""
@@ -121,9 +186,13 @@ def build_nulled_corpus(
                 continue
             m = _mask(t, field.name, len(tbl), frac, seed)
             want_elem = bool(null_elements) and pa.types.is_list(field.type)
-            # the empty-mask shortcut must not skip ELEMENT injection
-            # (--frac 0 --null-elements X is a legitimate ask)
-            if not m.any() and not want_elem:
+            want_struct = bool(null_struct_fields) and _type_has_nested(
+                field.type
+            )
+            # the empty-mask shortcut must not skip ELEMENT or
+            # STRUCT-FIELD injection (--frac 0 --null-elements X /
+            # --null-struct-fields X are legitimate asks)
+            if not m.any() and not want_elem and not want_struct:
                 cols.append(arr)
                 continue
             combined = arr.combine_chunks()
@@ -139,6 +208,11 @@ def build_nulled_corpus(
                     nulled, t, field.name, null_elements, seed
                 )
                 injected[f"{field.name}[]"] = n_elem
+            if want_struct:
+                nulled, n_sf = _null_struct_fields(
+                    nulled, t, field.name, null_struct_fields, seed
+                )
+                injected[f"{field.name}{{}}"] = n_sf
             cols.append(nulled)
         out = pa.table(cols, schema=tbl.schema)
         pq.write_table(out, f"{dst}/{t}.parquet")
@@ -153,7 +227,8 @@ def build_nulled_corpus(
     with open(f"{dst}/_manifest.json", "w") as f:
         json.dump(
             {"src": src, "frac": frac, "seed": seed,
-             "null_keys": null_keys, "null_elements": null_elements},
+             "null_keys": null_keys, "null_elements": null_elements,
+             "null_struct_fields": null_struct_fields},
             f,
         )
     return report
@@ -161,7 +236,7 @@ def build_nulled_corpus(
 
 def _reusable(
     dst: str, src: str, frac: float, seed: int, null_keys: bool,
-    null_elements: float,
+    null_elements: float, null_struct_fields: float = 0.0,
 ) -> bool:
     """A corpus is reusable only if its manifest exists AND matches the
     requested build parameters exactly — EVERY parameter, including the
@@ -173,7 +248,8 @@ def _reusable(
     except (OSError, ValueError):
         return False
     return m == {"src": src, "frac": frac, "seed": seed,
-                 "null_keys": null_keys, "null_elements": null_elements}
+                 "null_keys": null_keys, "null_elements": null_elements,
+                 "null_struct_fields": null_struct_fields}
 
 
 def main() -> int:
@@ -188,6 +264,18 @@ def main() -> int:
         "--null-elements", type=float, default=0.0, metavar="FRAC",
         help="also NULL ~FRAC of the ELEMENTS inside list columns "
              "(embedding) — the r12 element-NULL pass",
+    )
+    ap.add_argument(
+        "--null-struct-fields", type=float, default=0.0, metavar="FRAC",
+        help="also NULL ~FRAC of struct FIELDS / map VALUES inside "
+             "nested columns (parents stay non-NULL) — the r13 "
+             "struct-NULL pass.  NOTE: the shipped TPC-H-ish corpora "
+             "carry no nested columns (structs/maps in this repo are "
+             "DERIVED inside queries from scalar base columns), so on "
+             "them this pass reports 'vacuous' and the derived "
+             "struct/map paths are stressed via a heavy --frac scalar "
+             "sweep instead; this flag arms the sweep for any future "
+             "driver corpus that ships nested columns",
     )
     ap.add_argument("--reuse", action="store_true", help="skip corpus rebuild")
     args = ap.parse_args()
@@ -207,19 +295,36 @@ def main() -> int:
         # pass, reporting vacuous "clean" for every key-NULL divergence
         f"nulled-{Path(args.src).name}-f{args.frac}-s{args.seed}"
         f"{'-k1' if args.null_keys else ''}"
-        f"{f'-e{args.null_elements}' if args.null_elements else ''}",
+        f"{f'-e{args.null_elements}' if args.null_elements else ''}"
+        f"{f'-sf{args.null_struct_fields}' if args.null_struct_fields else ''}",
     )
     if not (
         args.reuse
         and _reusable(dst, args.src, args.frac, args.seed, args.null_keys,
-                      args.null_elements)
+                      args.null_elements, args.null_struct_fields)
     ):
         report = build_nulled_corpus(
             args.src, dst, args.frac, args.seed, args.null_keys,
             null_elements=args.null_elements,
+            null_struct_fields=args.null_struct_fields,
         )
         n_cells = sum(sum(v.values()) for v in report.values())
         print(f"corpus: {dst}  ({n_cells} cells nulled)", flush=True)
+        if args.null_struct_fields:
+            n_nested = sum(
+                1 for v in report.values() for k in v if k.endswith("{}")
+            )
+            if n_nested:
+                print(f"struct/map injection: {n_nested} nested columns hit")
+            else:
+                # NO silent vacuous-clean (the -k1 lesson, one level up):
+                # a struct sweep over a corpus with no nested columns
+                # proves nothing about struct-NULL parity
+                print(
+                    "struct/map injection: VACUOUS — corpus has no nested "
+                    "columns; stress the derived struct/map paths with a "
+                    "heavy --frac scalar sweep instead",
+                )
     else:
         print(f"corpus: {dst}  (reused)", flush=True)
 

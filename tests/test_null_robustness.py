@@ -296,6 +296,199 @@ def test_rows_only_vector_kernels_survive_element_nulls(
         assert df.count() > 0, name
 
 
+# ---------------------------------------------------------------------------
+# r13 struct-NULL class (VERDICT r12 #5): a NULL *field inside* a
+# non-NULL struct, or a NULL map VALUE under a live key — one structure
+# level past the r12 element pass.  The shipped TPC-H-ish corpora carry
+# no nested columns (every struct/map in this repo is DERIVED inside
+# queries from scalar base columns, so the scalar sweep already reaches
+# those paths: a nulled base column becomes a NULL struct field at the
+# F.struct()/create_map() site).  These tests therefore pin three
+# things: (a) the sweep's injection mechanics are correct and
+# deterministic on nested types, ready for any future driver corpus
+# that ships them; (b) Spark and DuckDB AGREE on NULL-field/NULL-value
+# access semantics over a real nested parquet (the engine-pair contract
+# the sweep would enforce); (c) a canary that flips if the corpus ever
+# regenerates WITH nested columns, so the struct sweep gets armed
+# instead of staying silently vacuous.
+# ---------------------------------------------------------------------------
+
+
+def _nested_probe_table():
+    import pyarrow as pa
+
+    n = 240
+    structs = [
+        None if i % 17 == 0 else {"a": i, "b": f"s{i % 7}", "inner": {"c": i * 2}}
+        for i in range(n)
+    ]
+    maps = [
+        None if i % 23 == 0 else [("k1", i * 1.5), ("k2", float(i % 5))]
+        for i in range(n)
+    ]
+    lstructs = [
+        None if i % 19 == 0 else [{"v": i + j} for j in range(i % 3 + 1)]
+        for i in range(n)
+    ]
+    return pa.table(
+        {
+            "id": pa.array(range(n)),
+            "s": pa.array(
+                structs,
+                type=pa.struct(
+                    [
+                        ("a", pa.int64()),
+                        ("b", pa.string()),
+                        ("inner", pa.struct([("c", pa.int64())])),
+                    ]
+                ),
+            ),
+            "m": pa.array(maps, type=pa.map_(pa.string(), pa.float64())),
+            "ls": pa.array(
+                lstructs, type=pa.list_(pa.struct([("v", pa.int64())]))
+            ),
+        }
+    )
+
+
+def test_struct_field_injection_mechanics():
+    """_null_struct_fields: deterministic, parent-preserving, key-
+    preserving, type-exact — on struct, map, and list<struct>."""
+    sweep = _load_sweep_module()
+    tbl = _nested_probe_table()
+
+    assert sweep._type_has_nested(tbl.schema.field("s").type)
+    assert sweep._type_has_nested(tbl.schema.field("m").type)
+    assert sweep._type_has_nested(tbl.schema.field("ls").type)
+    import pyarrow as pa
+
+    assert not sweep._type_has_nested(pa.int64())
+    assert not sweep._type_has_nested(pa.list_(pa.float32()))
+
+    for col in ("s", "m", "ls"):
+        arr = tbl.column(col).combine_chunks()
+        out1, n1 = sweep._null_struct_fields(arr, "t", col, 0.4, seed=11)
+        out2, n2 = sweep._null_struct_fields(arr, "t", col, 0.4, seed=11)
+        # deterministic — identical cells every run
+        assert out1.equals(out2) and n1 == n2
+        # actually injected, type preserved exactly
+        assert n1 > 20, (col, n1)
+        assert out1.type == arr.type
+        # the parent NULL mask is untouched: no new NULL parents, no
+        # resurrected ones
+        assert arr.is_null().equals(out1.is_null()), col
+        # a different seed injects different cells
+        out3, _ = sweep._null_struct_fields(arr, "t", col, 0.4, seed=12)
+        assert not out1.equals(out3)
+
+    # map KEYS survive verbatim (only values are nulled)
+    m_in = tbl.column("m").combine_chunks().to_pylist()
+    m_out, _ = sweep._null_struct_fields(
+        tbl.column("m").combine_chunks(), "t", "m", 0.5, seed=11
+    )
+    for before, after in zip(m_in, m_out.to_pylist()):
+        if before is None:
+            assert after is None
+        else:
+            assert [k for k, _ in before] == [k for k, _ in after]
+
+
+def test_struct_field_null_parity_spark_vs_duckdb(spark, tmp_path):
+    """Engine-pair contract on a nested corpus WITH injected
+    struct-field / map-value NULLs: field access, missing-key probes,
+    NULL-skipping aggregates — the compare the sweep would run if the
+    driver ever ships nested columns.  DuckDB 1.0 map extraction
+    returns a LIST (``m['k'][1]`` is the scalar; missing key → empty
+    list → NULL), which matches Spark's element_at semantics."""
+    import duckdb
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    sweep = _load_sweep_module()
+    tbl = _nested_probe_table()
+    cols = []
+    for field in tbl.schema:
+        arr = tbl.column(field.name).combine_chunks()
+        if sweep._type_has_nested(field.type):
+            arr, n = sweep._null_struct_fields(arr, "probe", field.name, 0.3, 11)
+            assert n > 0
+        cols.append(arr)
+    import pyarrow as pa
+
+    path = str(tmp_path / "nested.parquet")
+    pq.write_table(pa.table(cols, schema=tbl.schema), path)
+
+    sdf = (
+        spark.read.parquet(path)
+        .select(
+            "id",
+            F.col("s.a").alias("a"),
+            F.col("s.b").alias("b"),
+            F.col("s.inner.c").alias("c"),
+            F.element_at("m", F.lit("k1")).alias("k1"),
+            F.element_at("m", F.lit("missing")).alias("k_miss"),
+            F.size("m").alias("m_size"),
+            F.element_at(F.col("ls"), 1).getField("v").alias("v0"),
+        )
+        .orderBy("id")
+    )
+    got = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    want = con.sql(
+        f"""
+        SELECT id, s.a AS a, s.b AS b, s.inner.c AS c,
+               m['k1'][1] AS k1, m['missing'][1] AS k_miss,
+               CAST(cardinality(m) AS INT) AS m_size,
+               ls[1].v AS v0
+        FROM '{path}' ORDER BY id
+        """
+    ).fetchall()
+    assert got == want
+
+    # NULL-skipping aggregates over an injected struct field agree
+    agg_s = (
+        spark.read.parquet(path)
+        .agg(
+            F.sum("s.a").alias("sum_a"),
+            F.count("s.a").alias("cnt_a"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()[0]
+    )
+    agg_d = con.sql(
+        f"SELECT SUM(s.a), COUNT(s.a), COUNT(*) FROM '{path}'"
+    ).fetchone()
+    assert (agg_s["sum_a"], agg_s["cnt_a"], agg_s["cnt"]) == agg_d
+
+
+def test_shipped_corpus_has_no_nested_columns_yet():
+    """Canary (r13): the struct sweep is VACUOUS on the shipped corpora
+    because no table carries a struct/map column — every struct in the
+    repo is derived from scalars, so the scalar+keys sweeps reach those
+    paths.  If the driver ever regenerates testdata WITH nested
+    columns, this flips: arm scripts/null_sweep.py --null-struct-fields
+    and extend the sweep gates before trusting the round."""
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_SMALL
+
+    sweep = _load_sweep_module()
+    from iceberg_data_gen_spark.session import TABLES
+
+    nested = [
+        (t, f.name)
+        for t in TABLES
+        for f in pq.read_schema(f"{SF_SMALL}/{t}.parquet")
+        if sweep._type_has_nested(f.type)
+    ]
+    assert not nested, (
+        f"corpus now ships nested columns {nested}: run the struct-NULL "
+        "sweep (scripts/null_sweep.py --null-struct-fields) and pin any "
+        "divergences before trusting this round"
+    )
+
+
 def test_vector_universe_guard_is_uniform():
     """Every embeddings-reading oracle must carry vec_complete_sql()
     VERBATIM — a hand-respelled guard can drift from the Spark twin
