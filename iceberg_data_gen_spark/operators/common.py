@@ -73,7 +73,18 @@ def round_half_up(col: F.Column, n: int) -> F.Column:
     is bit-identical to long-floor for every smaller magnitude
     (verified over 200k random values incl. the representable-tie
     cases).  pmod's remainder is in [0, 1) for negatives too, so the
-    subtraction IS floor, not trunc."""
+    subtraction IS floor, not trunc.
+
+    Boundary note (ADVICE r12): pmod's one non-floor corner is
+    xs ∈ [-2^-54, 0), where ``(xs % 1) + 1`` rounds to exactly 1.0 and
+    the subtraction returns xs (truncation) while a true floor returns
+    -1.  That region is UNREACHABLE here: xs = y + 0.5 for a double y,
+    doubles below -0.5 are spaced 2^-53, and Sterbenz makes the
+    addition exact — so the smallest producible negative xs is -2^-53,
+    one full binade outside the corner.  The closest representable
+    inputs (col = nextafter(-0.5/10^n)) are pinned engine-equal by
+    tests/test_differential.py::test_round_half_up_dyadic_boundary_
+    matches_duckdb, which also asserts the unreachability argument."""
     p = F.lit(float(10**n))
     xs = col * p + F.lit(0.5)
     return (xs - F.pmod(xs, F.lit(1.0))) / p

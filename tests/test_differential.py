@@ -2083,3 +2083,79 @@ def test_random_asof_spec_matches_duckdb(
         second_key=second_key,
     )
     assert not errors, errors
+
+
+# ---------------------------------------------------------------------------
+# round_half_up floor-boundary parity (ADVICE r12)
+# ---------------------------------------------------------------------------
+
+def test_round_half_up_dyadic_boundary_matches_duckdb(spark, tmp_path):
+    """The pmod-based double-native floor's one non-floor corner is
+    xs ∈ [-2^-54, 0) — (xs % 1) + 1 rounds to exactly 1.0 there, so the
+    subtraction truncates where DuckDB's floor returns -1.  Two pins:
+
+    1. UNREACHABILITY: xs = y + 0.5 for a double y; doubles below -0.5
+       are spaced 2^-53 and Sterbenz makes the add exact, so the
+       smallest producible negative xs is -2^-53 — the corner cannot
+       be hit through round_half_up's own expression, for ANY col/n.
+    2. ENGINE PARITY at the closest representable approach: for each
+       n, col = nextafter(-0.5/10^n, -inf) (an ulp below the -0.5
+       rounding tie — the exact input ADVICE r12 names) plus the tie
+       itself, dyadic ties, and clamp-magnitude values all produce
+       bit-identical results on Spark and DuckDB.
+    """
+    import math
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from iceberg_data_gen_spark.operators.common import (
+        round_half_up,
+        round_half_up_sql,
+    )
+
+    # --- pin 1: the broken region cannot be produced by y + 0.5 ------
+    for k in range(1, 64):
+        y = -0.5 - k * 2.0**-53  # every double in (-0.5 - 2^-47, -0.5)
+        xs = y + 0.5
+        assert not (-(2.0**-54) <= xs < 0.0), (y, xs)
+    # and the region itself does trip raw pmod (why the pin matters):
+    assert ((-1e-20 % 1.0) + 1.0) % 1.0 == 0.0
+
+    # --- pin 2: engine parity on the adversarial inputs --------------
+    cols = []
+    for n in (0, 1, 2, 4, 6):
+        t = -0.5 / 10**n
+        cols += [
+            math.nextafter(t, -math.inf),  # an ulp below the tie
+            t,                             # the tie itself
+            math.nextafter(t, math.inf),   # an ulp above
+        ]
+    cols += [
+        -2.0**-53, -2.0**-54, -5e-324, -0.0, 0.0, 5e-324,
+        0.52165, -0.52165, 2.675, -2.675,      # representable ties
+        1e15, -1e15, 1e19, -1e19,              # the old floor-clamp class
+    ]
+    path = str(tmp_path / "boundary.parquet")
+    pq.write_table(pa.table({"x": pa.array(cols, type=pa.float64())}), path)
+
+    for n in (0, 2, 4):
+        got = [
+            r["r"]
+            for r in spark.read.parquet(path)
+            .select(round_half_up(F.col("x"), n).alias("r"))
+            .collect()
+        ]
+        want = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT {round_half_up_sql('x', n)} FROM '{path}'"
+            ).fetchall()
+        ]
+        assert len(got) == len(want)
+        for g, w, c in zip(got, want, cols):
+            assert g == w and math.copysign(1, g) == math.copysign(1, w), (
+                n, c, g, w,
+            )
