@@ -264,8 +264,19 @@ def main() -> None:
     # sit under one deliberately broad catch (review r12: the
     # OSError-only guard let any detail-side bug abort main() before
     # the record printed).
+    # warm_median rides in the PARSED final record (VERDICT r12 #3): the
+    # official BENCH_r{N} series is then host-normalizable on its own —
+    # a judge reading 19.37 → 21.10 divides by the same-run warm median
+    # instead of reconstructing the host window from the detail file.
+    # Its computation sits under its own guard: the final print survives
+    # anything.
     try:
-        _emit_detail(cold, warm, extra, extra_passes, host_refs, sf)
+        warm_med = _query_warm_median(warm)
+    except Exception:  # noqa: BLE001 — headline must survive
+        warm_med = None
+
+    try:
+        _emit_detail(cold, warm, extra, extra_passes, host_refs, sf, warm_med)
     except Exception as exc:  # noqa: BLE001 — headline must survive
         print(f"detail: failed ({exc})")
 
@@ -276,24 +287,39 @@ def main() -> None:
                 total,
                 timings,
                 sf,
+                warm_med,
             )
         )
     )
 
 
-def _emit_detail(cold, warm, extra, extra_passes, host_refs, sf) -> None:
-    """Build + write BENCH_DETAIL_r{N}.json and print its one stdout
-    line.  Called under main()'s broad guard: nothing here may prevent
-    the compact final line from printing."""
-    # QUERY-ONLY median (review r12): datagen_2m_rows_mor is the one
-    # disk-bound pipeline entry and its position relative to the query
-    # median moves run-to-run — including it lifted the denominator 16%
-    # on one run and would have silently swallowed a q5 ratio breach.
-    # Floor guards a smoke corpus whose warm times all round to 0.000.
-    warm_med = max(
+def _query_warm_median(warm: dict) -> float:
+    """QUERY-ONLY warm median — the warm-ratio denominator (review r12):
+    datagen_2m_rows_mor is the one disk-bound pipeline entry and its
+    position relative to the query median moves run-to-run — including
+    it lifted the denominator 16% on one run and would have silently
+    swallowed a q5 ratio breach.  Floor guards a smoke corpus whose warm
+    times all round to 0.000."""
+    return max(
         _median([t for n, t in warm.items() if n != "datagen_2m_rows_mor"]),
         0.001,
     )
+
+
+def _cold_time(n, cold, extra_passes) -> float:
+    """First-pass timing for *n*, headline or extra.  Explicit membership,
+    not truthiness (ADVICE r12): a legitimate 0.0 cold timing — the
+    smoke-corpus case the 0.001 median floor anticipates — must not fall
+    through to extra_passes and KeyError away the whole detail file."""
+    return cold[n] if n in cold else extra_passes[0][n]
+
+
+def _emit_detail(cold, warm, extra, extra_passes, host_refs, sf, warm_med) -> None:
+    """Build + write BENCH_DETAIL_r{N}.json and print its one stdout
+    line.  Called under main()'s broad guard: nothing here may prevent
+    the compact final line from printing."""
+    if warm_med is None:
+        warm_med = _query_warm_median(warm)
     cold_med = max(
         _median([t for n, t in cold.items() if n != "datagen_2m_rows_mor"]),
         0.001,
@@ -337,11 +363,17 @@ def _emit_detail(cold, warm, extra, extra_passes, host_refs, sf) -> None:
                 n: {
                     "warm": round(t / warm_med, 3),
                     "cold": round(
-                        (cold.get(n) or extra_passes[0][n]) / cold_med, 3
+                        _cold_time(n, cold, extra_passes) / cold_med, 3
                     ),
-                    "both_passes": (cold.get(n) or extra_passes[0][n])
+                    # the cold ratio is judged against its OWN pinned
+                    # band (ADVICE r12): cold times carry first-pass
+                    # overhead (cache/trainer materialization), so cold
+                    # ratios sit systematically above warm ones and a
+                    # warm-calibrated pin would mislabel a real warm
+                    # plan regression as a host burst
+                    "both_passes": _cold_time(n, cold, extra_passes)
                     / cold_med
-                    > WARM_RATIO_BUDGETS[n],
+                    > COLD_RATIO_BUDGETS[n],
                 }
                 for n, t in {**warm, **extra_passes[1]}.items()
                 if n in WARM_RATIO_BUDGETS
@@ -381,6 +413,72 @@ WARM_RATIO_BUDGETS = {
     "q_curriculum_order": 2.2,
     "q_dedup_incremental": 1.1,
     "q_mor_merge": 2.8,
+    # round-13 pins (VERDICT r12 #1): every entry whose r12 same-code
+    # warm ratio exceeded ~1.3 — the suite's two most expensive queries
+    # previously could not raise a breach at all.  Pool = the r12
+    # driver run + three serialized r13 same-code runs (totals
+    # 17.2-22.0s, two host regimes: the r13 host ran the headline
+    # median 0.86-1.18s vs r12's 1.22s, which inflates CPU-heavy
+    # ratios — the pool spans both so the pin false-fires on neither);
+    # pin = max + ~30%.
+    "q_column_profile": 6.6,
+    "q_dedup_survivors": 6.2,
+    "q_asof_join": 3.4,
+    "q1_pricing_summary": 2.2,
+    "q_bucketed_join": 3.2,
+    "q_simhash": 2.6,
+    "q_jaccard_pairs": 2.6,
+    "q_event_pagerank": 2.4,
+    "q10_returned_items": 1.8,
+    "q_bpe_train": 2.6,
+    "q_mor_compaction_plan": 2.4,
+    # caught by the converse coverage ratchet itself
+    # (test_every_heavy_live_entry_is_budgeted): clean-window median
+    # 1.39 — above the 1.3 line the r12 manual list cut at
+    "q_minhash_lsh": 2.4,
+}
+
+# Cold-pass ratio pins for breach adjudication (ADVICE r12): the
+# `both_passes` verdict compares the COLD ratio (cold time ÷ same-run
+# query-only cold median), and cold passes systematically carry
+# first-pass overhead — trainer/cache materialization puts e.g.
+# q_dedup_survivors at cold ratio ~5 while its warm ratio sits at ~3.4.
+# Judging cold ratios against the warm pins would read every genuine
+# warm regression on a cache-heavy query as `both_passes: false`
+# ("re-run, not revert").  Same keyset as WARM_RATIO_BUDGETS
+# (test-asserted); pool = r12 driver run + three r13 same-code runs,
+# pin = max cold ratio + ~30% (cold ratio = first-pass time ÷ same-run
+# query-only cold median).
+COLD_RATIO_BUDGETS = {
+    "q3_shipping_priority": 2.2,
+    "q5_local_supplier_volume": 1.8,
+    "q_ann_bruteforce": 2.0,
+    "q_ann_lsh": 3.8,
+    "q_ann_recall": 2.1,
+    "q_knn_classify": 1.1,
+    "q_ngram_jaccard_pairs": 1.9,
+    "q_referential_integrity": 1.5,
+    "q_stream_tumbling": 1.8,
+    "q_bm25": 2.4,
+    "q_value_outliers_mad": 1.9,
+    "q_curriculum_order": 1.5,
+    "q_dedup_incremental": 2.4,
+    "q_mor_merge": 3.2,
+    "q_column_profile": 4.7,
+    "q_dedup_survivors": 6.5,
+    "q_asof_join": 1.9,
+    "q1_pricing_summary": 2.3,
+    "q_bucketed_join": 4.3,
+    "q_simhash": 4.2,
+    "q_jaccard_pairs": 3.9,
+    "q_event_pagerank": 4.1,
+    "q10_returned_items": 1.0,
+    "q_bpe_train": 4.4,
+    "q_mor_compaction_plan": 2.4,
+    # pool max EXCLUDES run 4's 6.75 cold sample — a one-pass stall
+    # (warm twin 1.56, inside pin: the exact signature both_passes
+    # exists to name); max of the remaining pool [2.68, 2.43, 3.26]
+    "q_minhash_lsh": 4.3,
 }
 
 
@@ -404,17 +502,28 @@ def _detail_path() -> str:
     return os.path.join(REPO, f"BENCH_DETAIL_r{max(rounds) + 1:02d}.json")
 
 
-def final_record(metric: str, total: float, timings: dict, sf: float) -> dict:
-    """The compact record the driver parses — the r10 shape, which is the
-    LAST stdout line and must stay under MAX_FINAL_LINE (pinned by
+def final_record(
+    metric: str,
+    total: float,
+    timings: dict,
+    sf: float,
+    warm_median: float | None = None,
+) -> dict:
+    """The compact record the driver parses — the r10 shape plus one
+    float (``warm_median``, VERDICT r12 #3) so the official series is
+    host-normalizable from the parsed record alone.  This is the LAST
+    stdout line and must stay under MAX_FINAL_LINE (pinned by
     tests/test_bench_contract.py)."""
-    return {
+    record = {
         "metric": metric,
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
     }
+    if warm_median is not None:
+        record["warm_median"] = warm_median
+    return record
 
 
 def render_final_line(record: dict) -> str:

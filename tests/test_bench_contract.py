@@ -31,11 +31,81 @@ def _worst_case_timings() -> dict[str, float]:
 
 
 def test_final_line_stays_under_driver_tail_budget():
-    record = bench.final_record(METRIC, 99999.999, _worst_case_timings(), 0.1)
+    record = bench.final_record(
+        METRIC, 99999.999, _worst_case_timings(), 0.1, warm_median=99999.999
+    )
     line = json.dumps(record)
     assert len(line) < bench.MAX_FINAL_LINE, len(line)
     # and the renderer passes it through unmodified (no fallback taken)
     assert bench.render_final_line(record) == line
+
+
+def test_final_record_carries_warm_median():
+    """VERDICT r12 #3: the official BENCH_r{N} series must be
+    host-normalizable from the parsed record alone — `warm_median` (the
+    same-run query-only warm median, the warm-ratio denominator) rides
+    in the final line, and its absence (the guarded-computation-failed
+    path) degrades to the r10 shape rather than killing the record."""
+    record = bench.final_record(METRIC, 42.0, {"q1": 1.0}, 0.1, 0.944)
+    assert record["warm_median"] == 0.944
+    assert json.loads(bench.render_final_line(record))["warm_median"] == 0.944
+    fallback = bench.final_record(METRIC, 42.0, {"q1": 1.0}, 0.1, None)
+    assert "warm_median" not in fallback
+
+
+def test_cold_budgets_cover_exactly_the_warm_budget_entries():
+    """ADVICE r12: `both_passes` adjudicates the COLD ratio, and cold
+    passes systematically carry first-pass (cache/trainer) overhead —
+    so every budgeted entry needs its own cold pin, and an entry with
+    only one of the two tables is a half-adjudicated breach."""
+    assert set(bench.COLD_RATIO_BUDGETS) == set(bench.WARM_RATIO_BUDGETS)
+
+
+def _clean_window_ratio_medians() -> dict[str, float]:
+    """Per-entry median warm ratio across the recorded BENCH_DETAIL
+    files from CLEAN windows (empty ratio_breaches — the breach report
+    self-labels degraded hosts, and the coverage ratchet must not learn
+    ratios from a stall).  Falls back to all files if none are clean."""
+    import statistics
+
+    files = sorted(glob.glob(os.path.join(bench.REPO, "BENCH_DETAIL_r*.json")))
+    ratios: dict[str, list[float]] = {}
+    clean, dirty = [], []
+    for p in files:
+        try:
+            with open(p) as f:
+                passes = json.load(f)["passes"]
+        except (OSError, ValueError, KeyError):
+            continue
+        (clean if not passes.get("ratio_breaches") else dirty).append(passes)
+    for passes in clean or dirty:
+        for src in ("warm_ratio", "extra_warm_ratio"):
+            for n, r in passes.get(src, {}).items():
+                ratios.setdefault(n, []).append(r)
+    return {n: statistics.median(v) for n, v in ratios.items()}
+
+
+def test_every_heavy_live_entry_is_budgeted():
+    """The CONVERSE of test_ratio_budgets_cover_live_bench_entries
+    (VERDICT r12 #1): budgeted⇒live was asserted, but live-and-heavy⇒
+    budgeted was not — so the suite's two most expensive queries
+    (q_column_profile 3.49, q_dedup_survivors 3.40) could not raise a
+    breach at all.  Any live entry whose recorded clean-window ratio
+    median exceeds 1.3 must carry a pinned budget."""
+    live = set(bench.HEADLINE) | set(bench.EXTRA)
+    heavy = {
+        n: r
+        for n, r in _clean_window_ratio_medians().items()
+        if n in live and n != "datagen_2m_rows_mor" and r > 1.3
+    }
+    unbudgeted = {
+        n: r for n, r in heavy.items() if n not in bench.WARM_RATIO_BUDGETS
+    }
+    assert not unbudgeted, (
+        f"heavy entries with no pinned warm-ratio budget: {unbudgeted} — "
+        "pin max-of-clean-runs + ~30% in bench.WARM_RATIO_BUDGETS and "
+        "mirror COLD_RATIO_BUDGETS + the README table"
+    )
 
 
 def test_render_final_line_drops_queries_rather_than_clip():
@@ -92,4 +162,14 @@ def test_readme_budget_table_matches_bench_budgets():
         sorted(set(table) ^ set(bench.WARM_RATIO_BUDGETS)),
         {k: (table.get(k), bench.WARM_RATIO_BUDGETS.get(k)) for k in table
          if table.get(k) != bench.WARM_RATIO_BUDGETS.get(k)},
+    )
+    # the cold table rows render the pin as ≤cN.N — the 'c' keeps the
+    # warm regex above from swallowing them
+    cold_rows = re.findall(r"\| `(q[\w]+)` \| [\d.]+ \| ≤c([\d.]+) \|", text)
+    cold_table = {name: float(b) for name, b in cold_rows}
+    assert cold_table == bench.COLD_RATIO_BUDGETS, (
+        sorted(set(cold_table) ^ set(bench.COLD_RATIO_BUDGETS)),
+        {k: (cold_table.get(k), bench.COLD_RATIO_BUDGETS.get(k))
+         for k in cold_table
+         if cold_table.get(k) != bench.COLD_RATIO_BUDGETS.get(k)},
     )
