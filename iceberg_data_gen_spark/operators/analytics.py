@@ -39,7 +39,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from iceberg_data_gen_spark.operators import register
-from iceberg_data_gen_spark.operators.common import dsum, dsum_sql, iso_weekday
+from iceberg_data_gen_spark.operators.common import (
+    dsum,
+    dsum_sql,
+    iso_weekday,
+    spread_scan,
+)
 from iceberg_data_gen_spark.operators.common import docs_table as _docs
 from iceberg_data_gen_spark.session import load_tables
 
@@ -500,21 +505,32 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings (ints verbatim, doubles via DECIMAL(15,2), timestamps via
     DATE — the playbook's portable casts).
 
-    ONE pass over the table: all 6x4 aggregates run in a single global
-    aggregation (Catalyst plans the multi-distinct via Expand), then the
-    1-row result unpivots driver-side via ``stack`` — versus the naive
-    per-column scan loop (6 scans).  At 100 TB swap the exact distincts
-    for approx_count_distinct and keep the identical plan shape.
-    """
-    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    ONE scan over the table, TWO aggregates off it (r13 split — was one
+    combined aggregate): mixing the 6 countDistincts with string min/max
+    forced the whole multi-distinct onto SortAggregate (string agg
+    buffers are immutable, so HashAggregate is ineligible), which paid a
+    full Sort of the Expand ×7 output (1.05M wide rows at sf0.1) plus a
+    second post-exchange Sort — measured 4.2s warm, the suite's most
+    expensive entry.  Split, each half gets its cheap plan: the
+    null-count/min/max aggregate has NO grouping keys, so its
+    SortAggregate is a plain fold (no Sort node anywhere), and the
+    distinct-only aggregate keeps longs in its buffer, so the Expand
+    path stays HashAggregate end-to-end.  Both 1-row results cross-join
+    back (broadcast) and unpivot via ``stack`` exactly as before —
+    same 24 aggregates, bit-identical output.  At 100 TB swap the exact
+    distincts for approx_count_distinct and keep the identical shape.
 
-    def prof(c: str, caster) -> list:
-        return [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}"),
-            F.countDistinct(F.col(c)).alias(f"nd_{c}"),
-            caster(F.min(c)).cast("string").alias(f"mn_{c}"),
-            caster(F.max(c)).cast("string").alias(f"mx_{c}"),
-        ]
+    The scan is also spread first (guide §2.5): on the single-row-group
+    testdata layout the Expand + partial aggregation otherwise run on
+    ONE task.  All aggregates are exact and order-insensitive (counts,
+    distincts, min/max), so neither change can perturb a bit.
+    """
+    orders = spread_scan(
+        load_tables(spark, sf_dir, ("orders",))["orders"],
+        sf_dir,
+        "orders",
+        "o_orderkey",
+    )
 
     ident = lambda x: x  # noqa: E731
     casts = {
@@ -525,8 +541,21 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice": lambda x: x.cast("decimal(15,2)"),
         "o_orderdate": lambda x: x.cast("date"),
     }
-    aggs = [a for c, caster in casts.items() for a in prof(c, caster)]
-    one = orders.agg(*aggs)
+    minmax = orders.agg(
+        *[
+            a
+            for c, caster in casts.items()
+            for a in (
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}"),
+                caster(F.min(c)).cast("string").alias(f"mn_{c}"),
+                caster(F.max(c)).cast("string").alias(f"mx_{c}"),
+            )
+        ]
+    )
+    distincts = orders.agg(
+        *[F.countDistinct(F.col(c)).alias(f"nd_{c}") for c in casts]
+    )
+    one = minmax.crossJoin(F.broadcast(distincts))
     stack_args = ", ".join(
         f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in casts
     )
@@ -643,12 +672,23 @@ def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         for stale in [k for k in _PR_EDGE_CACHE if k != key]:
             if stale[1] == app_id:
                 try:
-                    _PR_EDGE_CACHE[stale].unpersist()
+                    for df in _PR_EDGE_CACHE[stale]:
+                        df.unpersist()
                 except Exception:
                     pass  # session died mid-unpersist: nothing to free
             del _PR_EDGE_CACHE[stale]
-        _PR_EDGE_CACHE[key] = edges.join(outw, "src").cache()
-    edges = _PR_EDGE_CACHE[key]
+        # nodes rides the same cache entry (r13, guide §2.4): the node
+        # table appears in EVERY iteration's mass plan (PR_ITERS × 2 + 1
+        # subtrees), and uncached each appearance re-scanned events and
+        # re-ran the distinct — ~7 redundant scan+agg jobs per call.
+        # Caching the |event types|-row table is also the 100 TB
+        # posture: the rank vector's node spine is the one relation an
+        # iterative graph job must NOT recompute per iteration.
+        _PR_EDGE_CACHE[key] = (
+            edges.join(outw, "src").cache(),
+            nodes.cache(),
+        )
+    edges, nodes = _PR_EDGE_CACHE[key]
 
     base = PR_BASE
     mass = nodes.withColumn("mass", F.lit(PR_SCALE).cast("long"))

@@ -122,15 +122,20 @@ def asof_join(
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each event: the customer's most recent order at or before the
-    event time (oracle: DuckDB's native ASOF JOIN).  The right side is
-    deduplicated per (key, ts) first so the match is well-defined in
-    both engines."""
+    event time (oracle: DuckDB's native ASOF JOIN).  The ORACLE
+    deduplicates the right side per (key, ts) with max(o_orderkey) so
+    DuckDB's ASOF match is well-defined; the Spark side needs no
+    separate aggregation (r13, guide §2.4 "remove shuffles outright"):
+    ``asof_join``'s window tie-break — right rows ordered by
+    ``(__t, __is_right DESC, __rv ASC)`` with ``__rv = struct(
+    o_orderkey, o_orderdate)`` and ``last()`` taking the final row —
+    already resolves equal-timestamp right rows to the max o_orderkey,
+    which IS that dedup (the tie dimension of the as-of fuzz family
+    pins this equivalence).  Dropping the groupBy removes one full
+    Exchange + aggregate of the orders side: 3 exchanges → 2
+    (plans/r13/q_asof_join_{before,after}.txt)."""
     t = load_tables(spark, sf_dir, ("orders", "events"))
-    orders = (
-        t["orders"]
-        .groupBy("o_custkey", "o_orderdate")
-        .agg(F.max("o_orderkey").alias("o_orderkey"))
-    )
+    orders = t["orders"].select("o_custkey", "o_orderdate", "o_orderkey")
     out = asof_join(
         t["events"].select("event_id", "user_id", "ts"),
         orders,

@@ -20,6 +20,52 @@ def docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir, ("documents",))["documents"]
 
 
+# (applicationId, sf_dir, table) -> the table's raw-scan partition count.
+# The corpus at a path is immutable in-process (repo-wide cache contract)
+# and the scan split count depends only on the file layout + session
+# conf, so one planning pass per (session, table) is enough.
+_SCAN_PARTS: dict[tuple, int] = {}
+
+
+def scan_parallelism(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Number of tasks a plain scan of testdata table *name* runs on."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _SCAN_PARTS:
+        df = load_tables(spark, sf_dir, (name,))[name]
+        _SCAN_PARTS[key] = df.rdd.getNumPartitions()
+    return _SCAN_PARTS[key]
+
+
+def spread_scan(df: DataFrame, sf_dir: str, name: str, key: str) -> DataFrame:
+    """Hash-repartition a freshly scanned table to the session's default
+    parallelism IFF the scan itself is under-parallel — the optimization
+    guide's §2.5 input-skew rule ("one huge unsplittable file ...
+    repartition immediately after the read") made SCALE-ADAPTIVE: the
+    driver testdata ships each table as ONE parquet row group, so every
+    scan (and all pre-shuffle work: tokenizing, hashing, partial
+    aggregation, Expand) otherwise runs on ONE task while 31 cores
+    idle.  At production scale the scan yields >= one split per core
+    and this is a NO-OP by construction — no extra exchange survives to
+    100 TB, which keeps the plan-lock story honest: the added Exchange
+    only exists where the input layout is degenerate.
+
+    ``key`` must be a high-cardinality column (the table's id) — hash
+    repartitioning spreads without the per-task pre-sort a keyless
+    ``repartition(n)`` pays (guide §2.5: sortBeforeRepartition), and
+    row-to-partition assignment is deterministic under task retries.
+
+    Only exactness-safe consumers may call this: repartitioning reorders
+    rows, so downstream aggregation must be order-insensitive at the bit
+    level (integer/decimal/min/max/count, or the repo's dsum /
+    sorted-fold forms).  Callers are listed in OPTIMIZATION_r13.md.
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if scan_parallelism(spark, sf_dir, name) >= par:
+        return df
+    return df.repartition(par, F.col(key))
+
+
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     """Load + view-register the named testdata tables, positionally —
     the ``lineitem, part = _t(spark, sf_dir, "lineitem", "part")``

@@ -32,6 +32,7 @@ from iceberg_data_gen_spark.operators.common import md5_hash32_sql, ngram_expr
 from iceberg_data_gen_spark.operators.common import (
     round_half_up,
     round_half_up_sql,
+    spread_scan,
     vec_complete,
 )
 from iceberg_data_gen_spark.session import load_tables
@@ -219,6 +220,12 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _JACCARD_PROBE[sf_dir] = (use_bitmask, sorted(vocab))
     use_bitmask, vocab = _JACCARD_PROBE[sf_dir]
 
+    # r13 (guide §2.5): tokenization + the 16× partner replication used
+    # to run inside the single-task scan stage of the one-row-group
+    # testdata layout — ONE core tokenized and shuffle-wrote 17× the
+    # token arrays.  The adaptive spread parallelizes both; per-pair
+    # arithmetic is exact (int ratios), so results are bit-identical.
+    docs = spread_scan(docs, sf_dir, "documents", "doc_id")
     if use_bitmask:
         bit_map = F.create_map(
             *[x for i, wrd in enumerate(vocab) for x in (F.lit(wrd), F.lit(1 << i))]
@@ -781,7 +788,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bit majority vote via 32 integer aggregates in ONE groupBy —
     the whole operator is a single shuffle regardless of corpus size.
     """
-    docs = _docs(spark, sf_dir)
+    # r13 (guide §2.5): the per-word md5 is this operator's CPU hot spot
+    # and ran single-task on the one-row-group testdata scan — spread
+    # first so the explode + hash + partial votes use every core.
+    # Integer votes are order-insensitive, results bit-identical.
+    docs = spread_scan(_docs(spark, sf_dir), sf_dir, "documents", "doc_id")
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
     hashed = words.select("doc_id", h.alias("h"))
@@ -1090,6 +1101,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch; candidate recall < 1 can only SPLIT clusters, never merge
     unrelated docs, because every surviving edge is exact-confirmed).
     """
+    return _labels_to_clusters(spark, sf_dir, _dup_labels(spark, sf_dir))
+
+
+def _dup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, cluster_rep)`` for the DUP-GRAPH NODES ONLY (min
+    doc_id reachable through near-duplicate edges) — the connected-
+    components core shared by ``q_dedup_clusters`` (which joins it back
+    to the full corpus and attaches sizes) and ``q_dedup_survivors``
+    (which only needs the non-representative dup nodes to DROP, r13 —
+    routing survivors through the clusters query computed a cluster-size
+    groupBy + join over the full corpus whose output the survivor
+    anti-join immediately discarded)."""
     pairs = _dup_edges(spark, sf_dir).localCheckpoint()
     n_pairs = pairs.count()
     if n_pairs <= CC_DRIVER_MAX_EDGES:
@@ -1134,11 +1157,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes.sort()
         reps = np.fromiter((find(int(n)) for n in nodes), dtype=np.int64,
                            count=len(nodes))
-        labels = spark.createDataFrame(
+        return spark.createDataFrame(
             pd.DataFrame({"doc_id": nodes, "cluster_rep": reps}),
             "doc_id long, cluster_rep long",
         )
-        return _labels_to_clusters(spark, sf_dir, labels)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -1200,7 +1222,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rounds (component diameter > ~2^24) — refusing to return "
             "silently split clusters"
         )
-    return _labels_to_clusters(spark, sf_dir, labels)
+    return labels
 
 
 def _labels_to_clusters(
@@ -1296,13 +1318,17 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     closing the pair→cluster→keep/drop loop that q_jaccard_pairs and
     q_dedup_clusters open.
 
-    Survivors are exactly the docs that are their own cluster
-    representative, so this adds ONE broadcast-ready semi-join over the
-    cluster labels — no new shuffle of the corpus."""
-    labels = QUERIES["q_dedup_clusters"](spark, sf_dir)
+    Survivors are exactly the docs that are NOT a non-representative
+    dup-graph node, so this is ONE broadcast-ready ANTI-join of the
+    corpus against the dup-node labels (r13 — previously routed through
+    ``q_dedup_clusters``, paying a full-corpus cluster-size groupBy +
+    join whose output the survivor filter immediately discarded; the
+    label set itself is unchanged, so the survivor set is identical).
+    No new shuffle of the corpus either way."""
+    labels = _dup_labels(spark, sf_dir)
     docs = _docs(spark, sf_dir)
-    keep = labels.where(F.col("doc_id") == F.col("cluster_rep")).select("doc_id")
-    return docs.join(keep, "doc_id", "left_semi").select("doc_id", "lang", "source")
+    drop = labels.where(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "lang", "source")
 
 
 @register(

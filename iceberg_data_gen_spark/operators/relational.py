@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from iceberg_data_gen_spark.operators import register
+from iceberg_data_gen_spark.operators.common import spread_scan
 from iceberg_data_gen_spark.operators.common import tables as _t
 
 
@@ -77,8 +78,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape at scale: parquet scan with l_shipdate pushed down +
     ReadSchema pruned to 7 columns → partial HashAggregate → exchange on
     (returnflag, linestatus) [tiny: 6 groups] → final HashAggregate.
+
+    The scan is spread first (r13, guide §2.5): the single-row-group
+    testdata layout ran the whole 600k-row partial aggregate on ONE task
+    (measured 1.7s warm → ~0.4s spread).  The spread hashes on
+    l_shipdate — a column the query already reads (so ReadSchema stays
+    pruned to its 7 columns, plan-locked) with ~2,500 distinct values,
+    ~80× the partition count (the §2.5 key-cardinality rule).  The
+    filter still pushes down through the exchange (plan-locked), and
+    every aggregate is order-insensitive at the bit level: the money
+    sums are exact DECIMAL (dsum), and sum/avg of l_quantity sum small
+    integers, exact in double under any order.
     """
     (lineitem,) = _t(spark, sf_dir, "lineitem")
+    lineitem = spread_scan(lineitem, sf_dir, "lineitem", "l_shipdate")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -246,6 +259,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — no global sort materialization.
     """
     customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    # r13 (guide §2.5): spread the under-parallel single-row-group scan;
+    # the spread key IS the join key, so the exchange doubles as the
+    # join-side partitioning.  dsum is exact decimal — order-insensitive.
+    lineitem = spread_scan(lineitem, sf_dir, "lineitem", "l_orderkey")
     return (
         lineitem.where(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
         .join(
@@ -297,6 +314,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders, lineitem, supplier, nation, region = _t(
         spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
     )
+    # r13: spread the degenerate scan on the first join's key (guide §2.5)
+    lineitem = spread_scan(lineitem, sf_dir, "lineitem", "l_orderkey")
     asia_nations = (
         nation.join(
             F.broadcast(region.where(F.col("r_name") == "ASIA")),
@@ -349,6 +368,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders, lineitem, nation = _t(
         spark, sf_dir, "customer", "orders", "lineitem", "nation"
     )
+    # r13: spread the degenerate scan on the first join's key (guide §2.5)
+    lineitem = spread_scan(lineitem, sf_dir, "lineitem", "l_orderkey")
     return (
         lineitem.where(F.col("l_returnflag") == "R")
         .join(

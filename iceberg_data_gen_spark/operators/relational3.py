@@ -1370,22 +1370,27 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     FK edge of the star schema in one result set — the check a warehouse
     load runs before publishing a snapshot.
 
-    Each edge is one pass over the child table: broadcast LEFT join to
-    the parent's DISTINCT key column, then a 1-row aggregate counting
-    null parent keys (the scalable orphan formula — no collects, no
-    subqueries, the whole report is one lazy UNION plan).  Counts are
-    exact integers.  The distinct matters (review r8): a CORRUPT parent
-    with duplicate keys would otherwise fan out child rows and inflate
-    n_rows — on exactly the broken snapshot an integrity check exists to
-    report on."""
+    Each CHILD TABLE is one pass (r13 — was one pass per FK EDGE, which
+    scanned lineitem three times, guide §1.2 "don't compute things you
+    throw away"): every edge of a child attaches via its own broadcast
+    LEFT join to the parent's DISTINCT key column in the same plan, one
+    aggregate counts all of that child's orphan columns at once, and
+    ``stack`` unpivots the single row back into the per-edge report
+    rows (exact same rows as before — integer counts, no fanout since
+    parents are distinct).  No collects, no subqueries, the whole
+    report is one lazy UNION plan.  The distinct matters (review r8): a
+    CORRUPT parent with duplicate keys would otherwise fan out child
+    rows and inflate n_rows — on exactly the broken snapshot an
+    integrity check exists to report on."""
     lineitem, orders, part, supplier, customer, nation = _t(
         spark, sf_dir, "lineitem", "orders", "part", "supplier", "customer", "nation"
     )
 
-    def edge(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
-        return (
-            child.select(ck)
-            .join(
+    def child_pass(child: DataFrame, edges: list[tuple[str, str, DataFrame, str]]):
+        """One scan of *child* covering every (name, ck, parent, pk) edge."""
+        joined = child.select(*[ck for _, ck, _, _ in edges])
+        for _, ck, parent, pk in edges:
+            joined = joined.join(
                 # no hard hint (review r9): the parent key sets include
                 # SF-scaling tables (orders/part/supplier/customer), so a
                 # forced broadcast is a driver OOM at 100 TB; the planner
@@ -1394,22 +1399,39 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col(ck) == F.col(pk),
                 "left",
             )
-            .agg(
-                F.lit(name).alias("fk_edge"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.col(pk).isNull().cast("long")).alias("n_orphans"),
-            )
+        one = joined.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(F.col(pk).isNull().cast("long")).alias(f"o_{i}")
+                for i, (_, _, _, pk) in enumerate(edges)
+            ],
+        )
+        stack_args = ", ".join(
+            f"'{name}', n_rows, o_{i}" for i, (name, _, _, _) in enumerate(edges)
+        )
+        return one.selectExpr(
+            f"stack({len(edges)}, {stack_args}) AS (fk_edge, n_rows, n_orphans)"
         )
 
-    edges = [
-        edge("lineitem.l_orderkey -> orders", lineitem, "l_orderkey", orders, "o_orderkey"),
-        edge("lineitem.l_partkey -> part", lineitem, "l_partkey", part, "p_partkey"),
-        edge("lineitem.l_suppkey -> supplier", lineitem, "l_suppkey", supplier, "s_suppkey"),
-        edge("orders.o_custkey -> customer", orders, "o_custkey", customer, "c_custkey"),
-        edge("customer.c_nationkey -> nation", customer, "c_nationkey", nation, "n_nationkey"),
+    passes = [
+        child_pass(
+            lineitem,
+            [
+                ("lineitem.l_orderkey -> orders", "l_orderkey", orders, "o_orderkey"),
+                ("lineitem.l_partkey -> part", "l_partkey", part, "p_partkey"),
+                ("lineitem.l_suppkey -> supplier", "l_suppkey", supplier, "s_suppkey"),
+            ],
+        ),
+        child_pass(
+            orders, [("orders.o_custkey -> customer", "o_custkey", customer, "c_custkey")]
+        ),
+        child_pass(
+            customer,
+            [("customer.c_nationkey -> nation", "c_nationkey", nation, "n_nationkey")],
+        ),
     ]
-    out = edges[0]
-    for e in edges[1:]:
+    out = passes[0]
+    for e in passes[1:]:
         out = out.unionAll(e)
     return out
 

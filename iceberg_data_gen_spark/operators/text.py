@@ -20,6 +20,7 @@ from iceberg_data_gen_spark.operators.common import (
     md5_hash32_sql,
     ngram_expr,
     round_half_up,
+    spread_scan,
     ttr_expr,
 )
 from iceberg_data_gen_spark.operators.common import docs_table as _docs
@@ -254,7 +255,9 @@ def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale: partial aggregation makes the shuffle carry one row per
     distinct word per partition, and the top-50 is TakeOrderedAndProject.
     """
-    docs = _docs(spark, sf_dir)
+    # r13 (guide §2.5): spread the degenerate one-row-group scan —
+    # integer counts, deterministic (n, word) ordering: bit-identical.
+    docs = spread_scan(_docs(spark, sf_dir), sf_dir, "documents", "doc_id")
     return (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
@@ -309,6 +312,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the join shuffled every tf row by term too); at 100 TB a stopword
     pre-filter or df-threshold cuts both variants' skew the same way.
     """
+    # r13: a spread_scan here measured inside noise (0.98 → 0.96 s) —
+    # the tf aggregation's own exchange dominates — and cost a fifth
+    # exchange against the four the plan lock pins; reverted (guide
+    # §1.1: the empirical loop wins over the first-principles guess).
     docs = _docs(spark, sf_dir)
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -762,7 +769,10 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a broadcast join of tiny df/avgdl sides, one final per-doc
     sum, and a global top-20 (TakeOrderedAndProject).
     """
-    docs = _docs(spark, sf_dir)
+    # r13 (guide §2.5): the corpus explode + (doc, term) partial counts
+    # ran single-task on the one-row-group testdata scan — spread first.
+    # Counts are integers; the per-doc score fold is already sorted.
+    docs = spread_scan(_docs(spark, sf_dir), sf_dir, "documents", "doc_id")
     tc = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
@@ -1339,7 +1349,10 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge — exact greedy left-to-right BPE, bit-identical in Spark and
     DuckDB.
     """
-    docs = _docs(spark, sf_dir)
+    # r13 (guide §2.5): spread the degenerate scan feeding the
+    # distinct-word table — integer weights, argmax ordering pinned by
+    # (n DESC, pair): bit-identical.
+    docs = spread_scan(_docs(spark, sf_dir), sf_dir, "documents", "doc_id")
     wf = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         # '|' is the sentinel byte of the symbol encoding below; a word

@@ -101,6 +101,21 @@ TABLES = (
 )
 
 
+# (applicationId, sf_dir, name) -> loaded DataFrame.  A DataFrame is a
+# PLAN, not data: memoizing the handle skips the per-invocation driver
+# work of re-resolving the source and re-reading the parquet footer
+# (~0.1-0.3s per table per call — r13 measured; a query touching six
+# tables paid ~0.8s of pure plan-building per bench pass), while every
+# EXECUTION still scans the parquet files.  The corpus at a path is
+# immutable in-process (repo-wide cache contract), and the key carries
+# the applicationId so a DataFrame never outlives its session.  The
+# events table is excluded: its loader sniffs the physical layout and
+# conditions a session conf (nanosAsLong) that streaming runners
+# restore afterwards, so its plan must be rebuilt under the conf state
+# of each call.
+_TABLE_CACHE: dict[tuple, "object"] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Load one driver-testdata parquet table as a DataFrame.
 
@@ -132,7 +147,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         return normalize_events_ts(
             df, isinstance(df.schema["ts"].dataType, LongType)
         )
-    return spark.read.parquet(path)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = spark.read.parquet(path)
+    return _TABLE_CACHE[key]
 
 
 def load_tables(

@@ -195,7 +195,11 @@ def test_broadcast_hint_census():
 
     base = Path(iceberg_data_gen_spark.__file__).parent
     expected = {
-        "operators/analytics.py": 5,
+        # r13: 5 → 6 — q_column_profile's SortAggregate split joins its
+        # two 1-ROW aggregate halves back with broadcast(distincts): a
+        # bounded side by construction (one row regardless of SF), the
+        # same class as the existing 1-row reduction hints
+        "operators/analytics.py": 6,
         # r11: 3 → 2 — q_zipf_check's broadcast(top1) crossJoin is gone
         # (the top frequency is now a second window over the 10 already-
         # filtered rows, removing the double-planned explode pipeline)
