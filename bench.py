@@ -415,37 +415,44 @@ MAX_FINAL_LINE = 1800
 #     at that size ±0.15 s of scheduler noise is ±0.5 of ratio;
 #   * manifest one-pass stalls excluded with their cold twin cited
 #     (README note: q_stream_tumbling 4.53/c1.11, q_tfidf 3.37/c0.92,
-#     q1 2.00/c1.07).
+#     q1 2.00/c1.07);
+#   * FINAL WIDENING: ratios are NOT core-count-invariant (the driver
+#     re-benches at lower core counts to measure scaling, and an
+#     8-core probe run raised q_ngram 3.65, q_stream_tumbling 3.26,
+#     q_event_pagerank 2.48, q_knn 1.51 vs the 32-core-calibrated
+#     pins), so the final pool ALSO includes two 8-core runs
+#     (plans/r13/bench_run_8core.json) and every pin is pool max ×
+#     1.3 across both regimes.
 WARM_RATIO_BUDGETS = {
     "q3_shipping_priority": 2.1,
     "q5_local_supplier_volume": 2.1,
-    "q_ann_bruteforce": 1.3,
-    "q_ann_lsh": 0.9,
+    "q_ann_bruteforce": 1.4,
+    "q_ann_lsh": 1.1,
     "q_ann_recall": 1.3,
-    "q_knn_classify": 1.3,
-    "q_ngram_jaccard_pairs": 3.2,
-    "q_referential_integrity": 1.8,
-    "q_stream_tumbling": 2.9,
-    "q_bm25": 3.4,
-    "q_value_outliers_mad": 1.6,
+    "q_knn_classify": 2.0,
+    "q_ngram_jaccard_pairs": 4.8,
+    "q_referential_integrity": 2.1,
+    "q_stream_tumbling": 4.3,
+    "q_bm25": 3.9,
+    "q_value_outliers_mad": 1.8,
     "q_curriculum_order": 2.2,
     "q_dedup_incremental": 1.1,
     "q_mor_merge": 4.0,
     "q_column_profile": 2.9,
     "q_dedup_survivors": 5.6,
     "q_asof_join": 1.9,
-    "q1_pricing_summary": 2.2,
-    "q_bucketed_join": 2.9,
-    "q_simhash": 2.4,
+    "q1_pricing_summary": 2.6,
+    "q_bucketed_join": 3.9,
+    "q_simhash": 2.5,
     "q_jaccard_pairs": 2.7,
-    "q_event_pagerank": 2.3,
+    "q_event_pagerank": 3.3,
     "q10_returned_items": 1.8,
-    "q_bpe_train": 2.8,
-    "q_mor_compaction_plan": 2.2,
-    "q_minhash_lsh": 2.7,
+    "q_bpe_train": 3.2,
+    "q_mor_compaction_plan": 2.6,
+    "q_minhash_lsh": 3.3,
     # new this round: above the 1.3 heavy line only because the median
     # halved under them (plans unchanged or reverted-to-unchanged)
-    "q_tfidf_top_terms": 1.9,
+    "q_tfidf_top_terms": 2.4,
     "q_repetition_score": 2.6,
 }
 
@@ -461,14 +468,13 @@ WARM_RATIO_BUDGETS = {
 # pin = max cold ratio + ~30% (cold ratio = first-pass time ÷ same-run
 # query-only cold median).
 # r13 re-pin rule for cold: pin = max(old pin, post-change pool max ×
-# 1.4) — cold pins adjudicate `both_passes` ("confirmed regression" vs
+# 1.3) — cold pins adjudicate `both_passes` ("confirmed regression" vs
 # "re-run"), so the safer error is UNDER-confirmation (ADVICE r12: a
-# reproduced warm-only breach still counts); pins therefore only ever
-# loosened where the new pool demanded it (q_ann_bruteforce 2.0→3.2,
-# q_mor_merge 3.2→3.8, q_stream_tumbling 1.8→2.3, q_ref_integrity
-# 1.5→1.6, q_minhash_lsh 4.3→4.8), never tightened past r12 evidence.
+# reproduced warm-only breach still counts); pins only ever loosened
+# where the pool (incl. the two 8-core regime runs, e.g. q1 cold 2.59
+# at 8 cores) demanded it, never tightened past r12 evidence.
 COLD_RATIO_BUDGETS = {
-    "q3_shipping_priority": 2.2,
+    "q3_shipping_priority": 2.5,
     "q5_local_supplier_volume": 1.8,
     "q_ann_bruteforce": 3.2,
     "q_ann_lsh": 3.8,
@@ -485,7 +491,7 @@ COLD_RATIO_BUDGETS = {
     "q_column_profile": 4.7,
     "q_dedup_survivors": 6.5,
     "q_asof_join": 1.9,
-    "q1_pricing_summary": 2.3,
+    "q1_pricing_summary": 3.4,
     "q_bucketed_join": 4.3,
     "q_simhash": 4.2,
     "q_jaccard_pairs": 3.9,

@@ -106,6 +106,10 @@ PROBE = [
     # swap is approx_count_distinct; probed at 10× AND 100× to pin the
     # swap point with measured numbers
     "q_column_profile",
+    # r13: the FK-integrity report's plan changed (one pass per child
+    # table instead of one per FK edge) — probe that the fused
+    # multi-join single-scan shape stays linear a decade up
+    "q_referential_integrity",
 ]
 
 # State-heavy streams probed OPERATOR-ONLY (foreachBatch -> noop sink):
