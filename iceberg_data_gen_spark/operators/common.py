@@ -58,10 +58,18 @@ def spread_scan(df: DataFrame, sf_dir: str, name: str, key: str) -> DataFrame:
     rows, so downstream aggregation must be order-insensitive at the bit
     level (integer/decimal/min/max/count, or the repo's dsum /
     sorted-fold forms).  Callers are listed in OPTIMIZATION_r13.md.
+
+    The trigger is BADLY under-parallel, not marginally (ADVICE r13):
+    a production table whose scan yields slightly fewer splits than
+    cores (800 splits on 1000 cores) must not pay a full extra exchange
+    for a ≤2× tail improvement — only scans below HALF the session
+    parallelism spread, so marginal layouts stay exchange-free and the
+    degenerate one-split testdata layout still triggers at any core
+    count ≥ 2.
     """
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
-    if scan_parallelism(spark, sf_dir, name) >= par:
+    if scan_parallelism(spark, sf_dir, name) >= max(par // 2, 1):
         return df
     return df.repartition(par, F.col(key))
 

@@ -451,7 +451,22 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sf_dir,),
         lambda: minhash_signatures(_docs(spark, sf_dir)).cache(),
     )
-    cand = _lsh_candidates(sigs)
+    # The CANDIDATE-PAIR core is cached alongside the signatures (r14,
+    # VERDICT r13 #1): banding + window + clique/star expansion +
+    # distinct is the LSH index construction — a pure function of the
+    # cached signatures — and re-ran end-to-end on every invocation
+    # (this query, its audit companion, and monitor loops).  Same
+    # train-once-probe-many posture as the signatures themselves: the
+    # pairs are an INTERMEDIATE artifact (the est_jaccard scoring below
+    # still computes per invocation from the signature table), the
+    # first call in a session pays materialization, band/threshold
+    # parameters are untouched.
+    cand = _trained_session(
+        "lsh_candidates",
+        spark,
+        (sf_dir,),
+        lambda: _lsh_candidates(sigs).cache(),
+    )
 
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
@@ -671,17 +686,23 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     false negative.
     """
     docs = _docs(spark, sf_dir)
-    with_words = docs.select("doc_id", "lang", F.split("text", " ").alias("w"))
     gram = _shingle_expr(3)
     tokens = F.array_sort(
         F.transform(F.array_distinct(F.expr(gram)), lambda x: F.xxhash64(x))
     )
     # Two plan-shape tricks keep the shingling work to ONE pass:
-    # * two repartitions — the first parallelizes shingle computation
-    #   off the raw scan (the source may be one split), the second is
-    #   the exchange ALL FOUR consumers (prefix index a/b, verify a/b)
-    #   sit on; identical subplans collapse to ReusedExchange so the
-    #   arrays are computed once and read back from shuffle files.
+    # * ONE hash repartition on doc_id over the RAW rows (r14 — the r13
+    #   shape paid two exchanges per branch: a keyless round-robin to
+    #   parallelize shingle construction, which also costs the
+    #   sortBeforeRepartition local sort per §2.5, THEN a hash exchange
+    #   on doc_id).  Hashing the raw rows directly does triple duty:
+    #   spreads the (possibly single-split) scan, runs all the shingle/
+    #   hash/sort compute ABOVE the exchange on every core, and leaves
+    #   the result HashPartitioning(doc_id) — the partitioning ALL FOUR
+    #   consumers (prefix index a/b, verify a/b) sit on; identical
+    #   subplans collapse to one reused stage so the arrays are computed
+    #   once and read back from shuffle files.  The exchange now carries
+    #   raw `text` instead of the (larger) hashed-shingle arrays.
     #   `lang` is carried through the candidate pairs and consumed by
     #   the verify joins so every branch prunes the exchange to the
     #   same columns — different pruning would fork the stage.
@@ -692,12 +713,15 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   it per row below the exchange.  CaseWhen blocks the inference;
     #   the predicates are never null so semantics are unchanged.
     par = spark.sparkContext.defaultParallelism
+    with_words = (
+        docs.select("doc_id", "lang", "text")
+        .repartition(par, "doc_id")
+        .select("doc_id", "lang", F.split("text", " ").alias("w"))
+    )
     w = (
         with_words.where(F.size("w") >= 3)
-        .repartition(par)
         .select("doc_id", "lang", tokens.alias("s"))
         .withColumn("sz", F.size("s"))
-        .repartition(par, "doc_id")
     )
 
     def _safe(cond):  # block isnotnull-constraint inference (see above)
@@ -997,20 +1021,9 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
       candidate can only split a borderline cluster, never merge
       unrelated documents — every emitted edge is exact-verified.
     """
-    import os
-
     docs = _docs(spark, sf_dir)
-    forced = os.environ.get(DEDUP_LSH_ENV) == "1"
-    # branch decision memoized per corpus path (a plain int, session-
-    # independent): the corpus at a path is immutable in-process, so the
-    # count scan runs once, not on every clusters/survivors invocation.
-    # Under a forced LSH path the count is irrelevant — short-circuit
-    # BEFORE paying the full corpus scan (ADVICE r6)
-    if not forced:
-        if sf_dir not in _DOC_COUNT:
-            _DOC_COUNT[sf_dir] = docs.count()
-        if _DOC_COUNT[sf_dir] <= DEDUP_LSH_MIN_DOCS:
-            return QUERIES["q_jaccard_pairs"](spark, sf_dir).select("doc_a", "doc_b")
+    if _dedup_branch(spark, sf_dir) == "exact":
+        return QUERIES["q_jaccard_pairs"](spark, sf_dir).select("doc_a", "doc_b")
     cand = _lsh_candidates(
         minhash_signatures(docs, n=1), bucket_cap=DEDUP_CHAIN_BUCKET_CAP
     )
@@ -1034,6 +1047,28 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("la") == F.col("lb")) & (j >= 0.9))
         .select("doc_a", "doc_b")
     )
+
+
+def _dedup_branch(spark: SparkSession, sf_dir: str) -> str:
+    """Which pair source the cluster → survivor chain uses for this
+    corpus: ``"exact"`` (blocked exact Jaccard, oracle-parity) below
+    ``DEDUP_LSH_MIN_DOCS`` documents, ``"lsh"`` above it or under
+    ``IDG_DEDUP_LSH=1``.  Factored out of ``_dup_edges`` (r14) because
+    the label memo must be keyed by the branch actually taken: the test
+    suite flips the env var within one session and the two branches'
+    label sets may legitimately differ (LSH recall < 1 can split
+    borderline clusters).  The doc count is memoized per corpus path
+    (a plain int, session-independent — the corpus at a path is
+    immutable in-process); under a forced LSH path the count is
+    irrelevant and is short-circuited BEFORE paying the scan (ADVICE
+    r6)."""
+    import os
+
+    if os.environ.get(DEDUP_LSH_ENV) == "1":
+        return "lsh"
+    if sf_dir not in _DOC_COUNT:
+        _DOC_COUNT[sf_dir] = _docs(spark, sf_dir).count()
+    return "exact" if _DOC_COUNT[sf_dir] <= DEDUP_LSH_MIN_DOCS else "lsh"
 
 
 _CLUSTER_EDGE_SQL = """
@@ -1112,7 +1147,34 @@ def _dup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which only needs the non-representative dup nodes to DROP, r13 —
     routing survivors through the clusters query computed a cluster-size
     groupBy + join over the full corpus whose output the survivor
-    anti-join immediately discarded)."""
+    anti-join immediately discarded).
+
+    MEMOIZED per (session, corpus, branch) — r14, VERDICT r13 #1: the
+    label build is EAGER (edge generation + union-find run at plan-build
+    time), so every clusters/survivors invocation re-paid the whole
+    q_jaccard_pairs pipeline for a label set that is a pure function of
+    the immutable corpus.  This is the same train-once-probe-many
+    posture as the minhash signature cache: the dup-graph labels are the
+    dedup family's trained artifact, the first invocation in a session
+    pays the build, and every consumer probes it.  The key carries the
+    branch actually taken (``_dedup_branch``) because IDG_DEDUP_LSH can
+    flip between calls in one session and the two branches' label sets
+    legitimately differ.  The labels themselves are tiny (dup-graph
+    nodes only: bounded by the pair list, a sliver of the corpus)."""
+    from iceberg_data_gen_spark.operators.similarity import _trained_session
+
+    branch = _dedup_branch(spark, sf_dir)
+    return _trained_session(
+        "dup_labels",
+        spark,
+        (sf_dir, branch),
+        lambda: _dup_labels_build(spark, sf_dir),
+    )
+
+
+def _dup_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The uncached label build behind ``_dup_labels`` (one eager pass:
+    edges → connected components)."""
     pairs = _dup_edges(spark, sf_dir).localCheckpoint()
     n_pairs = pairs.count()
     if n_pairs <= CC_DRIVER_MAX_EDGES:

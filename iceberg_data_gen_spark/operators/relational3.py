@@ -1305,16 +1305,28 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name in ("orders", "lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS bjoin_{name}_{prev}")
     _BJOIN_LAST[spark.sparkContext.applicationId] = tag
+    # r14 (VERDICT r13 #3, guide §6): bucket count derives from the
+    # session's parallelism instead of the constant 8 — the bucketed
+    # WRITE dominates this demo's cost and repartition(8, key)
+    # serialized both writes onto 8 of the session's cores.  One file
+    # per bucket is preserved (repartition count == bucket count), the
+    # two tables share one count so bucket i still joins bucket i where
+    # it sits, and the read stays exchange-free at any core count
+    # (plan-locked).  At production scale this constant is instead
+    # sized from table bytes / target file size (§6: 128 MB - 1 GB per
+    # bucket file); defaultParallelism is the local analogue and keeps
+    # the driver's lower-core-count bench runs comparable.
+    n_buckets = spark.sparkContext.defaultParallelism
     sides = (
         ("orders", orders.select("o_orderkey", "o_orderpriority"), "o_orderkey"),
         ("lineitem", lineitem.select("l_orderkey", "l_extendedprice"), "l_orderkey"),
     )
     for name, df, key in sides:
         (
-            df.repartition(8, F.col(key))  # one file per bucket, not files×buckets
+            df.repartition(n_buckets, F.col(key))  # one file per bucket
             .write.mode("overwrite")
             .option("path", f"{base}/{name}")
-            .bucketBy(8, key)
+            .bucketBy(n_buckets, key)
             .sortBy(key)
             .saveAsTable(f"bjoin_{name}_{tag}")
         )

@@ -318,7 +318,21 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # §1.1: the empirical loop wins over the first-principles guess).
     docs = _docs(spark, sf_dir)
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # r14 (guide §2.4 "two operations keyed the same way share one
+    # exchange", VERDICT r13 #5): partitioning the exploded terms by
+    # `term` BEFORE the tf aggregation lets both the groupBy(doc_id,
+    # term) (hash-on-a-subset satisfies the clustered distribution —
+    # all rows of a (doc, term) group share the term) and the df window
+    # (partitionBy term) ride ONE exchange — the old shape shuffled the
+    # tf relation twice (once on (doc_id, term) for the aggregate, once
+    # on term for the window).  Exchange count 4 → 3 (plan-locked);
+    # the term key also spreads the degenerate one-row-group testdata
+    # scan, which is why the r13 spread_scan attempt is now subsumed.
+    tf = (
+        words.repartition("term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     score = F.col("tf") * (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
     from pyspark.sql.window import Window

@@ -101,18 +101,23 @@ TABLES = (
 )
 
 
-# (applicationId, sf_dir, name) -> loaded DataFrame.  A DataFrame is a
-# PLAN, not data: memoizing the handle skips the per-invocation driver
-# work of re-resolving the source and re-reading the parquet footer
-# (~0.1-0.3s per table per call — r13 measured; a query touching six
-# tables paid ~0.8s of pure plan-building per bench pass), while every
-# EXECUTION still scans the parquet files.  The corpus at a path is
-# immutable in-process (repo-wide cache contract), and the key carries
-# the applicationId so a DataFrame never outlives its session.  The
-# events table is excluded: its loader sniffs the physical layout and
-# conditions a session conf (nanosAsLong) that streaming runners
-# restore afterwards, so its plan must be rebuilt under the conf state
-# of each call.
+# (applicationId, id(session), sf_dir, name) -> loaded DataFrame.  A
+# DataFrame is a PLAN, not data: memoizing the handle skips the
+# per-invocation driver work of re-resolving the source and re-reading
+# the parquet footer (~0.1-0.3s per table per call — r13 measured; a
+# query touching six tables paid ~0.8s of pure plan-building per bench
+# pass), while every EXECUTION still scans the parquet files.  The
+# corpus at a path is immutable in-process (repo-wide cache contract);
+# note the memo also freezes the table's parquet FILE LISTING at first
+# load, which that same contract makes safe.  The key carries the
+# applicationId so a DataFrame never outlives its SparkContext, AND
+# id(session) (ADVICE r13) because a DataFrame is bound to the
+# SparkSession that built it: two sessions sharing one context
+# (newSession/cloneSession) share an applicationId but may resolve the
+# source under different confs.  The events table is excluded: its
+# loader sniffs the physical layout and conditions a session conf
+# (nanosAsLong) that streaming runners restore afterwards, so its plan
+# must be rebuilt under the conf state of each call.
 _TABLE_CACHE: dict[tuple, "object"] = {}
 
 
@@ -147,7 +152,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         return normalize_events_ts(
             df, isinstance(df.schema["ts"].dataType, LongType)
         )
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir, name)
     if key not in _TABLE_CACHE:
         _TABLE_CACHE[key] = spark.read.parquet(path)
     return _TABLE_CACHE[key]

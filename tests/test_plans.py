@@ -357,6 +357,19 @@ def test_column_profile_single_scan_expand(spark):
     import re
 
     assert not re.findall(r"\(\d+\) Sort\b", plan), plan
+    # ADVICE r13: the two aggregate subtrees must actually SHARE the
+    # spread exchange at runtime — "at most two scan nodes" alone would
+    # also pass a refactor that forks into two full scans+shuffles.
+    # Execute and check the final adaptive plan for stage/exchange reuse
+    # (single-scan plans need none, so only multi-scan plans must reuse).
+    df = q("q_column_profile", spark)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed, executed[:200]
+    n_scans = executed.count("Scan parquet")
+    assert n_scans == 1 or (
+        "ReusedExchange" in executed or "ReusedQueryStage" in executed
+    ), executed
 
 
 def test_quality_filter_funnel_single_pass(spark):
@@ -500,17 +513,21 @@ def test_ann_ivfpq_single_corpus_pass(spark):
 def test_tfidf_single_term_exchange_no_join(spark):
     """r7: document frequency rides count() OVER (PARTITION BY term)
     instead of groupBy(term)+join, so the tf relation is exchanged on
-    term ONCE (measured 1.8x at sf0.1 and the 10x probe).  At most four
-    shuffle exchanges: tf hash-agg, the term window, the doc_id top-k
-    window, and the 1-row n_docs reduction.  The only join allowed is
-    the broadcast of that single n_docs row — a shuffled join on term
-    reappearing means the old two-exchange plan regressed."""
+    term ONCE (measured 1.8x at sf0.1 and the 10x probe).  r14 tightened
+    the shape again (VERDICT r13 #5): the exploded terms are partitioned
+    by `term` BEFORE the tf aggregate, so the aggregate (hash on a
+    subset of its grouping keys) and the df window share that ONE
+    exchange — at most THREE shuffle exchanges total (term, the doc_id
+    top-k window, and the 1-row n_docs reduction).  The only join
+    allowed is the broadcast of that single n_docs row — a shuffled
+    join on term reappearing means the old two-exchange plan
+    regressed."""
     import re
 
     plan = plan_of(q("q_tfidf_top_terms", spark))
     body = plan.split("== Physical Plan ==", 1)[1]
     n_exchange = len(set(re.findall(r"\(\d+\) Exchange", body)))
-    assert n_exchange <= 4, plan
+    assert n_exchange <= 3, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert "WindowGroupLimit" in plan, plan  # per-doc top-k stays partial
 
