@@ -98,6 +98,61 @@ EXTRA = [
 ]
 
 
+# ---------------------------------------------------------------------
+# Heavy probe tier (r14, VERDICT r13 #2 — additions only): at sf0.1 the
+# per-query warm times are 0.15-1.4 s and dominated by fixed per-query
+# overhead at ANY core count, so the official bench could no longer
+# DEMONSTRATE parallelism (every 8-vs-32-core ratio ≈ 1).  After the
+# main passes, the bench therefore also times a handful of CPU-heavy
+# entries on the 10× key-shifted synthetic corpus (scripts/
+# scale_probe.py's builder, cached in /tmp across invocations) and
+# records them in the DETAIL file — the headline line, timed passes,
+# and query set are untouched.  The driver's lower-core-count re-run
+# writes its own detail file, so the 8-vs-32 ratio is computable from
+# the two probe_tier blocks.  Opt out with SPARK_GRAFT_PROBE_TIER=0.
+PROBE_TIER = [
+    "q1_pricing_summary",
+    "q_simhash",
+    "q_minhash_lsh",
+    "q_bpe_train",
+    "q_bm25",
+]
+PROBE_FACTOR = 10
+
+
+def _probe_tier(spark, sf_dir: str) -> dict:
+    """Time PROBE_TIER at PROBE_FACTOR× through the noop sink; returns
+    the detail-file block.  Runs AFTER every timed pass (nothing here
+    can touch the headline numbers) under main()'s broad guard."""
+    import time
+
+    from scripts.scale_probe import build
+
+    dest = f"/tmp/spark_graft_sfx{PROBE_FACTOR}"
+    t0 = time.perf_counter()
+    build(spark, src=sf_dir, dest=dest, factor=PROBE_FACTOR)
+    build_sec = round(time.perf_counter() - t0, 3)
+    from iceberg_data_gen_spark import operators
+
+    out: dict[str, dict[str, float]] = {}
+    for name in PROBE_TIER:
+        ts = []
+        for _ in range(2):  # pass 1 cold (incl. cache build), pass 2 warm
+            t0 = time.perf_counter()
+            operators.QUERIES[name](spark, dest).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            ts.append(round(time.perf_counter() - t0, 3))
+        out[name] = {"cold": ts[0], "warm": ts[1]}
+    return {
+        "factor": PROBE_FACTOR,
+        "corpus": dest,
+        "build_sec": build_sec,
+        "cpus": spark.sparkContext.defaultParallelism,
+        "queries": out,
+    }
+
+
 def bench_datagen(spark) -> float:
     """Generation throughput at 2M rows (the reference's own workload,
     scaled): 4×500k data rows + 2×100k position deletes + 2×100k equality
@@ -275,8 +330,21 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — headline must survive
         warm_med = None
 
+    # heavy probe tier LAST among measurements (r14): it runs on its own
+    # 10× corpus after every timed pass, so it cannot perturb the
+    # numbers above; its own guard keeps a probe-side failure (corpus
+    # build, OOM at 10×) from costing the round's headline record.
+    probe = None
+    if os.environ.get("SPARK_GRAFT_PROBE_TIER") != "0":
+        try:
+            probe = _probe_tier(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — headline must survive
+            print(f"probe_tier: failed ({exc})")
+
     try:
-        _emit_detail(cold, warm, extra, extra_passes, host_refs, sf, warm_med)
+        _emit_detail(
+            cold, warm, extra, extra_passes, host_refs, sf, warm_med, probe
+        )
     except Exception as exc:  # noqa: BLE001 — headline must survive
         print(f"detail: failed ({exc})")
 
@@ -314,7 +382,9 @@ def _cold_time(n, cold, extra_passes) -> float:
     return cold[n] if n in cold else extra_passes[0][n]
 
 
-def _emit_detail(cold, warm, extra, extra_passes, host_refs, sf, warm_med) -> None:
+def _emit_detail(
+    cold, warm, extra, extra_passes, host_refs, sf, warm_med, probe=None
+) -> None:
     """Build + write BENCH_DETAIL_r{N}.json and print its one stdout
     line.  Called under main()'s broad guard: nothing here may prevent
     the compact final line from printing."""
@@ -382,6 +452,33 @@ def _emit_detail(cold, warm, extra, extra_passes, host_refs, sf, warm_med) -> No
         },
         "sf": sf,
     }
+    # datagen_2m_rows_mor adjudication (r14, VERDICT r13 #6): the one
+    # disk-bound pipeline entry cannot ride the query-median ratios (it
+    # is excluded from the denominator for exactly that reason), so its
+    # budget normalizes by the same-pass host_ref CPU constant instead —
+    # imperfect (disk time ÷ CPU reference) and therefore generously
+    # pinned, but it closes the one headline entry that could regress
+    # silently.  Pool: r12/r13 driver details + five r13 same-code runs
+    # (warm ratios 6.7-10.8 clean, 18.9 in one warm>cold stall window;
+    # cold 10.1-14.4).
+    dg_warm = warm.get("datagen_2m_rows_mor")
+    if dg_warm is not None and host_refs and host_refs[-1] > 0:
+        warm_hr = round(dg_warm / host_refs[-1], 2)
+        cold_hr = round(
+            cold.get("datagen_2m_rows_mor", 0.0) / max(host_refs[0], 1e-9), 2
+        )
+        detail["passes"]["datagen_hostref_ratio"] = {
+            "warm": warm_hr,
+            "cold": cold_hr,
+        }
+        if warm_hr > DATAGEN_HOSTREF_BUDGET["warm"]:
+            detail["passes"]["ratio_breaches"]["datagen_2m_rows_mor"] = {
+                "warm_hostref": warm_hr,
+                "cold_hostref": cold_hr,
+                "both_passes": cold_hr > DATAGEN_HOSTREF_BUDGET["cold"],
+            }
+    if probe is not None:
+        detail["probe_tier"] = probe
     detail_path = _detail_path()
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -473,6 +570,11 @@ WARM_RATIO_BUDGETS = {
 # reproduced warm-only breach still counts); pins only ever loosened
 # where the pool (incl. the two 8-core regime runs, e.g. q1 cold 2.59
 # at 8 cores) demanded it, never tightened past r12 evidence.
+# datagen_2m_rows_mor's host_ref-normalized pins (r14, VERDICT r13 #6) —
+# warm/cold seconds ÷ the same pass's host_ref seconds; see the
+# derivation comment at the breach computation in _emit_detail.
+DATAGEN_HOSTREF_BUDGET = {"warm": 14.0, "cold": 19.0}
+
 COLD_RATIO_BUDGETS = {
     "q3_shipping_priority": 2.5,
     "q5_local_supplier_volume": 1.8,

