@@ -343,7 +343,15 @@ def main() -> None:
 
     try:
         _emit_detail(
-            cold, warm, extra, extra_passes, host_refs, sf, warm_med, probe
+            cold,
+            warm,
+            extra,
+            extra_passes,
+            host_refs,
+            sf,
+            warm_med,
+            probe,
+            spark.sparkContext.defaultParallelism,
         )
     except Exception as exc:  # noqa: BLE001 — headline must survive
         print(f"detail: failed ({exc})")
@@ -383,13 +391,22 @@ def _cold_time(n, cold, extra_passes) -> float:
 
 
 def _emit_detail(
-    cold, warm, extra, extra_passes, host_refs, sf, warm_med, probe=None
+    cold,
+    warm,
+    extra,
+    extra_passes,
+    host_refs,
+    sf,
+    warm_med,
+    probe=None,
+    parallelism=32,
 ) -> None:
     """Build + write BENCH_DETAIL_r{N}.json and print its one stdout
     line.  Called under main()'s broad guard: nothing here may prevent
     the compact final line from printing."""
     if warm_med is None:
         warm_med = _query_warm_median(warm)
+    mult = _budget_mult(parallelism)
     cold_med = max(
         _median([t for n, t in cold.items() if n != "datagen_2m_rows_mor"]),
         0.001,
@@ -443,14 +460,19 @@ def _emit_detail(
                     # plan regression as a host burst
                     "both_passes": _cold_time(n, cold, extra_passes)
                     / cold_med
-                    > COLD_RATIO_BUDGETS[n],
+                    > COLD_RATIO_BUDGETS[n] * mult,
                 }
                 for n, t in {**warm, **extra_passes[1]}.items()
                 if n in WARM_RATIO_BUDGETS
-                and t / warm_med > WARM_RATIO_BUDGETS[n]
+                and t / warm_med > WARM_RATIO_BUDGETS[n] * mult
             },
         },
         "sf": sf,
+        # regime self-description (r14): pins are calibrated at the
+        # ≥16-core regime and scaled by budget_mult below it — a reader
+        # of this file can re-derive every breach verdict
+        "cpus": parallelism,
+        "budget_mult": mult,
     }
     # datagen_2m_rows_mor adjudication (r14, VERDICT r13 #6): the one
     # disk-bound pipeline entry cannot ride the query-median ratios (it
@@ -495,62 +517,52 @@ MAX_FINAL_LINE = 1800
 # same run's HEADLINE warm median.  Ratios ride the host window with
 # the query (r12: ratio spread ±0.15 across runs whose absolutes
 # spread ±25%), so a breach is a plan regression, not host drift.
-# RE-PINNED post-optimization (r13 optimization round 1): the round's
-# plan changes roughly HALVED the query-only headline warm median
-# (~1.2 s → 0.64-0.93 s across three serialized same-code runs), so
-# every ratio — optimized or not — moved and the r12-era pins were
-# stale in both directions (q_column_profile's 6.6 left 3× headroom
-# over its new 1.91 median; q_ann_bruteforce's 0.8 false-fired on an
-# UNCHANGED plan).  Pool = the three post-change runs (totals
-# 19.7/13.9/15.2 s, README "Round-13 re-pin"); rule per entry:
-#   * plan CHANGED this round → pin = pool max × 1.4 (the new plan's
-#     only measured truth, with a regime cushion);
-#   * plan unchanged → pin = max(pool max, r12 ratio × 1.25) × 1.3
-#     (the ×1.25 projects the r12 slow-median regime onto the new
-#     denominator, so the pool effectively spans both regimes);
-#   * sub-0.5 s entries keep their r12 pins where those are looser —
-#     at that size ±0.15 s of scheduler noise is ±0.5 of ratio;
-#   * manifest one-pass stalls excluded with their cold twin cited
-#     (README note: q_stream_tumbling 4.53/c1.11, q_tfidf 3.37/c0.92,
-#     q1 2.00/c1.07);
-#   * FINAL WIDENING: ratios are NOT core-count-invariant (the driver
-#     re-benches at lower core counts to measure scaling, and an
-#     8-core probe run raised q_ngram 3.65, q_stream_tumbling 3.26,
-#     q_event_pagerank 2.48, q_knn 1.51 vs the 32-core-calibrated
-#     pins), so the final pool ALSO includes two 8-core runs
-#     (plans/r13/bench_run_8core.json) and every pin is pool max ×
-#     1.3 across both regimes.
+# (History: r13's optimization pass halved the median and re-pinned
+# everything from a two-regime pool — one scalar pin sized to span
+# both core counts, see the r13 block in the git history of this
+# file and README "Round-13 re-pin".)
+# RE-PINNED a second time (r14 optimization round 2): this round's
+# plan changes dropped the query-only warm median again (~0.50-0.63 s
+# vs the r13 pool's 0.64-0.93 s), so every unchanged entry's ratio
+# inflated ~25-30% and several r13 pins went stale in BOTH directions
+# (q_dedup_survivors fell from ratio ~3 to ~0.3 — its 5.6 pin would
+# have been pure silent-regression headroom; q_value_outliers_mad's
+# 1.8 false-fired on an unchanged plan).  Pool + rules:
+# scripts/r14_repin.py over plans/r14/bench_run_{1,3,4}_32core.json —
+# pins are now calibrated TIGHT at the ≥16-core regime only (ADVICE
+# r13), with one-pass stall samples excluded mechanically (warm ratio
+# > 2× a clean cold twin); lower-core runs multiply every pin by
+# LOW_CORE_RATIO_MULT below instead of widening the whole table to the
+# slowest regime.
 WARM_RATIO_BUDGETS = {
-    "q3_shipping_priority": 2.1,
-    "q5_local_supplier_volume": 2.1,
-    "q_ann_bruteforce": 1.4,
-    "q_ann_lsh": 1.1,
-    "q_ann_recall": 1.3,
-    "q_knn_classify": 2.0,
-    "q_ngram_jaccard_pairs": 4.8,
-    "q_referential_integrity": 2.1,
-    "q_stream_tumbling": 4.3,
-    "q_bm25": 3.9,
-    "q_value_outliers_mad": 1.8,
-    "q_curriculum_order": 2.2,
-    "q_dedup_incremental": 1.1,
-    "q_mor_merge": 4.0,
-    "q_column_profile": 2.9,
-    "q_dedup_survivors": 5.6,
-    "q_asof_join": 1.9,
+    "q_bucketed_join": 4.8,
+    "q_ngram_jaccard_pairs": 3.8,
+    "q_mor_merge": 3.6,
+    "q_stream_tumbling": 3.6,
+    "q_column_profile": 3.3,
+    "q_mor_compaction_plan": 3.3,
+    "q_bpe_train": 3.1,
+    "q_bm25": 2.9,
+    "q_simhash": 2.7,
     "q1_pricing_summary": 2.6,
-    "q_bucketed_join": 3.9,
-    "q_simhash": 2.5,
-    "q_jaccard_pairs": 2.7,
-    "q_event_pagerank": 3.3,
+    "q_event_pagerank": 2.6,
+    "q_value_outliers_mad": 2.6,
+    "q_referential_integrity": 2.5,
+    "q_tfidf_top_terms": 2.3,
+    "q_jaccard_pairs": 2.1,
+    "q_dedup_survivors": 2.0,
+    "q_repetition_score": 1.9,
     "q10_returned_items": 1.8,
-    "q_bpe_train": 3.2,
-    "q_mor_compaction_plan": 2.6,
-    "q_minhash_lsh": 3.3,
-    # new this round: above the 1.3 heavy line only because the median
-    # halved under them (plans unchanged or reverted-to-unchanged)
-    "q_tfidf_top_terms": 2.4,
-    "q_repetition_score": 2.6,
+    "q3_shipping_priority": 1.7,
+    "q5_local_supplier_volume": 1.7,
+    "q_asof_join": 1.7,
+    "q_curriculum_order": 1.6,
+    "q_knn_classify": 1.6,
+    "q_minhash_lsh": 1.6,
+    "q_ann_bruteforce": 1.4,
+    "q_ann_recall": 1.4,
+    "q_ann_lsh": 1.1,
+    "q_dedup_incremental": 1.1,
 }
 
 # Cold-pass ratio pins for breach adjudication (ADVICE r12): the
@@ -575,6 +587,27 @@ WARM_RATIO_BUDGETS = {
 # derivation comment at the breach computation in _emit_detail.
 DATAGEN_HOSTREF_BUDGET = {"warm": 14.0, "cold": 19.0}
 
+# Regime-keyed budget selection (ADVICE r13): ratios are not
+# core-count-invariant — at low core counts the heavy entries rise
+# against the (overhead-dominated) median, and the r13 fix of folding
+# both regimes into ONE scalar pin meant a genuine ~1.5-2× 32-core
+# regression could clear a pin sized for the 8-core regime.  The
+# tables above are now pinned TIGHT from the high-parallelism
+# (≥16-core) pool alone; runs at lower core counts — the driver's
+# scaling leg — multiply every pin by LOW_CORE_RATIO_MULT (derived in
+# scripts/r14_repin.py from the committed 8-core runs: max per-entry
+# 8-core/32-core-pin divergence, cushioned).
+LOW_CORE_REGIME_BELOW = 16
+# shipped at the r13 cross-regime widening factor (~1.3-1.5× across
+# its 8-core probe runs); the one clean r14 8-core run needed only
+# 1.0× against the new pins (scripts/r14_repin.py prints the
+# measurement) but one run is thinner evidence than r13's regime study
+LOW_CORE_RATIO_MULT = 1.4
+
+
+def _budget_mult(parallelism: int) -> float:
+    return 1.0 if parallelism >= LOW_CORE_REGIME_BELOW else LOW_CORE_RATIO_MULT
+
 COLD_RATIO_BUDGETS = {
     "q3_shipping_priority": 2.5,
     "q5_local_supplier_volume": 1.8,
@@ -587,7 +620,7 @@ COLD_RATIO_BUDGETS = {
     "q_stream_tumbling": 2.3,
     "q_bm25": 2.4,
     "q_value_outliers_mad": 1.9,
-    "q_curriculum_order": 1.5,
+    "q_curriculum_order": 2.3,
     "q_dedup_incremental": 2.4,
     "q_mor_merge": 3.8,
     "q_column_profile": 4.7,
