@@ -820,20 +820,24 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
     hashed = words.select("doc_id", h.alias("h"))
-    votes = [
-        F.when(
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-            )
-            > 0,
-            F.lit(1).cast("long") * (1 << b),
-        )
-        .otherwise(0)
-        .alias(f"v{b}")
+    # r14 (guide §1.2 per-task work): branch-free vote accumulation —
+    # a ±1 majority vote is equivalently 2·sum(bit) > n, so each of the
+    # 32 per-row aggregate inputs is a bare shift-and instead of a CASE
+    # (the bit-set decision moves to one post-aggregation expression
+    # per group).  Integer math, bit-identical (collect-compared over
+    # the full corpus; oracle-proved at 3 SFs); measured ~5% on the
+    # word-hash stage that dominates this operator.
+    sums = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(1)).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]
-    agg = hashed.groupBy("doc_id").agg(*votes)
-    total = sum(F.col(f"v{b}") for b in range(SIMHASH_BITS))
+    agg = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *sums)
+    total = sum(
+        F.when(
+            2 * F.col(f"s{b}") > F.col("n"), F.lit(1).cast("long") * (1 << b)
+        ).otherwise(0)
+        for b in range(SIMHASH_BITS)
+    )
     return agg.select("doc_id", total.alias("simhash"))
 
 
